@@ -1,0 +1,141 @@
+"""Local replica of the driver's DuckDB-oracle comparison (SURVEY.md §6).
+
+For each registered query with an oracle: run the Spark DataFrame and the
+DuckDB SQL over the same parquet, then compare
+
+  1. row count,
+  2. schema (sorted column names),
+  3. order-insensitive value hash (rows stringified canonically, sorted).
+
+This is intentionally *stricter about value canonicalization* than any
+reasonable driver: floats are compared by repr of round(x, 9)-ish
+canonical form, timestamps by ISO string, Decimals normalized — if this
+passes, a hash over python values passes too.
+
+Usage:  python tools/parity.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import hashlib
+import math
+import os
+import sys
+from dataclasses import dataclass
+
+import duckdb
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from trafficteach_spark import registry, schemas  # noqa: E402
+from trafficteach_spark.session import get_spark  # noqa: E402
+
+
+def _canon(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return repr(round(f, 9))
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _hash_rows(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("\x01".join(_canon(row[i]) for i in order) for row in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@dataclass
+class Result:
+    key: str
+    ok: bool
+    detail: str
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in schemas.TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def check(spark, con, key: str, sf_dir: str) -> Result:
+    spec = registry.all_specs()[key]
+    sdf = spec.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    if spec.oracle is None:
+        return Result(key, True, f"rows-only: {len(s_rows)} rows (no oracle)")
+
+    cur = con.execute(spec.oracle)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = [tuple(r) for r in cur.fetchall()]
+
+    if sorted(s_cols) != sorted(d_cols):
+        return Result(key, False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        return Result(key, False, f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
+    hs, hd = _hash_rows(s_cols, s_rows), _hash_rows(d_cols, d_rows)
+    if hs != hd:
+        # Find a few differing rows for debugging.
+        order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        set_s = {"\x01".join(_canon(r[i]) for i in order_s) for r in s_rows}
+        set_d = {"\x01".join(_canon(r[i]) for i in order_d) for r in d_rows}
+        only_s = list(set_s - set_d)[:3]
+        only_d = list(set_d - set_s)[:3]
+        return Result(
+            key,
+            False,
+            f"value hash mismatch\n  only-spark: {only_s}\n  only-duckdb: {only_d}",
+        )
+    return Result(key, True, f"{len(s_rows)} rows hash-match")
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    keys = args[1:] if args and os.path.isdir(args[0]) else args
+    specs = registry.all_specs()
+    keys = keys or sorted(specs)
+    spark = get_spark("parity")
+    con = duckdb_conn(sf_dir)
+    failed = 0
+    for key in keys:
+        if key not in specs:
+            print(f"?? {key}: unknown key")
+            failed += 1
+            continue
+        try:
+            res = check(spark, con, key, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            res = Result(key, False, f"EXCEPTION: {type(exc).__name__}: {exc}")
+        print(f"{'OK' if res.ok else 'FAIL'} {key}: {res.detail}")
+        failed += 0 if res.ok else 1
+    print(f"\n{len(keys) - failed}/{len(keys)} passed at {sf_dir}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,447 @@
+"""Core relational operators (SURVEY.md §3 O6-O28; M1 of the build plan).
+
+These re-express the reference's MonitorFlowAnalyze family (REF:
+skynet/MonitorFlowAnalyze.java [R] — reconstructed, SURVEY.md §0) over the
+fixture tables (domain mapping in FIXTURES.md):
+
+    monitor_id -> events.event_type      car (plate) -> events.user_id
+    speed      -> events.value           action_time -> events.ts
+    camera inventory (expected vs actual) -> supplier dim vs lineitem facts
+    area dims -> nation/region star
+
+Every function is a pure ``(spark, sf_dir) -> DataFrame``; the whole chain
+is one Catalyst plan (filters reach the parquet scan, small dims broadcast,
+aggregates partial+final automatically — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficteach_spark.functions.exprs import exact_sum
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+# Canonical two-week analysis window on events.ts (2024-01-01..2024-01-30).
+TS_START = "2024-01-05 00:00:00"
+TS_END = "2024-01-19 00:00:00"
+
+_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N busiest checkpoints — the reference's signature question
+    (MonitorFlowAnalyze top-N [R]) transposed to events: per event_type
+    traffic counts in a date range, top 5 with stable tie-break.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+@register(
+    "q01_filter_range",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
+          AND value >= 50.0
+    """,
+    tags=("core", "O6", "O7"),
+)
+def q01_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range + predicate scan with projection (O6/O7).
+
+    Catalyst pushes both predicates into the parquet scan (PushedFilters)
+    and prunes `props` out of the read schema — the hand-written early
+    filtering of REF: util/SparkUtils.java#getCameraRDDByDateRange [R],
+    for free. At 100 TB the ts predicate becomes partition pruning.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.where(_RANGE_PRED).where(F.col("value") >= 50.0).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "q02_group_count",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
+    GROUP BY event_type
+    """,
+    tags=("core", "O15", "O20"),
+)
+def q02_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-checkpoint flow aggregates (O15): count, distinct cars, volume.
+
+    Replaces the reference's groupByKey + manual concat-string fold (REF:
+    skynet/MonitorFlowAnalyze.java [R]) with a hash aggregate that is
+    automatically partial+final (map-side combine) — no salting needed.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.where(_RANGE_PRED).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum("value", "sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_value"),
+    )
+
+
+@register(
+    "q03_star_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+               AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("core", "O10", "O13"),
+)
+def q03_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact -> dims, per-area flow (O13).
+
+    The reference broadcast the area dim by hand (REF:
+    areaRoadFlow/AreaTop3RoadFlowAnalyze.java [R]); here explicit
+    ``broadcast()`` hints pin the dim joins map-side while the single
+    fact-fact join (lineitem ⋈ orders) shuffles on the key — at 100 TB
+    both sides would be bucketed by orderkey to make it shuffle-free.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        "o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    enriched_orders = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("o_orderkey", "n_name", "r_name")
+    )
+    return (
+        lineitem.join(enriched_orders, lineitem.l_orderkey == enriched_orders.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q04_monitor_state",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT l_suppkey
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    )
+    SELECT n.n_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CASE WHEN a.l_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active,
+           CAST(SUM(CASE WHEN a.l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silent
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN active a ON s.s_suppkey = a.l_suppkey
+    GROUP BY n.n_name
+    """,
+    tags=("core", "O9", "O21"),
+)
+def q04_monitor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal-vs-broken inventory state (O9/O21): expected dim ⋈ actuals.
+
+    The reference folded this into a custom string accumulator (REF:
+    util/MonitorAndCameraStateAccumulator.java [R]) — an anti-pattern;
+    here it is a plain conditional aggregate over a left join, fully
+    distributed and expressible as one plan.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    active = (
+        load_table(spark, sf_dir, "lineitem")
+        .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'")
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(active, supplier.s_suppkey == active.l_suppkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.when(F.col("l_suppkey").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_active"),
+            F.sum(F.when(F.col("l_suppkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_silent"),
+        )
+    )
+
+
+@register(
+    "q05_missing_cameras",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    ANTI JOIN (
+        SELECT DISTINCT l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-08 00:00:00'
+    ) a ON s.s_suppkey = a.l_suppkey
+    """,
+    tags=("core", "O12", "O28"),
+)
+def q05_missing_cameras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-camera detection (O12/O28): inventory minus observed.
+
+    Reference did string set-difference on concatenated camera ids [R];
+    here a left_anti join — at scale the observed side is aggregated to
+    distinct keys first, so the anti join broadcasts.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    seen = (
+        load_table(spark, sf_dir, "lineitem")
+        .where("l_shipdate >= '1996-01-01' AND l_shipdate < '1996-01-08'")
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supplier.join(
+        seen, supplier.s_suppkey == seen.l_suppkey, "left_anti"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q06_topn",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT 10
+    """,
+    tags=("core", "O24"),
+)
+def q06_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N busiest cars (O24) with a stable tie-break.
+
+    ``orderBy(...).limit(n)`` plans TakeOrderedAndProject — a true
+    distributed top-k (per-partition heaps + single merge), never a full
+    sort; the reference's sortByKey(false).take(n) [R] shuffled globally.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q06_topn_details",
+    oracle=f"""
+    WITH topn AS (
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
+        GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC
+        LIMIT 10
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+    FROM events e
+    SEMI JOIN topn t ON e.user_id = t.user_id
+    WHERE e.ts >= TIMESTAMP '{TS_START}' AND e.ts < TIMESTAMP '{TS_END}'
+    """,
+    tags=("core", "O8", "O11"),
+)
+def q06_topn_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detail rows under the top-N keys (O8/O11): broadcast left-semi.
+
+    Reference collected top-N to the driver and re-filtered via a
+    broadcast variable [R]; the left_semi join against the (tiny) top-N
+    frame is the declarative equivalent — Catalyst broadcasts it.
+    """
+    events = load_table(spark, sf_dir, "events").where(_RANGE_PRED)
+    topn = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    return events.join(F.broadcast(topn), "user_id", "left_semi").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "q07_speed_buckets",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN value >= 100 AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+           CAST(SUM(CASE WHEN value >= 50 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_normal,
+           CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+    FROM events
+    WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
+    GROUP BY event_type
+    ORDER BY n_high DESC, n_medium DESC, n_normal DESC, n_low DESC, event_type ASC
+    LIMIT 5
+    """,
+    tags=("core", "O17", "O25"),
+)
+def q07_speed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed-distribution top-5 'fastest checkpoints' (O17/O25).
+
+    The reference needed a custom comparable SpeedSortKey bean [R];
+    multi-column orderBy + limit gives the same secondary sort as a
+    TakeOrderedAndProject.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def bucket(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    v = F.col("value")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy("event_type")
+        .agg(
+            bucket(v >= 150, "n_high"),
+            bucket((v >= 100) & (v < 150), "n_medium"),
+            bucket((v >= 50) & (v < 100), "n_normal"),
+            bucket(v < 50, "n_low"),
+        )
+        .orderBy(
+            F.desc("n_high"),
+            F.desc("n_medium"),
+            F.desc("n_normal"),
+            F.desc("n_low"),
+            F.asc("event_type"),
+        )
+        .limit(5)
+    )
+
+
+@register(
+    "q10_distinct_users",
+    oracle=f"""
+    SELECT COUNT(DISTINCT user_id) AS n_distinct_users,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
+    """,
+    tags=("core", "O20"),
+)
+def q10_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global distinct (O20). See q10_distinct_users_approx for the
+    100 TB-scale variant."""
+    events = load_table(spark, sf_dir, "events")
+    return events.where(_RANGE_PRED).agg(
+        F.countDistinct("user_id").alias("n_distinct_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q10_distinct_users_approx",
+    oracle=None,  # HLL sketch; not reproducible in DuckDB — rows-only check.
+    tags=("core", "O20", "scale"),
+)
+def q10_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=1%) — the 100 TB path for O20:
+    one pass, fixed memory, no shuffle of the full key set. Deterministic
+    for fixed data (register-max merge is commutative) but not
+    DuckDB-matchable, so no SQL oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.where(_RANGE_PRED).agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_distinct_users_approx")
+    )
+
+
+@register(
+    "q14_intersect",
+    oracle=f"""
+    SELECT user_id FROM events
+    WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
+      AND event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
+      AND event_type = 'purchase'
+    """,
+    tags=("core", "O26"),
+)
+def q14_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-collision set intersection (O26): cars seen in both 'areas'.
+
+    REF: the 区域碰撞 step used RDD.intersection [R]; DataFrame
+    ``intersect`` plans a distinct + shuffle-coalesced join. For skewed
+    100 TB inputs a groupBy(user).agg(conditional flags) single-pass form
+    avoids the double scan — both shapes are one Catalyst plan.
+    """
+    events = load_table(spark, sf_dir, "events").where(_RANGE_PRED)
+    a = events.where(F.col("event_type") == "click").select("user_id")
+    b = events.where(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "q15_union",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      AND event_type = 'signup'
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'
+      AND event_type = 'purchase'
+    """,
+    tags=("core", "O27"),
+)
+def q15_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of period slices (O27) — ``unionByName`` keeps it safe under
+    column reordering, unlike positional RDD union [R]."""
+    events = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    a = events.where(
+        "ts >= '2024-01-05' AND ts < '2024-01-08' AND event_type = 'signup'"
+    ).select(*cols)
+    b = events.where(
+        "ts >= '2024-01-22' AND ts < '2024-01-25' AND event_type = 'purchase'"
+    ).select(*cols)
+    return a.unionByName(b)

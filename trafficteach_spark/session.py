@@ -1,0 +1,77 @@
+"""SparkSession construction with scale-ready defaults.
+
+The reference (SURVEY.md §4) hand-tunes parallelism, broadcasts and salted
+aggregations in each job ``main()``. Here all of that is session config:
+AQE handles skew/coalescing at runtime, broadcast thresholds pick map-side
+joins, and the rest is left to Catalyst.
+
+Two entry points:
+
+- :func:`get_spark` builds a session for local runs (tests, bench).
+- :func:`ensure_session_confs` applies the *runtime-settable* confs this
+  engine needs to a session someone else built (the driver harness passes
+  us its own SparkSession — we must work inside it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to set at runtime on an existing session and that the
+# engine relies on for correctness/parity:
+#  - nanosAsLong: /root/testdata events.parquet stores TIMESTAMP(NANOS) which
+#    Spark 4 cannot read natively (PARQUET_TYPE_ILLEGAL); read the raw int64
+#    and convert `ns div 1000` -> microsecond timestamp in the loader.
+#  - session timeZone UTC: parity with DuckDB's naive timestamps.
+#  - Arrow: fast pandas-UDF exchange (the only sanctioned Python path).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.mergeSchema": "false",
+    # AQE is on by default in Spark 4; make the intent explicit plus the
+    # skew-join handling the reference implemented by hand (salting UDFs).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs the engine needs to *any* session.
+
+    Idempotent and cheap; every loader calls this so queries work whether
+    the session was built by :func:`get_spark` or by the external harness.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be marked static on some builds; the builder path
+            # sets it at construction time instead.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "trafficteach-spark", cpus: int | None = None) -> SparkSession:
+    """Local-mode session: ``local[$SPARK_GRAFT_CPUS]``, AQE on.
+
+    Shuffle partitions default to the core count — at cluster scale this
+    would be tuned to ~2-3x total cores (or left to AQE's initialPartitionNum
+    + coalescing), which is exactly what AQE does for us here.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return ensure_session_confs(builder.getOrCreate())
