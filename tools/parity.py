@@ -43,10 +43,11 @@ def _canon(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        r = round(v, 9)
+        return repr(0.0 if r == 0 else r)  # normalize -0.0
     if isinstance(v, decimal.Decimal):
-        f = float(v)
-        return repr(round(f, 9))
+        r = round(float(v), 9)
+        return repr(0.0 if r == 0 else r)
     if isinstance(v, _dt.datetime):
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, (list, tuple)):

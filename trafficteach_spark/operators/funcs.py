@@ -1,0 +1,130 @@
+"""Scalar-function operators: strings, dates, JSON (SURVEY.md §3 O29-O32; M3).
+
+The reference carries three util classes — StringUtils (split/concat/
+substring + the k=v concat-string idiom), DateUtils (parse/format/bucket),
+ParamUtils (fastjson task-param parsing) (REF: util/StringUtils.java,
+util/DateUtils.java, util/ParamUtils.java [R]). All of them collapse into
+built-in ``pyspark.sql.functions`` — JVM-side, codegen'd, no UDFs. The
+queries below exercise that surface over the fixture tables, including the
+one fixture column nothing else touches: the JSON ``events.props``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficteach_spark.operators.relational import TS_END, TS_START
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
+_ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
+
+
+@register(
+    "q16_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_word,
+           string_split(text, ' ')[len(string_split(text, ' '))] AS last_word,
+           upper(substr(text, 1, 12)) AS head_upper,
+           concat_ws('|', lang, source) AS lang_src,
+           length(text) AS text_len
+    FROM documents
+    """,
+    tags=("func", "O29"),
+)
+def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (O29): split / indexing / substring / case /
+    concat_ws / length — the whole util/StringUtils.java [R] capability as
+    codegen'd built-ins. Spark's split() is regex-based and DuckDB's
+    string_split is literal; a single-space delimiter means they agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        w.getItem(0).alias("first_word"),
+        F.element_at(w, -1).alias("last_word"),
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@register(
+    "q17_date_funcs",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           hour(ts) AS hr,
+           dayname(ts) AS day_name,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE {_ORACLE_RANGE}
+    GROUP BY 1, 2, 3
+    """,
+    tags=("func", "O30"),
+)
+def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface (O30): the day/hour bucketing DateUtils.java
+    [R] hand-rolled over 'yyyy-MM-dd HH:mm:ss' strings, as typed built-ins
+    (to_date / hour / date_format). Day-hour strata feed the sampling job
+    (O16) and the window family."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy(
+            F.to_date("ts").alias("event_date"),
+            F.hour("ts").alias("hr"),
+            F.date_format("ts", "EEEE").alias("day_name"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q18_json_funcs",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events
+    WHERE {_ORACLE_RANGE}
+    GROUP BY event_type
+    """,
+    tags=("func", "O32"),
+)
+def q18_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function surface (O32): parse ``events.props`` (the reference's
+    fastjson task_param idiom, util/ParamUtils.java [R]) with
+    ``get_json_object`` and aggregate the extracted measure. Integer sums
+    stay exact in both engines; the average divides once at the end."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.where(_RANGE_PRED)
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )

@@ -1,0 +1,278 @@
+"""Deduplication operators over the documents table (SURVEY.md §3 X1/X2).
+
+North-star LLM-pipeline block (BASELINE.json): exact dedup, near-dup via
+shingle-Jaccard, and the MinHash-LSH banded variant that is the 100 TB
+scale path. Not in the reference repo — these extend its capability
+surface per the build brief.
+
+Design for scale:
+- exact dedup is a single hash-groupBy (one shuffle on the content hash);
+- near-dup NEVER does an all-pairs join: candidates come from an inverted
+  shingle index (equi-join on shingle) or from LSH band buckets, then the
+  exact Jaccard filter runs only on candidates. Any pair with J > 0 shares
+  a shingle, so the shingle-index variant is *exact* for any threshold;
+  the MinHash variant trades a (quantified) false-negative probability for
+  a candidate set whose size no longer depends on shingle frequency.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+# Word 3-gram shingles: with the fixture's 31-word vocabulary, token *sets*
+# are degenerate (random-pair median Jaccard 0.64) while shingle sets
+# separate cleanly (planted near-dups >= 0.98, random pairs ~0.01).
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+# MinHash geometry: 64 hashes = 16 bands x 4 rows. P(candidate | J) =
+# 1-(1-J^4)^16: 0.99 at J=0.75, ~1-4e-8 at J=0.9. The fixture's planted
+# near-dups sit at J>=0.98 so the banded pass recovers the exact result.
+_N_HASHES = 64
+_BANDS = 16
+_ROWS_PER_BAND = 4
+_MERSENNE = 4294967291  # largest 32-bit prime
+# a < 2^31 keeps max(a*h + b) = (2^31-1)*(P-1) + (P-1) < 2^63-1: no int64
+# overflow under ANSI arithmetic.
+_rng = random.Random(20240813)
+_HASH_AB = [(_rng.randrange(1, 2**31), _rng.randrange(0, _MERSENNE)) for _ in range(_N_HASHES)]
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s: array<string> distinct shingles, sz) for docs with >= K tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+            ).alias("s"),
+        )
+        .withColumn("sz", F.size("s"))
+    )
+
+
+# Shared oracle: exact shingle-Jaccard over all pairs (DuckDB is fine with
+# the O(n^2) form at sf0.01; the Spark side must never be).
+_NEAR_DUP_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS s
+        FROM tok
+        WHERE len(w) >= {SHINGLE_K}
+    )
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "q30_exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "X1"),
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X1): normalize -> hash -> keep-first per hash.
+
+    One hash-aggregate, one shuffle on the 128-bit content hash — uniform
+    by construction, so no skew at 100 TB; the kept doc_id is the group
+    minimum (deterministic keep-first policy).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@register("q31_near_dedup", oracle=_NEAR_DUP_ORACLE, tags=("llm", "X2"))
+def q31_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection (X2), exact variant: inverted shingle index.
+
+    Plan: explode distinct shingles -> self equi-join on shingle (the
+    inverted index: only docs *sharing* a shingle ever meet) -> count
+    common shingles per pair -> Jaccard = common / (sza + szb - common)
+    >= {threshold}. Exact for any threshold since J > 0 implies a shared
+    shingle; never an all-pairs product. At 100 TB add a df-based prefix
+    filter (skip the most frequent shingles during candidate generation)
+    or switch to q31_minhash_lsh.
+    """
+    sets = _shingle_sets(spark, sf_dir)
+    tok_a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.explode("s").alias("shingle")
+    )
+    tok_b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.explode("s").alias("shingle")
+    )
+    pairs = (
+        tok_a.join(tok_b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("q31_minhash_lsh", oracle=_NEAR_DUP_ORACLE, tags=("llm", "X2", "scale"))
+def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection (X2), MinHash-LSH banded variant — the 100 TB
+    scale path (SURVEY §5 "no operator is ever O(n^2) across partitions").
+
+    Pipeline: shingle -> 64 minhashes (universal hashing (a*h+b) mod p over
+    xxhash64'd shingles) -> 16 bands of 4 rows -> band-bucket equi-join for
+    candidates -> exact Jaccard verify on candidates only. Candidate volume
+    is independent of shingle document-frequency (unlike the inverted
+    index), at the cost of P(miss | J) = (1-J^4)^16 — < 5e-8 for J >= 0.9.
+    Shares q31_near_dedup's oracle: at fixture scale the planted pairs are
+    all J >= 0.98, where the miss probability is ~1e-13.
+    """
+    sets = _shingle_sets(spark, sf_dir)
+    hashed = sets.withColumn(
+        "hs", F.expr(f"transform(s, x -> pmod(xxhash64(x), {_MERSENNE}L))")
+    )
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(hs, h -> pmod({a}L * h + {b}L, {_MERSENNE}L)))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_HASH_AB)
+    ]
+    signed = hashed.select("doc_id", "s", "sz", *sig_cols)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)])
+            for b in range(_BANDS)
+        ]
+    )
+    banded = signed.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"), F.col("sz").alias("sz_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("s_a", "s_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q31_simhash",
+    oracle=None,  # 64-bit simhash + Hamming bucketing; engine-internal hash
+    # functions (xxhash64) are not reproducible in DuckDB — rows-only check;
+    # semantics covered by the oracle-checked q31 variants above.
+    tags=("llm", "X2", "scale"),
+)
+def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (X2, third variant): 64-bit per-doc fingerprint =
+    sign-aggregated token hashes; near-dups = fingerprints within Hamming
+    distance 3, found by the 4-block pigeonhole trick (split the 64-bit
+    hash into 4 blocks of 16; any pair at distance <= 3 agrees on at least
+    one block, so candidates come from 4 equi-joins on block value — never
+    an all-pairs scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(w)).alias("tok"))
+    # Per (doc, bit): +1 if the token hash has the bit set, else -1; the
+    # fingerprint bit is 1 iff the sum is positive.
+    bits = (
+        toks.withColumn("h", F.xxhash64("tok"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 63),"
+                    " b -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)"
+                )
+            ).alias("bit", "w8"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("w8").alias("sw"))
+        .withColumn("bitval", F.when(F.col("sw") > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(collect_list(struct(bit, bitval)), 0L,"
+            " (acc, x) -> acc + (cast(x.bitval as long) << x.bit))"
+        ).alias("simhash")
+    )
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), k -> (simhash >> (k * 16)) & 65535)"
+            )
+        ).alias("block_id", "block_val"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["block_id", "block_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .where(F.col("hamming") <= 3)
+    )
+    return cand.select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,138 @@
+"""Multimodal operators: documents x embeddings, opaque binary columns
+(SURVEY.md §3 X5).
+
+North-star LLM-pipeline block: the text⋈vector join every multimodal
+dataset needs, plus the binary-payload plumbing (typed metadata, Arrow
+batch transfer, ``mapInPandas`` feature extraction) that real image/audio
+pipelines hang decode/resize/frame-sample stages on. The actual codecs are
+NOT in this container, so the decode step is a clearly-marked stub
+(:func:`decode_image`) and the pipeline runs a deterministic fake — the
+Spark-side plumbing (schema, batching, UDF signature) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+
+@register(
+    "q34_multimodal_join",
+    oracle="""
+    SELECT e.label, d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+           ROUND(AVG(CAST(d.n_chars AS DOUBLE)), 6) AS avg_chars,
+           MIN(d.doc_id) AS min_doc_id
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY e.label, d.lang
+    """,
+    tags=("llm", "X5"),
+)
+def q34_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal join (X5): text records ⋈ their embedding vectors on
+    doc_id = vec_id, rolled up per (label, lang).
+
+    The struct-bundling idiom (document + vector as one typed column) is
+    what replaces the reference's concat-string records (SURVEY §2.1);
+    the join key is the shared id, so at 100 TB both tables are bucketed
+    by it and the join is shuffle-free. One equi-join + one aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bundled = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .withColumn(
+            "record",
+            F.struct("doc_id", "lang", "n_chars", "label", "embedding"),
+        )
+    )
+    return (
+        bundled.groupBy(F.col("record.label").alias("label"), F.col("record.lang").alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("record.n_chars").cast("long").alias("sum_chars"),
+            F.round(F.avg(F.col("record.n_chars").cast("double")), 6).alias("avg_chars"),
+            F.min("record.doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real image decode (PIL/libvips/ffmpeg) is not available in
+    this container. Production replaces this with the actual codec; the
+    surrounding pipeline (binary column, Arrow batches, typed metadata)
+    is unchanged. Kept as an explicit failure so nothing silently treats
+    fake features as real ones.
+    """
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; "
+        "wire PIL/libvips here in production"
+    )
+
+
+_FEATURE_SCHEMA = (
+    "doc_id long, width long, payload_len long, payload_md5 string"
+)
+
+# Flip to True in an environment with codecs to run the real decode path.
+REAL_DECODE = False
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per Arrow batch, derive features from the binary
+    payload. Deterministic fake decode (length + md5 + metadata echo);
+    the real path would call :func:`decode_image` per payload."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        if REAL_DECODE:  # pragma: no cover - codecs absent by design
+            payloads.map(decode_image)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "payload_len": payloads.map(len).astype("int64"),
+                "payload_md5": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+            }
+        )
+
+
+@register(
+    "q40_binary_pipeline",
+    oracle="""
+    SELECT doc_id,
+           16 + doc_id % 64 AS width,
+           CAST(length(substr(text, 1, 32)) AS BIGINT) AS payload_len,
+           md5(substr(text, 1, 32)) AS payload_md5
+    FROM documents
+    """,
+    tags=("llm", "X5", "multimodal"),
+)
+def q40_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline (X5): opaque payload bytes + typed metadata
+    -> Arrow-batched ``mapInPandas`` feature extraction.
+
+    The payload here is synthesized from the text column (the container
+    has no media fixtures); everything downstream — binary Spark type,
+    metadata columns, batch iterator shape, deterministic features — is
+    exactly the production plumbing, so the oracle can check the Python
+    path end-to-end (md5/length agree with DuckDB on the same bytes).
+    Decode itself is stubbed: see :func:`decode_image`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
+        (F.lit(16) + F.col("doc_id") % 64).alias("width"),
+    )
+    return payloads.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)

@@ -1,0 +1,196 @@
+"""Vector similarity search over the embeddings table (SURVEY.md §3 X3).
+
+North-star LLM-pipeline block: brute-force cosine top-k as the exact
+baseline (oracle-checked), a sign-LSH bucketed variant as the scale path,
+and threshold-based embedding near-dup pairs.
+
+All vector math is higher-order-function SQL (``zip_with`` +
+``aggregate``), JVM-side and codegen'd — no Python in the hot path. Floats
+are widened to double *before* any arithmetic so Spark and DuckDB compute
+bit-identical sums (same values, same sequential order).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trafficteach_spark import schemas
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # query set: vec_id < 10
+NEAR_DUP_COS = 0.35  # fixture embeddings are random-ish (max pair ~0.51)
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v: array<double>, nrm: double) with L2 norms."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("v", F.expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+        .select("vec_id", "label", "v", "nrm")
+    )
+
+
+@register(
+    "q32_knn_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    q AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+        SELECT q.qid, n.vec_id AS nid,
+               ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cosine
+        FROM q JOIN n ON n.vec_id <> q.qid
+    )
+    SELECT qid, nid, cosine, rn AS knn_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, nid ASC
+        ) AS rn
+        FROM pairs
+    )
+    WHERE rn <= {TOP_K}
+    """,
+    tags=("llm", "X3"),
+)
+def q32_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (X3 baseline): for each query vector, the
+    {TOP_K} nearest neighbors over the full embedding table.
+
+    Plan: the small query set is broadcast against a single linear scan of
+    the corpus (BroadcastNestedLoopJoin — here that IS the right plan:
+    brute-force KNN is by definition query-set x corpus). Ranking is done
+    on the *rounded* cosine with a vec_id tie-break so both engines pick
+    identical top-k sets. At 100 TB: per-partition top-k before the window
+    (TakeOrdered shape) or switch to q32_knn_lsh.
+    """
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = (
+        vecs.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("nrm")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("nid"), "cosine", "knn_rank")
+    )
+
+
+@register(
+    "q35_embed_near_dup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {NEAR_DUP_COS}
+    """,
+    tags=("llm", "X2", "X3"),
+)
+def q35_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the brief's 'embedding-cosine
+    near-dup' dedup mode): all pairs with cosine >= {NEAR_DUP_COS}.
+
+    The fixture-scale plan is a block self-join; at 100 TB this is the
+    operator that MUST go through LSH bucketing (q32_knn_lsh's signature
+    scheme) — the docstring threshold is far below dup-grade (0.95+)
+    only because the fixture embeddings are near-orthogonal random
+    vectors (max pairwise cosine ~0.51).
+    """
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_raw") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# Sign-LSH hyperplanes: fixed seeded pseudo-random, embedded as literals so
+# the bucketing is deterministic across runs and executors.
+_N_PLANES = 8
+_plane_rng = random.Random(7)
+_PLANES = [
+    [_plane_rng.uniform(-1.0, 1.0) for _ in range(schemas.EMBEDDING_DIM)]
+    for _ in range(_N_PLANES)
+]
+
+
+def _bucket_expr(vcol: str) -> F.Column:
+    """LSH bucket id: 8 sign bits of dot(v, plane_i) -> int 0..255."""
+    bits = []
+    for i, plane in enumerate(_PLANES):
+        lit = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+        dot = _DOT.format(a=vcol, b=lit)
+        bits.append(f"(CASE WHEN {dot} > 0D THEN 1L ELSE 0L END << {i})")
+    return F.expr(" + ".join(bits))
+
+
+@register(
+    "q32_knn_lsh",
+    oracle=None,  # approximate by design (bucket pruning loses cross-bucket
+    # neighbors); recall vs the exact q32_knn_cosine is asserted in tests,
+    # not by the equality oracle — rows-only check.
+    tags=("llm", "X3", "scale"),
+)
+def q32_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (X3 scale path): sign-LSH with {_N_PLANES} fixed random
+    hyperplanes partitions the corpus into 256 buckets; each query probes
+    only its own bucket, turning the brute-force corpus scan into an
+    equi-join on bucket id.
+
+    At 100 TB the corpus is *stored* bucketed/partitioned by this id so
+    the probe is a partition-pruned scan; recall is tuned by adding probe
+    buckets (multi-probe LSH) or more tables, orthogonal to the plan
+    shape. Same output schema as q32_knn_cosine.
+    """
+    vecs = _vectors(spark, sf_dir).withColumn("bucket", _bucket_expr("v"))
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    pairs = (
+        vecs.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("nrm")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("nid"), "cosine", "knn_rank")
+    )

@@ -1,0 +1,222 @@
+"""Text-analysis operators over the documents table (SURVEY.md §3 X4).
+
+North-star LLM-pipeline block: corpus stats, language-ID heuristic,
+tokenizer-style counting, document fingerprinting, and quality scoring —
+the per-document feature family a training-data pipeline computes before
+filtering/dedup. Everything is built-in column expressions (codegen'd,
+zero Python), and every query has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+# English function words present in the fixture vocabulary; the heuristic
+# generalizes to per-language stopword lists (one size(filter(...)) each).
+_EN_STOPWORDS = ("the", "a")
+
+# BPE-ish tokenizer classes: letter runs, digit runs, single non-alnum marks.
+_RE_ALPHA = "[a-z]+"
+_RE_NUM = "[0-9]+"
+_RE_PUNCT = "[^a-z0-9 ]"
+
+
+@register(
+    "q33_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("llm", "X4"),
+)
+def q33_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats (X4): per (lang, source) document/token/length profile.
+
+    Single hash-aggregate over the corpus — the shape every corpus-level
+    report takes at 100 TB (one shuffle on a low-cardinality key; AQE
+    handles the inevitable source skew).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tokens).cast("long").alias("sum_tokens"),
+            F.round(F.avg(n_tokens.cast("double")), 6).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "q36_langid",
+    oracle=f"""
+    SELECT lang AS actual_lang,
+           predicted_lang,
+           COUNT(*) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                        x -> x = '{_EN_STOPWORDS[0]}' OR x = '{_EN_STOPWORDS[1]}')) > 0
+                    THEN 'en' ELSE 'und' END AS predicted_lang
+        FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "X4"),
+)
+def q36_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (X4): stopword-hit voting, confusion-matrix
+    output against the labeled lang column.
+
+    The production form scores one stopword/n-gram list per language and
+    argmaxes; the fixture's synthetic word-soup only carries English
+    function words, so the heuristic collapses to en-vs-undetermined —
+    the *operator shape* (per-doc scalar scoring, zero shuffles until the
+    final confusion rollup) is what scales.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop_pred = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
+    predicted = F.when(
+        F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))") > 0, F.lit("en")
+    ).otherwise(F.lit("und"))
+    return (
+        docs.withColumn("predicted_lang", predicted)
+        .groupBy(F.col("lang").alias("actual_lang"), "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "q37_token_count",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_RE_ALPHA}'))) AS BIGINT)
+               AS alpha_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_RE_NUM}'))) AS BIGINT)
+               AS num_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_RE_PUNCT}'))) AS BIGINT)
+               AS punct_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("llm", "X4"),
+)
+def q37_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X4): whitespace tokens vs a BPE-ish regex class
+    split (letter runs / digit runs / punctuation marks), rolled up per
+    language — the token-budget accounting pass of a training pipeline.
+    Regexes use only char classes so Java and RE2-style engines agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_matches(pattern: str) -> F.Column:
+        return F.sum(F.regexp_count("text", F.lit(pattern))).cast("long")
+
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("ws_tokens"),
+        n_matches(_RE_ALPHA).alias("alpha_tokens"),
+        n_matches(_RE_NUM).alias("num_tokens"),
+        n_matches(_RE_PUNCT).alias("punct_tokens"),
+    )
+
+
+@register(
+    "q38_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+    FROM documents
+    """,
+    tags=("llm", "X4"),
+)
+def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (X4): order-insensitive bag-of-words
+    fingerprint = md5 of the sorted distinct token list. Two docs collide
+    iff they share the exact token *set* — the cheap pre-filter before
+    shingle-level near-dup (q31). Pure per-row expression, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(uniq, " ")).alias("fingerprint"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_uniq_tokens"),
+    )
+
+
+@register(
+    "q39_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, uniq_ratio, avg_token_len, stop_ratio,
+           CASE WHEN n_tokens >= 30 AND uniq_ratio >= 0.35 THEN 'high'
+                WHEN n_tokens >= 15 THEN 'medium'
+                ELSE 'low' END AS quality
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS uniq_ratio,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = '{_EN_STOPWORDS[0]}' OR x = '{_EN_STOPWORDS[1]}'))
+                     AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio
+        FROM documents
+    )
+    """,
+    tags=("llm", "X4"),
+)
+def q39_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (X4): per-doc length / lexical-diversity / stopword
+    features + a rule bucket — the filter stage of a training pipeline
+    (drop 'low' before dedup). Pure per-row expressions; the bucket rule
+    is the same CASE in both engines so the oracle checks the features
+    AND the decision.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    stop_pred = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
+    n_tokens = F.size(w)
+    feats = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(w)).cast("double") / n_tokens, 6).alias(
+            "uniq_ratio"
+        ),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))").cast("double")
+            / n_tokens,
+            6,
+        ).alias("stop_ratio"),
+    )
+    quality = (
+        F.when((F.col("n_tokens") >= 30) & (F.col("uniq_ratio") >= 0.35), "high")
+        .when(F.col("n_tokens") >= 15, "medium")
+        .otherwise("low")
+    )
+    return feats.withColumn("quality", quality)

@@ -140,8 +140,13 @@ def q03_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
 
+    # nation/region are fixed-cardinality (25/5 rows) — broadcast hints are
+    # always safe. customer scales with the fact data (~15 B rows at the
+    # 100 TB north star), so NO hint there: AQE/CBO picks broadcast at small
+    # SF and shuffle/sort-merge at scale; the durable layout is bucketing
+    # orders+customer by custkey.
     enriched_orders = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("o_orderkey", "n_name", "r_name")
@@ -295,8 +300,19 @@ def q06_topn_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference collected top-N to the driver and re-filtered via a
     broadcast variable [R]; the left_semi join against the (tiny) top-N
     frame is the declarative equivalent — Catalyst broadcasts it.
+
+    The filtered events frame feeds BOTH the top-N aggregate and the
+    detail scan, so it is persisted (O43 — the reference's
+    ``persist(MEMORY_AND_DISK)`` of the reused fact RDD [R]); one scan
+    instead of two at 100 TB.
     """
-    events = load_table(spark, sf_dir, "events").where(_RANGE_PRED)
+    from pyspark import StorageLevel
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(_RANGE_PRED)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     topn = (
         events.groupBy("user_id")
         .agg(F.count("*").alias("n_events"))

@@ -1,0 +1,112 @@
+"""Sampling + group-concat operators (SURVEY.md §3 O33/O16/O19; M3).
+
+- Stratified extraction (REF: skynet/RandomExtractCars.java [R], ~300 LoC —
+  reference Job 2): draw N car-sightings per (day, hour) stratum. The
+  reference used java.util.Random per stratum; here the draw is a
+  *deterministic* hash-ordered quota (SURVEY §6 design rule: never rand()),
+  so the DuckDB oracle reproduces it bit-for-bit.
+- group_concat_distinct (REF: areaRoadFlow/GroupConcatDistinctUDAF.java [R],
+  ~120 LoC custom UDAF): built-in composition, no UDAF needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trafficteach_spark.operators.relational import TS_END, TS_START
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
+_ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
+
+# Per-stratum quota (rows per day-hour bucket).
+_QUOTA = 2
+
+# LCG-style mixing of event_id: computable identically in Spark SQL and
+# DuckDB with plain BIGINT arithmetic (unlike murmur/xxhash built-ins whose
+# implementations differ across engines). Constants from Numerical Recipes.
+_MIX = "(event_id * 1103515245 + 12345) % 2147483648"
+
+
+@register(
+    "q08_stratified_sample",
+    oracle=f"""
+    SELECT stratum_hour, event_id, user_id, event_type, value
+    FROM (
+        SELECT date_trunc('hour', ts) AS stratum_hour,
+               event_id, user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY {_MIX}, event_id
+               ) AS rn
+        FROM events
+        WHERE {_ORACLE_RANGE}
+    )
+    WHERE rn <= {_QUOTA}
+    """,
+    tags=("sampling", "O16", "O33"),
+)
+def q08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample (O33): {_QUOTA} rows per (day, hour)
+    stratum, ordered by an LCG mix of event_id.
+
+    The reference's Job 2 [R] computed per-stratum counts (O16 countByKey),
+    drew random index sets on the driver, and flatMapped rows whose
+    per-group index was selected. Here one window pass does both: the
+    hash-order is the "random" permutation, the row_number is the index,
+    and the quota filter is the draw — deterministic, reproducible, one
+    shuffle on the stratum key. At 100 TB the same plan holds; skewed
+    strata are bounded by the quota so the window never materializes more
+    than the per-partition sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("stratum_hour").orderBy(
+        F.expr(_MIX).asc(), F.asc("event_id")
+    )
+    return (
+        events.where(_RANGE_PRED)
+        .withColumn("stratum_hour", F.date_trunc("hour", F.col("ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _QUOTA)
+        .select("stratum_hour", "event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "q09_group_concat",
+    oracle=f"""
+    SELECT event_type,
+           string_agg(CAST(user_id AS VARCHAR), '|' ORDER BY user_id) AS users,
+           COUNT(*) AS n_users
+    FROM (
+        SELECT DISTINCT event_type, user_id
+        FROM events
+        WHERE {_ORACLE_RANGE}
+    )
+    GROUP BY event_type
+    """,
+    tags=("agg", "O19", "O41"),
+)
+def q09_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_concat_distinct (O19/O41): distinct cars per checkpoint as one
+    '|'-separated, numerically-sorted string.
+
+    Replaces the reference's 120-LoC custom UDAF [R] with
+    ``concat_ws('|', transform(sort_array(collect_set(...)), cast))`` —
+    a built-in composition that partial-aggregates map-side. The sort
+    makes the concat order deterministic for the oracle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "concat_ws('|', transform(sort_array(collect_set(user_id)),"
+                " x -> cast(x as string)))"
+            ).alias("users"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

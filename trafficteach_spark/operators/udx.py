@@ -1,0 +1,151 @@
+"""UDx surface: pandas UDFs and explode/UDTF (SURVEY.md §3 O40-O42; M3).
+
+The reference ships four scalar UDFs and one UDAF (REF:
+areaRoadFlow/Concat*UDF.java, Random*UDF.java,
+GroupConcatDistinctUDAF.java [R]); all of their *jobs* are done by
+built-ins elsewhere in this engine (q09 replaces the UDAF, AQE replaces the
+salting UDFs). These queries exist to keep the UDx *surface* first-class:
+
+- q23: an Arrow-batched scalar ``@pandas_udf`` and a GROUPED_AGG
+  ``@pandas_udf`` (the sanctioned Python paths — never row-at-a-time UDFs);
+- q24: explode/posexplode as the UDTF-shaped operator (the reference used
+  RDD flatMap for this role).
+
+Both are deliberately deterministic-exact (integer buckets, max-min range)
+so the Python path itself is oracle-checkable — the usual float-summation
+divergence between numpy and the JVM never enters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from trafficteach_spark.operators.relational import TS_END, TS_START
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
+_ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
+
+
+# DataType instances (not DDL strings): string return types need an active
+# SparkContext to parse at decoration time, which import must not require.
+@pandas_udf(LongType())
+def _speed_decile(value: pd.Series) -> pd.Series:
+    """Arrow-batched scalar UDF: floor(value) mod 10 — exact on doubles."""
+    import numpy as np
+
+    return (np.floor(value).astype("int64") % 10).astype("int64")
+
+
+@pandas_udf(DoubleType())
+def _value_spread(value: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (the UDAF surface, O41): max-min spread.
+
+    Exact on IEEE doubles and order-independent, so it hash-matches the
+    SQL ``MAX(value) - MIN(value)`` bit-for-bit.
+    """
+    return float(value.max() - value.min())
+
+
+@register(
+    "q23_pandas_udf",
+    oracle=f"""
+    SELECT event_type,
+           CAST(floor(value) AS BIGINT) % 10 AS speed_decile,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE {_ORACLE_RANGE}
+    GROUP BY 1, 2
+    """,
+    tags=("udx", "O40"),
+)
+def q23_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas-UDF surface (O40): bucket each speed into a decile
+    digit via an Arrow-batched Python function, then aggregate JVM-side.
+
+    The UDF is the *only* Python in the plan; everything before and after
+    stays in whole-stage codegen. This is the pattern the engine sanctions
+    when a transformation genuinely cannot be expressed with built-ins —
+    here it trivially could (the oracle proves it), which is exactly what
+    makes the Arrow path verifiable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .withColumn("speed_decile", _speed_decile(F.col("value")))
+        .groupBy("event_type", "speed_decile")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "q23_pandas_udaf",
+    oracle=f"""
+    SELECT event_type,
+           MAX(value) - MIN(value) AS value_spread
+    FROM events
+    WHERE {_ORACLE_RANGE}
+    GROUP BY event_type
+    """,
+    tags=("udx", "O41"),
+)
+def q23_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas-UDF surface (O41): per-checkpoint speed spread.
+
+    The reference's custom UDAF role (GroupConcatDistinctUDAF [R]) is
+    filled by built-ins in q09; this keeps the *user-defined aggregate*
+    path alive with Arrow transfer. Grouped-agg UDFs cannot partial-
+    aggregate (all group rows cross the wire) and cannot mix with
+    built-in aggregates in one agg() — the scale warning is: prefer
+    built-ins unless semantics force this.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy("event_type")
+        .agg(_value_spread(F.col("value")).alias("value_spread"))
+    )
+
+
+@register(
+    "q24_explode",
+    oracle="""
+    SELECT label,
+           i.i AS pos,
+           COUNT(*) AS n_vals,
+           MIN(CAST(embedding[i.i + 1] AS DOUBLE)) AS min_val,
+           MAX(CAST(embedding[i.i + 1] AS DOUBLE)) AS max_val,
+           ROUND(AVG(CAST(embedding[i.i + 1] AS DOUBLE)), 5) AS avg_val
+    FROM embeddings
+    CROSS JOIN range(4) i(i)
+    GROUP BY label, i.i
+    """,
+    tags=("udx", "O42"),
+)
+def q24_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/UDTF surface (O42): posexplode the embedding vectors and
+    profile the first 4 dimensions per label.
+
+    The reference used RDD flatMap where a UDTF would sit [R];
+    ``posexplode`` is the declarative equivalent and stays codegen'd.
+    The pos filter lands *before* the generate in the optimized plan
+    (generator pruning), so only 4 of 64 positions materialize.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .where(F.col("pos") < 4)
+        .withColumn("val", F.col("val").cast("double"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.round(F.avg("val"), 5).alias("avg_val"),
+        )
+    )

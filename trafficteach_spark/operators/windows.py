@@ -1,0 +1,313 @@
+"""Window operators (SURVEY.md §3 O22/O23/O36/O39; M2 of the build plan).
+
+Re-expresses the reference's window-shaped jobs over the fixture tables:
+
+- per-group top-k   (REF: areaRoadFlow/AreaTop3RoadFlowAnalyze.java [R] —
+  ``row_number() over (partition by area order by car_count desc) rn<=3``)
+- per-car trajectory (REF: skynet/MonitorCarTrack.java [R] — groupByKey +
+  in-memory sort by action_time + concat)
+- sliding/tumbling time windows (REF: rtmroad/RoadRealTimeAnalyze.java [R] —
+  ``reduceByKeyAndWindow`` 5-min window; here the batch-equivalent
+  ``F.window`` aggregation that the Structured-Streaming demo reuses)
+- session windows (gap analysis implicit in WithTheCarAnalyze [R])
+
+Scale notes (100 TB): all of these shuffle exactly once on their partition
+key (event_type or user_id); the trajectory/session family assumes the fact
+table is bucketed by user_id so the shuffle disappears. Sliding windows
+expand each row into window_len/slide rows *after* the scan filter — the
+expansion factor (4 here) is the knob to watch at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trafficteach_spark.functions.exprs import exact_sum
+from trafficteach_spark.operators.relational import TS_END, TS_START
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
+_ORACLE_RANGE = (
+    f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
+)
+
+# Sliding-window geometry: 1-hour windows every 15 minutes -> each event
+# belongs to exactly 4 windows (the reference used 5 min / 5 s = 60x
+# expansion; 4x keeps the same semantics with a sane blow-up factor).
+_SLIDE_SEC = 900
+_WIN_SLOTS = 4  # window length / slide
+
+
+@register(
+    "q11_topk_per_group",
+    oracle=f"""
+    WITH flow AS (
+        SELECT event_type, user_id, COUNT(*) AS n_events
+        FROM events
+        WHERE {_ORACLE_RANGE}
+        GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, n_events, rn
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n_events DESC, user_id ASC
+               ) AS rn
+        FROM flow
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "O22"),
+)
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-area top-3 roads by flow (O22), transposed to per-event_type
+    top-3 users by event count.
+
+    REF: areaRoadFlow/AreaTop3RoadFlowAnalyze.java [R] embedded the SQL
+    string ``row_number() over (partition by area_name order by car_count
+    desc)``; here the same window function, declared on the DataFrame.
+    One shuffle for the pre-aggregate, one for the window partition —
+    AQE coalesces both; tie-break on user_id keeps it deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    flow = (
+        events.where(_RANGE_PRED)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        flow.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "user_id", "n_events", "rn")
+    )
+
+
+@register(
+    "q12_trajectory",
+    oracle=f"""
+    SELECT user_id,
+           string_agg(event_type, '->' ORDER BY ts, event_id) AS trajectory,
+           COUNT(*) AS n_hops,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    WHERE {_ORACLE_RANGE}
+    GROUP BY user_id
+    """,
+    tags=("window", "O23"),
+)
+def q12_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-car ordered trajectory (O23): the checkpoint sequence each car
+    visited, in time order.
+
+    REF: skynet/MonitorCarTrack.java [R] did groupByKey + per-group
+    in-memory sort + string concat on the driver-side domain bean. Here:
+    ``collect_list(struct(ts, event_id, event_type))`` + ``array_sort`` —
+    the struct sort key gives a total order (ts then event_id), so the
+    result is deterministic under any shuffle order. One shuffle on
+    user_id; at 100 TB the fact table is bucketed by user_id making the
+    trajectory family shuffle-free.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "concat_ws('->', transform("
+                "array_sort(collect_list(struct(ts, event_id, event_type))),"
+                " x -> x.event_type))"
+            ).alias("trajectory"),
+            F.count("*").alias("n_hops"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "q20_sliding_window",
+    oracle=f"""
+    WITH slotted AS (
+        SELECT e.event_type, e.value,
+               make_timestamp(((epoch_us(e.ts) // {_SLIDE_SEC * 1_000_000}) - k.k)
+                              * {_SLIDE_SEC * 1_000_000}) AS window_start
+        FROM events e
+        CROSS JOIN (SELECT unnest(range({_WIN_SLOTS})) AS k) k
+        WHERE {_ORACLE_RANGE.replace("ts", "e.ts")}
+    )
+    SELECT window_start,
+           window_start + INTERVAL '{_SLIDE_SEC * _WIN_SLOTS} seconds' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_value
+    FROM slotted
+    GROUP BY window_start, event_type
+    """,
+    tags=("window", "streaming", "O36"),
+)
+def q20_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window per-checkpoint speed stats (O36): 1-hour windows
+    sliding every 15 minutes — the batch form of the reference's
+    ``reduceByKeyAndWindow`` (REF: rtmroad/RoadRealTimeAnalyze.java [R]).
+
+    The identical aggregation runs in the Structured-Streaming demo
+    (streaming/demo.py) with ``withWatermark``; registering the batch form
+    makes the stream logic oracle-checkable (SURVEY §4.3).
+    """
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", f"{_SLIDE_SEC * _WIN_SLOTS} seconds", f"{_SLIDE_SEC} seconds")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "q21_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE {_ORACLE_RANGE}
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window", "streaming", "O36"),
+)
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window variant of q20 (O36) — no row expansion;
+    the shape to prefer at 100 TB when the business question allows it."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q22_session_window",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, ts FROM events WHERE {_ORACLE_RANGE}
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM r
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "O39"),
+)
+def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap (O39): groups of passings per
+    car separated by >= 30 min of silence.
+
+    Spark's native ``session_window`` does the merge in one pass; the
+    oracle reproduces it with the classic gaps-and-islands window SQL.
+    Spark closes a session when the next event is >= gap after the last
+    one (end = last_ts + gap) — the oracle's ``>=`` matches that edge.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_stream_avg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 2)
+               AS avg_speed
+    FROM events
+    WHERE {_ORACLE_RANGE}
+    GROUP BY event_type
+    """,
+    tags=("streaming", "O5", "O31"),
+)
+def q_stream_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-checkpoint average speed (O31/O5) — the reference streaming
+    job's core metric (avg = Σspeed/n, rounded to 2), batch form.
+
+    REF: rtmroad/RoadRealTimeAnalyze.java + util/NumberUtils.java [R].
+    Sum in DECIMAL then divide once: deterministic across engines and
+    associative under AQE re-partitioning.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(_RANGE_PRED)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count("*"),
+                2,
+            ).alias("avg_speed"),
+        )
+    )

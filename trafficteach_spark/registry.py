@@ -74,13 +74,9 @@ def _load() -> None:
     if _loaded:
         return
     for mod in _OPERATOR_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as exc:
-            # Modules come online milestone by milestone (SURVEY §8.2);
-            # only swallow "module itself missing", not its import errors.
-            if exc.name is None or not mod.startswith(exc.name):
-                raise
+        # Every declared module must exist — a typo or renamed module would
+        # otherwise silently drop its queries from queries()/CORRECTNESS.
+        importlib.import_module(mod)
     _loaded = True
 
 

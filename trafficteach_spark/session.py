@@ -39,19 +39,41 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Confs where a silent divergence breaks oracle parity (not just perf):
+# wrong timeZone shifts every timestamp vs DuckDB; nanosAsLong off makes
+# events.parquet unreadable.
+_PARITY_CRITICAL = ("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs the engine needs to *any* session.
 
     Idempotent and cheap; every loader calls this so queries work whether
     the session was built by :func:`get_spark` or by the external harness.
+    Parity-critical confs are read back and a loud warning is raised if the
+    session refused them (e.g. marked static on some build) — a silent
+    divergence there corrupts every timestamp comparison with the oracle.
     """
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             # A conf may be marked static on some builds; the builder path
-            # sets it at construction time instead.
+            # sets it at construction time instead. Verified below.
             pass
+    for key in _PARITY_CRITICAL:
+        try:
+            actual = spark.conf.get(key, None)
+        except Exception:
+            actual = None
+        if actual != RUNTIME_CONFS[key]:
+            import warnings
+
+            warnings.warn(
+                f"parity-critical conf {key}={actual!r} (need {RUNTIME_CONFS[key]!r}); "
+                "timestamp results may diverge from the DuckDB oracle",
+                stacklevel=2,
+            )
     return spark
 
 
