@@ -1,0 +1,87 @@
+"""Bench harness (SURVEY.md M6): time every registered query.
+
+Runs each ``queries()`` entry at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total median wall sec>, "unit": "sec",
+     "queries": {"q01_filter_range": sec, ...}, "sf": 0.1}
+
+Execution is forced through the ``noop`` sink (full computation, no
+driver collect, no disk write) — ``count()`` would let Catalyst prune
+the computed columns and under-measure. Per query we report the median
+of ``$SPARK_GRAFT_BENCH_ROUNDS`` (default 3) timed runs after one
+untimed JVM/code-gen warmup of the whole set.
+
+Scale note: the same harness shape works on a cluster — only the
+session master and sf_dir change; timings at sf0.1 are the per-round
+regression signal the driver records in BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from trafficteach_spark import registry  # noqa: E402
+from trafficteach_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> None:
+    """Fully execute a DataFrame without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("trafficteach-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+
+    # Warmup: run everything once untimed (JVM JIT, codegen cache, parquet
+    # footer cache) so timed rounds measure the query, not the cold start.
+    for key, fn in qs.items():
+        try:
+            _force(fn(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - surfaced in timings
+            print(f"warmup {key} failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for key, fn in qs.items():
+        samples = []
+        try:
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            timings[key] = round(statistics.median(samples), 3)
+        except Exception as exc:
+            print(f"bench {key} failed: {exc}", file=sys.stderr)
+            timings[key] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    result = {
+        "metric": "median_wall_sec_total_all_queries",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

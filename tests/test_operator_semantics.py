@@ -1,0 +1,188 @@
+"""Per-operator semantics on hand-built rows (SURVEY.md §6 layer 1).
+
+Each test runs the *real* registered query function over the tiny
+controlled fixture dir, where the correct answer is derivable by hand —
+ordering, tie-breaks, window edges, dedup policy, funnel subsequence
+semantics, LSH recall on planted dups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from trafficteach_spark.registry import queries
+
+Q = queries()
+
+
+def rows(spark, sf_dir, key):
+    return {tuple(r) for r in Q[key](spark, sf_dir).collect()}
+
+
+# ---------- windows ----------
+
+
+def test_trajectory_orders_by_time(spark, tiny_sf_dir):
+    out = {r["user_id"]: r["trajectory"] for r in Q["q12_trajectory"](spark, tiny_sf_dir).collect()}
+    assert out[1] == "view->click->purchase"
+    assert out[2] == "click->view"  # time order, not chain order
+    assert 5 not in out  # out-of-range event filtered
+
+
+def test_session_window_gap_edges(spark, tiny_sf_dir):
+    per_user = {}
+    for r in Q["q22_session_window"](spark, tiny_sf_dir).collect():
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    # user 1: gaps 10 and 19 min -> one session of 3 events
+    assert sorted(per_user[1]) == [3]
+    # user 2: 31-min gap >= 30-min threshold -> split into two sessions
+    assert sorted(per_user[2]) == [1, 1]
+
+
+def test_topk_per_group_rank_and_tiebreak(spark, tiny_sf_dir):
+    got = rows(spark, tiny_sf_dir, "q11_topk_per_group")
+    view = sorted((r for r in got if r[0] == "view"), key=lambda r: r[3])
+    # view counts: user3=2, user4=2, user1=1 -> rank by n desc then user asc
+    assert [(r[1], r[2], r[3]) for r in view] == [(3, 2, 1), (4, 2, 2), (1, 1, 3)]
+
+
+# ---------- sequences ----------
+
+
+def test_funnel_subsequence_semantics(spark, tiny_sf_dir):
+    out = {r["step"]: r["n_users"] for r in Q["q19_funnel"](spark, tiny_sf_dir).collect()}
+    # view seen by users 1,2,3,4 (user5 out of range) -> 4
+    # view->click in order: only user 1 (user 2 clicked BEFORE viewing)
+    # full chain: only user 1
+    assert out == {1: 4, 2: 1, 3: 1}
+
+
+def test_follow_within_pairs(spark, tiny_sf_dir):
+    got = rows(spark, tiny_sf_dir, "q13_follow_within")
+    # user 3 follows user 4 twice within 10 min at 'view' -> the only pair
+    assert got == {(4, 3, 2)}
+
+
+# ---------- sampling ----------
+
+
+def test_stratified_sample_quota(spark, tiny_sf_dir):
+    per_stratum = {}
+    for r in Q["q08_stratified_sample"](spark, tiny_sf_dir).collect():
+        per_stratum[r["stratum_hour"]] = per_stratum.get(r["stratum_hour"], 0) + 1
+    assert per_stratum and all(n <= 2 for n in per_stratum.values())
+
+
+def test_stratified_sample_deterministic(spark, tiny_sf_dir):
+    a = rows(spark, tiny_sf_dir, "q08_stratified_sample")
+    b = rows(spark, tiny_sf_dir, "q08_stratified_sample")
+    assert a == b
+
+
+# ---------- dedup family ----------
+
+
+def test_exact_dedup_keep_first(spark, tiny_sf_dir):
+    got = {r["doc_id"]: r["n_copies"] for r in Q["q30_exact_dedup"](spark, tiny_sf_dir).collect()}
+    # docs 0 and 2 share identical text -> one group, min doc_id kept
+    assert got[0] == 2 and 2 not in got
+    assert got[1] == 1 and got[3] == 1
+
+
+def test_near_dedup_finds_planted_pair_only(spark, tiny_sf_dir):
+    got = rows(spark, tiny_sf_dir, "q31_near_dedup")
+    pairs = {(a, b) for a, b, _ in got}
+    # 0~1 (one-token edit) and the exact dup 0~2 / 1~2; never 3 or 4
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+    jac = {(a, b): j for a, b, j in got}
+    assert jac[(0, 2)] == 1.0
+    assert 0.5 <= jac[(0, 1)] < 1.0
+
+
+def test_minhash_lsh_recovers_exact_result(spark, tiny_sf_dir):
+    exact = rows(spark, tiny_sf_dir, "q31_near_dedup")
+    banded = rows(spark, tiny_sf_dir, "q31_minhash_lsh")
+    # planted dups are J>=0.5 with tiny miss probability; identical output
+    assert banded == exact
+
+
+def test_simhash_identical_docs_distance_zero(spark, tiny_sf_dir):
+    got = rows(spark, tiny_sf_dir, "q31_simhash")
+    d = {(a, b): h for a, b, h in got}
+    assert d[(0, 2)] == 0  # identical text -> identical fingerprint
+    # Unrelated docs never land within Hamming 3. (A one-token edit on an
+    # 8-token doc CAN flip >3 bits — per-bit sums are tiny — so no
+    # assertion on (0, 1); simhash's edit tolerance is a long-doc property.)
+    assert not any(3 in p or 4 in p for p in d)
+
+
+# ---------- similarity ----------
+
+
+def test_knn_cosine_geometry(spark, tiny_sf_dir):
+    got = Q["q32_knn_cosine"](spark, tiny_sf_dir).collect()
+    top = {(r["qid"], r["knn_rank"]): (r["nid"], r["cosine"]) for r in got}
+    # vec 0's nearest is the parallel vec 1 (cos 1), then orthogonal 2 (0),
+    # then anti-parallel 3 (-1)
+    assert top[(0, 1)] == (1, 1.0)
+    assert top[(0, 2)] == (2, 0.0)
+    assert top[(0, 3)] == (3, -1.0)
+
+
+def test_embed_near_dup_threshold(spark, tiny_sf_dir):
+    got = rows(spark, tiny_sf_dir, "q35_embed_near_dup")
+    assert {(a, b) for a, b, _ in got} == {(0, 1)}  # only the parallel pair
+
+
+# ---------- text family ----------
+
+
+def test_langid_stopword_vote(spark, tiny_sf_dir):
+    got = rows(spark, tiny_sf_dir, "q36_langid")
+    as_dict = {(a, p): n for a, p, n in got}
+    assert as_dict[("en", "en")] == 3  # docs 0,1,2 contain 'the'
+    assert as_dict[("en", "und")] == 1  # doc 3 has no stopword
+    assert as_dict[("xx", "und")] == 1
+
+
+def test_fingerprint_is_token_set_invariant(spark, tiny_sf_dir):
+    got = {r["doc_id"]: r["fingerprint"] for r in Q["q38_fingerprint"](spark, tiny_sf_dir).collect()}
+    assert got[0] == got[2]  # identical text
+    assert got[0] != got[3]
+
+
+def test_quality_score_buckets(spark, tiny_sf_dir):
+    got = {r["doc_id"]: r["quality"] for r in Q["q39_quality_score"](spark, tiny_sf_dir).collect()}
+    assert set(got.values()) <= {"high", "medium", "low"}
+    assert got[4] == "low"  # 5 tokens
+
+
+# ---------- UDx / binary plumbing ----------
+
+
+def test_pandas_udf_decile(spark, tiny_sf_dir):
+    got = rows(spark, tiny_sf_dir, "q23_pandas_udf")
+    # values 10,20,30,15,25,11,12,13,14 -> floor%10
+    deciles = {(t, d) for t, d, _ in got}
+    assert ("view", 1) in deciles and ("click", 0) in deciles and ("purchase", 0) in deciles
+
+
+def test_binary_pipeline_md5_matches_python(spark, tiny_sf_dir):
+    got = {r["doc_id"]: r for r in Q["q40_binary_pipeline"](spark, tiny_sf_dir).collect()}
+    from tests.conftest import TINY_DOCS
+
+    for doc_id, text, *_ in TINY_DOCS:
+        payload = text[:32].encode()
+        assert got[doc_id]["payload_len"] == len(payload)
+        assert got[doc_id]["payload_md5"] == hashlib.md5(payload).hexdigest()
+        assert got[doc_id]["width"] == 16 + doc_id % 64
+
+
+def test_decode_image_is_an_explicit_stub():
+    from trafficteach_spark.operators.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,39 @@
+"""Registry integrity: the driver-contract surface (SURVEY.md §6 layer 2)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from trafficteach_spark import registry
+
+
+def test_all_modules_register():
+    specs = registry.all_specs()
+    assert len(specs) >= 42, sorted(specs)
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # Non-SQL-expressible exceptions are deliberate and few.
+    no_oracle = set(qs) - set(oracles)
+    assert no_oracle == {"q10_distinct_users_approx", "q31_simhash", "q32_knn_lsh"}
+
+
+def test_every_query_documented():
+    for key, spec in registry.all_specs().items():
+        assert spec.doc.strip(), f"{key} has no docstring"
+        assert spec.tags, f"{key} has no tags"
+
+
+def test_entry_module_exports():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert callable(entry_mod.entry)
+
+
+def test_load_idempotent():
+    a = registry.queries()
+    b = registry.queries()
+    assert a.keys() == b.keys()

@@ -131,6 +131,34 @@ def q12_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """The q20 aggregation body, shared verbatim by the batch query and the
+    Structured-Streaming demo (streaming/demo.py) — SURVEY §4.3's "identical
+    aggregation function" contract: the stream is oracle-checkable because
+    this exact expression is what the batch harness verifies."""
+    win = F.window("ts", f"{_SLIDE_SEC * _WIN_SLOTS} seconds", f"{_SLIDE_SEC} seconds")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
 @register(
     "q20_sliding_window",
     oracle=f"""
@@ -159,33 +187,12 @@ def q20_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding every 15 minutes — the batch form of the reference's
     ``reduceByKeyAndWindow`` (REF: rtmroad/RoadRealTimeAnalyze.java [R]).
 
-    The identical aggregation runs in the Structured-Streaming demo
-    (streaming/demo.py) with ``withWatermark``; registering the batch form
-    makes the stream logic oracle-checkable (SURVEY §4.3).
+    The identical aggregation (``sliding_window_agg``) runs in the
+    Structured-Streaming demo with ``withWatermark``; registering the batch
+    form makes the stream logic oracle-checkable (SURVEY §4.3).
     """
     events = load_table(spark, sf_dir, "events")
-    win = F.window("ts", f"{_SLIDE_SEC * _WIN_SLOTS} seconds", f"{_SLIDE_SEC} seconds")
-    return (
-        events.where(_RANGE_PRED)
-        .groupBy(win.alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            exact_sum("value", "sum_value"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("avg_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            "sum_value",
-            "avg_value",
-        )
-    )
+    return sliding_window_agg(events.where(_RANGE_PRED))
 
 
 @register(

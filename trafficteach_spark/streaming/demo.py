@@ -1,0 +1,126 @@
+"""Structured-Streaming demo (SURVEY.md §3 O35-O38; reference Job 8).
+
+The reference's streaming job (REF: rtmroad/RoadRealTimeAnalyze.java [R])
+consumed a Kafka DStream in 5-second micro-batches and computed a
+per-checkpoint sliding-window average speed with ``reduceByKeyAndWindow``
+— processing-time semantics, no late-data handling, manual checkpointing.
+
+The Spark-native shape (SURVEY §4.3): the *same* aggregation expression as
+the batch query ``q20_sliding_window`` (imported, not re-implemented), on
+an event-time column with a watermark:
+
+- O35 ingest: ``readStream`` file source over the events schema (a real
+  deployment swaps in ``format("kafka")`` + ``from_json`` — one line; no
+  Kafka broker exists in this container, and the file source exercises the
+  identical plan);
+- O36 window: ``sliding_window_agg`` — 1-hour windows / 15-min slide;
+- O37 watermark: ``withWatermark("ts", "2 hours")`` — late rows beyond
+  2 hours of the max seen event time are dropped instead of growing state
+  forever (the reference had NO such bound: its window state was a deque
+  of RDDs);
+- O38 checkpoint: ``option("checkpointLocation", ...)`` for exactly-once
+  sink semantics across restarts.
+
+Correctness contract: because the aggregation body is shared, the batch
+harness's DuckDB oracle for q20 *is* the oracle for this stream; the pytest
+in tests/test_streaming.py runs the stream to completion on a fixture dir
+(``availableNow`` trigger) and asserts the result equals the batch answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from trafficteach_spark import schemas
+from trafficteach_spark.operators.windows import sliding_window_agg
+from trafficteach_spark.session import ensure_session_confs
+
+WATERMARK = "2 hours"
+
+
+def read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """O35: streaming source over the events table layout.
+
+    ``events_path`` must be a DIRECTORY (the file-stream source tails
+    directories; files "arrive" by landing in it — see
+    :func:`stage_events_dir` for adapting a single-file fixture).
+    File source here; production: ``spark.readStream.format("kafka")`` +
+    ``from_json(value, EVENTS schema)`` — the downstream plan is identical.
+    ``maxFilesPerTrigger`` bounds micro-batch size the way the reference's
+    5-second batch duration did.
+    """
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(schemas.EVENTS_PHYSICAL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def stream_sliding_avg(events: DataFrame) -> DataFrame:
+    """O36+O37: watermarked event-time sliding window, reusing the exact
+    batch aggregation (q20).
+
+    Watermarks only attach to TIMESTAMP (not TIMESTAMP_NTZ) columns; the
+    session timezone is pinned to UTC (ensure_session_confs), so casting
+    through TIMESTAMP and back is value-identity and the stream's output
+    schema stays bit-identical to batch q20's.
+    """
+    marked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", WATERMARK
+    )
+    return sliding_window_agg(marked).withColumns(
+        {
+            "window_start": F.col("window_start").cast("timestamp_ntz"),
+            "window_end": F.col("window_end").cast("timestamp_ntz"),
+        }
+    )
+
+
+def stage_events_dir(sf_dir: str, staging_dir: str) -> str:
+    """Adapt the single-file fixture to the directory layout the file
+    source tails: symlink ``events.parquet`` into ``staging_dir``. A real
+    deployment already has a landing directory (or Kafka) — this exists
+    only so the fixture can play one."""
+    os.makedirs(staging_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(staging_dir, "events-00000.parquet")
+    if not os.path.exists(dst):
+        os.symlink(src, dst)
+    return staging_dir
+
+
+def start_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_q20",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire source -> window agg -> in-memory sink with checkpointing (O38).
+
+    ``available_now=True`` processes every existing file then stops (the
+    testable mode); ``False`` keeps the query live for a real tail. The
+    memory sink in complete mode re-emits the full window table each
+    micro-batch; a production job would writeStream to parquet/Kafka in
+    update mode and let the watermark expire state.
+    """
+    staged = stage_events_dir(sf_dir, os.path.join(checkpoint_dir + "-in"))
+    events = read_event_stream(spark, staged)
+    agg = stream_sliding_avg(events)
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
