@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trafficteach_spark.registry import register
@@ -121,13 +121,22 @@ def q31_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: explode distinct shingles -> self equi-join on shingle (the
     inverted index: only docs *sharing* a shingle ever meet) -> count
-    common shingles per pair -> Jaccard = common / (sza + szb - common)
-    >= {threshold}. Exact for any threshold since J > 0 implies a shared
-    shingle; never an all-pairs product. At 100 TB add a df-based prefix
-    filter (skip the most frequent shingles during candidate generation)
-    or switch to q31_minhash_lsh.
+    common shingles per pair in the SAME groupBy -> Jaccard filter. Exact
+    for any threshold since J > 0 implies a shared shingle; never an
+    all-pairs product. The shingle frame is persisted (O43): the HOF
+    shingling pass is the most expensive per-row expression here and
+    feeds both join sides.
+
+    Measured design note (BASELINE.md): an AllPairs/PPJoin df-ordered
+    prefix filter was implemented and benchmarked at sf0.1 — it LOST
+    (24.6s vs ~4s): this fixture's shingle document-frequency is uniform
+    (median 9, max 25), so the prefix barely shrinks candidates (409k vs
+    1.27M) while its verify stage drags full shingle arrays through two
+    extra joins. On a Zipfian real corpus with hot shingles the trade-off
+    inverts; at 100 TB prefer q31_minhash_lsh, whose candidate volume is
+    df-independent by construction.
     """
-    sets = _shingle_sets(spark, sf_dir)
+    sets = _shingle_sets(spark, sf_dir).persist()
     tok_a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.explode("s").alias("shingle")
     )
@@ -162,7 +171,7 @@ def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares q31_near_dedup's oracle: at fixture scale the planted pairs are
     all J >= 0.98, where the miss probability is ~1e-13.
     """
-    sets = _shingle_sets(spark, sf_dir)
+    sets = _shingle_sets(spark, sf_dir).persist()  # feeds signatures + verify (O43)
     hashed = sets.withColumn(
         "hs", F.expr(f"transform(s, x -> pmod(xxhash64(x), {_MERSENNE}L))")
     )
@@ -230,7 +239,12 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.col("text"), " ")
     toks = docs.select("doc_id", F.explode(F.array_distinct(w)).alias("tok"))
     # Per (doc, bit): +1 if the token hash has the bit set, else -1; the
-    # fingerprint bit is 1 iff the sum is positive.
+    # fingerprint bit is 1 iff the sum is positive. The 64x explode looks
+    # scary but collapses map-side: partial aggregation reduces it to
+    # 64 x n_docs rows BEFORE the shuffle (same source row -> same
+    # partition), and the expanded form stays in whole-stage codegen —
+    # measured 4x faster than the nested-HOF one-pass rewrite, whose
+    # lambdas are interpreted per element (BASELINE.md).
     bits = (
         toks.withColumn("h", F.xxhash64("tok"))
         .select(

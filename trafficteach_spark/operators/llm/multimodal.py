@@ -87,24 +87,37 @@ _FEATURE_SCHEMA = (
 REAL_DECODE = False
 
 
-def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: per Arrow batch, derive features from the binary
-    payload. Deterministic fake decode (length + md5 + metadata echo);
-    the real path would call :func:`decode_image` per payload."""
-    for pdf in batches:
-        payloads = pdf["payload"]
-        if REAL_DECODE:  # pragma: no cover - codecs absent by design
-            payloads.map(decode_image)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "width": pdf["width"],
-                "payload_len": payloads.map(len).astype("int64"),
-                "payload_md5": payloads.map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()
-                ),
-            }
-        )
+def _make_extract_features(real_decode: bool):
+    """Build the mapInPandas worker as a closure so cloudpickle ships it BY
+    VALUE (a module-level function is pickled by reference and breaks when
+    the harness driver's cwd doesn't put this package on the worker path)."""
+
+    def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Per Arrow batch, derive features from the binary payload.
+        Deterministic fake decode (length + md5 + metadata echo); the real
+        path would call :func:`decode_image` per payload."""
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if real_decode:  # pragma: no cover - codecs absent by design
+                from trafficteach_spark.operators.llm.multimodal import decode_image
+
+                payloads.map(decode_image)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "payload_len": payloads.map(len).astype("int64"),
+                    "payload_md5": payloads.map(
+                        lambda b: _hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return extract_features
 
 
 @register(
@@ -135,4 +148,6 @@ def q40_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
         (F.lit(16) + F.col("doc_id") % 64).alias("width"),
     )
-    return payloads.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+    return payloads.mapInPandas(
+        _make_extract_features(REAL_DECODE), schema=_FEATURE_SCHEMA
+    )

@@ -95,6 +95,49 @@ def q32_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_BLOCKS = 8
+_PAIR_SCHEMA = "vec_a long, vec_b long, cosine double"
+
+
+def _make_block_pair_cosine(threshold: float):
+    """Build the applyInPandas worker as a closure so cloudpickle ships it
+    BY VALUE — a module-level function is pickled by reference, which
+    breaks when the harness driver's cwd doesn't have this package on the
+    worker PYTHONPATH."""
+
+    def block_pair_cosine(pdf):
+        """One block-pair task: numpy/BLAS product of the two blocks'
+        matrices, emit pairs over threshold. Runs on executors."""
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        ma = np.vstack(a["nv"].to_numpy())  # rows already L2-normalized
+        mb = np.vstack(b["nv"].to_numpy())
+        cos = ma @ mb.T
+        ia, ib = np.nonzero(cos >= threshold)
+        ids_a = a["vec_id"].to_numpy()[ia]
+        ids_b = b["vec_id"].to_numpy()[ib]
+        if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
+            # Same-block: every unordered pair appears in both orders.
+            keep = ids_a < ids_b
+            lo, hi, c = ids_a[keep], ids_b[keep], cos[ia[keep], ib[keep]]
+        else:
+            # Cross-block: each unordered pair appears exactly once, but
+            # block assignment (pmod) doesn't order ids — canonicalize.
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+            c = cos[ia, ib]
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": np.round(c, 6)})
+
+    return block_pair_cosine
+
+
 @register(
     "q35_embed_near_dup",
     oracle=f"""
@@ -110,30 +153,48 @@ def q32_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {NEAR_DUP_COS}
     """,
-    tags=("llm", "X2", "X3"),
+    tags=("llm", "X2", "X3", "scale"),
 )
 def q35_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the brief's 'embedding-cosine
-    near-dup' dedup mode): all pairs with cosine >= {NEAR_DUP_COS}.
+    near-dup' dedup mode): all pairs with cosine >= {NEAR_DUP_COS},
+    computed as a distributed BLOCK-MATRIX product.
 
-    The fixture-scale plan is a block self-join; at 100 TB this is the
-    operator that MUST go through LSH bucketing (q32_knn_lsh's signature
-    scheme) — the docstring threshold is far below dup-grade (0.95+)
-    only because the fixture embeddings are near-orthogonal random
-    vectors (max pairwise cosine ~0.51).
+    Each vector is assigned one of {_N_BLOCKS} hash blocks; every block
+    pair (i <= j) becomes one group key, with both blocks' rows tagged and
+    unioned into it, and ``applyInPandas`` runs the block product in
+    numpy/BLAS (Arrow batches, no per-element lambda). vs the row-wise
+    higher-order-function form this is ~40x at sf0.1 (19.2s -> see
+    BASELINE.md) for the identical exact result.
+
+    Scale: no corpus broadcast, no driver collect — replication factor is
+    (_N_BLOCKS+1), each task holds two blocks; at 100 TB pick the block
+    count so a block fits executor memory, or pre-bucket the table by the
+    block id so the pairing shuffle disappears. Threshold note: 0.35 is
+    far below dup-grade (0.95+) only because the fixture embeddings are
+    near-orthogonal random vectors (max pairwise cosine ~0.51).
     """
     vecs = _vectors(spark, sf_dir)
-    a = vecs.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    # L2-normalize once so the block product is a plain dot.
+    norm = vecs.select(
+        "vec_id",
+        F.expr("transform(v, x -> x / nrm)").alias("nv"),
+        F.pmod(F.col("vec_id"), F.lit(_N_BLOCKS)).alias("blk"),
     )
-    b = vecs.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    pairs = spark.range(_N_BLOCKS).alias("i").crossJoin(spark.range(_N_BLOCKS).alias("j")).select(
+        F.col("i.id").alias("bi"), F.col("j.id").alias("bj")
+    ).where(F.col("bi") <= F.col("bj"))
+    # Tag-and-union: row r of block b joins every pair key where b appears;
+    # side 0 = the bi role, side 1 = the bj role.
+    as_a = norm.join(pairs, norm.blk == pairs.bi).select(
+        "bi", "bj", F.lit(0).alias("side"), "vec_id", "nv"
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")))
-        .where(F.col("cos_raw") >= NEAR_DUP_COS)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    as_b = norm.join(pairs, norm.blk == pairs.bj).select(
+        "bi", "bj", F.lit(1).alias("side"), "vec_id", "nv"
+    )
+    tagged = as_a.unionByName(as_b)
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        _make_block_pair_cosine(NEAR_DUP_COS), schema=_PAIR_SCHEMA
     )
 
 
