@@ -16,9 +16,8 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
-_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 
 
@@ -74,9 +73,9 @@ def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     [R] hand-rolled over 'yyyy-MM-dd HH:mm:ss' strings, as typed built-ins
     (to_date / hour / date_format). Day-hour strata feed the sampling job
     (O16) and the window family."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy(
             F.to_date("ts").alias("event_date"),
             F.hour("ts").alias("hr"),
@@ -112,10 +111,10 @@ def q18_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fastjson task_param idiom, util/ParamUtils.java [R]) with
     ``get_json_object`` and aggregate the extracted measure. Integer sums
     stay exact in both engines; the average divides once at the end."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     k = F.get_json_object("props", "$.k").cast("long")
     return (
-        events.where(_RANGE_PRED)
+        events
         .withColumn("k", k)
         .groupBy("event_type")
         .agg(

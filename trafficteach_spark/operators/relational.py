@@ -21,13 +21,13 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark.functions.exprs import exact_sum
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
 # Canonical two-week analysis window on events.ts (2024-01-01..2024-01-30).
+# Applied via load_events_range so the predicate hits the PHYSICAL int64-ns
+# column and reaches the parquet scan (PushedFilters row-group skipping).
 TS_START = "2024-01-05 00:00:00"
 TS_END = "2024-01-19 00:00:00"
-
-_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,9 +35,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MonitorFlowAnalyze top-N [R]) transposed to events: per event_type
     traffic counts in a date range, top 5 with stable tie-break.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -67,8 +67,8 @@ def q01_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering of REF: util/SparkUtils.java#getCameraRDDByDateRange [R],
     for free. At 100 TB the ts predicate becomes partition pruning.
     """
-    events = load_table(spark, sf_dir, "events")
-    return events.where(_RANGE_PRED).where(F.col("value") >= 50.0).select(
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    return events.where(F.col("value") >= 50.0).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
 
@@ -94,8 +94,8 @@ def q02_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     skynet/MonitorFlowAnalyze.java [R]) with a hash aggregate that is
     automatically partial+final (map-side combine) — no salting needed.
     """
-    events = load_table(spark, sf_dir, "events")
-    return events.where(_RANGE_PRED).groupBy("event_type").agg(
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    return events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         exact_sum("value", "sum_value"),
@@ -266,9 +266,9 @@ def q06_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed top-k (per-partition heaps + single merge), never a full
     sort; the reference's sortByKey(false).take(n) [R] shuffled globally.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
         .orderBy(F.desc("n_events"), F.asc("user_id"))
@@ -309,8 +309,8 @@ def q06_topn_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     events = (
-        load_table(spark, sf_dir, "events")
-        .where(_RANGE_PRED)
+        load_events_range(spark, sf_dir, TS_START, TS_END)
+        
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     topn = (
@@ -347,14 +347,14 @@ def q07_speed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-column orderBy + limit gives the same secondary sort as a
     TakeOrderedAndProject.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
 
     def bucket(cond, name):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
 
     v = F.col("value")
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("event_type")
         .agg(
             bucket(v >= 150, "n_high"),
@@ -386,8 +386,8 @@ def q07_speed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global distinct (O20). See q10_distinct_users_approx for the
     100 TB-scale variant."""
-    events = load_table(spark, sf_dir, "events")
-    return events.where(_RANGE_PRED).agg(
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    return events.agg(
         F.countDistinct("user_id").alias("n_distinct_users"),
         F.count("*").alias("n_events"),
     )
@@ -403,8 +403,8 @@ def q10_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass, fixed memory, no shuffle of the full key set. Deterministic
     for fixed data (register-max merge is commutative) but not
     DuckDB-matchable, so no SQL oracle."""
-    events = load_table(spark, sf_dir, "events")
-    return events.where(_RANGE_PRED).agg(
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    return events.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("n_distinct_users_approx")
     )
 
@@ -433,7 +433,7 @@ def q14_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-table I/O and replaces the join with a partial-aggregated
     groupBy, which AQE skew-handles for free.
     """
-    events = load_table(spark, sf_dir, "events").where(_RANGE_PRED)
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
         events.where(F.col("event_type").isin("click", "purchase"))
         .groupBy("user_id")
@@ -461,13 +461,18 @@ def q14_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of period slices (O27) — ``unionByName`` keeps it safe under
-    column reordering, unlike positional RDD union [R]."""
-    events = load_table(spark, sf_dir, "events")
+    column reordering, unlike positional RDD union [R]. Each slice is its
+    own range-pushed scan (the second period lies outside the canonical
+    window, so it gets its own bounds)."""
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    a = events.where(
-        "ts >= '2024-01-05' AND ts < '2024-01-08' AND event_type = 'signup'"
-    ).select(*cols)
-    b = events.where(
-        "ts >= '2024-01-22' AND ts < '2024-01-25' AND event_type = 'purchase'"
-    ).select(*cols)
+    a = (
+        load_events_range(spark, sf_dir, "2024-01-05", "2024-01-08")
+        .where("event_type = 'signup'")
+        .select(*cols)
+    )
+    b = (
+        load_events_range(spark, sf_dir, "2024-01-22", "2024-01-25")
+        .where("event_type = 'purchase'")
+        .select(*cols)
+    )
     return a.unionByName(b)

@@ -16,9 +16,8 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
-_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 
 # Per-stratum quota (rows per day-hour bucket).
@@ -61,12 +60,12 @@ def q08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     strata are bounded by the quota so the window never materializes more
     than the per-partition sort.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     w = Window.partitionBy("stratum_hour").orderBy(
         F.expr(_MIX).asc(), F.asc("event_id")
     )
     return (
-        events.where(_RANGE_PRED)
+        events
         .withColumn("stratum_hour", F.date_trunc("hour", F.col("ts")))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _QUOTA)
@@ -98,9 +97,9 @@ def q09_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     a built-in composition that partial-aggregates map-side. The sort
     makes the concat order deterministic for the oracle.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("event_type")
         .agg(
             F.expr(

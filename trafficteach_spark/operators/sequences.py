@@ -20,9 +20,8 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
-_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 
 # The funnel chain: signup -> view -> click -> purchase would be the natural
@@ -110,9 +109,9 @@ def q19_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence risk (~0 over the fixture's ns timestamps).
     """
     c1, c2, c3 = FUNNEL_CHAIN
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     depths = (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("user_id")
         .agg(F.expr(_funnel_depth_expr()).alias("depth"))
     )
@@ -167,8 +166,8 @@ def q13_follow_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays a shuffled hash/sort-merge join that scales linearly with data
     per (checkpoint, bucket).
     """
-    events = load_table(spark, sf_dir, "events")
-    r = events.where(_RANGE_PRED).select(
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    r = events.select(
         "event_type",
         "user_id",
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),

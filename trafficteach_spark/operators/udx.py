@@ -26,9 +26,8 @@ from pyspark.sql.types import DoubleType, LongType
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
-_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 
 
@@ -74,9 +73,9 @@ def q23_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     here it trivially could (the oracle proves it), which is exactly what
     makes the Arrow path verifiable.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .withColumn("speed_decile", _speed_decile(F.col("value")))
         .groupBy("event_type", "speed_decile")
         .agg(F.count("*").alias("n_events"))
@@ -104,9 +103,9 @@ def q23_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in aggregates in one agg() — the scale warning is: prefer
     built-ins unless semantics force this.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("event_type")
         .agg(_value_spread(F.col("value")).alias("value_spread"))
     )

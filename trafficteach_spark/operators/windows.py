@@ -26,9 +26,8 @@ from pyspark.sql import functions as F
 from trafficteach_spark.functions.exprs import exact_sum
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
-_RANGE_PRED = f"ts >= '{TS_START}' AND ts < '{TS_END}'"
 _ORACLE_RANGE = (
     f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 )
@@ -72,9 +71,9 @@ def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle for the pre-aggregate, one for the window partition —
     AQE coalesces both; tie-break on user_id keeps it deterministic.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     flow = (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("event_type", "user_id")
         .agg(F.count("*").alias("n_events"))
     )
@@ -114,9 +113,9 @@ def q12_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id; at 100 TB the fact table is bucketed by user_id making the
     trajectory family shuffle-free.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("user_id")
         .agg(
             F.expr(
@@ -191,8 +190,8 @@ def q20_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured-Streaming demo with ``withWatermark``; registering the batch
     form makes the stream logic oracle-checkable (SURVEY §4.3).
     """
-    events = load_table(spark, sf_dir, "events")
-    return sliding_window_agg(events.where(_RANGE_PRED))
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    return sliding_window_agg(events)
 
 
 @register(
@@ -212,9 +211,9 @@ def q20_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window variant of q20 (O36) — no row expansion;
     the shape to prefer at 100 TB when the business question allows it."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -270,9 +269,9 @@ def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark closes a session when the next event is >= gap after the last
     one (end = last_ts + gap) — the oracle's ``>=`` matches that edge.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -305,9 +304,9 @@ def q_stream_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sum in DECIMAL then divide once: deterministic across engines and
     associative under AQE re-partitioning.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
-        events.where(_RANGE_PRED)
+        events
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),

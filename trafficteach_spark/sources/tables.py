@@ -50,3 +50,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All tables as a dict — convenience for multi-table queries."""
     return {name: load_table(spark, sf_dir, name) for name in schemas.TABLE_NAMES}
+
+
+def _ts_to_ns(ts: str) -> int:
+    """Naive-UTC timestamp string -> int64 epoch nanoseconds (the events
+    physical ts encoding)."""
+    import datetime as dt
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in ts else "%Y-%m-%d"
+    parsed = dt.datetime.strptime(ts, fmt).replace(tzinfo=dt.timezone.utc)
+    return int(parsed.timestamp()) * 1_000_000_000
+
+
+def load_events_range(spark: SparkSession, sf_dir: str, start: str, end: str) -> DataFrame:
+    """Events scan with the [start, end) predicate applied to the PHYSICAL
+    int64-ns column — so it reaches the parquet reader as a pushed filter
+    (row-group min/max skipping; `.explain` shows GreaterThanOrEqual/
+    LessThan under PushedFilters). Filtering the *converted* timestamp
+    instead leaves only IsNotNull pushable, which at 100 TB forfeits all
+    scan pruning on the fact table.
+
+    Exact equivalence: the loader's conversion truncates `ns div 1000`,
+    and ``ns div 1000 >= start_us  <=>  ns >= start_us * 1000`` (ditto
+    strict `<` on the end bound), so this equals filtering the logical ts.
+    """
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    df = spark.read.schema(schemas.READ_SCHEMAS["events"]).parquet(path)
+    df = df.where(
+        (F.col("ts") >= F.lit(_ts_to_ns(start))) & (F.col("ts") < F.lit(_ts_to_ns(end)))
+    )
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
