@@ -186,3 +186,53 @@ def test_decode_image_is_an_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe=K searches every inverted list -> must equal exact KNN."""
+    from trafficteach_spark.operators.llm.similarity import IVF_K, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = {tuple(r) for r in Q["q32_knn_cosine"](spark, sf).collect()}
+    full_probe = {tuple(r) for r in knn_ivf(spark, sf, nprobe=IVF_K).collect()}
+    assert full_probe == exact
+
+
+def test_ivf_partial_probe_subset_of_universe(spark):
+    """Registered nprobe<K variant returns TOP_K rows per query, each a
+    real corpus vector with correctly rounded cosine (spot-check via the
+    exact pair set)."""
+    from trafficteach_spark.operators.llm.similarity import TOP_K
+
+    sf = "/root/testdata/sf0.001"
+    got = Q["q32_knn_ivf"](spark, sf).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["qid"], []).append(r)
+    assert all(len(v) == TOP_K for v in per_q.values())
+    exact_cos = {
+        (r["qid"], r["nid"]): r["cosine"]
+        for r in Q["q32_knn_cosine"](spark, sf).collect()
+    }
+    for r in got:
+        if (r["qid"], r["nid"]) in exact_cos:
+            assert r["cosine"] == exact_cos[(r["qid"], r["nid"])]
+
+
+def test_frame_sample_fanout(spark, tiny_sf_dir):
+    got = Q["q41_frame_sample"](spark, tiny_sf_dir).collect()
+    import hashlib as _h
+
+    from tests.conftest import TINY_DOCS
+
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text, *_ in TINY_DOCS:
+        n_frames = 4 + doc_id % 8
+        rows = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == list(range(0, n_frames, 2))
+        buf = text[:32].encode()
+        for r in rows:
+            start = (r["frame_idx"] * 8) % len(buf)
+            assert r["frame_md5"] == _h.md5((buf + buf)[start:start + 8]).hexdigest()

@@ -17,7 +17,12 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     # Non-SQL-expressible exceptions are deliberate and few.
     no_oracle = set(qs) - set(oracles)
-    assert no_oracle == {"q10_distinct_users_approx", "q31_simhash", "q32_knn_lsh"}
+    assert no_oracle == {
+        "q10_distinct_users_approx",
+        "q31_simhash",
+        "q32_knn_lsh",
+        "q32_knn_ivf",
+    }
 
 
 def test_every_query_documented():

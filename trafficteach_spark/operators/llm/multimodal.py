@@ -151,3 +151,84 @@ def q40_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _make_extract_features(REAL_DECODE), schema=_FEATURE_SCHEMA
     )
+
+
+# Frame sampling geometry: n_frames varies per doc, every STRIDE-th frame
+# is kept, each frame is FRAME_BYTES of the payload (cyclic slicing so
+# every frame index is well-defined).
+_FRAME_STRIDE = 2
+_FRAME_BYTES = 8
+_FRAME_SCHEMA = "doc_id long, frame_idx long, n_frames long, frame_md5 string"
+
+
+def _make_sample_frames(stride: int, frame_bytes: int):
+    """Closure (pickled by value — see _make_extract_features) for the
+    one-to-many frame-sampling worker."""
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_md5": []}
+            for doc_id, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                buf = bytes(payload)
+                for idx in range(0, int(n_frames), stride):
+                    start = (idx * frame_bytes) % len(buf)
+                    frame = (buf + buf)[start : start + frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n_frames)
+                    out["frame_md5"].append(_hashlib.md5(frame).hexdigest())
+            yield _pd.DataFrame(out)
+
+    return sample_frames
+
+
+@register(
+    "q41_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id,
+               substr(text, 1, 32) AS payload,
+               4 + doc_id % 8 AS n_frames
+        FROM documents
+    )
+    SELECT v.doc_id,
+           f.f AS frame_idx,
+           v.n_frames,
+           md5(substr(payload || payload,
+                      ((f.f * {_FRAME_BYTES}) % length(payload)) + 1,
+                      {_FRAME_BYTES})) AS frame_md5
+    FROM vids v
+    CROSS JOIN range(0, 12) f(f)
+    WHERE f.f < v.n_frames AND f.f % {_FRAME_STRIDE} = 0
+    """,
+    tags=("llm", "X5", "multimodal"),
+)
+def q41_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (X5): one-to-many ``mapInPandas`` over opaque video
+    payloads — every {_FRAME_STRIDE}nd frame of an n_frames clip is
+    extracted and fingerprinted.
+
+    This is the UDTF-shaped binary pipeline (one input row -> many frame
+    rows) that video/audio feature extraction needs; the "decode" is the
+    same deterministic fake as q40 (real codecs absent — see
+    :func:`decode_image`), but batching, fan-out and schema are the
+    production plumbing. Spark parallelism: frames of one clip stay in
+    one task (good locality); at 100 TB the payload column is the only
+    heavy bytes moved, and the scan prunes metadata-only queries to the
+    parquet footer columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
+        (F.lit(4) + F.col("doc_id") % 8).cast("long").alias("n_frames"),
+    )
+    return vids.mapInPandas(
+        _make_sample_frames(_FRAME_STRIDE, _FRAME_BYTES), schema=_FRAME_SCHEMA
+    )

@@ -218,6 +218,90 @@ def _bucket_expr(vcol: str) -> F.Column:
     return F.expr(" + ".join(bits))
 
 
+# IVF geometry: K fixed coarse centroids (deterministic: the K lowest
+# vec_ids act as seeds — any fixed, data-independent rule works for a
+# non-iterative quantizer), nprobe lists searched per query.
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+def _ivf_assign(vecs: DataFrame, nprobe: int) -> tuple[DataFrame, DataFrame]:
+    """(corpus with list_id, queries with their nprobe probe lists).
+
+    Centroids are the K lowest-id vectors (broadcast); assignment is one
+    linear scan x K dots — at 100 TB the corpus is *stored* partitioned by
+    list_id, so probing prunes partitions instead of scanning.
+    """
+    cent = vecs.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assigned = ranked.where(F.col("crank") == 1).select(
+        "vec_id", "label", "v", "nrm", F.col("cid").alias("list_id")
+    )
+    probes = (
+        ranked.where((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("list_id"),
+        )
+    )
+    return assigned, probes
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF ANN body with a tunable nprobe — exposed so tests can assert
+    the exactness invariant: nprobe=IVF_K (probe everything) must equal
+    the brute-force q32_knn_cosine result."""
+    vecs = _vectors(spark, sf_dir)
+    assigned, probes = _ivf_assign(vecs, nprobe)
+    pairs = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("nrm")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("nid"), "cosine", "knn_rank")
+    )
+
+
+@register(
+    "q32_knn_ivf",
+    oracle=None,  # approximate by design (probing < all lists); tests assert
+    # the nprobe=K full-probe equals the exact q32_knn_cosine — rows-only.
+    tags=("llm", "X3", "scale"),
+)
+def q32_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (X3 scale path #2): a coarse quantizer of {IVF_K}
+    deterministic centroids partitions the corpus into inverted lists;
+    each query searches only its {IVF_NPROBE} nearest lists.
+
+    Complements q32_knn_lsh: IVF adapts to the data distribution (lists
+    follow density) where sign-LSH is data-oblivious. At 100 TB the
+    corpus is stored partitioned by list_id (computed once at ingest), so
+    a probe is a partition-pruned scan; recall tunes with nprobe and
+    centroid count, orthogonal to the plan shape. Deduplicated recall
+    caveat on this fixture: embeddings are near-orthogonal random
+    vectors, the worst case for any ANN — the exactness invariant
+    (nprobe=K == brute force) is what the tests pin down.
+    """
+    return knn_ivf(spark, sf_dir, IVF_NPROBE)
+
+
 @register(
     "q32_knn_lsh",
     oracle=None,  # approximate by design (bucket pruning loses cross-bucket
