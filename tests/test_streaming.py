@@ -67,3 +67,73 @@ def test_batch_q20_range_consistency(spark):
         tuple(r) for r in queries()["q20_sliding_window"](spark, SMOKE_SF_DIR).collect()
     }
     assert direct == registered
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """O37 end-to-end: run 1 advances the watermark (persisted in the
+    checkpoint); run 2 delivers one fresh row and one row far older than
+    the watermark — update mode must emit the fresh window and drop the
+    late one."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from trafficteach_spark import schemas
+
+    def ns(*args):
+        return int(
+            dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000
+        )
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_file(rows, name):
+        stage = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, watch / f"{name}.parquet")
+
+    def run(table):
+        # foreachBatch sink: supports checkpoint recovery in update mode
+        # (the memory sink does not).
+        emitted = []
+        events = demo.read_event_stream(spark, str(watch))
+        q = (
+            demo.stream_sliding_avg(events)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {tuple(r) for r in emitted}
+
+    # Run 1: two on-time events; watermark after it = 12:00 - 2h = 10:00.
+    drop_file(
+        [
+            (1, ns(2024, 1, 6, 11, 0, 0), 1, "view", 10.0, "{}"),
+            (2, ns(2024, 1, 6, 12, 0, 0), 1, "view", 20.0, "{}"),
+        ],
+        "f1",
+    )
+    out1 = run("t_wm1")
+    assert len(out1) > 0
+
+    # Run 2 (same checkpoint): one fresh event + one 9h-late event (03:00,
+    # every window it belongs to ends before the 10:00 watermark).
+    drop_file(
+        [
+            (3, ns(2024, 1, 6, 12, 30, 0), 2, "click", 30.0, "{}"),
+            (4, ns(2024, 1, 6, 3, 0, 0), 3, "error", 99.0, "{}"),
+        ],
+        "f2",
+    )
+    out2 = run("t_wm2")
+    types2 = {r[2] for r in out2}
+    assert "click" in types2  # fresh row emitted
+    assert "error" not in types2  # late row dropped by the watermark

@@ -1,0 +1,58 @@
+"""Physical-layout helpers: bucketing for shuffle-free joins/aggregations.
+
+Many operator docstrings in this engine say "at 100 TB the fact table is
+bucketed by <key> so this shuffle disappears" — this module is that
+tooling. Bucketing (hash-partitioned FILES with the bucket id recorded in
+the catalog) lets Catalyst prove a scan already satisfies the hash
+distribution a join or aggregation needs, so no Exchange is planned:
+
+- trajectory / funnel / session family: bucket ``events`` by user_id;
+- the lineitem ⋈ orders star spine: bucket both by orderkey;
+- dedup by content hash: bucket documents by the hash.
+
+The reference hand-tuned this with ``repartition`` + salting UDFs (REF:
+areaRoadFlow/* [R]); bucketing moves the decision into the data layout
+where it is paid once at write time.
+
+Catalog note: bucket metadata lives in the session catalog (in-memory by
+default). In production back it with a Hive metastore / Unity-style
+catalog so every session sees the layout; the write/read API below is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as an external bucketed table at ``path``.
+
+    ``sort_cols`` additionally sorts rows inside each bucket file
+    (sort-merge joins then skip their sort too). Bucket count is a layout
+    constant — pick it so one bucket of the biggest table fits an
+    executor core's working memory at target scale, and use the SAME
+    count on every table that joins on the key.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table back through the catalog (required — a plain
+    ``spark.read.parquet(path)`` loses the bucket metadata and with it the
+    shuffle elimination)."""
+    return spark.table(table_name)
