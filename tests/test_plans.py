@@ -1,0 +1,78 @@
+"""Plan-shape regression tests: the scale audit as assertions.
+
+These pin the physical-plan properties the 100 TB design depends on —
+if a refactor reintroduces a nested-loop join, un-pushes the time range,
+or re-broadcasts a scaling side, these fail before any bench run would
+notice (SURVEY §5; VERDICT r1 'What's wrong').
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from tests.conftest import SMOKE_SF_DIR
+from trafficteach_spark.registry import queries
+
+Q = queries()
+
+
+def formatted_plan(spark, key: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        Q[key](spark, SMOKE_SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q13_interval_join_is_hash_not_nested_loop(spark):
+    plan = formatted_plan(spark, "q13_follow_within")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_range_reaches_the_scan(spark):
+    # The ns-range must appear as pushed Greater/Less filters, not just
+    # IsNotNull — q01 is the canonical ranged scan.
+    plan = formatted_plan(spark, "q01_filter_range")
+    assert "GreaterThanOrEqual(ts," in plan
+    assert "LessThan(ts," in plan
+
+
+def test_q01_prunes_props_from_read_schema(spark):
+    plan = formatted_plan(spark, "q01_filter_range")
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines and all("props" not in l for l in read_schema_lines)
+
+
+def test_q06_topn_uses_take_ordered(spark):
+    plan = formatted_plan(spark, "q06_topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q03_no_pinned_broadcast_on_customer(spark):
+    # Only fixed-cardinality dims carry an explicit hint; customer's join
+    # strategy must be a runtime decision. The *logical* plan is where a
+    # pinned hint would appear (AQE may still broadcast at fixture scale).
+    df = Q["q03_star_join"](spark, SMOKE_SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    hint_lines = [l for l in logical.splitlines() if "UnresolvedHint" in l or "ResolvedHint" in l]
+    assert all("c_custkey" not in l and "customer" not in l for l in hint_lines)
+
+
+def test_q32_brute_force_bnlj_is_intentional(spark):
+    # Documented exception: brute-force KNN IS query-set x corpus.
+    plan = formatted_plan(spark, "q32_knn_cosine")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize("key", sorted(Q))
+def test_no_row_at_a_time_python_anywhere(spark, key):
+    """Python in a plan must be Arrow-batched (ArrowEvalPython / MapInPandas
+    / FlatMapGroupsInPandas) — BatchEvalPython is the 10-100x-slower
+    row-at-a-time UDF path this engine bans. (Codegen spans can't be
+    asserted pre-execution under AQE, so this is the deterministic guard.)
+    """
+    plan = formatted_plan(spark, key)
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,112 @@
+"""applyInPandasWithState: per-car running profiles, including state
+recovery from the checkpoint across query restarts."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from trafficteach_spark import schemas
+from trafficteach_spark.streaming import stateful
+from trafficteach_spark.streaming.demo import read_event_stream
+
+
+def _ns(*args):
+    return int(dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000)
+
+
+def _drop_file(spark, tmp_path, watch, rows, name):
+    stage = tmp_path / ("stage_" + name)
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    part = glob.glob(str(stage / "part-*.parquet"))[0]
+    shutil.copy(part, watch / f"{name}.parquet")
+
+
+def _run(spark, watch, ckpt):
+    emitted = []
+    q = (
+        stateful.running_user_state(read_event_stream(spark, str(watch)))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return emitted
+
+
+def test_state_accumulates_and_recovers(spark, tmp_path):
+    watch = tmp_path / "in"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # Run 1: user 1 passes twice, user 2 once.
+    _drop_file(
+        spark,
+        tmp_path,
+        watch,
+        [
+            (1, _ns(2024, 1, 6, 10, 0, 0), 1, "view", 10.0, "{}"),
+            (2, _ns(2024, 1, 6, 11, 0, 0), 1, "click", 20.0, "{}"),
+            (3, _ns(2024, 1, 6, 10, 30, 0), 2, "view", 5.0, "{}"),
+        ],
+        "f1",
+    )
+    out1 = {r["user_id"]: r for r in _run(spark, watch, ckpt)}
+    assert out1[1]["n_events"] == 2 and out1[1]["sum_value"] == 30.0
+    assert out1[1]["last_event_type"] == "click"
+    assert out1[2]["n_events"] == 1
+
+    # Run 2 (same checkpoint): one more passing for user 1 — the profile
+    # must RESUME from persisted state, not restart from zero.
+    _drop_file(
+        spark,
+        tmp_path,
+        watch,
+        [(4, _ns(2024, 1, 6, 12, 0, 0), 1, "purchase", 30.0, "{}")],
+        "f2",
+    )
+    out2 = {r["user_id"]: r for r in _run(spark, watch, ckpt)}
+    assert out2[1]["n_events"] == 3 and out2[1]["sum_value"] == 60.0
+    assert out2[1]["last_event_type"] == "purchase"
+    assert out2[1]["last_ts"] == dt.datetime(2024, 1, 6, 12, 0, 0)
+    assert 2 not in out2  # update mode: untouched profiles are not re-emitted
+
+
+def test_state_demo_matches_batch_totals(spark, tmp_path):
+    """Final streamed profiles == the batch groupBy over the same files."""
+    from tests.conftest import SMOKE_SF_DIR
+    from trafficteach_spark.sources.tables import load_table
+
+    emitted = []
+    q = stateful.start_state_demo(
+        spark,
+        SMOKE_SF_DIR,
+        str(tmp_path / "demo-ckpt"),
+        sink=lambda df, _id: emitted.extend(df.collect()),
+    )
+    q.awaitTermination(120)
+    # Keep only each user's LAST emission (one run may emit per batch).
+    final = {}
+    for r in emitted:
+        final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in load_table(spark, SMOKE_SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        assert final[uid]["n_events"] == b["n_events"]
+        assert abs(final[uid]["sum_value"] - b["sum_value"]) < 1e-6

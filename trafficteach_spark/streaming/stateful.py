@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator: per-car running state
+(``applyInPandasWithState``; SURVEY §3 O35-O38 extension).
+
+The reference's only streaming state was a window of RDDs
+(reduceByKeyAndWindow, REF: rtmroad/RoadRealTimeAnalyze.java [R]). The
+operator below is what that job could not express: an *unbounded running
+profile per car* — total passings, cumulative speed volume, last seen
+checkpoint/time — updated every micro-batch and persisted in the
+checkpoint, i.e. the streaming form of ``groupBy(user).agg(...)`` with
+state that survives restarts.
+
+This is the engine's sanctioned shape for custom stateful logic the
+built-in window/session operators can't express: Arrow-batched pandas
+per group + explicit GroupState, never a raw Python UDF over rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from trafficteach_spark.streaming.demo import read_event_stream, stage_events_dir
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts", TimestampNTZType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+
+def _make_update_fn():
+    """Closure (pickled by value — see similarity._make_block_pair_cosine)
+    updating one car's running state from this micro-batch's rows."""
+
+    def update(key, pdfs, state):
+        import datetime as dt
+
+        import pandas as pd
+
+        (user_id,) = key
+        n, total, last_us, last_type = (
+            state.get if state.exists else (0, 0.0, -1, "")
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            us = (pdf["ts"].astype("int64") // 1000).max()
+            if us > last_us:
+                row = pdf.loc[(pdf["ts"].astype("int64") // 1000).idxmax()]
+                last_us, last_type = int(us), str(row["event_type"])
+        state.update((n, round(total, 6), last_us, last_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [round(total, 6)],
+                "last_ts": [dt.datetime.fromtimestamp(last_us / 1e6, dt.timezone.utc).replace(tzinfo=None)],
+                "last_event_type": [last_type],
+            }
+        )
+
+    return update
+
+
+def running_user_state(events: DataFrame) -> DataFrame:
+    """The stateful transform: streaming events -> one updated profile row
+    per (car, micro-batch). NoTimeout: profiles are unbounded (production
+    would use ProcessingTimeTimeout + TTL to bound state for dead keys)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_state_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    sink,
+) -> StreamingQuery:
+    """Wire source -> stateful profile -> foreachBatch sink; availableNow
+    drains existing files then stops (state persists in the checkpoint,
+    so a later run with the same dir resumes the profiles)."""
+    staged = stage_events_dir(sf_dir, checkpoint_dir + "-in")
+    events = read_event_stream(spark, staged)
+    return (
+        running_user_state(events)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "state"))
+        .trigger(availableNow=True)
+        .start()
+    )
