@@ -20,6 +20,10 @@ Q = queries()
 
 
 def formatted_plan(spark, key: str) -> str:
+    # Cached frames persisted by earlier queries (O43) would be
+    # substituted into these plans by the CacheManager and change their
+    # scan shapes; these tests pin the COLD-path plans.
+    spark.catalog.clearCache()
     buf = io.StringIO()
     with redirect_stdout(buf):
         Q[key](spark, SMOKE_SF_DIR).explain("formatted")

@@ -304,13 +304,16 @@ def q06_topn_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filtered events frame feeds BOTH the top-N aggregate and the
     detail scan, so it is persisted (O43 — the reference's
     ``persist(MEMORY_AND_DISK)`` of the reused fact RDD [R]); one scan
-    instead of two at 100 TB.
+    instead of two at 100 TB. Columns are projected BEFORE the persist:
+    caching all columns would waste memory on ``props`` AND let the
+    CacheManager substitute the wide cached relation into other queries'
+    narrower scans for the rest of the session.
     """
     from pyspark import StorageLevel
 
     events = (
         load_events_range(spark, sf_dir, TS_START, TS_END)
-        
+        .select("event_id", "ts", "user_id", "event_type", "value")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     topn = (
