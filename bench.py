@@ -64,6 +64,11 @@ def main() -> None:
         samples = []
         try:
             for _ in range(rounds):
+                # Intra-query persist() is part of a query's honest cost;
+                # letting it survive into the next round (or the next
+                # query, via CacheManager subplan substitution) would
+                # flatter the numbers.
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)

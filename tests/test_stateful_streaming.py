@@ -110,3 +110,52 @@ def test_state_demo_matches_batch_totals(spark, tmp_path):
     for uid, b in batch.items():
         assert final[uid]["n_events"] == b["n_events"]
         assert abs(final[uid]["sum_value"] - b["sum_value"]) < 1e-6
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivered event_id within the
+    watermark horizon is emitted once, across micro-batches."""
+    watch = tmp_path / "in"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        emitted = []
+        q = (
+            stateful.streaming_dedup(read_event_stream(spark, str(watch)))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    _drop_file(
+        spark,
+        tmp_path,
+        watch,
+        [
+            (1, _ns(2024, 1, 6, 10, 0, 0), 1, "view", 10.0, "{}"),
+            (1, _ns(2024, 1, 6, 10, 0, 0), 1, "view", 10.0, "{}"),  # same batch dup
+            (2, _ns(2024, 1, 6, 10, 5, 0), 2, "click", 20.0, "{}"),
+        ],
+        "f1",
+    )
+    out1 = run()
+    assert sorted(r["event_id"] for r in out1) == [1, 2]
+
+    # Redelivery in a LATER batch (same checkpoint -> dedup state kept).
+    _drop_file(
+        spark,
+        tmp_path,
+        watch,
+        [
+            (1, _ns(2024, 1, 6, 10, 0, 0), 1, "view", 10.0, "{}"),  # redelivered
+            (3, _ns(2024, 1, 6, 10, 10, 0), 3, "view", 30.0, "{}"),  # new
+        ],
+        "f2",
+    )
+    out2 = run()
+    assert sorted(r["event_id"] for r in out2) == [3]

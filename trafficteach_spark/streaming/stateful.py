@@ -99,6 +99,26 @@ def running_user_state(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup (the X1 operator's ingest-time form): drop
+    repeated event_ids arriving within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the first sighting — bounded state, unlike a plain
+    streaming ``dropDuplicates`` whose key set grows forever. This is the
+    shape a training-data pipeline uses to dedup a firehose before it
+    lands (at-least-once sources redeliver; this makes the sink
+    effectively exactly-once per event_id).
+    """
+    from pyspark.sql import functions as F
+
+    marked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    deduped = marked.dropDuplicatesWithinWatermark(["event_id"])
+    return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
 def start_state_demo(
     spark: SparkSession,
     sf_dir: str,
