@@ -38,9 +38,13 @@ from pyspark.sql import functions as F  # noqa: E402
 from trafficteach_spark import schemas  # noqa: E402
 from trafficteach_spark.session import get_spark  # noqa: E402
 
-EVENT_ID_STRIDE = 10_000_000
-USER_ID_STRIDE = 1_000
-DOC_ID_STRIDE = 1_000_000
+# Strides must exceed the source tables' max ids at ANY scale factor or
+# copies collide and merge different users'/docs' histories (user_id
+# reaches 1499 at sf0.1 — a 1000 stride corrupted the first run of the
+# per-user scaling numbers).
+EVENT_ID_STRIDE = 1_000_000_000
+USER_ID_STRIDE = 1_000_000
+DOC_ID_STRIDE = 10_000_000
 
 
 def main() -> None:

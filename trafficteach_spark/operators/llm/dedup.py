@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trafficteach_spark.registry import register
@@ -44,6 +44,13 @@ _rng = random.Random(20240813)
 _HASH_AB = [(_rng.randrange(1, 2**31), _rng.randrange(0, _MERSENNE)) for _ in range(_N_HASHES)]
 
 
+# Shingle expressions are DERIVED from SHINGLE_K so the knob and the
+# computation cannot diverge (a hardcoded 3-gram body under a K=4 filter
+# would silently drop 3-token docs from both engines).
+_SPARK_SHINGLE_WORDS = ", ".join(f"w[i+{j}]" for j in range(SHINGLE_K))
+_DUCK_SHINGLE_WORDS = " || ' ' || ".join(f"w[i+{j}]" for j in range(SHINGLE_K))
+
+
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s: array<string> distinct shingles, sz) for docs with >= K tokens."""
     docs = load_table(spark, sf_dir, "documents")
@@ -54,8 +61,8 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "array_distinct(transform(sequence(0, size(w) - 3),"
-                " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                f"array_distinct(transform(sequence(0, size(w) - {SHINGLE_K}),"
+                f" i -> concat_ws(' ', {_SPARK_SHINGLE_WORDS})))"
             ).alias("s"),
         )
         .withColumn("sz", F.size("s"))
@@ -70,8 +77,8 @@ _NEAR_DUP_ORACLE = f"""
     ),
     sh AS (
         SELECT doc_id,
-               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              for i in range(1, len(w) - 1)]) AS s
+               list_distinct([{_DUCK_SHINGLE_WORDS}
+                              for i in range(1, len(w) - {SHINGLE_K - 2})]) AS s
         FROM tok
         WHERE len(w) >= {SHINGLE_K}
     )

@@ -12,7 +12,6 @@ Spark-side plumbing (schema, batching, UDF signature) is real and tested.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -83,29 +82,27 @@ _FEATURE_SCHEMA = (
     "doc_id long, width long, payload_len long, payload_md5 string"
 )
 
-# Flip to True in an environment with codecs to run the real decode path.
-REAL_DECODE = False
 
-
-def _make_extract_features(real_decode: bool):
+def _make_extract_features():
     """Build the mapInPandas worker as a closure so cloudpickle ships it BY
     VALUE (a module-level function is pickled by reference and breaks when
-    the harness driver's cwd doesn't put this package on the worker path)."""
+    the harness driver's cwd doesn't put this package on the worker path).
+
+    Production wires :func:`decode_image` into the feature dict here (the
+    stub raises by design); the deterministic md5/length features below
+    are what the oracle pins. ``payload_len`` counts BYTES
+    (``octet_length`` on the oracle side) so the contract holds for
+    non-ASCII text too; md5 likewise hashes the UTF-8 bytes on both
+    engines.
+    """
 
     def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Per Arrow batch, derive features from the binary payload.
-        Deterministic fake decode (length + md5 + metadata echo); the real
-        path would call :func:`decode_image` per payload."""
         import hashlib as _hashlib
 
         import pandas as _pd
 
         for pdf in batches:
             payloads = pdf["payload"]
-            if real_decode:  # pragma: no cover - codecs absent by design
-                from trafficteach_spark.operators.llm.multimodal import decode_image
-
-                payloads.map(decode_image)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -122,10 +119,13 @@ def _make_extract_features(real_decode: bool):
 
 @register(
     "q40_binary_pipeline",
+    # octet_length(encode(...)) = UTF-8 byte count, matching Python's
+    # len(bytes); DuckDB's md5(VARCHAR) also hashes the UTF-8 bytes — the
+    # contract holds for non-ASCII text, not just the ASCII fixtures.
     oracle="""
     SELECT doc_id,
            16 + doc_id % 64 AS width,
-           CAST(length(substr(text, 1, 32)) AS BIGINT) AS payload_len,
+           CAST(octet_length(encode(substr(text, 1, 32))) AS BIGINT) AS payload_len,
            md5(substr(text, 1, 32)) AS payload_md5
     FROM documents
     """,
@@ -149,21 +149,28 @@ def q40_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(16) + F.col("doc_id") % 64).alias("width"),
     )
     return payloads.mapInPandas(
-        _make_extract_features(REAL_DECODE), schema=_FEATURE_SCHEMA
+        _make_extract_features(), schema=_FEATURE_SCHEMA
     )
 
 
 # Frame sampling geometry: n_frames varies per doc, every STRIDE-th frame
-# is kept, each frame is FRAME_BYTES of the payload (cyclic slicing so
-# every frame index is well-defined).
+# is kept, each frame is FRAME_CHARS of the decoded payload (cyclic
+# slicing so every frame index is well-defined).
 _FRAME_STRIDE = 2
-_FRAME_BYTES = 8
+_FRAME_CHARS = 8
 _FRAME_SCHEMA = "doc_id long, frame_idx long, n_frames long, frame_md5 string"
 
 
-def _make_sample_frames(stride: int, frame_bytes: int):
+def _make_sample_frames(stride: int, frame_chars: int):
     """Closure (pickled by value — see _make_extract_features) for the
-    one-to-many frame-sampling worker."""
+    one-to-many frame-sampling worker.
+
+    Frame boundaries are CHARACTER offsets into the decoded payload (the
+    decode step a real pipeline has anyway): DuckDB 1.0 cannot substring
+    or md5 a BLOB, so a byte-offset contract would be unverifiable — and
+    would silently diverge from the char-based SQL on non-ASCII text.
+    md5 hashes each frame's UTF-8 bytes, which both engines agree on.
+    """
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -175,14 +182,16 @@ def _make_sample_frames(stride: int, frame_bytes: int):
             for doc_id, payload, n_frames in zip(
                 pdf["doc_id"], pdf["payload"], pdf["n_frames"]
             ):
-                buf = bytes(payload)
+                text = bytes(payload).decode("utf-8")
                 for idx in range(0, int(n_frames), stride):
-                    start = (idx * frame_bytes) % len(buf)
-                    frame = (buf + buf)[start : start + frame_bytes]
+                    start = (idx * frame_chars) % len(text)
+                    frame = (text + text)[start : start + frame_chars]
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["n_frames"].append(n_frames)
-                    out["frame_md5"].append(_hashlib.md5(frame).hexdigest())
+                    out["frame_md5"].append(
+                        _hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
             yield _pd.DataFrame(out)
 
     return sample_frames
@@ -201,8 +210,8 @@ def _make_sample_frames(stride: int, frame_bytes: int):
            f.f AS frame_idx,
            v.n_frames,
            md5(substr(payload || payload,
-                      ((f.f * {_FRAME_BYTES}) % length(payload)) + 1,
-                      {_FRAME_BYTES})) AS frame_md5
+                      ((f.f * {_FRAME_CHARS}) % length(payload)) + 1,
+                      {_FRAME_CHARS})) AS frame_md5
     FROM vids v
     CROSS JOIN range(0, 12) f(f)
     WHERE f.f < v.n_frames AND f.f % {_FRAME_STRIDE} = 0
@@ -230,5 +239,5 @@ def q41_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(4) + F.col("doc_id") % 8).cast("long").alias("n_frames"),
     )
     return vids.mapInPandas(
-        _make_sample_frames(_FRAME_STRIDE, _FRAME_BYTES), schema=_FRAME_SCHEMA
+        _make_sample_frames(_FRAME_STRIDE, _FRAME_CHARS), schema=_FRAME_SCHEMA
     )

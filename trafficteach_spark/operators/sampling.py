@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_events_range, load_table
+from trafficteach_spark.sources.tables import load_events_range
 
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 

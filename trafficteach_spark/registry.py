@@ -16,6 +16,13 @@ Design rules enforced by convention here (SURVEY.md §6):
 - every computed column aliased identically in Spark and SQL;
 - doubles rounded (6) in final projections; exact sums in DECIMAL;
 - DuckDB hugeint sums cast to BIGINT in oracles.
+
+Caching contract: a few queries ``persist()`` an intra-query frame (O43
+— q06_topn_details, the q31 shingle sets). The returned DataFrame is
+lazy, so the query function cannot unpersist it; long-lived sessions
+running many queries should call ``spark.catalog.clearCache()`` between
+queries (bench.py and the plan tests do) — Spark's LRU eviction bounds
+the cost otherwise.
 """
 
 from __future__ import annotations
