@@ -236,3 +236,20 @@ def test_frame_sample_fanout(spark, tiny_sf_dir):
         for r in rows:
             start = (r["frame_idx"] * 8) % len(buf)
             assert r["frame_md5"] == _h.md5((buf + buf)[start:start + 8]).hexdigest()
+
+
+def test_resize_thumbnail_shape(spark, tiny_sf_dir):
+    got = Q["q42_resize"](spark, tiny_sf_dir).collect()
+    from tests.conftest import TINY_DOCS
+
+    assert len(got) == len(TINY_DOCS)
+    by_doc = {r["doc_id"]: r for r in got}
+    for doc_id, text, *_ in TINY_DOCS:
+        payload = text[:32]
+        r = by_doc[doc_id]
+        assert r["orig_len"] == len(payload)
+        assert len(r["thumb"]) == 8
+        # nearest-neighbor grid: char j of the thumb comes from index
+        # floor(j*n/8) of the payload
+        expected = "".join(payload[(j * len(payload)) // 8] for j in range(8))
+        assert r["thumb"] == expected

@@ -241,3 +241,81 @@ def q41_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vids.mapInPandas(
         _make_sample_frames(_FRAME_STRIDE, _FRAME_CHARS), schema=_FRAME_SCHEMA
     )
+
+
+# Resize geometry: every payload downsampled to a fixed TARGET_CHARS
+# "thumbnail" by stride sampling (the 1-D analog of nearest-neighbor
+# image downscaling).
+_TARGET_CHARS = 8
+_RESIZE_SCHEMA = (
+    "doc_id long, orig_len long, thumb string, thumb_md5 string"
+)
+
+
+def _make_resize(target_chars: int):
+    """Closure (pickled by value) for the resize worker: deterministic
+    nearest-neighbor downsample of the decoded payload to a fixed size —
+    the production slot for PIL's Image.resize; the sampling indices
+    (floor(j * n / target)) are the standard nearest-neighbor grid, so
+    swapping in a real codec changes the pixel math, not the plumbing."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "orig_len": [], "thumb": [], "thumb_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                n = len(text)
+                thumb = "".join(
+                    text[(j * n) // target_chars] for j in range(target_chars)
+                )
+                out["doc_id"].append(doc_id)
+                out["orig_len"].append(n)
+                out["thumb"].append(thumb)
+                out["thumb_md5"].append(
+                    _hashlib.md5(thumb.encode("utf-8")).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return resize
+
+
+@register(
+    "q42_resize",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               substr(text, 1, 32) AS payload,
+               length(substr(text, 1, 32)) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS orig_len,
+           string_agg(substr(payload, (j.j * n) // {_TARGET_CHARS} + 1, 1),
+                      '' ORDER BY j.j) AS thumb,
+           md5(string_agg(substr(payload, (j.j * n) // {_TARGET_CHARS} + 1, 1),
+                          '' ORDER BY j.j)) AS thumb_md5
+    FROM p CROSS JOIN range({_TARGET_CHARS}) j(j)
+    GROUP BY doc_id, n
+    """,
+    tags=("llm", "X5", "multimodal"),
+)
+def q42_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (X5): downsample every payload to a fixed-size thumbnail
+    via nearest-neighbor stride sampling in an Arrow-batched
+    ``mapInPandas`` — the third verb of the brief's multimodal list
+    (decode/feature-extract = q40, frame-sample = q41, resize = here).
+
+    Per-row, no shuffle; at 100 TB this is a pure map stage whose cost
+    is the payload I/O, exactly like a real thumbnailing pass. Character
+    semantics for the same reason as q41 (DuckDB cannot md5 BLOBs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
+    )
+    return payloads.mapInPandas(_make_resize(_TARGET_CHARS), schema=_RESIZE_SCHEMA)
