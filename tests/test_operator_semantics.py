@@ -253,3 +253,27 @@ def test_resize_thumbnail_shape(spark, tiny_sf_dir):
         # floor(j*n/8) of the payload
         expected = "".join(payload[(j * len(payload)) // 8] for j in range(8))
         assert r["thumb"] == expected
+
+
+def test_chunk_split_boundaries(spark, tiny_sf_dir):
+    got = Q["q43_chunk_split"](spark, tiny_sf_dir).collect()
+    from tests.conftest import TINY_DOCS
+
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text, *_ in TINY_DOCS:
+        words = text.split(" ")
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        # chunks reassemble exactly to the original token stream
+        assert " ".join(r["chunk_text"] for r in rows) == text
+        assert all(r["n_tokens"] == len(r["chunk_text"].split(" ")) for r in rows)
+        assert sum(r["n_tokens"] for r in rows) == len(words)
+
+
+def test_int8_quantize_bounds_and_error(spark, tiny_sf_dir):
+    got = Q["q44_int8_quantize"](spark, tiny_sf_dir).collect()
+    for r in got:
+        assert all(-127 <= q <= 127 for q in r["qv"])
+        assert max(abs(q) for q in r["qv"]) == 127  # max-abs element saturates
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9  # rounding bound

@@ -339,3 +339,62 @@ def q32_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("knn_rank") <= TOP_K)
         .select("qid", F.col("vec_id").alias("nid"), "cosine", "knn_rank")
     )
+
+
+@register(
+    "q44_int8_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    )
+    SELECT vec_id, label,
+           ROUND(scale, 9) AS scale,
+           list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv,
+           ROUND(list_max(list_transform(v,
+                 x -> abs(x - round(x / scale) * scale))), 9) AS max_abs_err
+    FROM s
+    """,
+    tags=("llm", "X3", "quantization"),
+)
+def q44_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (X3 storage path): per-vector max-abs
+    scale, values rounded to [-127, 127] — the 4x storage/bandwidth cut
+    every large ANN corpus applies before indexing, plus the per-vector
+    reconstruction-error bound for quality monitoring.
+
+    All math in double via codegen'd higher-order functions; one map
+    stage, no shuffle. At 100 TB the quantized column replaces the float
+    array in the stored/bucketed layout and the dequantize (qv * scale)
+    folds into the distance kernels.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .withColumn(
+            "scale_raw", F.expr("array_max(transform(v, x -> abs(x))) / 127.0D")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round("scale_raw", 9).alias("scale"),
+            F.expr("transform(v, x -> cast(round(x / scale_raw) as int))").alias("qv"),
+            F.round(
+                F.expr(
+                    "array_max(transform(v,"
+                    " x -> abs(x - round(x / scale_raw) * scale_raw)))"
+                ),
+                9,
+            ).alias("max_abs_err"),
+        )
+    )

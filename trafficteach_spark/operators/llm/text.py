@@ -220,3 +220,55 @@ def q39_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
     )
     return feats.withColumn("quality", quality)
+
+
+# Context-window chunking: documents split into fixed token-budget chunks.
+_CHUNK_TOKENS = 16
+
+
+@register(
+    "q43_chunk_split",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           c.c AS chunk_idx,
+           array_to_string(w[c.c * {_CHUNK_TOKENS} + 1 :
+                             (c.c + 1) * {_CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(least({_CHUNK_TOKENS},
+                      len(w) - c.c * {_CHUNK_TOKENS}) AS INT) AS n_tokens
+    FROM tok
+    CROSS JOIN range(64) c(c)
+    WHERE c.c * {_CHUNK_TOKENS} < len(w)
+    """,
+    tags=("llm", "X4", "chunking"),
+)
+def q43_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (X4): split every document into fixed
+    {_CHUNK_TOKENS}-token chunks — the packing stage before tokenization
+    in a training pipeline (one row per chunk, order-preserving).
+
+    ``posexplode`` over a ``sequence``-sliced token array keeps the whole
+    fan-out codegen'd (no Python); at 100 TB this is a pure map-side
+    expansion bounded by total token count, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = F.expr(
+        f"transform(sequence(0, (size(w) - 1) div {_CHUNK_TOKENS}),"
+        f" c -> struct("
+        f"   array_join(slice(w, c * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' ')"
+        f"     as chunk_text,"
+        f"   least({_CHUNK_TOKENS}, size(w) - c * {_CHUNK_TOKENS}) as n_tokens))"
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ch"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("ch.chunk_text").alias("chunk_text"),
+            F.col("ch.n_tokens").alias("n_tokens"),
+        )
+    )
