@@ -277,3 +277,17 @@ def test_int8_quantize_bounds_and_error(spark, tiny_sf_dir):
         assert all(-127 <= q <= 127 for q in r["qv"])
         assert max(abs(q) for q in r["qv"]) == 127  # max-abs element saturates
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9  # rounding bound
+
+
+def test_funnel_arbitrary_chain(spark, tiny_sf_dir):
+    from trafficteach_spark.operators.sequences import funnel
+
+    # 2-step chain view->purchase: users 1,2,3,4 viewed (in range);
+    # only user 1 purchased after viewing.
+    out = {r["step"]: r for r in funnel(spark, tiny_sf_dir, ("view", "purchase")).collect()}
+    assert out[1]["n_users"] == 4 and out[1]["step_type"] == "view"
+    assert out[2]["n_users"] == 1 and out[2]["rate"] == 0.25
+    # 4-step chain with an unmatched tail step -> zero at depth 4
+    out4 = {r["step"]: r["n_users"] for r in funnel(
+        spark, tiny_sf_dir, ("view", "click", "purchase", "error")).collect()}
+    assert out4[3] == 1 and out4[4] == 0

@@ -35,7 +35,7 @@ _FOLLOW_US = 10 * 60 * 1_000_000
 _MIN_FOLLOW = 2
 
 
-def _funnel_depth_expr() -> str:
+def _funnel_depth_expr(chain: tuple[str, ...]) -> str:
     """Greedy subsequence matcher over the time-sorted event-type list.
 
     ``aggregate(seq, 0, (acc, t) -> ...)`` walks the per-user sequence once,
@@ -44,10 +44,10 @@ def _funnel_depth_expr() -> str:
     iff the k-step prefix occurs as an ordered subsequence — the same
     semantics the reference implements imperatively per car [R].
     """
-    steps = ", ".join(f"'{s}'" for s in FUNNEL_CHAIN)
+    steps = ", ".join(f"'{s}'" for s in chain)
     cases = " ".join(
         f"WHEN acc = {i} AND t = element_at(array({steps}), {i + 1}) THEN {i + 1}"
-        for i in range(len(FUNNEL_CHAIN))
+        for i in range(len(chain))
     )
     return (
         "aggregate("
@@ -57,47 +57,85 @@ def _funnel_depth_expr() -> str:
     )
 
 
-def _funnel_oracle() -> str:
-    c1, c2, c3 = FUNNEL_CHAIN
+def _funnel_oracle(chain: tuple[str, ...]) -> str:
+    """N-step oracle: cascade of 'first occurrence strictly after the
+    previous step' CTEs — equivalent to the greedy matcher."""
+    ctes = [
+        f"""s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM r
+        WHERE event_type = '{chain[0]}' GROUP BY user_id
+    )"""
+    ]
+    for k in range(2, len(chain) + 1):
+        ctes.append(
+            f"""s{k} AS (
+        SELECT r.user_id, MIN(r.ts) AS t
+        FROM r JOIN s{k - 1} ON r.user_id = s{k - 1}.user_id AND r.ts > s{k - 1}.t
+        WHERE r.event_type = '{chain[k - 1]}' GROUP BY r.user_id
+    )"""
+        )
+    counts = ",\n               ".join(
+        f"(SELECT COUNT(*) FROM s{k}) AS n{k}" for k in range(1, len(chain) + 1)
+    )
+    selects = [
+        f"""SELECT 1 AS step, '{chain[0]}' AS step_type, n1 AS n_users,
+           CAST(NULL AS DOUBLE) AS rate FROM n"""
+    ]
+    for k in range(2, len(chain) + 1):
+        selects.append(
+            f"SELECT {k}, '{chain[k - 1]}', n{k}, "
+            f"ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6) FROM n"
+        )
     return f"""
     WITH r AS (
         SELECT user_id, event_type, ts FROM events WHERE {_ORACLE_RANGE}
     ),
-    s1 AS (
-        SELECT user_id, MIN(ts) AS t FROM r
-        WHERE event_type = '{c1}' GROUP BY user_id
-    ),
-    s2 AS (
-        SELECT r.user_id, MIN(r.ts) AS t
-        FROM r JOIN s1 ON r.user_id = s1.user_id AND r.ts > s1.t
-        WHERE r.event_type = '{c2}' GROUP BY r.user_id
-    ),
-    s3 AS (
-        SELECT r.user_id, MIN(r.ts) AS t
-        FROM r JOIN s2 ON r.user_id = s2.user_id AND r.ts > s2.t
-        WHERE r.event_type = '{c3}' GROUP BY r.user_id
-    ),
+    {",".join(ctes)},
     n AS (
-        SELECT (SELECT COUNT(*) FROM s1) AS n1,
-               (SELECT COUNT(*) FROM s2) AS n2,
-               (SELECT COUNT(*) FROM s3) AS n3
+        SELECT {counts}
     )
-    SELECT 1 AS step, '{c1}' AS step_type, n1 AS n_users,
-           CAST(NULL AS DOUBLE) AS rate FROM n
-    UNION ALL
-    SELECT 2, '{c2}', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
-    UNION ALL
-    SELECT 3, '{c3}', n3, ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM n
+    {" UNION ALL ".join(selects)}
     """
 
 
-@register("q19_funnel", oracle=_funnel_oracle(), tags=("sequence", "O34"))
+def funnel(
+    spark: SparkSession, sf_dir: str, chain: tuple[str, ...] = FUNNEL_CHAIN
+) -> DataFrame:
+    """Parameterized funnel (the reference parameterized its chain via the
+    MySQL task_param JSON [R]; here it is a plain argument). Returns one
+    row per step: (step, step_type, n_users, rate)."""
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    depths = events.groupBy("user_id").agg(
+        F.expr(_funnel_depth_expr(chain)).alias("depth")
+    )
+    counts = depths.agg(
+        *[
+            F.sum(F.when(F.col("depth") >= k, 1).otherwise(0)).alias(f"n{k}")
+            for k in range(1, len(chain) + 1)
+        ]
+    )
+    stack_parts = [f"1, '{chain[0]}', n1, CAST(NULL AS DOUBLE)"]
+    for k in range(2, len(chain) + 1):
+        stack_parts.append(
+            f"{k}, '{chain[k - 1]}', n{k}, ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6)"
+        )
+    return counts.select(
+        F.expr(
+            f"stack({len(chain)}, "
+            + ", ".join(stack_parts)
+            + ") AS (step, step_type, n_users, rate)"
+        )
+    )
+
+
+@register("q19_funnel", oracle=_funnel_oracle(FUNNEL_CHAIN), tags=("sequence", "O34"))
 def q19_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel / one-step conversion rate (O34).
+    """Funnel / one-step conversion rate (O34), default chain.
 
     Per car, the time-ordered event sequence is matched greedily against
     the chain; ``n_users`` at step k counts cars whose sequence contains
     the k-step prefix as an ordered subsequence; ``rate`` = n_k / n_{k-1}.
+    Arbitrary chains via :func:`funnel`.
 
     One shuffle on user_id for the sequence build (bucketed-by-user layout
     makes it shuffle-free at 100 TB), then a single-row aggregate — no
@@ -108,27 +146,7 @@ def q19_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     are broken by (ts, event_id) and sub-µs ts collisions are the only
     divergence risk (~0 over the fixture's ns timestamps).
     """
-    c1, c2, c3 = FUNNEL_CHAIN
-    events = load_events_range(spark, sf_dir, TS_START, TS_END)
-    depths = (
-        events
-        .groupBy("user_id")
-        .agg(F.expr(_funnel_depth_expr()).alias("depth"))
-    )
-    counts = depths.agg(
-        F.sum(F.when(F.col("depth") >= 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("depth") >= 2, 1).otherwise(0)).alias("n2"),
-        F.sum(F.when(F.col("depth") >= 3, 1).otherwise(0)).alias("n3"),
-    )
-    return counts.select(
-        F.expr(
-            f"stack(3, "
-            f"1, '{c1}', n1, CAST(NULL AS DOUBLE), "
-            f"2, '{c2}', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6), "
-            f"3, '{c3}', n3, ROUND(CAST(n3 AS DOUBLE) / n2, 6)"
-            f") AS (step, step_type, n_users, rate)"
-        )
-    )
+    return funnel(spark, sf_dir, FUNNEL_CHAIN)
 
 
 @register(
