@@ -291,3 +291,18 @@ def test_funnel_arbitrary_chain(spark, tiny_sf_dir):
     out4 = {r["step"]: r["n_users"] for r in funnel(
         spark, tiny_sf_dir, ("view", "click", "purchase", "error")).collect()}
     assert out4[3] == 1 and out4[4] == 0
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    from trafficteach_spark.operators.llm.similarity import knn_lsh_multiprobe
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["qid"], r["nid"]) for r in Q["q32_knn_cosine"](spark, sf).collect()}
+    single = {(r["qid"], r["nid"]) for r in knn_lsh_multiprobe(spark, sf, 0).collect()}
+    multi = {(r["qid"], r["nid"]) for r in knn_lsh_multiprobe(spark, sf, 1).collect()}
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi >= recall_single
+    # the registered q32_knn_lsh is exactly the single-probe form
+    registered = {(r["qid"], r["nid"]) for r in Q["q32_knn_lsh"](spark, sf).collect()}
+    assert registered == single
