@@ -306,3 +306,11 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     # the registered q32_knn_lsh is exactly the single-probe form
     registered = {(r["qid"], r["nid"]) for r in Q["q32_knn_lsh"](spark, sf).collect()}
     assert registered == single
+
+
+def test_repetition_signal(spark, tiny_sf_dir):
+    got = {r["doc_id"]: r for r in Q["q45_repetition"](spark, tiny_sf_dir).collect()}
+    # doc 0: "the quick brown fox jumps over the lazy dog" — 9 tokens,
+    # 7 trigrams, all distinct -> ratio 0, not repetitive
+    assert got[0]["n_grams"] == 7 and got[0]["n_dup_grams"] == 0
+    assert got[0]["dup_ratio"] == 0.0 and got[0]["is_repetitive"] == 0

@@ -272,3 +272,62 @@ def q43_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ch.n_tokens").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "q45_repetition",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(w) - 2 AS BIGINT) AS n_grams,
+           CAST(len(w) - 2 - len(list_distinct(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in range(1, len(w) - 1)])) AS BIGINT) AS n_dup_grams,
+           ROUND(CAST(len(w) - 2 - len(list_distinct(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in range(1, len(w) - 1)])) AS DOUBLE)
+                 / (len(w) - 2), 6) AS dup_ratio,
+           CASE WHEN CAST(len(w) - 2 - len(list_distinct(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in range(1, len(w) - 1)])) AS DOUBLE)
+                 / (len(w) - 2) > 0.2 THEN 1 ELSE 0 END AS is_repetitive
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+    """,
+    tags=("llm", "X4", "quality"),
+)
+def q45_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal (X4): fraction of duplicate word 3-grams per
+    document — the Gopher/C4-style quality filter that catches boilerplate
+    and degenerate generations (dup_ratio > 0.2 flags the doc).
+
+    Pure per-row expression over the token array (total vs distinct
+    3-gram counts), no shuffle — at 100 TB this rides the same scan as
+    the other per-doc quality features and feeds the same filter stage
+    as q39.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.expr(
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            (F.size("w") - 2).cast("long").alias("n_grams"),
+            F.expr("size(w) - 2 - size(array_distinct(transform(sequence(0, size(w) - 3),"
+                   " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))")
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6),
+        )
+        .withColumn(
+            "is_repetitive",
+            F.when(F.col("dup_ratio") > 0.2, 1).otherwise(0),
+        )
+    )
