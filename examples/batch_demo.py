@@ -23,7 +23,14 @@ from trafficteach_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    if args and (os.sep in args[0] or args[0].startswith(".")):
+        # Looks like a path: require it to exist rather than silently
+        # falling back to the default dir and treating it as a query key.
+        sf_dir = args.pop(0)
+        if not os.path.isdir(sf_dir):
+            sys.exit(f"error: data directory not found: {sf_dir}")
+    else:
+        sf_dir = "/root/testdata/sf0.001"
     spark = get_spark("batch-demo")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()

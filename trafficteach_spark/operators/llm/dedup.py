@@ -281,7 +281,9 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregations (3.2s -> ~1s at sf0.1) with a pure map stage; a
     # nested-HOF one-pass form was also tried and measured 4x slower than
     # even the explode (HOF lambdas are interpreted; BASELINE.md).
-    hashed = docs.select(
+    # NULL text would reach the numpy worker as hs=None and crash the job;
+    # the earlier SQL pipeline silently dropped such docs — keep that.
+    hashed = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(
             "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"

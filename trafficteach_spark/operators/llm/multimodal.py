@@ -65,6 +65,27 @@ def q34_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# The synthesized payload window shared by every binary-pipeline query
+# (q40/q41/q42): the first PAYLOAD_CHARS characters of the text, encoded
+# to UTF-8 bytes. Empty/NULL texts are excluded — there is nothing to
+# decode, and a zero-length payload would make frame/thumbnail indexing
+# undefined (the q42 worker would crash where its oracle answered).
+PAYLOAD_CHARS = 32
+_ORACLE_PAYLOAD = f"substr(text, 1, {PAYLOAD_CHARS})"
+_ORACLE_DOCS_FILTER = "text IS NOT NULL AND length(text) > 0"
+
+
+def _payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) for non-empty documents."""
+    return docs.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.encode(F.substring("text", 1, PAYLOAD_CHARS), "utf-8").alias("payload"),
+    )
+
+
 def decode_image(payload: bytes) -> object:
     """STUB — real image decode (PIL/libvips/ffmpeg) is not available in
     this container. Production replaces this with the actual codec; the
@@ -122,12 +143,13 @@ def _make_extract_features():
     # octet_length(encode(...)) = UTF-8 byte count, matching Python's
     # len(bytes); DuckDB's md5(VARCHAR) also hashes the UTF-8 bytes — the
     # contract holds for non-ASCII text, not just the ASCII fixtures.
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            16 + doc_id % 64 AS width,
-           CAST(octet_length(encode(substr(text, 1, 32))) AS BIGINT) AS payload_len,
-           md5(substr(text, 1, 32)) AS payload_md5
+           CAST(octet_length(encode({_ORACLE_PAYLOAD})) AS BIGINT) AS payload_len,
+           md5({_ORACLE_PAYLOAD}) AS payload_md5
     FROM documents
+    WHERE {_ORACLE_DOCS_FILTER}
     """,
     tags=("llm", "X5", "multimodal"),
 )
@@ -143,10 +165,8 @@ def q40_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decode itself is stubbed: see :func:`decode_image`.
     """
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id",
-        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
-        (F.lit(16) + F.col("doc_id") % 64).alias("width"),
+    payloads = _payloads(docs).withColumn(
+        "width", F.lit(16) + F.col("doc_id") % 64
     )
     return payloads.mapInPandas(
         _make_extract_features(), schema=_FEATURE_SCHEMA
@@ -202,9 +222,10 @@ def _make_sample_frames(stride: int, frame_chars: int):
     oracle=f"""
     WITH vids AS (
         SELECT doc_id,
-               substr(text, 1, 32) AS payload,
+               {_ORACLE_PAYLOAD} AS payload,
                4 + doc_id % 8 AS n_frames
         FROM documents
+        WHERE {_ORACLE_DOCS_FILTER}
     )
     SELECT v.doc_id,
            f.f AS frame_idx,
@@ -233,10 +254,8 @@ def q41_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet footer columns.
     """
     docs = load_table(spark, sf_dir, "documents")
-    vids = docs.select(
-        "doc_id",
-        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
-        (F.lit(4) + F.col("doc_id") % 8).cast("long").alias("n_frames"),
+    vids = _payloads(docs).withColumn(
+        "n_frames", (F.lit(4) + F.col("doc_id") % 8).cast("long")
     )
     return vids.mapInPandas(
         _make_sample_frames(_FRAME_STRIDE, _FRAME_CHARS), schema=_FRAME_SCHEMA
@@ -288,9 +307,10 @@ def _make_resize(target_chars: int):
     oracle=f"""
     WITH p AS (
         SELECT doc_id,
-               substr(text, 1, 32) AS payload,
-               length(substr(text, 1, 32)) AS n
+               {_ORACLE_PAYLOAD} AS payload,
+               length({_ORACLE_PAYLOAD}) AS n
         FROM documents
+        WHERE {_ORACLE_DOCS_FILTER}
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS orig_len,
@@ -314,8 +334,4 @@ def q42_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics for the same reason as q41 (DuckDB cannot md5 BLOBs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id",
-        F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
-    )
-    return payloads.mapInPandas(_make_resize(_TARGET_CHARS), schema=_RESIZE_SCHEMA)
+    return _payloads(docs).mapInPandas(_make_resize(_TARGET_CHARS), schema=_RESIZE_SCHEMA)

@@ -228,19 +228,25 @@ _CHUNK_TOKENS = 16
 
 @register(
     "q43_chunk_split",
+    # Per-row generate_series, NOT a fixed CROSS JOIN range(N): a constant
+    # bound would silently cap the fan-out for documents longer than
+    # N * chunk tokens while the Spark side stays unbounded.
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    fanout AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, (len(w) - 1) // {_CHUNK_TOKENS})) AS c
+        FROM tok
     )
     SELECT doc_id,
-           c.c AS chunk_idx,
-           array_to_string(w[c.c * {_CHUNK_TOKENS} + 1 :
-                             (c.c + 1) * {_CHUNK_TOKENS}], ' ') AS chunk_text,
+           c AS chunk_idx,
+           array_to_string(w[c * {_CHUNK_TOKENS} + 1 :
+                             (c + 1) * {_CHUNK_TOKENS}], ' ') AS chunk_text,
            CAST(least({_CHUNK_TOKENS},
-                      len(w) - c.c * {_CHUNK_TOKENS}) AS INT) AS n_tokens
-    FROM tok
-    CROSS JOIN range(64) c(c)
-    WHERE c.c * {_CHUNK_TOKENS} < len(w)
+                      len(w) - c * {_CHUNK_TOKENS}) AS INT) AS n_tokens
+    FROM fanout
     """,
     tags=("llm", "X4", "chunking"),
 )
@@ -307,7 +313,7 @@ def q45_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    grams = F.expr(
+    grams = (
         "transform(sequence(0, size(w) - 3),"
         " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
     )
@@ -317,17 +323,20 @@ def q45_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.size("w") - 2).cast("long").alias("n_grams"),
-            F.expr("size(w) - 2 - size(array_distinct(transform(sequence(0, size(w) - 3),"
-                   " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))")
+            F.expr(f"size(w) - 2 - size(array_distinct({grams}))")
             .cast("long")
             .alias("n_dup_grams"),
         )
         .withColumn(
-            "dup_ratio",
-            F.round(F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6),
+            "ratio_raw", F.col("n_dup_grams").cast("double") / F.col("n_grams")
         )
-        .withColumn(
-            "is_repetitive",
-            F.when(F.col("dup_ratio") > 0.2, 1).otherwise(0),
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round("ratio_raw", 6).alias("dup_ratio"),
+            # Threshold the UNROUNDED ratio, matching the oracle — rounding
+            # first would flip docs whose true ratio is in (0.2, 0.2000005].
+            F.when(F.col("ratio_raw") > 0.2, 1).otherwise(0).alias("is_repetitive"),
         )
     )
