@@ -314,3 +314,11 @@ def test_repetition_signal(spark, tiny_sf_dir):
     # 7 trigrams, all distinct -> ratio 0, not repetitive
     assert got[0]["n_grams"] == 7 and got[0]["n_dup_grams"] == 0
     assert got[0]["dup_ratio"] == 0.0 and got[0]["is_repetitive"] == 0
+
+
+def test_dedup_clusters_components(spark, tiny_sf_dir):
+    got = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in Q["q46_dedup_clusters"](spark, tiny_sf_dir).collect()}
+    # docs 0,1,2 form one near-dup component -> canonical 0; 3,4 singletons
+    assert got[0] == (0, 1) and got[1] == (0, 0) and got[2] == (0, 0)
+    assert got[3] == (3, 1) and got[4] == (4, 1)

@@ -335,3 +335,82 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
     )
     return cand.select("doc_a", "doc_b", "hamming")
+
+
+# Label-propagation bound: fixture clusters are tiny; at 100 TB switch to
+# the large-star/small-star contraction, which converges in O(log n).
+_MAX_CC_ITERS = 20
+
+
+@register(
+    "q46_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NEAR_DUP_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc_id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT edges.b, reach.lab
+        FROM reach JOIN edges ON edges.a = reach.doc_id
+    )
+    SELECT doc_id,
+           MIN(lab) AS canonical_id,
+           CASE WHEN MIN(lab) = doc_id THEN 1 ELSE 0 END AS is_canonical
+    FROM reach
+    GROUP BY doc_id
+    """,
+    tags=("llm", "X1", "X2", "iterative"),
+)
+def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment (X1/X2 completion): connected components
+    over the near-dup pair graph via ITERATIVE min-label propagation —
+    every document mapped to the minimum doc_id reachable through
+    near-dup edges (its canonical representative; singletons map to
+    themselves). This is the keep-one-per-cluster step a production
+    dedup pipeline runs after pair generation.
+
+    The engine's one driver-coordinated iterative algorithm: each round
+    joins labels to the edge list, takes the neighborhood minimum, and
+    checks convergence with an action; ``localCheckpoint`` truncates the
+    growing lineage each round. Converges in diameter(graph) rounds
+    (bounded at {_MAX_CC_ITERS}); the DuckDB oracle is the equivalent
+    recursive CTE, so even the iterative operator stays oracle-checked.
+    """
+    pairs = q31_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.withColumn("lab", F.col("doc_id")).localCheckpoint(eager=True)
+    for _ in range(_MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("canonical_id"),
+        F.when(F.col("lab") == F.col("doc_id"), 1).otherwise(0).alias("is_canonical"),
+    )
