@@ -272,11 +272,24 @@ def test_chunk_split_boundaries(spark, tiny_sf_dir):
 
 
 def test_int8_quantize_bounds_and_error(spark, tiny_sf_dir):
+    # registered form serializes qv as CSV (harness canonicalizer can't
+    # sort raw array columns); parse it back for the numeric invariants
     got = Q["q44_int8_quantize"](spark, tiny_sf_dir).collect()
     for r in got:
-        assert all(-127 <= q <= 127 for q in r["qv"])
-        assert max(abs(q) for q in r["qv"]) == 127  # max-abs element saturates
+        qv = [int(x) for x in r["qv"].split(",")]
+        assert all(-127 <= q <= 127 for q in qv)
+        assert max(abs(q) for q in qv) == 127  # max-abs element saturates
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9  # rounding bound
+
+
+def test_int8_quantize_library_form_keeps_array(spark, tiny_sf_dir):
+    from trafficteach_spark.operators.llm.similarity import int8_quantize
+    from trafficteach_spark.sources.tables import load_table
+
+    out = int8_quantize(load_table(spark, tiny_sf_dir, "embeddings"))
+    assert dict(out.dtypes)["qv"] == "array<int>"
+    row = out.limit(1).collect()[0]
+    assert isinstance(row["qv"], list) and all(isinstance(q, int) for q in row["qv"])
 
 
 def test_funnel_arbitrary_chain(spark, tiny_sf_dir):
@@ -300,9 +313,14 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     exact = {(r["qid"], r["nid"]) for r in Q["q32_knn_cosine"](spark, sf).collect()}
     single = {(r["qid"], r["nid"]) for r in knn_lsh_multiprobe(spark, sf, 0).collect()}
     multi = {(r["qid"], r["nid"]) for r in knn_lsh_multiprobe(spark, sf, 1).collect()}
+    multi2 = {(r["qid"], r["nid"]) for r in knn_lsh_multiprobe(spark, sf, 2).collect()}
     recall_single = len(single & exact) / len(exact)
     recall_multi = len(multi & exact) / len(exact)
+    recall_multi2 = len(multi2 & exact) / len(exact)
+    # radius-r recall dominates radius-(r-1): every probed bucket set is a
+    # superset, so the candidate set (and recall) can only grow
     assert recall_multi >= recall_single
+    assert recall_multi2 >= recall_multi
     # the registered q32_knn_lsh is exactly the single-probe form
     registered = {(r["qid"], r["nid"]) for r in Q["q32_knn_lsh"](spark, sf).collect()}
     assert registered == single

@@ -12,6 +12,7 @@ bit-identical sums (same values, same sequential order).
 
 from __future__ import annotations
 
+import itertools
 import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -218,6 +219,48 @@ def _bucket_expr(vcol: str) -> F.Column:
     return F.expr(" + ".join(bits))
 
 
+# The same bucket id in DuckDB: the hyperplanes are compile-time literals
+# (repr round-trips the exact double), and list_dot_product sums in the
+# same sequential order as the Spark ``aggregate`` fold, so the sign bits
+# — and therefore the bucket — are bit-identical across engines. That
+# makes single-probe sign-LSH fully oracle-checkable despite being an
+# approximate *search* (round-2 verdict item 2).
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i, plane in enumerate(_PLANES)
+)
+
+_LSH_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               {_DUCK_BUCKET} AS bucket
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket
+        FROM n WHERE vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+        SELECT q.qid, n.vec_id AS nid,
+               ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cosine
+        FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id <> q.qid
+    )
+    SELECT qid, nid, cosine, rn AS knn_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, nid ASC
+        ) AS rn
+        FROM pairs
+    )
+    WHERE rn <= {TOP_K}
+"""
+
+
 # IVF geometry: K fixed coarse centroids (deterministic: the K lowest
 # vec_ids act as seeds — any fixed, data-independent rule works for a
 # non-iterative quantizer), nprobe lists searched per query.
@@ -279,10 +322,60 @@ def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataF
     )
 
 
+# The IVF pipeline is approximate as a *search* (probing < all lists) but
+# fully DETERMINISTIC given the fixed centroid rule (the IVF_K lowest
+# vec_ids), so its exact output IS DuckDB-expressible — same assignment
+# window, same probe ranking, same cosine. Promoted from rows-only to a
+# full hash-checked oracle (round-2 verdict item 2).
+_IVF_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {IVF_K}
+    ),
+    scored AS (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS csim
+        FROM n CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, cid ASC
+        ) AS crank
+        FROM scored
+    ),
+    assigned AS (
+        SELECT vec_id, v, nrm, cid AS list_id FROM ranked WHERE crank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS list_id
+        FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= {IVF_NPROBE}
+    ),
+    pairs AS (
+        SELECT p.qid, a.vec_id AS nid,
+               ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cosine
+        FROM probes p JOIN assigned a USING (list_id)
+        WHERE a.vec_id <> p.qid
+    )
+    SELECT qid, nid, cosine, rn AS knn_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, nid ASC
+        ) AS rn
+        FROM pairs
+    )
+    WHERE rn <= {TOP_K}
+"""
+
+
 @register(
     "q32_knn_ivf",
-    oracle=None,  # approximate by design (probing < all lists); tests assert
-    # the nprobe=K full-probe equals the exact q32_knn_cosine — rows-only.
+    oracle=_IVF_ORACLE,
     tags=("llm", "X3", "scale"),
 )
 def q32_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,9 +397,7 @@ def q32_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q32_knn_lsh",
-    oracle=None,  # approximate by design (bucket pruning loses cross-bucket
-    # neighbors); recall vs the exact q32_knn_cosine is asserted in tests,
-    # not by the equality oracle — rows-only check.
+    oracle=_LSH_ORACLE,
     tags=("llm", "X3", "scale"),
 )
 def q32_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,16 +428,15 @@ def knn_lsh_multiprobe(
     case, where true neighbors are barely closer than average): 1-bit
     probing lifts top-5 recall from 0/50 to 7/50 at 9x probe volume; on
     real clustered embeddings the same knob is the difference between
-    ~0.6 and ~0.9 recall. Tests pin the dominance invariant (multi-probe
-    recall >= single-probe) rather than fixture-specific absolutes.
-    Only Hamming radius 0 and 1 are implemented (radius 2 would add
-    C({_N_PLANES},2) more probes; extend the probe_list expression if a
-    deployment needs it).
+    ~0.6 and ~0.9 recall. Tests pin the dominance invariant (radius-r
+    recall >= radius-(r-1)) rather than fixture-specific absolutes.
+    Any radius 0..{_N_PLANES} is supported: the probe set is every XOR
+    mask of Hamming weight <= flip_bits, sum(C({_N_PLANES},r)) buckets
+    per query (1, 9, 37, ... for r = 0, 1, 2).
     """
-    if flip_bits not in (0, 1):
+    if not 0 <= flip_bits <= _N_PLANES:
         raise ValueError(
-            f"flip_bits={flip_bits} not supported: only Hamming radius 0 or 1 "
-            "probing is implemented"
+            f"flip_bits={flip_bits} out of range: 0..{_N_PLANES} sign bits exist"
         )
     vecs = _vectors(spark, sf_dir).withColumn("bucket", _bucket_expr("v"))
     q = vecs.where(F.col("vec_id") < N_QUERIES).select(
@@ -358,11 +448,19 @@ def knn_lsh_multiprobe(
     if flip_bits == 0:
         probes = q
     else:
-        # 0 = the home bucket; k>0 flips plane k-1's sign bit.
+        # All XOR masks of Hamming weight <= flip_bits, as one literal
+        # array (mask 0 = the home bucket). The mask list is tiny
+        # (sum of C(8, r)) and compile-time constant, so the probe fan-out
+        # stays a single explode with no extra shuffle.
+        masks = [0] + [
+            sum(1 << i for i in combo)
+            for r in range(1, flip_bits + 1)
+            for combo in itertools.combinations(range(_N_PLANES), r)
+        ]
         probe_list = F.expr(
-            f"transform(sequence(0, {_N_PLANES}),"
-            " k -> CASE WHEN k = 0 THEN bucket"
-            "      ELSE cast(bucket as bigint) ^ shiftleft(1L, k - 1) END)"
+            "transform(array("
+            + ", ".join(f"{m}L" for m in masks)
+            + "), m -> cast(bucket as bigint) ^ m)"
         )
         probes = q.select(
             "qid", "qv", "qn", F.explode(probe_list).alias("bucket")
@@ -381,40 +479,16 @@ def knn_lsh_multiprobe(
     )
 
 
-@register(
-    "q44_int8_quantize",
-    oracle="""
-    WITH v AS (
-        SELECT vec_id, label,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    ),
-    s AS (
-        SELECT vec_id, label, v,
-               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-        FROM v
-    )
-    SELECT vec_id, label,
-           ROUND(scale, 9) AS scale,
-           list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv,
-           ROUND(list_max(list_transform(v,
-                 x -> abs(x - round(x / scale) * scale))), 9) AS max_abs_err
-    FROM s
-    """,
-    tags=("llm", "X3", "quantization"),
-)
-def q44_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization (X3 storage path): per-vector max-abs
-    scale, values rounded to [-127, 127] — the 4x storage/bandwidth cut
-    every large ANN corpus applies before indexing, plus the per-vector
-    reconstruction-error bound for quality monitoring.
+def int8_quantize(emb: DataFrame) -> DataFrame:
+    """Library form of symmetric int8 quantization: per-vector max-abs
+    scale, values rounded to [-127, 127], ``qv`` kept as ``array<int>``
+    for composition (the dequantize ``qv * scale`` folds straight into
+    the distance kernels; this is the column a 100 TB corpus stores in
+    place of the float array).
 
     All math in double via codegen'd higher-order functions; one map
-    stage, no shuffle. At 100 TB the quantized column replaces the float
-    array in the stored/bucketed layout and the dequantize (qv * scale)
-    folds into the distance kernels.
+    stage, no shuffle.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.select(
             "vec_id",
@@ -437,4 +511,48 @@ def q44_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("max_abs_err"),
         )
+    )
+
+
+@register(
+    "q44_int8_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    )
+    SELECT vec_id, label,
+           ROUND(scale, 9) AS scale,
+           array_to_string(list_transform(v,
+               x -> CAST(CAST(round(x / scale) AS INT) AS VARCHAR)), ',') AS qv,
+           ROUND(list_max(list_transform(v,
+                 x -> abs(x - round(x / scale) * scale))), 9) AS max_abs_err
+    FROM s
+    """,
+    tags=("llm", "X3", "quantization"),
+)
+def q44_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (X3 storage path): the 4x
+    storage/bandwidth cut every large ANN corpus applies before indexing,
+    plus the per-vector reconstruction-error bound for quality monitoring.
+    Body is :func:`int8_quantize`; the registered projection serializes
+    ``qv`` to a deterministic CSV string because the harness canonicalizer
+    sorts result frames in pandas and a raw ``array<int>`` column is
+    unhashable there (round-2 CORRECTNESS failure) — compose against the
+    library form if you need the typed array.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = int8_quantize(emb)
+    return q.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.expr("array_join(transform(qv, x -> cast(x as string)), ',')").alias("qv"),
+        "max_abs_err",
     )
