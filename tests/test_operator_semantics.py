@@ -340,3 +340,48 @@ def test_dedup_clusters_components(spark, tiny_sf_dir):
     # docs 0,1,2 form one near-dup component -> canonical 0; 3,4 singletons
     assert got[0] == (0, 1) and got[1] == (0, 0) and got[2] == (0, 0)
     assert got[3] == (3, 1) and got[4] == (4, 1)
+
+
+def test_alternating_cc_long_chain_converges_in_log_rounds(spark):
+    """The star-contraction upgrade's point: a path graph is the
+    worst case for min-label propagation (diameter rounds — a 40-node
+    chain would have exhausted the old 20-round budget), but the
+    alternating algorithm folds it in O(log n)."""
+    from trafficteach_spark.operators.llm.dedup import alternating_components
+
+    n = 40
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    star, rounds = alternating_components(chain)
+    labels = {r["doc_id"]: r["canonical_id"] for r in star.collect()}
+    assert labels == {i: 0 for i in range(1, n)}  # root 0 absent by contract
+    assert rounds <= 10, rounds  # log-round bound, far under diameter 39
+
+
+def test_alternating_cc_multiple_components_and_empty(spark):
+    from trafficteach_spark.operators.llm.dedup import alternating_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3} (triangle), component {10,11}, self-loop noise
+        [(2, 1), (3, 2), (1, 3), (11, 10), (5, 5)],
+        "doc_a long, doc_b long",
+    )
+    star, _ = alternating_components(edges)
+    labels = {r["doc_id"]: r["canonical_id"] for r in star.collect()}
+    assert labels == {2: 1, 3: 1, 11: 10}  # roots 1/10 absent; 5 isolated
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    star0, rounds0 = alternating_components(empty)
+    assert star0.count() == 0 and rounds0 == 0
+
+
+def test_alternating_cc_raises_on_budget_exhaustion(spark):
+    import pytest
+
+    from trafficteach_spark.operators.llm.dedup import alternating_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        alternating_components(chain, max_rounds=1)

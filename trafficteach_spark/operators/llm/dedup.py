@@ -258,65 +258,72 @@ def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register(
-    "q31_simhash",
-    oracle=None,  # 64-bit simhash + Hamming bucketing; engine-internal hash
-    # functions (xxhash64) are not reproducible in DuckDB — rows-only check;
-    # semantics covered by the oracle-checked q31 variants above.
-    tags=("llm", "X2", "scale"),
-)
-def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (X2, third variant): 64-bit per-doc fingerprint =
-    sign-aggregated token hashes; near-dups = fingerprints within Hamming
-    distance 3, found by the 4-block pigeonhole trick (split the 64-bit
-    hash into 4 blocks of 16; any pair at distance <= 3 agrees on at least
-    one block, so candidates come from 4 equi-joins on block value — never
-    an all-pairs scan).
+_SIMHASH_BLOCKS = 4
+_MAX_HAMMING = 3
+
+
+def _make_simhash(n_bits: int):
+    """numpy fingerprint worker factory (closure — pickled by value).
+
+    Unpacks all ``n_bits`` bits of every token hash as one
+    (n_tokens, n_bits) matrix, sign-sums down the columns, repacks the
+    positive columns into the fingerprint. Replaces the earlier 64x
+    posexplode + two aggregations (3.2s -> ~1s at sf0.1) with a pure map
+    stage; a nested-HOF one-pass form was also tried and measured 4x
+    slower than even the explode (HOF lambdas are interpreted;
+    BASELINE.md).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # Token hashes JVM-side (one cheap HOF pass), fingerprints in numpy:
-    # unpack all 64 bits of every token hash as one (n_tokens, 64) matrix,
-    # sign-sum down the columns, repack the positive columns into the
-    # 64-bit fingerprint. Replaces the earlier 64x posexplode + two
-    # aggregations (3.2s -> ~1s at sf0.1) with a pure map stage; a
-    # nested-HOF one-pass form was also tried and measured 4x slower than
-    # even the explode (HOF lambdas are interpreted; BASELINE.md).
-    # NULL text would reach the numpy worker as hs=None and crash the job;
-    # the earlier SQL pipeline silently dropped such docs — keep that.
+
+    def fingerprints(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(n_bits, dtype=np.uint64)
+
+        def fp(hs):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+            positive = (2 * bits.astype(np.int64) - 1).sum(axis=0) > 0
+            return int((positive.astype(np.uint64) << shifts).sum(dtype=np.uint64).astype(np.int64))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": [fp(hs) for hs in pdf["hs"]]}
+            )
+
+    return fingerprints
+
+
+def simhash_pairs(docs: DataFrame, token_hash_sql: str, n_bits: int) -> DataFrame:
+    """Shared simhash pipeline: ``n_bits``-bit per-doc fingerprint =
+    sign-aggregated token hashes (``token_hash_sql`` maps token ``t`` to a
+    64-bit-or-less integer); near-dups = fingerprints within Hamming
+    distance {_MAX_HAMMING}, found by the {_SIMHASH_BLOCKS}-block
+    pigeonhole trick (any pair at distance <= {_MAX_HAMMING} agrees on at
+    least one block, so candidates come from {_SIMHASH_BLOCKS} equi-joins
+    on block value — never an all-pairs scan).
+
+    Token hashes run JVM-side (one cheap HOF pass), fingerprints in numpy
+    (:func:`_make_simhash`). NULL text would reach the numpy worker as
+    hs=None and crash the job; the earlier SQL pipeline silently dropped
+    such docs — keep that.
+    """
+    block_bits = n_bits // _SIMHASH_BLOCKS
+    mask = (1 << block_bits) - 1
     hashed = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(
-            "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"
+            f"transform(array_distinct(split(text, ' ')), t -> {token_hash_sql})"
         ).alias("hs"),
     )
-
-    def _make_simhash():
-        def fingerprints(batches):
-            import numpy as np
-            import pandas as pd
-
-            shifts = np.arange(64, dtype=np.uint64)
-
-            def fp(hs):
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-                positive = (2 * bits.astype(np.int64) - 1).sum(axis=0) > 0
-                return int((positive.astype(np.uint64) << shifts).sum(dtype=np.uint64).astype(np.int64))
-
-            for pdf in batches:
-                yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"], "simhash": [fp(hs) for hs in pdf["hs"]]}
-                )
-
-        return fingerprints
-
-    fp = hashed.mapInPandas(_make_simhash(), schema="doc_id long, simhash long")
+    fp = hashed.mapInPandas(_make_simhash(n_bits), schema="doc_id long, simhash long")
     blocks = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, 3), k -> (simhash >> (k * 16)) & 65535)"
+                f"transform(sequence(0, {_SIMHASH_BLOCKS - 1}),"
+                f" k -> (simhash >> (k * {block_bits})) & {mask})"
             )
         ).alias("block_id", "block_val"),
     )
@@ -332,14 +339,195 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
-        .where(F.col("hamming") <= 3)
+        .where(F.col("hamming") <= _MAX_HAMMING)
     )
     return cand.select("doc_a", "doc_b", "hamming")
 
 
-# Label-propagation bound: fixture clusters are tiny; at 100 TB switch to
-# the large-star/small-star contraction, which converges in O(log n).
-_MAX_CC_ITERS = 20
+@register(
+    "q31_simhash",
+    oracle=None,  # xxhash64 token hashes are engine-internal, not
+    # reproducible in DuckDB — rows-only check. This stays the fast
+    # production path; q31_simhash_md5 below is the same pipeline on an
+    # md5-derived token hash and carries the full oracle.
+    tags=("llm", "X2", "scale"),
+)
+def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (X2, third variant), xxhash64 token hashes — the
+    fast path (xxhash64 is one JVM intrinsic per token). Pipeline and
+    pigeonhole candidate generation: :func:`simhash_pairs`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "xxhash64(t)", 64)
+
+
+# DuckDB reproduction of the md5-derived 60-bit token hash. Spark takes
+# the first 15 hex chars of md5(t) as a base-16 number; DuckDB's
+# md5_number_upper() returns the first 8 digest bytes LITTLE-endian, so
+# byte-swap back to the hex-string order, then drop the low nibble
+# (HUGEINT multiply/divide — DuckDB's << overflows int64 here).
+_DUCK_MD5_TOKEN_HASH = (
+    "CAST(("
+    + " + ".join(
+        f"(CAST((md5_number_upper(t) >> {8 * j}) & 255 AS HUGEINT) * {1 << (56 - 8 * j)})"
+        for j in range(8)
+    )
+    + ") // 16 AS BIGINT)"
+)
+
+_SIMHASH_MD5_BITS = 60  # 15 hex chars -> 4 blocks of 15 bits
+
+_SIMHASH_MD5_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+        SELECT doc_id, {_DUCK_MD5_TOKEN_HASH} AS th FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, g.i,
+               CASE WHEN SUM(2 * ((th >> g.i) & 1) - 1) > 0 THEN 1 ELSE 0 END AS bit
+        FROM h CROSS JOIN (SELECT unnest(range({_SIMHASH_MD5_BITS})) AS i) g
+        GROUP BY doc_id, g.i
+    ),
+    fp AS (
+        SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << i) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+"""
+
+
+@register(
+    "q31_simhash_md5",
+    oracle=_SIMHASH_MD5_ORACLE,
+    tags=("llm", "X2", "scale"),
+)
+def q31_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup on an md5-derived token hash — the ORACLE-CHECKED
+    twin of :func:`q31_simhash` (round-2 verdict item 3): md5 exists in
+    both engines, so the full fingerprint + pigeonhole pipeline gets a
+    hash check instead of rows-only. Token hash = first 15 hex chars of
+    md5(token) as a 60-bit integer (fits BIGINT in both engines; the
+    DuckDB side reconstructs it from md5_number_upper's little-endian
+    uint64 — see _DUCK_MD5_TOKEN_HASH). The oracle verifies candidates by
+    brute force over all fingerprint pairs, independently re-deriving the
+    pigeonhole result, so it also re-proves the blocking is lossless at
+    Hamming <= {_MAX_HAMMING}.
+
+    Keep q31_simhash (xxhash64) as the production path: one intrinsic per
+    token vs md5's string round-trip, ~same plan otherwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs,
+        "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)",
+        _SIMHASH_MD5_BITS,
+    )
+
+
+# Round budget for the alternating contraction below. O(log n) rounds
+# suffice on any graph, so 20 covers components far beyond 100 TB scale;
+# exhausting it means something is broken and the loop fails loudly.
+_MAX_CC_ROUNDS = 20
+
+
+def alternating_components(
+    edges: DataFrame, max_rounds: int = _MAX_CC_ROUNDS
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected edge list (columns doc_a,
+    doc_b) via alternating LARGE-STAR / SMALL-STAR contraction — the
+    two-phase MapReduce CC algorithm, O(log n) rounds on any graph vs
+    O(diameter) for plain min-label propagation (round-2 verdict item 4;
+    the upgrade the old code's note promised).
+
+    Returns ``(star, rounds)``: ``star`` = (doc_id, canonical_id) mapping
+    every NON-root member to its component's minimum id (roots and
+    isolated nodes are absent — callers fill them with a left join);
+    ``rounds`` counts executed rounds including the final fixed-point
+    confirmation.
+
+    Per round, with edges kept canonically (larger, smaller):
+      large-star: every node u connects each neighbor y > u to
+        min(N(u) + [u]) — long chains fold toward small ids in halving
+        steps;
+      small-star: every node u connects each smaller neighbor (and
+        itself) to min(N(u) + [u]) — partial stars re-center on the
+        minimum.
+    Both steps preserve connectivity; the edge set monotonically
+    approaches the component star, which is the unique common fixed
+    point, detected as an identical (count, xxhash-sum) signature two
+    rounds in a row. ONE Spark action per round: the signature agg also
+    materializes the lazy ``localCheckpoint`` truncating the lineage (the
+    old loop paid a separate convergence ``count()`` on top).
+
+    Raises RuntimeError when ``max_rounds`` is exhausted: unconverged
+    labels can split a component and are silently WRONG at scales where
+    no oracle runs — fail loudly instead (round-2 advisory).
+    """
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        return (
+            e.select(F.col("u").alias("doc_id"), F.col("v").alias("canonical_id")),
+            0,
+        )
+    prev_sig = None
+    for rnd in range(1, max_rounds + 1):
+        both = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        lmins = (
+            both.groupBy("x")
+            .agg(F.min("y").alias("my"))
+            .select("x", F.least("x", "my").alias("m"))
+        )
+        e1 = (
+            both.join(lmins, "x")
+            .where(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        smins = e1.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            e1.join(smins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # Set signature: count + XOR of per-edge hashes. XOR (not sum)
+        # because it can't overflow under ANSI arithmetic, and it's a
+        # sound set fingerprint here since the edge list is distinct.
+        sig_row = e2.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0).cast("long")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        e = e2
+        if sig == prev_sig:
+            star = e.groupBy(F.col("u").alias("doc_id")).agg(
+                F.min("v").alias("canonical_id")
+            )
+            return star, rnd
+        prev_sig = sig
+    raise RuntimeError(
+        f"alternating_components did not reach a fixed point in {max_rounds} "
+        "rounds — labels would be wrong; raise max_rounds only after "
+        "confirming the edge list is sane (O(log n) rounds should suffice)"
+    )
 
 
 @register(
@@ -367,50 +555,32 @@ _MAX_CC_ITERS = 20
 )
 def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster assignment (X1/X2 completion): connected components
-    over the near-dup pair graph via ITERATIVE min-label propagation —
-    every document mapped to the minimum doc_id reachable through
-    near-dup edges (its canonical representative; singletons map to
-    themselves). This is the keep-one-per-cluster step a production
-    dedup pipeline runs after pair generation.
+    over the near-dup pair graph — every document mapped to the minimum
+    doc_id reachable through near-dup edges (its canonical
+    representative; singletons map to themselves). This is the
+    keep-one-per-cluster step a production dedup pipeline runs after
+    pair generation.
 
-    The engine's one driver-coordinated iterative algorithm: each round
-    joins labels to the edge list, takes the neighborhood minimum, and
-    checks convergence with an action; ``localCheckpoint`` truncates the
-    growing lineage each round. Converges in diameter(graph) rounds
-    (bounded at {_MAX_CC_ITERS}); the DuckDB oracle is the equivalent
-    recursive CTE, so even the iterative operator stays oracle-checked.
+    The engine's one driver-coordinated iterative algorithm, now the
+    large-star/small-star alternating contraction
+    (:func:`alternating_components`): O(log n) rounds on ANY component
+    shape — the old min-label propagation needed diameter(graph) rounds,
+    the one super-linear-rounds risk the round-2 verdict flagged — and
+    one action per round instead of two. The DuckDB oracle is the
+    equivalent recursive CTE, so the iterative operator stays
+    oracle-checked end to end.
     """
     pairs = q31_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    star, _rounds = alternating_components(pairs)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.withColumn("lab", F.col("doc_id")).localCheckpoint(eager=True)
-    for _ in range(_MAX_CC_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("lab").alias("nlab"))
+    return (
+        docs.join(star, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+        .withColumn(
+            "is_canonical",
+            F.when(F.col("canonical_id") == F.col("doc_id"), 1).otherwise(0),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(
-        "doc_id",
-        F.col("lab").alias("canonical_id"),
-        F.when(F.col("lab") == F.col("doc_id"), 1).otherwise(0).alias("is_canonical"),
     )
