@@ -23,3 +23,27 @@ def test_strides_exceed_source_id_ranges():
     assert USER_ID_STRIDE > _max("events", "user_id")
     assert DOC_ID_STRIDE > _max("documents", "doc_id")
     assert DOC_ID_STRIDE > _max("embeddings", "vec_id")
+
+
+def test_scaled_documents_recompute_n_chars(tmp_path):
+    """Copies i>0 remap the text (word -> word+i), so n_chars must be
+    recomputed from the remapped text — a stale copy of the source column
+    would skew every text-stats query over scaled fixtures without any
+    parity signal (both engines would read the same wrong value)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "sf_x2")
+    subprocess.run(
+        [sys.executable, "tools/gen_scale.py", "2", out, "/root/testdata/sf0.001"],
+        check=True,
+        cwd=repo,
+        timeout=420,
+    )
+    bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/documents.parquet/*.parquet')"
+        " WHERE n_chars <> length(text)"
+    ).fetchone()[0]
+    assert bad == 0

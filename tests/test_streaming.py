@@ -137,3 +137,46 @@ def test_watermark_drops_late_data(spark, tmp_path):
     types2 = {r[2] for r in out2}
     assert "click" in types2  # fresh row emitted
     assert "error" not in types2  # late row dropped by the watermark
+
+
+def test_kafka_value_projection_matches_batch(spark):
+    """O5 made real code: the kafka branch's value-JSON projection must
+    produce row-for-row the same typed events as the batch/file path. No
+    broker exists in this container, so the projection runs over a batch
+    frame of synthesized Kafka records (value = JSON of the physical row,
+    exactly what a producer mirroring the parquet layout would send)."""
+    from trafficteach_spark import schemas
+
+    phys = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(
+        SMOKE_SF_DIR + "/events.parquet"
+    )
+    records = phys.select(
+        F.to_json(F.struct(*phys.columns)).cast("binary").alias("value")
+    )
+    parsed = demo.parse_kafka_events(records)
+    batch = load_table(spark, SMOKE_SF_DIR, "events")
+    assert parsed.dtypes == batch.dtypes
+    assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_kafka_source_wiring(spark):
+    """The kafka path is a parameter, not prose: missing options fail
+    fast with a clear message, and with options present the plan build
+    reaches Spark's kafka source resolution (which in this connector-less
+    container reports the missing kafka data source — proving the format
+    is actually wired, not silently falling back to files)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="bootstrap"):
+        demo.read_event_stream(spark, source="kafka")
+    with pytest.raises(Exception, match="(?i)kafka"):
+        demo.read_event_stream(
+            spark,
+            source="kafka",
+            kafka_options={
+                "kafka.bootstrap.servers": "localhost:9092",
+                "subscribe": "events",
+            },
+        )
+    with pytest.raises(ValueError, match="unknown source"):
+        demo.read_event_stream(spark, SMOKE_SF_DIR, source="pulsar")

@@ -86,7 +86,15 @@ def main() -> None:
             copy_text(i).alias("text"),
             "lang",
             "source",
-            "n_chars",
+            # Copies remap the text, so n_chars must be recomputed — a
+            # stale column would skew every text-stats query over the
+            # scaled fixture (parity wouldn't catch it: both engines
+            # would read the same wrong value).
+            (
+                F.col("n_chars")
+                if i == 0
+                else F.length(copy_text(i)).cast("long")
+            ).alias("n_chars"),
         )
         for i in range(k)
     ]

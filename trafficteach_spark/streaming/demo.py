@@ -42,26 +42,77 @@ from trafficteach_spark.session import ensure_session_confs
 WATERMARK = "2 hours"
 
 
-def read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """O35: streaming source over the events table layout.
+def _with_event_time(raw: DataFrame) -> DataFrame:
+    """Physical rows (ts = int64 nanoseconds, the parquet layout) ->
+    event-time rows; shared by every source so their output schemas are
+    identical by construction."""
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
 
-    ``events_path`` must be a DIRECTORY (the file-stream source tails
-    directories; files "arrive" by landing in it — see
-    :func:`stage_events_dir` for adapting a single-file fixture).
-    File source here; production: ``spark.readStream.format("kafka")`` +
-    ``from_json(value, EVENTS schema)`` — the downstream plan is identical.
-    ``maxFilesPerTrigger`` bounds micro-batch size the way the reference's
-    5-second batch duration did.
+
+def parse_kafka_events(records: DataFrame) -> DataFrame:
+    """Kafka records -> typed event rows: each record's ``value`` bytes
+    carry one JSON object with the physical schema's fields (ts as int64
+    nanoseconds, exactly the parquet layout), so everything downstream of
+    the source node is the same plan the file source feeds.
+
+    Split out from :func:`read_event_stream` because it is the testable
+    part without a broker: tests/test_streaming.py runs it over a batch
+    frame of synthesized Kafka records and asserts row-for-row equality
+    with the batch loader's output.
+    """
+    return _with_event_time(
+        records.select(
+            F.from_json(
+                F.col("value").cast("string"), schemas.EVENTS_PHYSICAL
+            ).alias("e")
+        ).select("e.*")
+    )
+
+
+def read_event_stream(
+    spark: SparkSession,
+    events_path: str | None = None,
+    source: str = "file",
+    kafka_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """O35/O5: streaming source over the events table layout.
+
+    ``source="file"``: ``events_path`` must be a DIRECTORY (the
+    file-stream source tails directories; files "arrive" by landing in it
+    — see :func:`stage_events_dir` for adapting a single-file fixture).
+    ``maxFilesPerTrigger`` bounds micro-batch size the way the
+    reference's 5-second batch duration did (REF: rtmroad [R]).
+
+    ``source="kafka"``: consumes a topic via the Spark Kafka connector
+    (``kafka_options`` needs at least ``kafka.bootstrap.servers`` plus a
+    ``subscribe``/``assign``) and parses value bytes with
+    :func:`parse_kafka_events` — same downstream plan as the file
+    source. Requires the ``spark-sql-kafka`` package on the cluster; no
+    broker exists in this container, so tests cover the value projection
+    and the wiring error path rather than an end-to-end consume.
     """
     ensure_session_confs(spark)
+    if source == "kafka":
+        opts = kafka_options or {}
+        if "kafka.bootstrap.servers" not in opts:
+            raise ValueError(
+                "kafka source needs kafka_options with 'kafka.bootstrap.servers'"
+                " (plus a 'subscribe'/'subscribePattern'/'assign' option)"
+            )
+        raw = spark.readStream.format("kafka").options(**opts).load()
+        return parse_kafka_events(raw)
+    if source != "file":
+        raise ValueError(f"unknown source {source!r}: expected 'file' or 'kafka'")
+    if events_path is None:
+        raise ValueError("file source needs events_path (a directory to tail)")
     raw = (
         spark.readStream.schema(schemas.EVENTS_PHYSICAL)
         .option("maxFilesPerTrigger", 4)
         .parquet(events_path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    return _with_event_time(raw)
 
 
 def stream_sliding_avg(events: DataFrame) -> DataFrame:

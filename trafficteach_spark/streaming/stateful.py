@@ -72,7 +72,10 @@ def _make_update_fn():
             if us > last_us:
                 row = pdf.loc[(pdf["ts"].astype("int64") // 1000).idxmax()]
                 last_us, last_type = int(us), str(row["event_type"])
-        state.update((n, round(total, 6), last_us, last_type))
+        # Keep the UNROUNDED total in state — re-rounding every micro-batch
+        # would compound drift vs the batch groupBy sum this mirrors; the
+        # emitted row below rounds once for display/sink stability.
+        state.update((n, total, last_us, last_type))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
