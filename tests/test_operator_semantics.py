@@ -385,3 +385,85 @@ def test_alternating_cc_raises_on_budget_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="fixed point"):
         alternating_components(chain, max_rounds=1)
+
+
+def test_pii_redact_counts_and_scrubs(spark, tiny_sf_dir):
+    got = Q["q47_pii_redact"](spark, tiny_sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        # the planting adds exactly one email + one phone per doc
+        assert r["n_emails"] == 1 and r["n_phones"] == 1
+        assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
+        assert "@example.com" not in r["redacted"]
+        assert "+1-555-" not in r["redacted"]
+
+
+def test_tfidf_rank_and_df_invariants(spark, tiny_sf_dir):
+    from trafficteach_spark.operators.llm.corpus import TFIDF_TOP_K
+
+    rows = Q["q48_tfidf"](spark, tiny_sf_dir).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    by_doc = {}
+    for r in rows:
+        assert 1 <= r["tf"] and 1 <= r["df"] <= n_docs + 5  # df over all docs
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in by_doc.values():
+        ranks = sorted(r["term_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOP_K
+        # ranks follow (tfidf desc, term asc)
+        ordered = sorted(rs, key=lambda r: (-r["tfidf"], r["term"]))
+        assert [r["term_rank"] for r in ordered] == list(range(1, len(rs) + 1))
+
+
+def test_pack_sequences_matches_python_prefix_sums(spark, tiny_sf_dir):
+    from trafficteach_spark.operators.llm.corpus import PACK_BUDGET
+
+    rows = Q["q49_pack_sequences"](spark, tiny_sf_dir).collect()
+    by_source = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        cum = by_source.get(r["source"], 0)
+        assert r["bin_id"] == cum // PACK_BUDGET
+        assert r["pack_offset"] == cum % PACK_BUDGET
+        by_source[r["source"]] = cum + r["n_tokens"]
+    assert all(r["pack_offset"] < PACK_BUDGET for r in rows)
+
+
+def test_decontaminate_flags_benchmark_near_dups(spark):
+    from trafficteach_spark.operators.llm.corpus import DECON_BENCH_MOD
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r["n_shared_grams"] for r in Q["q50_decontaminate"](spark, sf).collect()}
+    assert got, "fixture must produce contamination hits"
+    assert all(d % DECON_BENCH_MOD != 0 for d in got)  # benchmark docs excluded
+    assert all(n >= 1 for n in got.values())
+    # doc 0 is in the benchmark set (0 % mod == 0) and has planted
+    # near-dups 50 and 82 sharing long runs -> both must be flagged
+    assert 50 in got and 82 in got
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """The union-then-window as-of must equal the definitional brute
+    force: per event, the max-orderdate order with o_orderdate <= ts
+    (orderkey max-tiebreak at equal dates)."""
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: (r["o_orderkey"], r["o_orderdate"])
+        for r in Q["q51_asof_join"](spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events").select("event_id", "user_id", "ts").collect()
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    by_user = {}
+    for o in orders:
+        by_user.setdefault(o["o_custkey"], []).append(o)
+    expected = {}
+    for e in events:
+        cands = [o for o in by_user.get(e["user_id"], []) if o["o_orderdate"] <= e["ts"]]
+        if cands:
+            best = max(cands, key=lambda o: (o["o_orderdate"], o["o_orderkey"]))
+            expected[e["event_id"]] = (best["o_orderkey"], best["o_orderdate"])
+    assert got == expected

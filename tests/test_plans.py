@@ -80,3 +80,19 @@ def test_no_row_at_a_time_python_anywhere(spark, key):
     """
     plan = formatted_plan(spark, key)
     assert "BatchEvalPython" not in plan
+
+
+def test_q51_asof_has_no_join_node(spark):
+    """The as-of operator's whole point: union + window, not an
+    inequality join (which Catalyst can only run as BNLJ/cartesian)."""
+    plan = formatted_plan(spark, "q51_asof_join")
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert bad not in plan, bad
+
+
+def test_q50_decontaminate_broadcasts_benchmark_grams(spark):
+    plan = formatted_plan(spark, "q50_decontaminate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # tiny benchmark side is broadcast

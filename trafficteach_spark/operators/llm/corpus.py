@@ -1,0 +1,294 @@
+"""Corpus-preparation operators over the documents table — the
+scrub/score/pack/decontaminate family a training-data pipeline runs
+between raw ingest and tokenization. Extensions beyond SURVEY.md §3
+(same first-class status as X1–X5 per the build brief).
+
+Design rules as everywhere in the engine: built-in column expressions
+(codegen'd, zero Python in the hot path), every candidate generator an
+equi-join (never all-pairs), every query deterministic with a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+# PII patterns restricted to syntax that Java regex (Spark) and RE2
+# (DuckDB) interpret identically: character classes, bounded repetition,
+# no backrefs/lookaround.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+# The fixture text is synthetic word soup with no PII-shaped spans, so —
+# like the multimodal family synthesizes binary payloads from text
+# (q40/q41) — the registered query first plants deterministic spans
+# derived from doc_id, then scrubs them. The *operator* is the scrub;
+# the planting just makes the oracle non-vacuous on this fixture.
+_PLANT_SQL = (
+    "concat(text, ' contact user', cast(doc_id as string), "
+    "'@example.com or +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), "
+    "' now')"
+)
+_PLANT_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' now'"
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Library form: add n_emails / n_phones counts and a ``redacted``
+    copy of ``text_col`` with every email/phone span replaced by a typed
+    placeholder. Pure per-row regex expressions — one map stage, no
+    shuffle, trivially linear at 100 TB."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0))))
+        .withColumn("n_phones", F.size(F.regexp_extract_all(c, F.lit(_PHONE_RE), F.lit(0))))
+        .withColumn(
+            "redacted",
+            F.regexp_replace(
+                F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            ),
+        )
+    )
+
+
+@register(
+    "q47_pii_redact",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_PLANT_DUCK} AS planted FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(planted, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(planted, '{_PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(
+               regexp_replace(planted, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM raw
+    """,
+    tags=("llm", "corpus", "pii"),
+)
+def q47_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email/phone spans per document —
+    the compliance pass every training corpus runs before anything else.
+    Body is :func:`pii_redact`; see _PLANT_SQL for why the fixture run
+    plants deterministic spans first. Note DuckDB's ``regexp_replace``
+    needs the 'g' flag for the global semantics Spark applies by default
+    — an easy silent-mismatch trap the oracle pins down.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", F.expr(_PLANT_SQL).alias("planted"))
+    return pii_redact(planted, "planted").select(
+        "doc_id", "n_emails", "n_phones", "redacted"
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "q48_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rn AS term_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TFIDF_TOP_K}
+    """,
+    tags=("llm", "corpus", "X4"),
+)
+def q48_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP_K} terms by smoothed TF-IDF — the
+    keyword/topic signal quality filters and dedup triage use.
+
+    Plan: explode -> (doc, term) count -> term document-frequency in a
+    second agg over the SAME aggregated frame (no second corpus scan) ->
+    broadcast the 1-row corpus count -> window top-k. Two shuffles on
+    uniform keys (term, doc) and one broadcast; ranking uses the ROUNDED
+    score with a term tie-break so both engines pick identical top-k
+    sets. At 100 TB the df table is the only global state and is tiny
+    (vocabulary-sized) — classic map-side-join material.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+PACK_BUDGET = 256  # tokens per packed sequence (training context budget)
+
+
+@register(
+    "q49_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS cum_before
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    tags=("llm", "corpus", "packing"),
+)
+def q49_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document a (bin_id, pack_offset)
+    inside fixed {PACK_BUDGET}-token training sequences, per source —
+    the step that turns a filtered corpus into dense fixed-length
+    batches.
+
+    Semantics: deterministic CUMULATIVE binning (exclusive prefix sum of
+    token counts, integer-divided by the budget). This is the
+    shuffle-friendly streaming approximation of greedy first-fit packing:
+    a doc spanning a boundary spills into the next bin (its offset tells
+    the writer where the split falls), instead of the driver-coordinated
+    bin search exact FFD needs. One window over (source, doc_id) — i.e.
+    one shuffle, and none at all if the corpus is stored bucketed by
+    source. Integer arithmetic end to end, so cross-engine parity is
+    exact by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(f"cum_before DIV {PACK_BUDGET}").alias("bin_id"),
+        (F.col("cum_before") % PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+# Decontamination geometry: word 8-grams (long enough that random word
+# soup never collides; only genuine shared passages match), benchmark
+# set = every 7th doc_id (a deterministic stand-in for the held-out
+# eval table a real pipeline joins against).
+DECON_K = 8
+DECON_BENCH_MOD = 7
+
+_SPARK_GRAM = ", ".join(f"w[i+{j}]" for j in range(DECON_K))
+_DUCK_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(DECON_K))
+
+
+@register(
+    "q50_decontaminate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([{_DUCK_GRAM}
+                        for i in range(1, len(w) - {DECON_K - 2})])) AS gram
+        FROM tok WHERE len(w) >= {DECON_K}
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+    )
+    SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+    FROM grams g JOIN bench USING (gram)
+    WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+    tags=("llm", "corpus", "decontamination"),
+)
+def q50_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word {DECON_K}-gram with the benchmark/eval set — the overlap join
+    every serious pretraining pipeline runs so test data doesn't leak
+    into training data. Output: one row per contaminated doc with its
+    distinct shared-gram count (clean docs produce no row; at 100 TB
+    you anti-join this against the corpus to drop or flag).
+
+    Plan: explode distinct {DECON_K}-grams, distinct the benchmark side
+    (tiny — eval sets are fixed-size), broadcast it, count matches per
+    doc. Same inverted-index discipline as near-dedup: candidates come
+    from an equi-join on the gram, never an all-pairs scan; the
+    benchmark gram set is the only global state and it's
+    broadcast-sized by definition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= DECON_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(w) - {DECON_K}),"
+                    f" i -> concat_ws(' ', {_SPARK_GRAM})))"
+                )
+            ).alias("gram"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        # (doc_id, gram) is unique by construction (array_distinct per
+        # doc; bench side distinct), so a plain count IS the distinct
+        # count — skips the two-phase distinct aggregate.
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

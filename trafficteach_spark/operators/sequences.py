@@ -15,12 +15,12 @@ a SortMergeJoin/ShuffledHashJoin, never a BroadcastNestedLoopJoin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_events_range
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 
@@ -218,3 +218,74 @@ def q13_follow_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_follow"))
         .where(F.col("n_follow") >= _MIN_FOLLOW)
     )
+
+
+@register(
+    "q51_asof_join",
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e
+    ASOF JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("sequence", "asof", "scale"),
+)
+def q51_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the canonical operator Spark lacks as a built-in (the
+    build brief's own example): for every event, the user's most recent
+    order at or before the event time. Time-series engines ship this as
+    a primitive; here it is the UNION-THEN-WINDOW form:
+
+    tag both inputs, union them, and take ``last(value, ignorenulls)``
+    over (user, time) — the right side's attributes "carry forward" to
+    every later event row. ONE shuffle on the join key and no join node
+    at all, vs the naive inequality join that Catalyst can only plan as
+    a BroadcastNestedLoopJoin (all-pairs per key — the plan-shape tests
+    ban it). At 100 TB both inputs shuffle once on user_id and the
+    window streams each key's timeline; the DuckDB ASOF JOIN oracle
+    pins the exact <= / most-recent / tie semantics.
+
+    Ties: orders at the exact event timestamp match (sort puts is_event
+    0 before 1); multiple orders on one (user, ts) dedup to MAX(orderkey)
+    first so both engines pick the same row. Events with no prior order
+    drop (inner as-of).
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    od = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_orderkey").alias("o_orderkey"))
+    ev_side = events.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    od_side = od.select(
+        "user_id",
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev_side.unionByName(od_side).withColumns(
+        {
+            "o_orderkey": F.last("o_orderkey", ignorenulls=True).over(w),
+            "o_orderdate": F.last("o_orderdate", ignorenulls=True).over(w),
+        }
+    )
+    return merged.where(
+        (F.col("is_event") == 1) & F.col("o_orderkey").isNotNull()
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")

@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "trafficteach_spark.operators.llm.similarity",
     "trafficteach_spark.operators.llm.text",
     "trafficteach_spark.operators.llm.multimodal",
+    "trafficteach_spark.operators.llm.corpus",
 )
 
 _loaded = False
