@@ -467,3 +467,48 @@ def test_asof_join_matches_bruteforce(spark):
             best = max(cands, key=lambda o: (o["o_orderdate"], o["o_orderkey"]))
             expected[e["event_id"]] = (best["o_orderkey"], best["o_orderdate"])
     assert got == expected
+
+
+def test_percentiles_match_numpy_linear(spark, tiny_sf_dir):
+    import numpy as np
+
+    from trafficteach_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in Q["q52_percentiles"](spark, tiny_sf_dir).collect()}
+    vals = {}
+    for r in load_table(spark, tiny_sf_dir, "events").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, v in vals.items():
+        r = got[et]
+        assert r["n"] == len(v)
+        # Spark percentile == numpy linear interpolation
+        assert r["p50"] == round(float(np.percentile(v, 50)), 6)
+        assert r["p90"] == round(float(np.percentile(v, 90)), 6)
+        assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_rollup_levels_reconcile(spark, tiny_sf_dir):
+    rows_ = Q["q53_rollup"](spark, tiny_sf_dir).collect()
+    by_gid = {}
+    for r in rows_:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    total = sum(r["n"] for r in by_gid[0])
+    # per-type subtotals sum to detail rows; grand total row matches
+    assert sum(r["n"] for r in by_gid[1]) == total
+    (grand,) = by_gid[3]
+    assert grand["n"] == total
+    assert grand["event_type"] is None and grand["hr"] is None
+
+
+def test_pivot_row_sums_equal_hour_counts(spark, tiny_sf_dir):
+    from trafficteach_spark.operators.analytics import EVENT_TYPES
+    from trafficteach_spark.sources.tables import load_table
+
+    got = {r["hr"]: r for r in Q["q54_pivot"](spark, tiny_sf_dir).collect()}
+    per_hour = {}
+    for r in load_table(spark, tiny_sf_dir, "events").collect():
+        per_hour[r["ts"].hour] = per_hour.get(r["ts"].hour, 0) + 1
+    assert set(got) == set(per_hour)
+    for hr, r in got.items():
+        assert sum(r[f"n_{t}"] for t in EVENT_TYPES) == per_hour[hr]

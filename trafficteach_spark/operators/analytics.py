@@ -1,0 +1,146 @@
+"""Analytic reporting operators over the events fact table: exact
+percentiles, rollup hierarchies, and pivot tables — the OLAP-report
+surface a user of the reference's SQL layer would expect from any
+replacement engine (SURVEY.md §3 O15/O17 family, widened).
+
+Everything is built-in aggregate expressions (codegen'd, zero Python);
+every query carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+# Fixture event taxonomy (fixed, like the reference's action list); an
+# explicit pivot value list keeps the output schema static — dynamic
+# pivot would trigger a distinct-scan job just to discover columns.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "q52_percentiles",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, {PCTS[0]}), 6) AS p50,
+           ROUND(quantile_cont(value, {PCTS[1]}), 6) AS p90,
+           ROUND(quantile_cont(value, {PCTS[2]}), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("analytics", "O15"),
+)
+def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (p50/p90/
+    p99) — the latency-report shape. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the same continuous-interpolation definition
+    (rank p*(n-1) between sorted neighbors), so the oracle is exact.
+
+    Scale note: exact percentiles sort every group's values — fine for
+    bounded groups; at 100 TB swap in ``approx_percentile`` (t-digest
+    sketch, mergeable map-side, same call shape) and accept the
+    documented error bound. The exact form stays the oracle-checkable
+    reference implementation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pct_list = ", ".join(f"{p}D" for p in PCTS)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"percentile(value, array({pct_list}))").alias("pcts"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("pcts")[0], 6).alias("p50"),
+            F.round(F.col("pcts")[1], 6).alias("p90"),
+            F.round(F.col("pcts")[2], 6).alias("p99"),
+        )
+    )
+
+
+@register(
+    "q53_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(GROUPING(event_type, hour(ts)) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, hour(ts))
+    """,
+    tags=("analytics", "O15", "O17"),
+)
+def q53_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup hierarchy: (event_type, hour) -> (event_type) -> grand
+    total in one pass, with the grouping_id bitmask distinguishing
+    levels (Spark's ``grouping_id()`` and DuckDB's ``GROUPING()`` share
+    the bit convention: bit set = column aggregated away).
+
+    Scale note: ROLLUP expands each row into (levels+1) grouping-set
+    copies BEFORE the shuffle, but partial aggregation collapses them
+    map-side, so the exchanged volume is the distinct-key volume —
+    the same one-shuffle shape as a flat groupBy.
+    """
+    events = load_table(spark, sf_dir, "events")
+    with_hr = events.withColumn("hr", F.hour("ts").cast("int"))
+    return (
+        with_hr.rollup("event_type", "hr")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("event_type", "hr", "gid", "n", "sum_value")
+    )
+
+
+@register(
+    "q54_pivot",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("analytics", "O17"),
+)
+def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot table: hour-of-day rows x event-type columns (the
+    hourly-traffic matrix every ops dashboard draws). Pivot values are
+    the EXPLICIT taxonomy list: Catalyst then compiles the pivot to
+    conditional counts — exactly the DuckDB oracle's FILTER aggregates —
+    with a static schema and no discovery scan; absent combinations
+    surface as 0, not null.
+
+    Scale note: a values-listed pivot is one groupBy shuffle on ``hr``;
+    the per-type columns are map-side conditional aggregates. A dynamic
+    pivot (no value list) would add a distinct job and make the schema
+    data-dependent — never do that in a pipeline.
+    """
+    events = load_table(spark, sf_dir, "events")
+    with_hr = events.withColumn("hr", F.hour("ts").cast("int"))
+    pivoted = (
+        with_hr.groupBy("hr")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))  # count("*") is invalid inside a pivot agg
+    )
+    return pivoted.select(
+        "hr",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )

@@ -125,21 +125,21 @@ def q48_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-{TFIDF_TOP_K} terms by smoothed TF-IDF — the
     keyword/topic signal quality filters and dedup triage use.
 
-    Plan: explode -> (doc, term) count -> term document-frequency in a
-    second agg over the SAME aggregated frame (no second corpus scan) ->
-    broadcast the 1-row corpus count -> window top-k. Two shuffles on
-    uniform keys (term, doc) and one broadcast; ranking uses the ROUNDED
-    score with a term tie-break so both engines pick identical top-k
-    sets. At 100 TB the df table is the only global state and is tiny
-    (vocabulary-sized) — classic map-side-join material.
+    Plan: explode -> (doc, term) count -> document frequency as a COUNT
+    window over the term partition of that same frame (a groupBy+self-join
+    formulation was measured at 14 exchanges because the tf frame is
+    recomputed on both sides; the window form shuffles tf exactly once on
+    term) -> broadcast the 1-row corpus count -> window top-k. Ranking
+    uses the ROUNDED score with a term tie-break so both engines pick
+    identical top-k sets. At 100 TB: two shuffles on uniform keys
+    ((doc, term) then term) plus the per-doc top-k window.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
