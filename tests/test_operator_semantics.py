@@ -512,3 +512,26 @@ def test_pivot_row_sums_equal_hour_counts(spark, tiny_sf_dir):
     assert set(got) == set(per_hour)
     for hr, r in got.items():
         assert sum(r[f"n_{t}"] for t in EVENT_TYPES) == per_hour[hr]
+
+
+def test_salted_distinct_equals_plain_count_distinct(spark, tiny_sf_dir):
+    from pyspark.sql import functions as F
+
+    from trafficteach_spark.operators.skew import salted_distinct_count
+    from trafficteach_spark.sources.tables import load_table
+
+    events = load_table(spark, tiny_sf_dir, "events")
+    plain = {
+        (r["event_type"],): r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for n_salts in (1, 4, 16):
+        salted = {
+            (r["event_type"],): r["n_distinct"]
+            for r in salted_distinct_count(
+                events, ["event_type"], "user_id", n_salts
+            ).collect()
+        }
+        assert salted == plain, n_salts
