@@ -535,3 +535,39 @@ def test_salted_distinct_equals_plain_count_distinct(spark, tiny_sf_dir):
             ).collect()
         }
         assert salted == plain, n_salts
+
+
+def test_vocab_topk_ranks_and_fractions(spark, tiny_sf_dir):
+    rows_ = Q["q56_vocab_topk"](spark, tiny_sf_dir).collect()
+    assert [r["vocab_rank"] for r in sorted(rows_, key=lambda r: r["vocab_rank"])] == list(
+        range(1, len(rows_) + 1)
+    )
+    ordered = sorted(rows_, key=lambda r: (-r["n"], r["term"]))
+    assert [r["vocab_rank"] for r in ordered] == list(range(1, len(rows_) + 1))
+    assert sum(r["frac"] for r in rows_) <= 1.0 + 1e-6
+    # 'the' appears most often in the tiny fixture
+    assert ordered[0]["term"] == "the"
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_on_candidates(spark, tiny_sf_dir):
+    from tests.conftest import TINY_DOCS
+    from trafficteach_spark.operators.llm.corpus import EDIT_PREFIX_CHARS
+
+    got = {(r["doc_a"], r["doc_b"]): r["edit_dist"]
+           for r in Q["q57_edit_distance"](spark, tiny_sf_dir).collect()}
+    assert got, "near-dup docs share 8-grams in the tiny fixture"
+    text = {d[0]: d[1] for d in TINY_DOCS}
+    for (a, b), d in got.items():
+        assert d == _lev(text[a][:EDIT_PREFIX_CHARS], text[b][:EDIT_PREFIX_CHARS])
+    # identical docs 0 and 2 -> distance 0
+    assert got.get((0, 2)) == 0

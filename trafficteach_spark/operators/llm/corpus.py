@@ -292,3 +292,138 @@ def q50_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count — skips the two-phase distinct aggregate.
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+VOCAB_TOP_K = 20
+
+
+@register(
+    "q56_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counts AS (
+        SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT term, n, ROUND(CAST(n AS DOUBLE) / tot.total, 6) AS frac,
+           rn AS vocab_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rn
+        FROM counts
+    ) CROSS JOIN tot
+    WHERE rn <= {VOCAB_TOP_K}
+    """,
+    tags=("llm", "corpus", "X4"),
+)
+def q56_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the top-{VOCAB_TOP_K} terms by frequency with
+    corpus fraction — the counting pass tokenizer/vocab construction
+    (BPE seeding, stopword discovery) starts from.
+
+    Plan: explode -> term count (one shuffle, partial agg collapses
+    map-side) -> global top-k. The top-k over a vocabulary-sized frame
+    is a TakeOrdered, not a full sort; the corpus total rides along as a
+    broadcast single row. At 100 TB the term-count frame is the only
+    shuffled state and it is vocabulary-sized, not corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("vocab_rank", F.row_number().over(w))
+        .where(F.col("vocab_rank") <= VOCAB_TOP_K)
+        .select(
+            "term",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("frac"),
+            "vocab_rank",
+        )
+    )
+
+
+EDIT_PREFIX_CHARS = 48
+
+
+@register(
+    "q57_edit_distance",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, text,
+               list_distinct([{_DUCK_GRAM}
+                        for i in range(1, len(w) - {DECON_K - 2})]) AS s
+        FROM tok WHERE len(w) >= {DECON_K}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.text AS text_a, b.text AS text_b
+        FROM (SELECT doc_id, text, unnest(s) AS gram FROM sh) a
+        JOIN (SELECT doc_id, text, unnest(s) AS gram FROM sh) b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(substring(text_a, 1, {EDIT_PREFIX_CHARS}),
+                       substring(text_b, 1, {EDIT_PREFIX_CHARS})) AS edit_dist
+    FROM cand
+    """,
+    tags=("llm", "corpus", "X2"),
+)
+def q57_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: for every pair
+    of documents sharing a word {DECON_K}-gram, the Levenshtein distance
+    of their first {EDIT_PREFIX_CHARS} characters — the cheap secondary
+    signal dedup pipelines use to split same-content-different-boilerplate
+    pairs from true rewrites (Jaccard can't see edit locality).
+
+    Candidates come from the same inverted {DECON_K}-gram index as
+    decontamination — an equi-join, never all-pairs; Levenshtein (an
+    O(len^2) JVM built-in) runs only on the candidate pairs and only on
+    bounded prefixes, which is what keeps it affordable at 100 TB.
+    Spark's ``levenshtein`` and DuckDB's agree exactly (unit-cost
+    insert/delete/substitute).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.col("text"), F.split("text", " ").alias("w"))
+        .where(F.size("w") >= DECON_K)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(w) - {DECON_K}),"
+                    f" i -> concat_ws(' ', {_SPARK_GRAM})))"
+                )
+            ).alias("gram"),
+        )
+    )
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "gram"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "gram"
+    )
+    cand = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "text_a", "text_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein(
+            F.substring("text_a", 1, EDIT_PREFIX_CHARS),
+            F.substring("text_b", 1, EDIT_PREFIX_CHARS),
+        ).alias("edit_dist"),
+    )
