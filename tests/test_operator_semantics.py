@@ -571,3 +571,91 @@ def test_edit_distance_on_candidates(spark, tiny_sf_dir):
         assert d == _lev(text[a][:EDIT_PREFIX_CHARS], text[b][:EDIT_PREFIX_CHARS])
     # identical docs 0 and 2 -> distance 0
     assert got.get((0, 2)) == 0
+
+
+def test_alternating_cc_matches_union_find_property(spark):
+    """Property check: on random edge lists, star contraction must agree
+    with a reference union-find — exercises shapes (cycles, cross-links,
+    merged chains) the hand fixtures don't."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from trafficteach_spark.operators.llm.dedup import alternating_components
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        real = [(a, b) for a, b in edges if a != b]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in real:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for n in parent:
+            comps.setdefault(find(n), set()).add(n)
+        expected = {
+            n: min(members)
+            for root, members in comps.items()
+            for n in members
+            if n != min(members)
+        }
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
+        )
+        star, _ = alternating_components(df)
+        got = {r["doc_id"]: r["canonical_id"] for r in star.collect()}
+        assert got == expected
+
+    check()
+
+
+def test_domain_mix_quotas_and_determinism(spark, tiny_sf_dir):
+    from trafficteach_spark.operators.llm.corpus import MIX_BASE_QUOTA
+
+    a = Q["q58_domain_mix"](spark, tiny_sf_dir).collect()
+    b = Q["q58_domain_mix"](spark, tiny_sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible draw
+    per_source = {}
+    for r in a:
+        per_source.setdefault(r["source"], []).append(r["sample_rank"])
+    for src, ranks in per_source.items():
+        tier = 1 + len(src) % 3
+        assert len(ranks) <= MIX_BASE_QUOTA * tier
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_label_centroids_match_numpy_mean(spark, tiny_sf_dir):
+    import numpy as np
+
+    from trafficteach_spark.sources.tables import load_table
+
+    got = {r["label"]: r for r in Q["q59_label_centroids"](spark, tiny_sf_dir).collect()}
+    by_label = {}
+    for r in load_table(spark, tiny_sf_dir, "embeddings").collect():
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for label, vecs in by_label.items():
+        r = got[label]
+        assert r["n_vectors"] == len(vecs)
+        mean = np.mean(np.vstack(vecs), axis=0)
+        parsed = [float(x) for x in r["centroid"].split(",")]
+        assert len(parsed) == len(mean)
+        assert all(abs(p - round(float(m), 6)) < 2e-6 for p, m in zip(parsed, mean))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from trafficteach_spark import schemas
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_table
 
@@ -391,14 +392,20 @@ def q57_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded prefixes, which is what keeps it affordable at 100 TB.
     Spark's ``levenshtein`` and DuckDB's agree exactly (unit-cost
     insert/delete/substitute).
+
+    Plan shape: the gram join carries ONLY (doc_id, gram) — threading
+    the text through the exploded index would replicate every document
+    once per distinct gram across the shuffle (~100x write volume at
+    this fixture's gram counts); instead the distinct id pairs join the
+    pre-truncated prefixes back by doc_id, so text bytes cross the wire
+    at most twice and already cut to {EDIT_PREFIX_CHARS} chars.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = (
-        docs.select("doc_id", F.col("text"), F.split("text", " ").alias("w"))
+        docs.select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= DECON_K)
         .select(
             "doc_id",
-            "text",
             F.explode(
                 F.expr(
                     f"array_distinct(transform(sequence(0, size(w) - {DECON_K}),"
@@ -407,23 +414,138 @@ def q57_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    a = grams.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "gram"
-    )
-    b = grams.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "gram"
-    )
     cand = (
-        a.join(b, "gram")
+        grams.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "text_a", "text_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.levenshtein(
-            F.substring("text_a", 1, EDIT_PREFIX_CHARS),
-            F.substring("text_b", 1, EDIT_PREFIX_CHARS),
-        ).alias("edit_dist"),
+    prefixes = docs.select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX_CHARS).alias("prefix")
+    )
+    return (
+        cand.join(prefixes.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("prefix").alias("pfx_a")), "doc_a")
+        .join(prefixes.select(F.col("doc_id").alias("doc_b"),
+                              F.col("prefix").alias("pfx_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pfx_a", "pfx_b").alias("edit_dist"),
+        )
+    )
+
+
+# Domain-mix geometry: per-source quotas in 3 deterministic tiers derived
+# from the source name (a stand-in for the configured mix table a real
+# pipeline loads: {web: 3x, books: 2x, code: 1x, ...}). The "random"
+# order within a source is the same LCG mix q08 uses — computable
+# identically in both engines, unlike murmur/xxhash built-ins.
+MIX_BASE_QUOTA = 8
+_MIX_LCG = "(doc_id * 1103515245 + 12345) % 2147483648"
+# Tier by name length, not by parsing digits out of the name — robust to
+# any source vocabulary and identical in both engines.
+_TIER_SPARK = f"{MIX_BASE_QUOTA} * (1 + pmod(length(source), 3))"
+_TIER_DUCK = f"{MIX_BASE_QUOTA} * (1 + (length(source) % 3))"
+
+
+@register(
+    "q58_domain_mix",
+    oracle=f"""
+    SELECT doc_id, source, rn AS sample_rank
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY {_MIX_LCG}, doc_id
+               ) AS rn,
+               {_TIER_DUCK} AS quota
+        FROM documents
+    )
+    WHERE rn <= quota
+    """,
+    tags=("llm", "corpus", "sampling", "O33"),
+)
+def q58_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix downsampling: cap each source at its configured quota,
+    drawing a DETERMINISTIC pseudo-random subset (LCG-ordered, like q08)
+    — the step that rebalances a crawled corpus to a target domain mix
+    before training. Quotas here come from a 3-tier rule on the source
+    name standing in for the real mix config table.
+
+    One window over (source, LCG order) = one shuffle on source; the
+    quota filter bounds every partition's output, so a skewed hot domain
+    costs its sort but never its row count downstream. Deterministic:
+    rerunning yields byte-identical samples — what makes a training mix
+    reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.expr(_MIX_LCG).asc(), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("quota", F.expr(_TIER_SPARK))
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", F.col("rn").alias("sample_rank"))
+    )
+
+
+@register(
+    "q59_label_centroids",
+    # DuckDB 1.0 has no WITH ORDINALITY; expand positions explicitly over
+    # the fixed embedding dim (DuckDB lists are 1-indexed; pos stays
+    # 0-based to match Spark's posexplode).
+    oracle="""
+    WITH dims AS (
+        SELECT label, g.i AS pos,
+               CAST(embedding[g.i + 1] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range({dim})) AS i) g
+    ),
+    means AS (
+        SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+        FROM dims GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           array_to_string(
+               list(ROUND(m, 6)::DECIMAL(12,6)::VARCHAR ORDER BY pos), ',')
+               AS centroid
+    FROM means
+    GROUP BY label
+    """.format(dim=schemas.EMBEDDING_DIM),
+    tags=("llm", "X3", "centroid"),
+)
+def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — the vector-aggregate primitive
+    k-means/IVF training and class-prototype methods are built on.
+
+    Plan: posexplode to (label, dim, value), ONE hash-aggregate on the
+    (label, dim) pair (uniform keys, partial agg collapses map-side),
+    then reassemble the array by sorting the (pos, mean) structs inside
+    each label group. The centroid is emitted as a CSV string for the
+    same harness-canonicalizer reason as q44; parse it back or compose
+    on the pre-serialization frame for math. At 100 TB this is the
+    textbook two-level aggregate: dims x labels rows of state, corpus
+    never collected.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "pos", "x"
+        ),
+    )
+    means = dims.groupBy("label", "pos").agg(
+        F.avg("x").alias("m"), F.count("*").alias("n")
+    )
+    return means.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        # Serialize via DECIMAL(12,6): double->string rendering differs
+        # across engines (Spark emits 9.91E-4, DuckDB 0.000991); the
+        # decimal cast pins a fixed-point format — and drops -0.0 — in
+        # both.
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, m))),"
+            " s -> cast(cast(round(s.m, 6) as decimal(12,6)) as string)), ',')"
+        ).alias("centroid"),
     )
