@@ -659,3 +659,35 @@ def test_label_centroids_match_numpy_mean(spark, tiny_sf_dir):
         parsed = [float(x) for x in r["centroid"].split(",")]
         assert len(parsed) == len(mean)
         assert all(abs(p - round(float(m), 6)) < 2e-6 for p, m in zip(parsed, mean))
+
+
+def test_kmeans_objective_monotone_and_matches_numpy(spark):
+    import numpy as np
+
+    from trafficteach_spark.operators.llm.similarity import kmeans_train
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cent, history = kmeans_train(spark, sf, k=4, iters=3)
+    # Lloyd with spherical updates: objective never decreases
+    assert all(b >= a - 1e-9 for a, b in zip(history, history[1:])), history
+
+    # numpy replica: same seeds, same argmax/tie rule, same updates
+    rows = sorted(
+        load_table(spark, sf, "embeddings").collect(), key=lambda r: r["vec_id"]
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = m[ids < 4].copy()
+    for _ in range(3):
+        sims = m @ c.T
+        assign = np.argmax(sims, axis=1)  # ties -> lowest cid, like the window
+        for j in range(4):
+            members = m[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                c[j] = v / np.linalg.norm(v)
+    got = {r["cid"]: np.array(r["cv"]) for r in cent.collect()}
+    for j in range(4):
+        assert np.allclose(got[j], c[j], atol=1e-9), j

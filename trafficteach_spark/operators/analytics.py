@@ -144,3 +144,87 @@ def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in EVENT_TYPES
         ],
     )
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 100.0, 10
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BINS
+
+
+@register(
+    "q60_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(least(greatest(floor((value - {HIST_LO}) / {_HIST_W}), 0),
+                      {HIST_BINS - 1}) AS INT) AS bin_id,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo_seen,
+           ROUND(MAX(value), 6) AS hi_seen
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "O17"),
+)
+def q60_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type ({HIST_BINS} bins over
+    [{HIST_LO}, {HIST_HI}]; out-of-range values clamp into the edge
+    bins) — the distribution-report shape dashboards and data-quality
+    monitors draw.
+
+    Pure arithmetic binning keeps it ONE hash-aggregate — same
+    one-shuffle shape at any scale, with at most types x bins rows of
+    state; no sort, unlike percentiles. floor() on doubles is
+    bit-deterministic in both engines, so the oracle is exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bin_id = F.least(
+        F.greatest(F.floor((F.col("value") - HIST_LO) / _HIST_W), F.lit(0)),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        events.groupBy("event_type", bin_id.alias("bin_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo_seen"),
+            F.round(F.max("value"), 6).alias("hi_seen"),
+        )
+    )
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD-type-1 merge: rows from ``updates`` replace same-key rows in
+    ``base``; unmatched base rows pass through. One left-anti join (the
+    update batch is typically broadcast-sized) + union — the DataFrame
+    form of MERGE INTO; at 100 TB the same logic runs as a storage-level
+    merge (Delta/Iceberg) over partition-pruned files, with this as the
+    semantics reference."""
+    return updates.unionByName(
+        base.join(updates.select(*keys), keys, "left_anti")
+    )
+
+
+@register(
+    "q61_merge_upsert",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'R' ELSE o_orderstatus END
+               AS o_orderstatus
+    FROM orders
+    """,
+    tags=("analytics", "cdc"),
+)
+def q61_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/CDC merge (the reference's MySQL result sink used
+    REPLACE-INTO semantics [R] — this is the engine-side equivalent):
+    apply a deterministic synthetic update batch (every 10th order
+    re-statused 'R', standing in for a CDC feed) over the orders table
+    via :func:`merge_upsert`, and return the merged view. The oracle
+    states the post-merge invariant directly, independently of the
+    anti-join + union plan.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("R")
+    )
+    return merge_upsert(orders, updates, ["o_orderkey"])

@@ -556,3 +556,76 @@ def q44_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_join(transform(qv, x -> cast(x as string)), ',')").alias("qv"),
         "max_abs_err",
     )
+
+
+def kmeans_train(
+    spark: SparkSession, sf_dir: str, k: int = IVF_K, iters: int = 3
+) -> tuple[DataFrame, list[float]]:
+    """Spherical k-means training for the IVF coarse quantizer — Lloyd
+    iterations expressed entirely as DataFrame ops (the missing "train"
+    step behind :func:`q32_knn_ivf`'s fixed-seed quantizer; run this
+    once at ingest, store the centroids, and the IVF plan shape is
+    unchanged).
+
+    Per iteration (driver-coordinated like the CC loop, the engine's
+    sanctioned iterative pattern):
+      assign: corpus x broadcast(centroids) cosine, argmax per vector
+        (deterministic cid tie-break);
+      update: posexplode assigned vectors -> (cid, dim) mean -> arrays
+        reassembled and re-normalized (spherical update);
+      empty clusters keep their previous centroid (k never shrinks).
+    The objective sum(max cosine) is monotone non-decreasing under this
+    update — the returned history lets callers assert it / early-stop.
+    One broadcast + two shuffles per iteration ((vec argmax window),
+    (cid, dim) agg); nothing is ever collected except the k centroids
+    and the scalar objective.
+
+    Returns (centroids DataFrame (cid, cv normalized array), objective
+    history, one float per iteration).
+    """
+    vecs = _vectors(spark, sf_dir)
+    norm = vecs.select(
+        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("nv")
+    ).localCheckpoint(eager=True)
+    cent = (
+        norm.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("nv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    history: list[float] = []
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    for _ in range(iters):
+        assigned = (
+            norm.crossJoin(F.broadcast(cent))
+            .withColumn("sim", F.expr(_DOT.format(a="nv", b="cv")))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("vec_id", "cid", "sim", "nv")
+            .localCheckpoint(eager=False)
+        )
+        history.append(
+            assigned.agg(F.sum("sim").alias("obj")).collect()[0]["obj"]
+        )
+        means = (
+            assigned.select("cid", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("mv")
+            )
+            .withColumn(
+                "new_cv",
+                F.expr(
+                    f"transform(mv, x -> x / sqrt({_DOT.format(a='mv', b='mv')}))"
+                ),
+            )
+        )
+        cent = (
+            cent.join(means, "cid", "left")
+            .select("cid", F.coalesce("new_cv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent, history
