@@ -691,3 +691,17 @@ def test_kmeans_objective_monotone_and_matches_numpy(spark):
     got = {r["cid"]: np.array(r["cv"]) for r in cent.collect()}
     for j in range(4):
         assert np.allclose(got[j], c[j], atol=1e-9), j
+
+
+def test_merge_upsert_duplicate_updates_rejected(spark, tiny_sf_dir):
+    import pytest
+
+    from trafficteach_spark.operators.analytics import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(base, dup, ["k"], check_unique=True)
+    ok = spark.createDataFrame([(1, "x")], "k long, v string")
+    merged = {r["k"]: r["v"] for r in merge_upsert(base, ok, ["k"], check_unique=True).collect()}
+    assert merged == {1: "x", 2: "b"}

@@ -169,6 +169,12 @@ def test_kafka_source_wiring(spark):
 
     with pytest.raises(ValueError, match="bootstrap"):
         demo.read_event_stream(spark, source="kafka")
+    with pytest.raises(ValueError, match="subscription"):
+        demo.read_event_stream(
+            spark,
+            source="kafka",
+            kafka_options={"kafka.bootstrap.servers": "localhost:9092"},
+        )
     with pytest.raises(Exception, match="(?i)kafka"):
         demo.read_event_stream(
             spark,

@@ -26,9 +26,12 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
-    # one untimed warmup on the small dir
+    # one untimed warmup on BOTH dirs — a cold dir_b run would fold
+    # first-touch page-cache misses into the published ratio
     for k in keys:
         qs[k](spark, dir_a).count()
+        qs[k](spark, dir_b).count()
+    spark.catalog.clearCache()
     print(f"| query | {os.path.basename(dir_a)} sec (rows) | "
           f"{os.path.basename(dir_b)} sec (rows) | ratio |")
     print("|---|---|---|---|")

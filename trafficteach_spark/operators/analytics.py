@@ -190,13 +190,34 @@ def q60_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    check_unique: bool = False,
+) -> DataFrame:
     """SCD-type-1 merge: rows from ``updates`` replace same-key rows in
     ``base``; unmatched base rows pass through. One left-anti join (the
     update batch is typically broadcast-sized) + union — the DataFrame
     form of MERGE INTO; at 100 TB the same logic runs as a storage-level
     merge (Delta/Iceberg) over partition-pruned files, with this as the
-    semantics reference."""
+    semantics reference.
+
+    PRECONDITION (as in SQL MERGE, which errors on multiple source
+    matches): ``updates`` must be unique per key — duplicates would
+    both survive into the result. Pass ``check_unique=True`` to enforce
+    it eagerly (one aggregate action over the update batch — cheap for
+    CDC-sized updates, so the default stays lazy only for composability
+    inside larger plans)."""
+    if check_unique:
+        dups = (
+            updates.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dups:
+            raise ValueError(
+                f"merge_upsert: updates batch has duplicate keys on {keys} "
+                "(SQL MERGE would raise on multiple source matches)"
+            )
     return updates.unionByName(
         base.join(updates.select(*keys), keys, "left_anti")
     )

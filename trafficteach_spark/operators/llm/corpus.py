@@ -224,8 +224,30 @@ def q49_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_K = 8
 DECON_BENCH_MOD = 7
 
-_SPARK_GRAM = ", ".join(f"w[i+{j}]" for j in range(DECON_K))
 _DUCK_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(DECON_K))
+
+
+def word_kgrams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gram): distinct word k-grams per document with >= k
+    tokens — the inverted-index feed shared by decontamination (q50)
+    and edit-distance candidates (q57). dedup.py's _shingle_sets is the
+    K=3-gram sibling; kept separate because its K is a
+    registered oracle constant with its own derived SQL body.
+    """
+    gram_words = ", ".join(f"w[i+{j}]" for j in range(k))
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(w) - {k}),"
+                    f" i -> concat_ws(' ', {gram_words})))"
+                )
+            ).alias("gram"),
+        )
+    )
 
 
 @register(
@@ -266,19 +288,9 @@ def q50_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized by definition.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size("w") >= DECON_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(0, size(w) - {DECON_K}),"
-                    f" i -> concat_ws(' ', {_SPARK_GRAM})))"
-                )
-            ).alias("gram"),
-        )
-    )
+    # persist: the gram explode (the dominant per-row cost) feeds both
+    # the benchmark side and the corpus side (O43 discipline).
+    grams = word_kgrams(docs, DECON_K).persist()
     bench = (
         grams.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
         .select("gram")
@@ -324,10 +336,11 @@ def q56_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BPE seeding, stopword discovery) starts from.
 
     Plan: explode -> term count (one shuffle, partial agg collapses
-    map-side) -> global top-k. The top-k over a vocabulary-sized frame
-    is a TakeOrdered, not a full sort; the corpus total rides along as a
-    broadcast single row. At 100 TB the term-count frame is the only
-    shuffled state and it is vocabulary-sized, not corpus-sized.
+    map-side) -> orderBy+limit pre-cut (TakeOrderedAndProject — the
+    global rank window alone would single-task-sort the whole
+    vocabulary) -> rank the K survivors. The corpus total rides along
+    as a broadcast single row. At 100 TB the term-count frame is the
+    only shuffled state and it is vocabulary-sized, not corpus-sized.
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -336,9 +349,13 @@ def q56_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     total = counts.agg(F.sum("n").cast("long").alias("total"))
+    # Pre-cut with orderBy+limit — a genuine TakeOrderedAndProject — so
+    # the global rank window (no partitionBy = single-task sort) only
+    # ever sees K rows, not the full vocabulary.
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(VOCAB_TOP_K)
     w = Window.orderBy(F.desc("n"), F.asc("term"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .withColumn("vocab_rank", F.row_number().over(w))
         .where(F.col("vocab_rank") <= VOCAB_TOP_K)
         .select(
@@ -401,19 +418,9 @@ def q57_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most twice and already cut to {EDIT_PREFIX_CHARS} chars.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size("w") >= DECON_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(0, size(w) - {DECON_K}),"
-                    f" i -> concat_ws(' ', {_SPARK_GRAM})))"
-                )
-            ).alias("gram"),
-        )
-    )
+    # persist: the same gram frame is both join sides (O43 discipline —
+    # without it the 8-gram explode, the dominant cost, runs twice).
+    grams = word_kgrams(docs, DECON_K).persist()
     cand = (
         grams.select(F.col("doc_id").alias("doc_a"), "gram")
         .join(grams.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")

@@ -460,10 +460,14 @@ def alternating_components(
         minimum.
     Both steps preserve connectivity; the edge set monotonically
     approaches the component star, which is the unique common fixed
-    point, detected as an identical (count, xxhash-sum) signature two
-    rounds in a row. ONE Spark action per round: the signature agg also
-    materializes the lazy ``localCheckpoint`` truncating the lineage (the
-    old loop paid a separate convergence ``count()`` on top).
+    point, detected EXACTLY: a symmetric-difference probe (union both
+    distinct edge sets, any (u, v) appearing once is in exactly one) —
+    collision-free, unlike a hash signature, which could terminate
+    early on a hash coincidence precisely at the no-oracle scales this
+    contract exists for. Still ONE Spark action per round: the probe
+    also materializes the lazy ``localCheckpoint`` truncating the
+    lineage (the old loop paid a separate convergence ``count()`` on
+    top).
 
     Raises RuntimeError when ``max_rounds`` is exhausted: unconverged
     labels can split a component and are silently WRONG at scales where
@@ -483,7 +487,6 @@ def alternating_components(
             e.select(F.col("u").alias("doc_id"), F.col("v").alias("canonical_id")),
             0,
         )
-    prev_sig = None
     for rnd in range(1, max_rounds + 1):
         both = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
             e.select(F.col("v").alias("x"), F.col("u").alias("y"))
@@ -508,21 +511,27 @@ def alternating_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # Set signature: count + XOR of per-edge hashes. XOR (not sum)
-        # because it can't overflow under ANSI arithmetic, and it's a
-        # sound set fingerprint here since the edge list is distinct.
-        sig_row = e2.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0).cast("long")).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
+        # Exact fixed-point probe: both edge sets are distinct, so a
+        # (u, v) appearing exactly once in their union lies in the
+        # symmetric difference. isEmpty() is the round's single action
+        # and also materializes e2's lazy checkpoint. (A (count,
+        # bit_xor(xxhash64)) signature was used first — one fewer scan
+        # of e — but a hash collision would silently return wrong
+        # labels, the exact failure mode this function promises not to
+        # have.)
+        converged = (
+            e.unionByName(e2)
+            .groupBy("u", "v")
+            .count()
+            .where(F.col("count") == 1)
+            .isEmpty()
+        )
         e = e2
-        if sig == prev_sig:
+        if converged:
             star = e.groupBy(F.col("u").alias("doc_id")).agg(
                 F.min("v").alias("canonical_id")
             )
             return star, rnd
-        prev_sig = sig
     raise RuntimeError(
         f"alternating_components did not reach a fixed point in {max_rounds} "
         "rounds — labels would be wrong; raise max_rounds only after "

@@ -617,9 +617,17 @@ def kmeans_train(
                 ).alias("mv")
             )
             .withColumn(
+                # A cluster whose member mean is the zero vector (e.g.
+                # two antipodal members) has no direction: normalizing
+                # would produce an all-NaN centroid that poisons every
+                # later cosine. Emit NULL instead — the coalesce below
+                # then keeps the previous centroid, same as the
+                # empty-cluster rule.
                 "new_cv",
                 F.expr(
-                    f"transform(mv, x -> x / sqrt({_DOT.format(a='mv', b='mv')}))"
+                    f"CASE WHEN {_DOT.format(a='mv', b='mv')} = 0D THEN NULL"
+                    f" ELSE transform(mv, x -> x / sqrt({_DOT.format(a='mv', b='mv')}))"
+                    " END"
                 ),
             )
         )

@@ -101,6 +101,11 @@ def read_event_stream(
                 "kafka source needs kafka_options with 'kafka.bootstrap.servers'"
                 " (plus a 'subscribe'/'subscribePattern'/'assign' option)"
             )
+        if not any(k in opts for k in ("subscribe", "subscribePattern", "assign")):
+            raise ValueError(
+                "kafka source needs a subscription option: one of"
+                " 'subscribe', 'subscribePattern', or 'assign'"
+            )
         raw = spark.readStream.format("kafka").options(**opts).load()
         return parse_kafka_events(raw)
     if source != "file":
