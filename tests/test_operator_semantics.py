@@ -705,3 +705,95 @@ def test_merge_upsert_duplicate_updates_rejected(spark, tiny_sf_dir):
     ok = spark.createDataFrame([(1, "x")], "k long, v string")
     merged = {r["k"]: r["v"] for r in merge_upsert(base, ok, ["k"], check_unique=True).collect()}
     assert merged == {1: "x", 2: "b"}
+
+
+# ---------- time-series (q62-q64) ----------
+
+
+def test_time_resample_grid_complete_and_reconciles(spark):
+    """The resampled grid must cover every (type, hour) cell exactly
+    once, contain real gap rows (n=0), and reconcile totals with a
+    plain groupBy over the same data."""
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = Q["q62_time_resample"](spark, sf).collect()
+    events = load_table(spark, sf, "events").select("event_type", "ts").collect()
+    types = {e["event_type"] for e in events}
+    hours = {e["ts"].replace(minute=0, second=0, microsecond=0) for e in events}
+    lo, hi = min(hours), max(hours)
+    n_hours = int((hi - lo).total_seconds() // 3600) + 1
+    # full dense grid, one row per cell
+    assert len(out) == len(types) * n_hours
+    assert len({(r["event_type"], r["hr"]) for r in out}) == len(out)
+    # totals reconcile; gaps really present as zeros
+    assert sum(r["n"] for r in out) == len(events)
+    assert any(r["n"] == 0 for r in out)
+    zero_rows = [r for r in out if r["n"] == 0]
+    assert all(r["sum_value"] == 0.0 for r in zero_rows)
+
+
+def test_range_join_matches_bruteforce(spark):
+    """The bucketized equi-join must equal the definitional inequality
+    join: each (lineitem, order) pair with l_shipdate in
+    [o_orderdate, o_orderdate + 3 days), counted once."""
+    import collections
+    import datetime as dt
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderpriority"]: (r["n_pairs"], r["n_orders"], r["sum_qty"])
+        for r in Q["q63_range_join"](spark, sf).collect()
+    }
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    ).collect()
+    points = load_table(spark, sf, "lineitem").select(
+        "l_shipdate", "l_quantity"
+    ).collect()
+    by_date = collections.defaultdict(list)
+    for o in orders:
+        by_date[o["o_orderdate"]].append(o)
+    pairs = collections.Counter()
+    qty = collections.defaultdict(float)
+    okeys = collections.defaultdict(set)
+    for p in points:
+        for back in range(3):  # orders whose 3-day window covers this day
+            for o in by_date.get(p["l_shipdate"] - dt.timedelta(days=back), ()):
+                pairs[o["o_orderpriority"]] += 1
+                qty[o["o_orderpriority"]] += p["l_quantity"]
+                okeys[o["o_orderpriority"]].add(o["o_orderkey"])
+    expected = {
+        k: (pairs[k], len(okeys[k]), round(qty[k], 6)) for k in pairs
+    }
+    assert got == expected
+
+
+def test_cumulative_running_frames(spark):
+    """Running total / moving average frames against a per-customer
+    python replay in the same (o_orderdate, o_orderkey) order."""
+    import collections
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderkey"]: (r["seq"], r["running_total"], r["mov_avg3"])
+        for r in Q["q64_cumulative"](spark, sf).collect()
+    }
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    by_cust = collections.defaultdict(list)
+    for o in orders:
+        by_cust[o["o_custkey"]].append(o)
+    for hist in by_cust.values():
+        hist.sort(key=lambda o: (o["o_orderdate"], o["o_orderkey"]))
+        running = 0.0
+        for i, o in enumerate(hist):
+            running += o["o_totalprice"]
+            window = [x["o_totalprice"] for x in hist[max(0, i - 2) : i + 1]]
+            exp = (i + 1, round(running, 6), round(sum(window) / len(window), 6))
+            assert got[o["o_orderkey"]] == exp, o["o_orderkey"]

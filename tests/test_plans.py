@@ -96,3 +96,21 @@ def test_q50_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # tiny benchmark side is broadcast
+
+
+def test_q63_range_join_is_bucketized_equi_join(spark):
+    """The point-in-interval join must run as a hash join on the day
+    bucket — never the BNLJ/cartesian Catalyst would pick for a raw
+    inequality join."""
+    plan = formatted_plan(spark, "q63_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_q64_single_shuffle_serves_all_windows(spark):
+    """All three window functions share one WINDOW spec, so the plan
+    needs exactly one hash-partitioning exchange (on o_custkey)."""
+    plan = formatted_plan(spark, "q64_cumulative")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert plan.count(") Window") == 1, plan

@@ -1,0 +1,202 @@
+"""Time-series operators: gap-filled resampling, point-in-interval range
+joins, and running/moving window aggregates — the temporal-analytics
+surface (SURVEY.md §3 O22/O36 family, widened; the range join is the
+classic operator Spark lacks natively, re-expressed as a bucketized
+equi-join per the build brief's custom-operator rule (a)).
+
+All built-in column expressions — zero Python in any hot path — and
+every query carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trafficteach_spark.registry import register
+from trafficteach_spark.sources.tables import load_table
+
+
+@register(
+    "q62_time_resample",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    cal AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               COUNT(*) AS n, SUM(value) AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, c.hr,
+           COALESCE(h.n, 0) AS n,
+           ROUND(COALESCE(h.sum_value, 0), 6) AS sum_value
+    FROM types t
+    CROSS JOIN cal c
+    LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hr = c.hr
+    """,
+    tags=("timeseries", "O36"),
+)
+def q62_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: one row per (event_type, hour) over
+    the corpus's full hour range, with empty hours surfaced as n=0 —
+    the dashboard/monitoring shape where a MISSING bucket is the signal
+    (a plain groupBy silently drops it).
+
+    Plan shape: the only full-data shuffle is the hourly groupBy; the
+    calendar is built engine-side from a 1-row min/max aggregate via
+    ``sequence`` + ``explode`` (no driver collect, no Python range), and
+    the (types x hours) grid joins the aggregated hourly counts — both
+    sides post-aggregation small, so AQE broadcasts. At 100 TB the
+    min/max scan disappears entirely when the table is date-partitioned
+    (partition metadata answers it); the grid stays tiny (types x hours
+    grows with time, not data volume).
+    """
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(cal)
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 6).alias("sum_value"),
+        )
+    )
+
+
+# Interval length for the range join: [o_orderdate, o_orderdate + 3 days).
+_IVAL_DAYS = 3
+
+
+@register(
+    "q63_range_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           ROUND(SUM(l.l_quantity), 6) AS sum_qty
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL {_IVAL_DAYS} DAY
+    GROUP BY 1
+    """,
+    tags=("timeseries", "range-join"),
+)
+def q63_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join with NO equi-key: every lineitem
+    shipped within [o_orderdate, o_orderdate + {_IVAL_DAYS}d) of ANY
+    order, aggregated per order priority. Naively this is a
+    BroadcastNestedLoopJoin (quadratic scan) — the classic missing
+    operator in Spark.
+
+    Re-expressed as a **bucketized equi-join**: each interval explodes
+    into the day buckets it covers (bounded fan-out = interval length /
+    bucket width = {_IVAL_DAYS} rows), each point maps to exactly ONE
+    day bucket, the join runs as a plain shuffled hash join on the
+    bucket, and the residual exact range predicate filters within
+    bucket matches. A point's bucket appears at most once in any
+    interval's exploded cover, so no dedup pass is needed. This is the
+    same decomposition DuckDB's IEJoin / Flink's interval join perform
+    internally — here it is explicit, so Catalyst sees an equi-join and
+    scales it with ordinary shuffle partitioning at 100 TB (bucket
+    width should track median interval length; skewed hot days fall out
+    to AQE skew-join splitting).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    end_excl = F.col("o_orderdate") + F.expr(f"INTERVAL {_IVAL_DAYS} DAYS")
+    ivals = orders.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("o_orderdate")),
+                # last covered bucket: truncate the inclusive end (end - 1us)
+                F.date_trunc("day", end_excl - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    points = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    matched = points.join(
+        ivals, F.date_trunc("day", F.col("l_shipdate")) == F.col("day")
+    ).where(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < end_excl)
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+@register(
+    "q64_cumulative",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           ROUND(SUM(o_totalprice) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS running_total,
+           ROUND(AVG(o_totalprice) OVER
+                 (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS mov_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("timeseries", "O22"),
+)
+def q64_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total and 3-row moving average of order value per
+    customer in order-date order — the customer-lifetime-value /
+    smoothing shape, exercising explicit ROWS frames (unbounded-
+    preceding and sliding) beyond the rank-only windows of q11/q12.
+
+    Deterministic: the sort key (o_orderdate, o_orderkey) is unique per
+    partition, so both engines accumulate in the same row order and the
+    rounded doubles agree. One shuffle on o_custkey serves all three
+    window functions (same WINDOW spec); running frames stream in sort
+    order with O(1) state per row — no per-row re-scan — so cost is
+    sort + single pass, scale-safe for any per-customer history that
+    fits a partition (salt by year for pathological single-key skew).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            6,
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias(
+            "mov_avg3"
+        ),
+    )

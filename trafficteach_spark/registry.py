@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "trafficteach_spark.operators.sampling",
     "trafficteach_spark.operators.funcs",
     "trafficteach_spark.operators.analytics",
+    "trafficteach_spark.operators.timeseries",
     "trafficteach_spark.operators.skew",
     "trafficteach_spark.operators.udx",
     "trafficteach_spark.operators.llm.dedup",
