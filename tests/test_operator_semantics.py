@@ -797,3 +797,108 @@ def test_cumulative_running_frames(spark):
             window = [x["o_totalprice"] for x in hist[max(0, i - 2) : i + 1]]
             exp = (i + 1, round(running, 6), round(sum(window) / len(window), 6))
             assert got[o["o_orderkey"]] == exp, o["o_orderkey"]
+
+
+# ---------- analytics/time-series round-3b (q65-q67) ----------
+
+
+def test_cube_levels_reconcile(spark):
+    """Every CUBE grouping set must reconcile with the flat counts: the
+    grand total, both one-dimension marginals, and the cross cells."""
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = Q["q65_cube"](spark, sf).collect()
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    total = len(orders)
+    # gid bit convention: bit set = column aggregated away (status is the
+    # high bit, priority the low bit)
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert sorted(by_gid) == [0, 1, 2, 3]
+    [grand] = by_gid[3]
+    assert grand["n"] == total
+    assert grand["o_orderstatus"] is None and grand["o_orderpriority"] is None
+    assert sum(r["n"] for r in by_gid[0]) == total  # cross cells
+    assert sum(r["n"] for r in by_gid[1]) == total  # per-status marginal
+    assert sum(r["n"] for r in by_gid[2]) == total  # per-priority marginal
+    import collections
+
+    cross = collections.Counter(
+        (o["o_orderstatus"], o["o_orderpriority"]) for o in orders
+    )
+    got_cross = {
+        (r["o_orderstatus"], r["o_orderpriority"]): r["n"] for r in by_gid[0]
+    }
+    assert got_cross == dict(cross)
+
+
+def test_anomaly_zscores_match_replay(spark):
+    """q66 must flag exactly the hours a python z-score replay flags,
+    with matching scores."""
+    import collections
+    import statistics
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["hr"]): (r["n"], r["z"])
+        for r in Q["q66_anomaly"](spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events").select("event_type", "ts").collect()
+    hourly = collections.Counter(
+        (e["event_type"], e["ts"].replace(minute=0, second=0, microsecond=0))
+        for e in events
+    )
+    by_type = collections.defaultdict(dict)
+    for (t, hr), n in hourly.items():
+        by_type[t][hr] = n
+    expected = {}
+    for t, hours in by_type.items():
+        ns = list(hours.values())
+        mu = statistics.fmean(ns)
+        sd = statistics.stdev(ns) if len(ns) > 1 else 0.0
+        if sd == 0.0:
+            continue
+        for hr, n in hours.items():
+            z = (n - mu) / sd
+            if abs(z) > 2.0:
+                expected[(t, hr)] = (n, round(z, 6))
+    assert set(got) == set(expected)
+    for k, (n, z) in expected.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - z) < 1e-6, k
+
+
+def test_basket_pairs_match_bruteforce(spark):
+    """Top-k co-occurring part pairs vs a python Counter replay,
+    including the deterministic tie-break ordering."""
+    import collections
+    import itertools
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["part_a"], r["part_b"], r["n_orders"])
+        for r in Q["q67_basket_pairs"](spark, sf).collect()
+    ]
+    items = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = collections.defaultdict(set)
+    for r in items:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    counts = collections.Counter()
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            counts[(a, b)] += 1
+    expected = sorted(
+        ((a, b, n) for (a, b), n in counts.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:20]
+    assert got == expected

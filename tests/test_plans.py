@@ -114,3 +114,29 @@ def test_q64_single_shuffle_serves_all_windows(spark):
     plan = formatted_plan(spark, "q64_cumulative")
     assert plan.count("hashpartitioning(") == 1, plan
     assert plan.count(") Window") == 1, plan
+
+
+def test_q65_cube_single_shuffle(spark):
+    """CUBE compiles to Expand + partial/final aggregate around ONE
+    exchange — the same one-shuffle shape as a flat groupBy."""
+    plan = formatted_plan(spark, "q65_cube")
+    assert "Expand" in plan
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_q67_topk_is_take_ordered(spark):
+    """The global top-k must be TakeOrdered (per-partition k, driver
+    merge), never a full global sort, and the self-join must be an
+    equi-join on the order key."""
+    plan = formatted_plan(spark, "q67_basket_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q66_window_runs_post_aggregate(spark):
+    """The z-score window must consume the aggregated hourly frame:
+    two hash exchanges total (groupBy, then window re-key), no more."""
+    plan = formatted_plan(spark, "q66_anomaly")
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert ") Window" in plan

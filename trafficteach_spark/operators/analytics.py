@@ -249,3 +249,99 @@ def q61_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", F.lit("R")
     )
     return merge_upsert(orders, updates, ["o_orderkey"])
+
+
+@register(
+    "q65_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 6) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("analytics", "O15", "O17"),
+)
+def q65_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority): every grouping-set combination
+    — both one-dimension marginals AND the cross cells — in one pass,
+    completing the grouping-sets family next to q53's strict ROLLUP
+    hierarchy. ``grouping_id()`` disambiguates a real NULL key from an
+    aggregated-away level (same bit convention both engines).
+
+    Scale note: CUBE over d columns expands each row 2^d ways before the
+    shuffle — fine for small d with partial aggregation collapsing
+    map-side (exchanged volume = distinct keys x 2^d). For high-d cubes
+    the right plan is d separate rollups unioned, or a two-phase
+    cell-materialization; d=2 here keeps the single-shuffle shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+    )
+
+
+# Top-k co-occurring part pairs to keep (deterministic tie-break).
+_BASKET_TOPK = 20
+
+
+@register(
+    "q67_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {_BASKET_TOPK}
+    """,
+    tags=("analytics", "cooccurrence"),
+)
+def q67_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket heavy hitters: the top-{_BASKET_TOPK} part pairs
+    that co-occur in the most orders (the co-occurrence/association
+    primitive behind recommendations and feature crosses).
+
+    Plan shape: distinct (order, part) -> self equi-join on the order
+    key -> pair count -> global top-k. The join is a plain shuffled
+    equi-join; per-basket pair fan-out is quadratic in basket size, so
+    at 100 TB the guard is a basket-size cap (drop or sample baskets
+    over ~100 items via a pre-count semi-join) — TPC-H baskets are
+    bounded at 7 lineitems, so the cap is a no-op here and the exact
+    form stays oracle-checkable. The final top-k is TakeOrdered
+    (per-partition k then merge k x partitions on the driver), never a
+    global sort. Deterministic: unique (part_a, part_b) tie-break.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(_BASKET_TOPK)
+    )

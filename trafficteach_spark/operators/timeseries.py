@@ -200,3 +200,91 @@ def q64_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mov_avg3"
         ),
     )
+
+
+# Anomaly threshold in sample standard deviations.
+_Z_THRESH = 2.0
+
+
+@register(
+    "q66_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, hr, n,
+               (n - AVG(n) OVER (PARTITION BY event_type))
+                   / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+        FROM hourly
+    )
+    SELECT event_type, hr, n, ROUND(z, 6) AS z
+    FROM scored
+    WHERE ABS(z) > {_Z_THRESH}
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def q66_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts whose z-score
+    against their own type's hourly distribution exceeds
+    {_Z_THRESH} sample standard deviations — the alerting shape over
+    the q62 resample family.
+
+    Plan shape: one groupBy shuffle builds the hourly counts; the
+    per-type mean/stddev is an unbounded window over the ALREADY
+    AGGREGATED frame (rows = types x hours, data-volume-independent),
+    so the expensive pass touches raw events exactly once. A zero
+    stddev (constant series) yields NULL z and the ABS() filter drops
+    it in both engines — a flat series has no outliers by definition.
+    At 100 TB the window input is still tiny; only the first groupBy
+    scales, and it is a plain partial-agg shuffle.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    scored = hourly.withColumn(
+        "z",
+        (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w),
+    )
+    return scored.where(F.abs(F.col("z")) > _Z_THRESH).select(
+        "event_type", "hr", "n", F.round("z", 6).alias("z")
+    )
+
+
+@register(
+    "q68_attribution_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tags=("timeseries", "streaming", "attribution"),
+)
+def q68_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution pairs: each view joined to the same user's purchases
+    within 1 hour after it — the BATCH form of the stream-stream
+    interval join (`streaming/joinstream.py` runs the literally shared
+    expression as a two-stream watermarked append-mode query;
+    tests/test_streaming_join.py pins stream == batch).
+
+    Plan shape: equi-join on user_id with a residual time-range filter —
+    one shuffle per side, no nested loop (the range rides the equi-join
+    as a post-condition). The streaming twin bounds its join state by
+    watermark + horizon, so memory tracks rate x horizon at any scale.
+    """
+    from trafficteach_spark.streaming.joinstream import attribution_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    return attribution_pairs(events)

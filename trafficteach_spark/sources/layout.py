@@ -56,3 +56,32 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     ``spark.read.parquet(path)`` loses the bucket metadata and with it the
     shuffle elimination)."""
     return spark.table(table_name)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` hive-style directory-partitioned by ``partition_cols``
+    (the 100 TB fact-table layout: one directory per day/hour, so a
+    date-range predicate becomes PARTITION PRUNING — whole directories
+    skipped from the listing, zero bytes read — instead of a row filter).
+
+    Partition columns should be LOW cardinality (day, not timestamp;
+    region, not user): each value is a directory, and at petabyte scale
+    a high-cardinality partition key melts the file listing. Within a
+    partition, ``sort_cols`` orders rows so parquet min/max row-group
+    stats make residual predicates cheap (the poor man's z-order).
+    """
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory-partitioned dataset; partition columns come back
+    as regular columns and predicates on them prune directories (visible
+    as PartitionFilters + PartitionCount in the scan node)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,109 @@
+"""Stream-stream interval join (SURVEY.md §3 O35-O38 family, widened):
+event-time attribution — each ``view`` event joined to the same user's
+``purchase`` events landing within a bounded horizon after it.
+
+The reference's streaming layer had no stream-stream join at all (its
+DStream job kept one keyed window state, REF: rtmroad [R]); this is the
+Structured-Streaming-native correlation shape: BOTH sides carry
+watermarks and the join condition carries a time-range bound, which is
+exactly what lets Spark size the join state buffer and evict rows —
+without the bound the state would grow forever, and Spark rejects the
+query outright in append mode.
+
+Correctness contract: the join *expression* is shared with a batch
+form (:func:`attribution_pairs`), so the streaming output over a fully
+drained fixture (availableNow trigger) must equal the batch answer over
+the same files — the same oracle pattern as streaming/demo.py.
+
+Scale note (100 TB/day firehose): state per key is bounded by
+watermark + horizon; the join shuffles both streams on ``user_id`` once
+and keeps only rows inside the horizon, so state size tracks the event
+RATE x horizon, not history. Skewed hot users fall out to state-store
+partitioning; the horizon is the knob that caps memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: join horizon: purchases attributed to a view up to this long after it.
+HORIZON = "1 hour"
+
+#: watermark on both sides; state eviction needs both.
+WATERMARK = "2 hours"
+
+
+def attribution_pairs(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """(view, purchase) pairs for the same user with the purchase in
+    ``(view.ts, view.ts + HORIZON]`` — one definition serving BOTH the
+    batch oracle form and the streaming form (``streaming=True`` attaches
+    watermarks; the join/filter expressions are literally shared).
+
+    Watermarks attach only to TIMESTAMP columns (not TIMESTAMP_NTZ), so
+    the streaming path casts through TIMESTAMP — identity under the
+    pinned UTC session timezone, same trick as stream_sliding_avg.
+    """
+    ts_type = "timestamp" if streaming else "timestamp_ntz"
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast(ts_type).alias("view_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast(ts_type).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if streaming:
+        views = views.withWatermark("view_ts", WATERMARK)
+        purchases = purchases.withWatermark("purchase_ts", WATERMARK)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {HORIZON}")
+        )
+    )
+    joined = views.join(purchases, cond)
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+def start_attribution_stream(
+    spark,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "t_attrib",
+    staging_dir: str | None = None,
+):
+    """Run the attribution join as a real two-stream query over the
+    events fixture (file source, availableNow trigger, append-mode
+    memory sink) and return the StreamingQuery.
+
+    Both sides read the SAME staged directory through independent
+    source nodes — the degenerate-but-real case of two topics.
+    """
+    from trafficteach_spark.streaming import demo
+
+    src_dir = demo.stage_events_dir(
+        sf_dir, staging_dir or f"{checkpoint_dir}_staged"
+    )
+    events = demo.read_event_stream(spark, src_dir)
+    pairs = attribution_pairs(events, streaming=True)
+    return (
+        pairs.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
