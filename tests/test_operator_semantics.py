@@ -747,9 +747,14 @@ def test_range_join_matches_bruteforce(spark):
         r["o_orderpriority"]: (r["n_pairs"], r["n_orders"], r["sum_qty"])
         for r in Q["q63_range_join"](spark, sf).collect()
     }
-    orders = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_orderdate"
-    ).collect()
+    from trafficteach_spark.operators.timeseries import _MEGA_PRICE
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(f"o_totalprice > {_MEGA_PRICE}")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    )
     points = load_table(spark, sf, "lineitem").select(
         "l_shipdate", "l_quantity"
     ).collect()
@@ -902,3 +907,64 @@ def test_basket_pairs_match_bruteforce(spark):
         key=lambda t: (-t[2], t[0], t[1]),
     )[:20]
     assert got == expected
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    """q69 must be the exact inverse reshape of the q54 wide matrix:
+    melting the pivot and re-aggregating gives the plain long counts."""
+    import collections
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["hr"], r["event_type"]): r["n"]
+        for r in Q["q69_unpivot"](spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events").select("ts", "event_type").collect()
+    long_counts = collections.Counter(
+        (e["ts"].hour, e["event_type"]) for e in events
+    )
+    types = {e["event_type"] for e in events}
+    hours = {e["ts"].hour for e in events}
+    # every (observed hour x type) cell present, absent combos as ZERO
+    assert set(got) == {(h, t) for h in hours for t in types}
+    for k, n in got.items():
+        assert n == long_counts.get(k, 0), k
+
+
+def test_trailing_range_counts_by_value_not_rows(spark):
+    """q70's RANGE frame must include ALL orders in the 30-day value
+    window — verified against a python replay that windows by date
+    arithmetic, not row position."""
+    import collections
+    import datetime as dt
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderkey"]: (r["trailing_30d"], r["n_30d"])
+        for r in Q["q70_trailing_range"](spark, sf).collect()
+    }
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    by_cust = collections.defaultdict(list)
+    for o in orders:
+        by_cust[o["o_custkey"]].append(o)
+    checked_ties = 0
+    for hist in by_cust.values():
+        dates = collections.Counter(o["o_orderdate"] for o in hist)
+        for o in hist:
+            lo = o["o_orderdate"] - dt.timedelta(days=30)
+            in_win = [
+                x for x in hist if lo <= x["o_orderdate"] <= o["o_orderdate"]
+            ]
+            exp = (round(sum(x["o_totalprice"] for x in in_win), 6), len(in_win))
+            assert got[o["o_orderkey"]] == exp, o["o_orderkey"]
+            if dates[o["o_orderdate"]] > 1:
+                checked_ties += 1
+    # the tie semantics (same-date rows share a frame) must actually be
+    # exercised by the fixture, or this test proves nothing about them
+    assert checked_ties > 0

@@ -126,12 +126,13 @@ def test_q65_cube_single_shuffle(spark):
 
 def test_q67_topk_is_take_ordered(spark):
     """The global top-k must be TakeOrdered (per-partition k, driver
-    merge), never a full global sort, and the self-join must be an
-    equi-join on the order key."""
+    merge), never a full global sort; the basket + pair-count pipeline
+    must cost exactly two exchanges (no self-join shuffles)."""
     plan = formatted_plan(spark, "q67_basket_pairs")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 2, plan
 
 
 def test_q66_window_runs_post_aggregate(spark):
@@ -140,3 +141,23 @@ def test_q66_window_runs_post_aggregate(spark):
     plan = formatted_plan(spark, "q66_anomaly")
     assert plan.count("hashpartitioning(") == 2, plan
     assert ") Window" in plan
+
+
+def test_q69_unpivot_adds_no_shuffle(spark):
+    """Unpivot is a row-local Expand: the melt adds ZERO exchanges on
+    top of the pivot's own two-phase aggregate (per-cell partial, then
+    per-row pivot agg), and sits above the last aggregate."""
+    plan = formatted_plan(spark, "q69_unpivot")
+    assert "Expand" in plan
+    assert plan.count("hashpartitioning(") == 2, plan
+    # nothing above the Expand (i.e. after the melt) shuffles
+    above_expand = plan[: plan.index("Expand (")]
+    assert "Exchange" not in above_expand, above_expand
+
+
+def test_q70_range_frame_single_shuffle(spark):
+    """Both RANGE-frame aggregates share one window spec: one exchange,
+    one Window node."""
+    plan = formatted_plan(spark, "q70_trailing_range")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert plan.count(") Window") == 1, plan

@@ -87,6 +87,15 @@ def q62_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Interval length for the range join: [o_orderdate, o_orderdate + 3 days).
 _IVAL_DAYS = 3
 
+# Interval side = "mega-orders" only. A range join's cost is pair
+# density: with EVERY order as an interval, ~every lineitem matches
+# ~190 orders at sf0.1 (~10^8 pairs before the aggregate — measured
+# 98 s) and the matched-pair volume grows QUADRATICALLY with scale
+# factor. Point-in-interval analyses are only sane when the interval
+# side is sparse (promo windows, incidents, releases); the threshold
+# keeps the top ~1% of orders by value and makes that explicit.
+_MEGA_PRICE = 495_000.0
+
 
 @register(
     "q63_range_join",
@@ -99,16 +108,18 @@ _IVAL_DAYS = 3
     JOIN orders o
       ON l.l_shipdate >= o.o_orderdate
      AND l.l_shipdate < o.o_orderdate + INTERVAL {_IVAL_DAYS} DAY
+    WHERE o.o_totalprice > {_MEGA_PRICE}
     GROUP BY 1
     """,
     tags=("timeseries", "range-join"),
 )
 def q63_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join with NO equi-key: every lineitem
-    shipped within [o_orderdate, o_orderdate + {_IVAL_DAYS}d) of ANY
-    order, aggregated per order priority. Naively this is a
-    BroadcastNestedLoopJoin (quadratic scan) — the classic missing
-    operator in Spark.
+    shipped within [o_orderdate, o_orderdate + {_IVAL_DAYS}d) of any
+    MEGA-order (top ~1% by value — the sparse-interval side a real
+    range-join workload has), aggregated per order priority. Naively
+    this is a BroadcastNestedLoopJoin (quadratic scan) — the classic
+    missing operator in Spark.
 
     Re-expressed as a **bucketized equi-join**: each interval explodes
     into the day buckets it covers (bounded fan-out = interval length /
@@ -123,8 +134,10 @@ def q63_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     width should track median interval length; skewed hot days fall out
     to AQE skew-join splitting).
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_orderdate"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _MEGA_PRICE)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
     )
     end_excl = F.col("o_orderdate") + F.expr(f"INTERVAL {_IVAL_DAYS} DAYS")
     ivals = orders.withColumn(
@@ -288,3 +301,50 @@ def q68_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return attribution_pairs(events)
+
+
+@register(
+    "q70_trailing_range",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 6)
+               AS trailing_30d,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_30d
+    FROM orders
+    """,
+    tags=("timeseries", "O22"),
+)
+def q70_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day spend per customer: a time-RANGE window frame —
+    the frame edge is a VALUE offset (order date minus 30 days), not a
+    row count, so same-date rows share one frame and sparse histories
+    window correctly (q64's ROWS frames cannot express this).
+
+    Spark has no interval RANGE frame over dates; the standard
+    re-expression is ``rangeBetween`` over the date's epoch-day integer
+    — value-identical to the oracle's ``RANGE BETWEEN INTERVAL 30 DAY
+    PRECEDING``. Well-defined under date ties (frame = all rows whose
+    date falls in the value range), hence deterministic without a
+    unique sort key. Same single-shuffle profile as q64.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("trailing_30d"),
+        F.count("*").over(w).cast("long").alias("n_30d"),
+    )
