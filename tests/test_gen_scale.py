@@ -47,3 +47,12 @@ def test_scaled_documents_recompute_n_chars(tmp_path):
         " WHERE n_chars <> length(text)"
     ).fetchone()[0]
     assert bad == 0
+
+
+def test_tpch_strides_exceed_source_id_ranges():
+    from tools.gen_scale import CUST_KEY_STRIDE, ORDER_KEY_STRIDE, PART_KEY_STRIDE
+
+    assert ORDER_KEY_STRIDE > _max("orders", "o_orderkey")
+    assert ORDER_KEY_STRIDE > _max("lineitem", "l_orderkey")
+    assert CUST_KEY_STRIDE > _max("orders", "o_custkey")
+    assert PART_KEY_STRIDE > _max("lineitem", "l_partkey")

@@ -45,6 +45,9 @@ from trafficteach_spark.session import get_spark  # noqa: E402
 EVENT_ID_STRIDE = 1_000_000_000
 USER_ID_STRIDE = 1_000_000
 DOC_ID_STRIDE = 10_000_000
+ORDER_KEY_STRIDE = 10_000_000
+CUST_KEY_STRIDE = 1_000_000
+PART_KEY_STRIDE = 1_000_000
 
 
 def main() -> None:
@@ -125,8 +128,57 @@ def main() -> None:
         ee = ee.unionByName(c)
     ee.repartition(16).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
+    # orders/lineitem: perturbed k-fold replicas for the TPC-H-side
+    # operators (q63/q64/q67/q70). Key offsets keep copies disjoint
+    # (per-customer histories and baskets stay reference-sized — row
+    # counts scale k, not k^2); the SAME per-copy date shift on
+    # o_orderdate and l_shipdate keeps within-copy interval joins
+    # intact while spreading copies over distinct days, so q63's
+    # per-day pair density stays constant and its matched pairs scale
+    # ~k (dates shared across copies would scale them k^2 by design,
+    # not by plan defect). l_partkey offsets grow the part vocabulary
+    # k-fold, the way a real catalog grows.
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    ocopies = [
+        orders.select(
+            (F.col("o_orderkey") + i * ORDER_KEY_STRIDE).alias("o_orderkey"),
+            (F.col("o_custkey") + i * CUST_KEY_STRIDE).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            (F.col("o_orderdate") + F.expr(f"INTERVAL {i} DAYS")).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        for i in range(k)
+    ]
+    oo = ocopies[0]
+    for c in ocopies[1:]:
+        oo = oo.unionByName(c)
+    oo.repartition(16).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    lineitem = spark.read.parquet(f"{src}/lineitem.parquet")
+    lcopies = [
+        lineitem.select(
+            (F.col("l_orderkey") + i * ORDER_KEY_STRIDE).alias("l_orderkey"),
+            (F.col("l_partkey") + i * PART_KEY_STRIDE).alias("l_partkey"),
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("l_shipdate") + F.expr(f"INTERVAL {i} DAYS")).alias("l_shipdate"),
+        )
+        for i in range(k)
+    ]
+    ll = lcopies[0]
+    for c in lcopies[1:]:
+        ll = ll.unionByName(c)
+    ll.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
     # Remaining tables: straight copies (dims don't drive the scaling study).
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
