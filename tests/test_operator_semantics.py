@@ -968,3 +968,94 @@ def test_trailing_range_counts_by_value_not_rows(spark):
     # the tie semantics (same-date rows share a frame) must actually be
     # exercised by the fixture, or this test proves nothing about them
     assert checked_ties > 0
+
+
+# ---------- analytics round-3c (q71-q73) ----------
+
+
+def test_full_outer_covers_all_presence_classes(spark):
+    """The reconciliation must keep days from EITHER side, zero-fill the
+    missing side, and the fixture must genuinely exercise order-only,
+    ship-only, and both."""
+    import collections
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["d"]: (r["n_orders"], r["n_ships"], r["presence"])
+           for r in Q["q71_full_outer"](spark, sf).collect()}
+    orders = collections.Counter(
+        r["o_orderdate"].date()
+        for r in load_table(spark, sf, "orders").select("o_orderdate").collect()
+    )
+    ships = collections.Counter(
+        r["l_shipdate"].date()
+        for r in load_table(spark, sf, "lineitem").select("l_shipdate").collect()
+    )
+    assert set(out) == set(orders) | set(ships)
+    seen = set()
+    for d, (no, ns, p) in out.items():
+        assert no == orders.get(d, 0) and ns == ships.get(d, 0), d
+        expect_p = "both" if d in orders and d in ships else (
+            "order_only" if d in orders else "ship_only")
+        assert p == expect_p, d
+        seen.add(p)
+    assert seen == {"both", "order_only", "ship_only"}
+
+
+def test_corr_stats_match_numpy(spark):
+    """Pearson corr / sample covariance / sample stddev per group vs a
+    numpy replay."""
+    import collections
+
+    import numpy as np
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: (r["n"], r["qty_price_corr"], r["qty_disc_covar"], r["price_stddev"])
+        for r in Q["q72_corr_stats"](spark, sf).collect()
+    }
+    rows = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append((r["l_quantity"], r["l_extendedprice"], r["l_discount"]))
+    assert set(got) == set(groups)
+    for flag, vals in groups.items():
+        q, p, disc = (np.array(x, dtype=float) for x in zip(*vals))
+        n, (gn, gcorr, gcov, gsd) = len(vals), got[flag]
+        assert gn == n
+        assert abs(gcorr - float(np.corrcoef(q, p)[0, 1])) < 1e-6
+        assert abs(gcov - float(np.cov(q, disc, ddof=1)[0, 1])) < 1e-6
+        assert abs(gsd - float(np.std(p, ddof=1))) < 1e-6
+
+
+def test_regex_extract_matches_python_re(spark):
+    """Token extraction table vs python re over the same documents —
+    corpus frequency AND document frequency."""
+    import collections
+    import re as _re
+
+    from trafficteach_spark.operators.llm.text import _EXTRACT_PATTERN
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["token"]: (r["n"], r["n_docs"])
+        for r in Q["q73_regex_extract"](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    pat = _re.compile(_EXTRACT_PATTERN)
+    n = collections.Counter()
+    docsets = collections.defaultdict(set)
+    for d in docs:
+        if d["text"] is None:
+            continue
+        for tok in pat.findall(d["text"]):
+            n[tok] += 1
+            docsets[tok].add(d["doc_id"])
+    assert got == {t: (n[t], len(docsets[t])) for t in n}
+    assert len(got) > 0

@@ -161,3 +161,36 @@ def test_q70_range_frame_single_shuffle(spark):
     plan = formatted_plan(spark, "q70_trailing_range")
     assert plan.count("hashpartitioning(") == 1, plan
     assert plan.count(") Window") == 1, plan
+
+
+def test_q71_full_outer_joins_post_aggregate(spark):
+    """Both sides must aggregate BEFORE the full-outer join (partial
+    aggs collapse map-side; the join sees distinct-day-sized frames):
+    plan order is Aggregate -> Join, never Join -> Aggregate."""
+    plan = formatted_plan(spark, "q71_full_outer")
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join node's inputs are aggregate outputs: in formatted mode the
+    # SortMergeJoin/ShuffledHashJoin appears ABOVE the final aggregates
+    join_pos = min(
+        (plan.index(t) for t in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") if t in plan),
+    )
+    assert "HashAggregate" in plan[join_pos:], plan
+
+
+def test_q72_single_shuffle_algebraic_aggs(spark):
+    """All four statistics are algebraic: one exchange, no sort, no
+    window, no Python."""
+    plan = formatted_plan(spark, "q72_corr_stats")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert ") Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q73_regex_stays_jvm_side(spark):
+    """regexp_extract_all + explode must compile to a JVM Generate node
+    — no Python evaluation anywhere."""
+    plan = formatted_plan(spark, "q73_regex_extract")
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -42,3 +42,30 @@ def test_stream_join_state_is_bounded(spark, tmp_path):
     assert pairs.isStreaming
     analyzed = pairs._jdf.queryExecution().analyzed().toString().lower()
     assert analyzed.count("eventtimewatermark") >= 2
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static dim join: the streamed enrichment must equal the
+    batch join over the same files (shared expression, INNER semantics)."""
+    from trafficteach_spark.sources.tables import load_table
+    from trafficteach_spark.streaming.enrich import enrich_events, start_enrich_stream
+
+    q = start_enrich_stream(
+        spark,
+        SMOKE_SF_DIR,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_name="t_enrich_parity",
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    streamed = {tuple(r) for r in spark.table("t_enrich_parity").collect()}
+    batch = {
+        tuple(r)
+        for r in enrich_events(
+            load_table(spark, SMOKE_SF_DIR, "events"),
+            load_table(spark, SMOKE_SF_DIR, "customer"),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0

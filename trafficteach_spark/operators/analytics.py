@@ -400,3 +400,96 @@ def q69_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(event_type_col, 3)").alias("event_type"),
         "n",
     )
+
+
+@register(
+    "q71_full_outer",
+    oracle="""
+    WITH daily_orders AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    daily_ships AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+        FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.d, s.d) AS d,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(s.n_ships, 0) AS n_ships,
+           CASE WHEN o.d IS NULL THEN 'ship_only'
+                WHEN s.d IS NULL THEN 'order_only'
+                ELSE 'both' END AS presence
+    FROM daily_orders o
+    FULL JOIN daily_ships s ON o.d = s.d
+    """,
+    tags=("analytics", "O9"),
+)
+def q71_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: daily order placements vs daily
+    shipments, keeping days present on EITHER side with the other side
+    zero-filled and tagged — the ledger-reconciliation shape (inner /
+    semi / anti / left are covered by q03-q06; this completes the join
+    type family). The fixture genuinely exercises all three presence
+    classes: early order-only days (nothing shipped yet) and trailing
+    ship-only days (pipeline draining past the last order).
+
+    Plan shape: both inputs aggregate BEFORE the join (partial aggs
+    map-side), so the full-outer join runs on two frames of
+    distinct-day size — data-volume-independent — and shuffles on the
+    day key once each. At 100 TB nothing changes: the aggregates do
+    the heavy lifting; the outer join stays tiny.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    daily_orders = orders.groupBy(
+        F.to_date("o_orderdate").alias("od")
+    ).agg(F.count("*").alias("n_orders"))
+    daily_ships = lineitem.groupBy(
+        F.to_date("l_shipdate").alias("sd")
+    ).agg(F.count("*").alias("n_ships"))
+    joined = daily_orders.join(
+        daily_ships, daily_orders.od == daily_ships.sd, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("od", "sd").alias("d"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        F.when(F.col("od").isNull(), "ship_only")
+        .when(F.col("sd").isNull(), "order_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@register(
+    "q72_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+           ROUND(stddev_samp(l_extendedprice), 6) AS price_stddev
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("analytics", "O15", "O31"),
+)
+def q72_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and sample stddev — the feature-screening pass a
+    training pipeline runs before picking model inputs. Spark and
+    DuckDB share the definitions (corr = covar_samp/(sx*sy)), so the
+    rounded doubles agree exactly.
+
+    Plan shape: all four are algebraic aggregates (sum/sum-of-products
+    moments), so they partial-aggregate map-side and merge in one
+    shuffle of GROUPS x constant-size state — the cheapest possible
+    profile; no sort, no window, no second pass.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+    )

@@ -340,3 +340,51 @@ def q45_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ratio_raw") > 0.2, 1).otherwise(0).alias("is_repetitive"),
         )
     )
+
+
+# Pattern for the extraction surface: tokens containing one of a few
+# digraphs (simple alternation -> identical semantics in Java regex and RE2;
+# the surrounding [a-z]* absorbs the whole space-bounded token).
+_EXTRACT_PATTERN = "[a-z]*(?:ar|or|an|ll)[a-z]*"
+
+
+@register(
+    "q73_regex_extract",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{_EXTRACT_PATTERN}')) AS token
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM hits
+    GROUP BY 1
+    """,
+    tags=("llm", "X4", "regex"),
+)
+def q73_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction table: pull every token matching a pattern out
+    of each document and tabulate corpus frequency + document frequency
+    — the pattern-mining pass (PII hunts, code-fence detection, marker
+    tokens) run as a first-class relational surface rather than a UDF.
+
+    ``regexp_extract_all`` + ``explode`` stays fully JVM-side (codegen'd
+    generator, no Python); the pattern uses only literals/char classes
+    so Java regex and DuckDB's RE2 agree on match sets. One shuffle (the
+    token groupBy with map-side partial aggs + distinct-doc state); at
+    100 TB the scan dominates and the token key space is
+    vocabulary-bounded, not data-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hits = docs.select(
+        "doc_id",
+        F.explode(
+            # group 0 = whole match (Spark defaults to group 1; DuckDB to 0)
+            F.expr(f"regexp_extract_all(text, '{_EXTRACT_PATTERN}', 0)")
+        ).alias("token"),
+    )
+    return hits.groupBy("token").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
