@@ -1059,3 +1059,113 @@ def test_regex_extract_matches_python_re(spark):
             docsets[tok].add(d["doc_id"])
     assert got == {t: (n[t], len(docsets[t])) for t in n}
     assert len(got) > 0
+
+
+# ---------- round-3d (q74-q76) ----------
+
+
+def test_rank_distribution_matches_replay(spark):
+    """ntile/percent_rank/cume_dist vs a python replay over the unique
+    (value, event_id) ordering."""
+    import collections
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: (r["quartile"], r["pct_rank"], r["cume"])
+        for r in Q["q74_rank_distribution"](spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = collections.defaultdict(list)
+    for e in events:
+        by_type[e["event_type"]].append(e)
+    for grp in by_type.values():
+        grp.sort(key=lambda e: (e["value"], e["event_id"]))
+        n = len(grp)
+        base, extra = divmod(n, 4)
+        # ntile: first `extra` tiles get base+1 rows
+        bounds = []
+        pos = 0
+        for t in range(4):
+            size = base + (1 if t < extra else 0)
+            bounds.extend([t + 1] * size)
+            pos += size
+        for i, e in enumerate(grp):
+            exp = (
+                bounds[i],
+                round(i / (n - 1), 6) if n > 1 else 0.0,
+                round((i + 1) / n, 6),
+            )
+            assert got[e["event_id"]] == exp, e["event_id"]
+
+
+def test_bm25_matches_python_replay(spark):
+    """BM25 scores vs a direct python computation with the same
+    constants; ordering and top-k cut included."""
+    import math
+
+    from trafficteach_spark.operators.llm.text import (
+        _BM25_B, _BM25_K1, _BM25_QUERY, _BM25_TOPK,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r["doc_id"], r["score"]) for r in Q["q75_bm25"](spark, sf).collect()]
+    docs = [
+        (d["doc_id"], d["text"].split(" "))
+        for d in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+        if d["text"] is not None
+    ]
+    n_docs = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n_docs
+    dfs = [sum(1 for _, t in docs if q in t) for q in _BM25_QUERY]
+    exp = []
+    for doc_id, toks in docs:
+        dl = len(toks)
+        score = 0.0
+        any_tf = 0
+        for q, df in zip(_BM25_QUERY, dfs):
+            tf = toks.count(q)
+            any_tf += tf
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+        if any_tf > 0:
+            exp.append((doc_id, round(score, 6)))
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    exp = exp[:_BM25_TOPK]
+    assert len(got) == len(exp)
+    for (gid, gs), (eid, es) in zip(got, exp):
+        assert gid == eid and abs(gs - es) < 1e-6, (gid, eid)
+
+
+def test_set_ops_bag_multiplicity(spark):
+    """EXCEPT ALL / INTERSECT ALL multiplicities vs per-customer year
+    counts: surplus = max(n95-n96, 0), common = min(n95, n96)."""
+    import collections
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = collections.defaultdict(dict)
+    for r in Q["q76_set_ops_bag"](spark, sf).collect():
+        got[r["kind"]][r["o_custkey"]] = r["n"]
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    n95, n96 = collections.Counter(), collections.Counter()
+    for o in orders:
+        if o["o_orderdate"].year == 1995:
+            n95[o["o_custkey"]] += 1
+        elif o["o_orderdate"].year == 1996:
+            n96[o["o_custkey"]] += 1
+    surplus = {c: n95[c] - n96[c] for c in n95 if n95[c] > n96[c]}
+    common = {c: min(n95[c], n96[c]) for c in n95 if c in n96}
+    assert got["surplus_1995"] == surplus
+    assert got["common"] == common
+    # multiplicity must actually differ from the distinct form somewhere
+    assert any(n > 1 for n in surplus.values()) or any(n > 1 for n in common.values())

@@ -194,3 +194,30 @@ def test_q73_regex_stays_jvm_side(spark):
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q74_single_shuffle_serves_all_ranks(spark):
+    """ntile/percent_rank/cume_dist share one WINDOW spec: one exchange,
+    one Window node."""
+    plan = formatted_plan(spark, "q74_rank_distribution")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert plan.count(") Window") == 1, plan
+
+
+def test_q75_bm25_no_data_shuffle(spark):
+    """BM25 never shuffles the corpus: the 1-row stats frame broadcasts
+    back (nested-loop on a single row is the right plan), scoring is
+    row-local, and the top-k is TakeOrdered."""
+    plan = formatted_plan(spark, "q75_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning(") == 0, plan
+
+
+def test_q76_set_ops_compile_without_joins(spark):
+    """exceptAll/intersectAll must compile to count-aggregate +
+    replicate-rows around key shuffles — never per-copy anti/semi
+    joins."""
+    plan = formatted_plan(spark, "q76_set_ops_bag")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad

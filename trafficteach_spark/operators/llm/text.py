@@ -388,3 +388,94 @@ def q73_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# BM25 parameters (the standard Robertson defaults) and a literal query
+# term list drawn from the fixture vocabulary.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "window", "join")
+_BM25_TOPK = 50
+
+
+def _bm25_tf(term: str) -> str:
+    return f"size(filter(split(text, ' '), x -> x = '{term}'))"
+
+
+@register(
+    "q75_bm25",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               {', '.join(
+                   f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+                   f" AS tf_{i}" for i, t in enumerate(_BM25_QUERY))}
+        FROM documents WHERE text IS NOT NULL
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               AVG(CAST(dl AS DOUBLE)) AS avgdl,
+               {', '.join(
+                   f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+                   for i in range(len(_BM25_QUERY)))}
+        FROM scored
+    )
+    SELECT doc_id,
+           ROUND({' + '.join(
+               f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+               f" * (tf_{i} * ({_BM25_K1} + 1.0))"
+               f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+               for i in range(len(_BM25_QUERY)))}, 6) AS score
+    FROM scored, stats
+    WHERE {' + '.join(f"tf_{i}" for i in range(len(_BM25_QUERY)))} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+    tags=("llm", "X4", "retrieval"),
+)
+def q75_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring: rank documents against a fixed query
+    (terms {_BM25_QUERY}) with the standard Okapi formula — the
+    retrieval primitive behind benchmark decontamination (q50's n-gram
+    form) and RAG-corpus curation, run as pure relational algebra.
+
+    Plan shape: per-doc term frequencies are row-local expressions; the
+    corpus stats (N, avgdl, per-term df) are ONE 1-row aggregate that
+    broadcast-joins back (AQE picks broadcast for the scalar side), so
+    the corpus is scanned twice and shuffled never; the top-k is
+    TakeOrdered. IDF uses the BM25+ ln(1 + (N-df+.5)/(df+.5)) form —
+    strictly positive, so scores are monotone in tf and the
+    (score, doc_id) ordering is deterministic in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        *[
+            F.expr(_bm25_tf(t)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_QUERY)
+        ],
+    )
+    stats = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_QUERY))
+        ],
+    )
+    term_score = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_QUERY))
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(_BM25_QUERY)))
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .where(F.expr(any_tf) > 0)
+        .select("doc_id", F.round(F.expr(term_score), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

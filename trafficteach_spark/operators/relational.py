@@ -479,3 +479,54 @@ def q15_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*cols)
     )
     return a.unionByName(b)
+
+
+@register(
+    "q76_set_ops_bag",
+    oracle="""
+    SELECT o_custkey, 'surplus_1995' AS kind, COUNT(*) AS n
+    FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ) GROUP BY 1
+    UNION ALL
+    SELECT o_custkey, 'common' AS kind, COUNT(*) AS n
+    FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ) GROUP BY 1
+    """,
+    tags=("relational", "O26", "O28"),
+)
+def q76_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: per customer, the 1995-order
+    multiset EXCEPT ALL / INTERSECT ALL the 1996-order multiset —
+    surplus = how many MORE orders than last year (max(n95-n96, 0)
+    copies), common = the overlapping count (min(n95, n96)). q05/q14
+    cover the DISTINCT set forms; multiplicity-preserving bag forms are
+    a different operator (Spark ``exceptAll``/``intersectAll``) and the
+    one report shape (year-over-year surplus) where the distinction is
+    the answer.
+
+    Plan shape: Catalyst compiles both to a count-aggregate + generate
+    (replicate min/difference counts) around ONE shuffle on the key —
+    not an anti/semi join per copy; the two branches union row-locally.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    surplus = (
+        y95.exceptAll(y96)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .select("o_custkey", F.lit("surplus_1995").alias("kind"), "n")
+    )
+    common = (
+        y95.intersectAll(y96)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .select("o_custkey", F.lit("common").alias("kind"), "n")
+    )
+    return surplus.unionByName(common).select("o_custkey", "kind", "n")

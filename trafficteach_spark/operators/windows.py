@@ -317,3 +317,41 @@ def q_stream_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_speed"),
         )
     )
+
+
+@register(
+    "q74_rank_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("windows", "O22"),
+)
+def q74_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional ranks per group: quartile bucket (ntile),
+    percentile rank, and cumulative distribution of each event's value
+    within its type — the feature-normalization pass (rank-transform
+    features, quantile bucketing for monotonic models).
+
+    Determinism note: ``ntile`` assigns ROW positions, so equal values
+    on a tie boundary would land in different tiles depending on
+    arbitrary order — the ORDER BY carries event_id as a unique
+    tie-break, making all three functions exact in both engines
+    (percent_rank/cume_dist then see singleton peer groups). One
+    shuffle serves all three (shared WINDOW spec; same profile as q64).
+    """
+    from trafficteach_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
