@@ -77,6 +77,27 @@ TINY_EMB = [
     (i, d + [0.0] * (schemas.EMBEDDING_DIM - len(d)), i % 2) for i, d in enumerate(_DIRS)
 ]
 
+# Minimal TPC-H side, just enough for every registered query to EXECUTE
+# on degenerate data: single-row dims, three orders (one 1995, one 1996,
+# one mega-priced), four lineitems (a 2-part basket for pair queries).
+_D = dt.datetime
+TINY_REGION = [(0, "r0")]
+TINY_NATION = [(0, "n0", 0)]
+TINY_SUPPLIER = [(0, "s0", 0, 1.0)]
+TINY_CUSTOMER = [(1, "c1", 0, 10.0, "SEG"), (2, "c2", 0, 20.0, "SEG")]
+TINY_PART = [(1, "p1", "B", "T", 1, 1.0), (2, "p2", "B", "T", 2, 2.0)]
+TINY_ORDERS = [
+    (1, 1, "O", 100.0, _D(1995, 3, 1), "1-URGENT"),
+    (2, 1, "F", 200.0, _D(1996, 3, 1), "2-HIGH"),
+    (3, 2, "O", 499_999.0, _D(1996, 6, 1), "1-URGENT"),  # mega order (q63)
+]
+TINY_LINEITEM = [
+    (1, 1, 0, 1, 1.0, 10.0, 0.1, 0.0, "N", "O", _D(1995, 3, 2)),
+    (1, 2, 0, 2, 2.0, 20.0, 0.2, 0.0, "N", "O", _D(1995, 3, 3)),
+    (2, 1, 0, 1, 3.0, 30.0, 0.0, 0.1, "R", "F", _D(1996, 3, 2)),
+    (3, 2, 0, 1, 4.0, 40.0, 0.1, 0.1, "A", "F", _D(1996, 6, 2)),
+]
+
 
 @pytest.fixture(scope="session")
 def tiny_sf_dir(spark, tmp_path_factory):
@@ -91,4 +112,16 @@ def tiny_sf_dir(spark, tmp_path_factory):
     spark.createDataFrame(TINY_EMB, schemas.EMBEDDINGS).coalesce(1).write.mode(
         "overwrite"
     ).parquet(str(out / "embeddings.parquet"))
+    for rows_, schema, name in (
+        (TINY_REGION, schemas.REGION, "region"),
+        (TINY_NATION, schemas.NATION, "nation"),
+        (TINY_SUPPLIER, schemas.SUPPLIER, "supplier"),
+        (TINY_CUSTOMER, schemas.CUSTOMER, "customer"),
+        (TINY_PART, schemas.PART, "part"),
+        (TINY_ORDERS, schemas.ORDERS, "orders"),
+        (TINY_LINEITEM, schemas.LINEITEM, "lineitem"),
+    ):
+        spark.createDataFrame(rows_, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(out / f"{name}.parquet"))
     return str(out)

@@ -60,3 +60,19 @@ def test_no_unhashable_column_types_in_registered_outputs():
         for name, dtype in fn(spark, SMOKE_SF_DIR).dtypes:
             assert not dtype.startswith(("array", "map", "struct")), (
                 key, name, dtype)
+
+
+def test_every_query_executes_on_degenerate_fixture(spark, tiny_sf_dir):
+    """Robustness sweep: every registered query must EXECUTE on the
+    hand-built degenerate fixture (single-row dims, empty strata, absent
+    vocabulary, one mega-order) without raising — empty results are
+    legitimate; crashes on thin data are not. This is the net that
+    catches division-by-zero, empty-aggregate, and head-of-empty bugs
+    that sf0.01 parity can never reach."""
+    failures = {}
+    for key, fn in registry.queries().items():
+        try:
+            fn(spark, tiny_sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001 - report all at once
+            failures[key] = f"{type(exc).__name__}: {exc}"[:200]
+    assert not failures, failures

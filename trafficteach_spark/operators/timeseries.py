@@ -229,7 +229,8 @@ _Z_THRESH = 2.0
     scored AS (
         SELECT event_type, hr, n,
                (n - AVG(n) OVER (PARTITION BY event_type))
-                   / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+                   / NULLIF(stddev_samp(n) OVER (PARTITION BY event_type), 0)
+                   AS z
         FROM hourly
     )
     SELECT event_type, hr, n, ROUND(z, 6) AS z
@@ -248,8 +249,11 @@ def q66_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type mean/stddev is an unbounded window over the ALREADY
     AGGREGATED frame (rows = types x hours, data-volume-independent),
     so the expensive pass touches raw events exactly once. A zero
-    stddev (constant series) yields NULL z and the ABS() filter drops
-    it in both engines — a flat series has no outliers by definition.
+    stddev (perfectly flat series) is NULLIF-guarded to NULL z — under
+    ANSI mode a bare division would RAISE on it, not null out (caught
+    by the degenerate-fixture sweep) — and the ABS() filter then drops
+    the row in both engines: a flat series has no outliers by
+    definition.
     At 100 TB the window input is still tiny; only the first groupBy
     scales, and it is a plain partial-agg shuffle.
     """
@@ -260,7 +264,8 @@ def q66_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type")
     scored = hourly.withColumn(
         "z",
-        (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w),
+        (F.col("n") - F.avg("n").over(w))
+        / F.nullif(F.stddev_samp("n").over(w), F.lit(0.0)),
     )
     return scored.where(F.abs(F.col("z")) > _Z_THRESH).select(
         "event_type", "hr", "n", F.round("z", 6).alias("z")
