@@ -1088,11 +1088,8 @@ def test_rank_distribution_matches_replay(spark):
         base, extra = divmod(n, 4)
         # ntile: first `extra` tiles get base+1 rows
         bounds = []
-        pos = 0
         for t in range(4):
-            size = base + (1 if t < extra else 0)
-            bounds.extend([t + 1] * size)
-            pos += size
+            bounds.extend([t + 1] * (base + (1 if t < extra else 0)))
         for i, e in enumerate(grp):
             exp = (
                 bounds[i],

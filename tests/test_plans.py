@@ -221,3 +221,12 @@ def test_q76_set_ops_compile_without_joins(spark):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                 "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_q62_single_fact_scan_via_persist(spark):
+    """q62's three hourly-frame consumers must read the persisted
+    aggregate (InMemoryRelation), not re-scan the fact table — the
+    persist is load-bearing because per-branch pruning defeats
+    ReuseExchange (measured: three full scans without it)."""
+    plan = formatted_plan(spark, "q62_time_resample")
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan

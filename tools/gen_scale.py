@@ -48,6 +48,9 @@ DOC_ID_STRIDE = 10_000_000
 ORDER_KEY_STRIDE = 10_000_000
 CUST_KEY_STRIDE = 1_000_000
 PART_KEY_STRIDE = 1_000_000
+# Per-copy date shift: must exceed the source date SPAN (1992-1998,
+# ~2500 days) so replica copies are fully time-disjoint.
+_COPY_SHIFT_DAYS = 3650
 
 
 def main() -> None:
@@ -133,11 +136,17 @@ def main() -> None:
     # (per-customer histories and baskets stay reference-sized — row
     # counts scale k, not k^2); the SAME per-copy date shift on
     # o_orderdate and l_shipdate keeps within-copy interval joins
-    # intact while spreading copies over distinct days, so q63's
-    # per-day pair density stays constant and its matched pairs scale
-    # ~k (dates shared across copies would scale them k^2 by design,
-    # not by plan defect). l_partkey offsets grow the part vocabulary
-    # k-fold, the way a real catalog grows.
+    # intact. The shift is i * _COPY_SHIFT_DAYS with _COPY_SHIFT_DAYS
+    # exceeding the source's whole date span, so copies are FULLY
+    # time-disjoint — the "k-fold more history" growth model: per-day
+    # interval density stays constant and q63's matched pairs scale ~k.
+    # (The first cut shifted by only i days; copies then overlapped in
+    # time and cross-copy interval matches made q63 pairs scale k^2 —
+    # measured 4.00x at k=2 — which invalidated the probe. The price of
+    # time-disjointness: calendar-window queries like q76's
+    # year-over-year only see copy 0; probe those on the events side.)
+    # customer/part are replicated with the MATCHING key offsets so the
+    # scaled fixture keeps referential integrity for dim joins.
     orders = spark.read.parquet(f"{src}/orders.parquet")
     ocopies = [
         orders.select(
@@ -145,7 +154,7 @@ def main() -> None:
             (F.col("o_custkey") + i * CUST_KEY_STRIDE).alias("o_custkey"),
             "o_orderstatus",
             "o_totalprice",
-            (F.col("o_orderdate") + F.expr(f"INTERVAL {i} DAYS")).alias("o_orderdate"),
+            (F.col("o_orderdate") + F.expr(f"INTERVAL {i * _COPY_SHIFT_DAYS} DAYS")).alias("o_orderdate"),
             "o_orderpriority",
         )
         for i in range(k)
@@ -168,7 +177,7 @@ def main() -> None:
             "l_tax",
             "l_returnflag",
             "l_linestatus",
-            (F.col("l_shipdate") + F.expr(f"INTERVAL {i} DAYS")).alias("l_shipdate"),
+            (F.col("l_shipdate") + F.expr(f"INTERVAL {i * _COPY_SHIFT_DAYS} DAYS")).alias("l_shipdate"),
         )
         for i in range(k)
     ]
@@ -177,8 +186,30 @@ def main() -> None:
         ll = ll.unionByName(c)
     ll.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
-    # Remaining tables: straight copies (dims don't drive the scaling study).
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    customer = spark.read.parquet(f"{src}/customer.parquet")
+    ccopies = [
+        customer.withColumn(
+            "c_custkey", F.col("c_custkey") + i * CUST_KEY_STRIDE
+        )
+        for i in range(k)
+    ]
+    cc = ccopies[0]
+    for c in ccopies[1:]:
+        cc = cc.unionByName(c)
+    cc.repartition(8).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+
+    part = spark.read.parquet(f"{src}/part.parquet")
+    pcopies = [
+        part.withColumn("p_partkey", F.col("p_partkey") + i * PART_KEY_STRIDE)
+        for i in range(k)
+    ]
+    pp = pcopies[0]
+    for c in pcopies[1:]:
+        pp = pp.unionByName(c)
+    pp.repartition(8).write.mode("overwrite").parquet(f"{out}/part.parquet")
+
+    # Remaining tables: straight copies (fixed-cardinality dims).
+    for t in ("region", "nation", "supplier"):
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )

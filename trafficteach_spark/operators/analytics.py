@@ -310,7 +310,7 @@ _BASKET_TOPK = 20
     tags=("analytics", "cooccurrence"),
 )
 def q67_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket heavy hitters: the top-{_BASKET_TOPK} part pairs
+    """Market-basket heavy hitters: the top-20 part pairs
     that co-occur in the most orders (the co-occurrence/association
     primitive behind recommendations and feature crosses).
 

@@ -436,7 +436,7 @@ def _bm25_tf(term: str) -> str:
 )
 def q75_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance scoring: rank documents against a fixed query
-    (terms {_BM25_QUERY}) with the standard Okapi formula — the
+    (terms spark/window/join) with the standard Okapi formula — the
     retrieval primitive behind benchmark decontamination (q50's n-gram
     form) and RAG-corpus curation, run as pure relational algebra.
 

@@ -50,28 +50,30 @@ def q62_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dashboard/monitoring shape where a MISSING bucket is the signal
     (a plain groupBy silently drops it).
 
-    Plan shape: the only full-data shuffle is the hourly groupBy; the
-    calendar is built engine-side from a 1-row min/max aggregate via
-    ``sequence`` + ``explode`` (no driver collect, no Python range), and
-    the (types x hours) grid joins the aggregated hourly counts — both
-    sides post-aggregation small, so AQE broadcasts. At 100 TB the
-    min/max scan disappears entirely when the table is date-partitioned
-    (partition metadata answers it); the grid stays tiny (types x hours
-    grows with time, not data volume).
+    Plan shape: the raw events table is scanned and shuffled ONCE (the
+    hourly groupBy); the calendar bounds AND the type list derive from
+    the already-aggregated hourly frame, which is persisted (O43) so
+    its three consumers read the tiny types-x-hours cache instead of
+    re-scanning the fact table. The persist is load-bearing, not just
+    derivation order: per-branch column pruning specializes each
+    branch's partial aggregate, so ReuseExchange canNOT share them —
+    the first cut (derive from raw events, no persist) measured THREE
+    full fact scans in the executed plan. The calendar is built
+    engine-side via ``sequence`` + ``explode`` (no driver collect);
+    grid joins are post-aggregation small, so AQE broadcasts. The grid
+    stays tiny at any volume (types x hours grows with time, not data).
     """
     events = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     hourly = (
         events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .persist()
     )
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
     cal = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
     )
-    types = events.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = types.crossJoin(cal)
     return (
         grid.join(hourly, ["event_type", "hr"], "left")
@@ -115,7 +117,7 @@ _MEGA_PRICE = 495_000.0
 )
 def q63_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join with NO equi-key: every lineitem
-    shipped within [o_orderdate, o_orderdate + {_IVAL_DAYS}d) of any
+    shipped within [o_orderdate, o_orderdate + 3d) of any
     MEGA-order (top ~1% by value — the sparse-interval side a real
     range-join workload has), aggregated per order priority. Naively
     this is a BroadcastNestedLoopJoin (quadratic scan) — the classic
@@ -123,7 +125,7 @@ def q63_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Re-expressed as a **bucketized equi-join**: each interval explodes
     into the day buckets it covers (bounded fan-out = interval length /
-    bucket width = {_IVAL_DAYS} rows), each point maps to exactly ONE
+    bucket width = 3 rows), each point maps to exactly ONE
     day bucket, the join runs as a plain shuffled hash join on the
     bucket, and the residual exact range predicate filters within
     bucket matches. A point's bucket appears at most once in any
@@ -242,7 +244,7 @@ _Z_THRESH = 2.0
 def q66_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection: hourly event counts whose z-score
     against their own type's hourly distribution exceeds
-    {_Z_THRESH} sample standard deviations — the alerting shape over
+    2.0 sample standard deviations — the alerting shape over
     the q62 resample family.
 
     Plan shape: one groupBy shuffle builds the hourly counts; the
