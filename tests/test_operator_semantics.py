@@ -1166,3 +1166,36 @@ def test_set_ops_bag_multiplicity(spark):
     assert got["common"] == common
     # multiplicity must actually differ from the distinct form somewhere
     assert any(n > 1 for n in surplus.values()) or any(n > 1 for n in common.values())
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """The t-digest answers must honor the documented guarantee: each
+    returned value's rank in the group's sorted values lies within
+    n/accuracy of the target rank — the invariant that substitutes for
+    a DuckDB oracle on this engine-internal sketch."""
+    import bisect
+    import collections
+
+    from trafficteach_spark.operators.analytics import _APPROX_ACCURACY, PCTS
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n"], r["p50"], r["p90"], r["p99"])
+        for r in Q["q77_approx_percentiles"](spark, sf).collect()
+    }
+    vals = collections.defaultdict(list)
+    for r in load_table(spark, sf, "events").select("event_type", "value").collect():
+        vals[r["event_type"]].append(r["value"])
+    assert set(got) == set(vals)
+    for etype, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        gn, *answers = got[etype]
+        assert gn == n
+        eps_ranks = n / _APPROX_ACCURACY + 1  # +1 absorbs the p50 rounding
+        for p, ans in zip(PCTS, answers):
+            lo = bisect.bisect_left(xs, ans - 1e-6)
+            hi = bisect.bisect_right(xs, ans + 1e-6)
+            target = p * (n - 1)
+            assert lo - eps_ranks <= target <= hi + eps_ranks, (etype, p, ans)

@@ -24,6 +24,7 @@ def test_oracle_keys_subset_of_queries():
     assert no_oracle == {
         "q10_distinct_users_approx",
         "q31_simhash",
+        "q77_approx_percentiles",
     }
 
 

@@ -493,3 +493,47 @@ def q72_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
     )
+
+
+# Relative rank-error budget for the t-digest approximate percentiles
+# (Spark's approx_percentile accuracy knob: 1/accuracy = max rank error).
+_APPROX_ACCURACY = 10_000
+
+
+@register(
+    "q77_approx_percentiles",
+    oracle=None,  # engine-internal t-digest sketch; DuckDB cannot reproduce
+    tags=("analytics", "O15", "sketch"),
+)
+def q77_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (p50/p90/p99 per event type) via the
+    t-digest sketch — the 100 TB path q52's docstring points at, now a
+    first-class registered operator. rows-only by design: the sketch is
+    engine-internal, so no DuckDB oracle exists; correctness is pinned
+    by the rank-error invariant test instead (every approximate answer
+    must sit within 1/accuracy of the exact rank — the documented
+    guarantee), making the accuracy contract itself the tested artifact.
+
+    Scale shape: the sketch is a MERGEABLE aggregate — partial digests
+    build map-side and merge in one shuffle of GROUPS x O(accuracy)
+    state, never sorting or holding a group's values; this is why it
+    replaces q52's exact sort-based percentile at volume.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pct_list = ", ".join(f"{p}D" for p in PCTS)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                f"approx_percentile(value, array({pct_list}), {_APPROX_ACCURACY})"
+            ).alias("pcts"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("pcts")[0], 6).alias("p50"),
+            F.round(F.col("pcts")[1], 6).alias("p90"),
+            F.round(F.col("pcts")[2], 6).alias("p99"),
+        )
+    )
