@@ -1199,3 +1199,28 @@ def test_approx_percentiles_within_rank_error(spark):
             hi = bisect.bisect_right(xs, ans + 1e-6)
             target = p * (n - 1)
             assert lo - eps_ranks <= target <= hi + eps_ranks, (etype, p, ans)
+
+
+def test_id_gaps_ranges_match_replay(spark):
+    """Per-stream gap ranges vs a python replay: each reported range
+    must be exactly the missing ids between consecutive present ids."""
+    import collections
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["gap_start"], r["gap_end"]): r["n_missing"]
+        for r in Q["q78_id_gaps"](spark, sf).collect()
+    }
+    ids = collections.defaultdict(list)
+    for r in load_table(spark, sf, "events").select("event_type", "event_id").collect():
+        ids[r["event_type"]].append(r["event_id"])
+    expected = {}
+    for t, xs in ids.items():
+        xs.sort()
+        for a, b in zip(xs, xs[1:]):
+            if b - a > 1:
+                expected[(t, a + 1, b - 1)] = b - a - 1
+    assert got == expected
+    assert len(expected) > 0  # interleaved counters guarantee gaps

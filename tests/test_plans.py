@@ -230,3 +230,12 @@ def test_q62_single_fact_scan_via_persist(spark):
     ReuseExchange (measured: three full scans without it)."""
     plan = formatted_plan(spark, "q62_time_resample")
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+
+
+def test_q78_gap_audit_is_partitioned(spark):
+    """The per-stream audit must hash-partition by the stream key (one
+    exchange, one Window) — not serialize through a single partition."""
+    plan = formatted_plan(spark, "q78_id_gaps")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert plan.count(") Window") == 1, plan
+    assert "SinglePartition" not in plan, plan

@@ -9,7 +9,7 @@ every query carries a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trafficteach_spark.registry import register
@@ -536,4 +536,51 @@ def q77_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pcts")[1], 6).alias("p90"),
             F.round(F.col("pcts")[2], 6).alias("p99"),
         )
+    )
+
+
+@register(
+    "q78_id_gaps",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, event_id,
+               lag(event_id) OVER (PARTITION BY event_type ORDER BY event_id)
+                   AS prev_id
+        FROM events
+    )
+    SELECT event_type,
+           prev_id + 1 AS gap_start,
+           event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS n_missing
+    FROM ordered
+    WHERE event_id - prev_id > 1
+    """,
+    tags=("analytics", "data-quality"),
+)
+def q78_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream sequence-gap audit: every hole in each event type's
+    id sequence as (gap_start, gap_end, n_missing) — the completeness
+    check for pipelines whose upstream assigns each stream's ids from
+    its own counter (a gap = dropped or stuck data). On the shared-
+    counter fixture the per-type sequences interleave, so gaps are
+    plentiful and the range arithmetic is genuinely exercised at every
+    scale factor (a global audit over these contiguous ids returns
+    zero rows and tests nothing).
+
+    Plan shape: one lag window partitioned by the stream key — gap
+    detection parallelizes across streams, ONE shuffle, no global
+    order. A truly global audit is this same query with the partition
+    key dropped (total order = single partition); shard it by id range
+    and stitch boundaries when the sequence is global at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ordered = events.select(
+        "event_type", "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    return ordered.where(F.col("event_id") - F.col("prev_id") > 1).select(
+        "event_type",
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
     )
