@@ -56,3 +56,31 @@ def test_tpch_strides_exceed_source_id_ranges():
     assert ORDER_KEY_STRIDE > _max("lineitem", "l_orderkey")
     assert CUST_KEY_STRIDE > _max("orders", "o_custkey")
     assert PART_KEY_STRIDE > _max("lineitem", "l_partkey")
+
+
+def test_copy_shift_exceeds_source_date_span():
+    """Time-disjointness invariant: the per-copy date shift must exceed
+    the source's whole order-to-ship date span, or replica copies
+    overlap in time and range-join pairs scale k^2 instead of k (the
+    measured 4.00x-at-k=2 defect this constant exists to prevent)."""
+    from tools.gen_scale import _COPY_SHIFT_DAYS
+
+    span_days = duckdb.sql(
+        f"""
+        SELECT datediff('day',
+            (SELECT MIN(o_orderdate) FROM read_parquet('{SRC}/orders.parquet')),
+            (SELECT MAX(l_shipdate) FROM read_parquet('{SRC}/lineitem.parquet')))
+        """
+    ).fetchone()[0]
+    assert _COPY_SHIFT_DAYS > span_days
+
+
+def test_dim_strides_exceed_dim_table_maxima():
+    """customer/part are now replicated too, so the strides must clear
+    the DIM tables' own key maxima (which can exceed the fact-side
+    maxima: customers with no orders, parts never ordered) or replica
+    dim keys collide and merge different customers/parts."""
+    from tools.gen_scale import CUST_KEY_STRIDE, PART_KEY_STRIDE
+
+    assert CUST_KEY_STRIDE > _max("customer", "c_custkey")
+    assert PART_KEY_STRIDE > _max("part", "p_partkey")

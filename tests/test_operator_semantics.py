@@ -1186,7 +1186,8 @@ def test_approx_percentiles_within_rank_error(spark):
     }
     vals = collections.defaultdict(list)
     for r in load_table(spark, sf, "events").select("event_type", "value").collect():
-        vals[r["event_type"]].append(r["value"])
+        if r["value"] is not None:  # the sketch (and n) skip NULLs
+            vals[r["event_type"]].append(r["value"])
     assert set(got) == set(vals)
     for etype, xs in vals.items():
         xs.sort()

@@ -228,8 +228,18 @@ def test_q62_single_fact_scan_via_persist(spark):
     aggregate (InMemoryRelation), not re-scan the fact table — the
     persist is load-bearing because per-branch pruning defeats
     ReuseExchange (measured: three full scans without it)."""
+    import re
+
     plan = formatted_plan(spark, "q62_time_resample")
-    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    # all three consumers (join probe, bounds, types) read the cache...
+    # (formatted mode prints each node twice: tree + detail section)
+    nodes = set(re.findall(r"InMemoryTableScan \((\d+)\)", plan))
+    assert len(nodes) == 3, plan
+    # ...and exactly ONE parquet scan node exists — the cached
+    # relation's, echoed under each InMemoryTableScan print. Three
+    # distinct scan nodes is the regression this test pins against.
+    scan_nodes = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_nodes) == 1, plan
 
 
 def test_q78_gap_audit_is_partitioned(spark):

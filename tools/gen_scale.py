@@ -53,6 +53,13 @@ PART_KEY_STRIDE = 1_000_000
 _COPY_SHIFT_DAYS = 3650
 
 
+def _union_all(copies):
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def main() -> None:
     k = int(sys.argv[1])
     out = sys.argv[2]
@@ -72,9 +79,7 @@ def main() -> None:
         )
         for i in range(k)
     ]
-    ev = copies[0]
-    for c in copies[1:]:
-        ev = ev.unionByName(c)
+    ev = _union_all(copies)
     ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
     docs = spark.read.schema(schemas.DOCUMENTS).parquet(f"{src}/documents.parquet")
@@ -104,9 +109,7 @@ def main() -> None:
         )
         for i in range(k)
     ]
-    dd = dcopies[0]
-    for c in dcopies[1:]:
-        dd = dd.unionByName(c)
+    dd = _union_all(dcopies)
     dd.repartition(16).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     emb = spark.read.schema(schemas.EMBEDDINGS).parquet(f"{src}/embeddings.parquet")
@@ -126,9 +129,7 @@ def main() -> None:
         )
         for i in range(k)
     ]
-    ee = ecopies[0]
-    for c in ecopies[1:]:
-        ee = ee.unionByName(c)
+    ee = _union_all(ecopies)
     ee.repartition(16).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     # orders/lineitem: perturbed k-fold replicas for the TPC-H-side
@@ -159,9 +160,7 @@ def main() -> None:
         )
         for i in range(k)
     ]
-    oo = ocopies[0]
-    for c in ocopies[1:]:
-        oo = oo.unionByName(c)
+    oo = _union_all(ocopies)
     oo.repartition(16).write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
     lineitem = spark.read.parquet(f"{src}/lineitem.parquet")
@@ -181,9 +180,7 @@ def main() -> None:
         )
         for i in range(k)
     ]
-    ll = lcopies[0]
-    for c in lcopies[1:]:
-        ll = ll.unionByName(c)
+    ll = _union_all(lcopies)
     ll.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
     customer = spark.read.parquet(f"{src}/customer.parquet")
@@ -193,9 +190,7 @@ def main() -> None:
         )
         for i in range(k)
     ]
-    cc = ccopies[0]
-    for c in ccopies[1:]:
-        cc = cc.unionByName(c)
+    cc = _union_all(ccopies)
     cc.repartition(8).write.mode("overwrite").parquet(f"{out}/customer.parquet")
 
     part = spark.read.parquet(f"{src}/part.parquet")
@@ -203,9 +198,7 @@ def main() -> None:
         part.withColumn("p_partkey", F.col("p_partkey") + i * PART_KEY_STRIDE)
         for i in range(k)
     ]
-    pp = pcopies[0]
-    for c in pcopies[1:]:
-        pp = pp.unionByName(c)
+    pp = _union_all(pcopies)
     pp.repartition(8).write.mode("overwrite").parquet(f"{out}/part.parquet")
 
     # Remaining tables: straight copies (fixed-cardinality dims).

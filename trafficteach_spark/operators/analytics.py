@@ -524,7 +524,9 @@ def q77_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
+            # count(value), not count(*): the sketch skips NULLs, so n
+            # must describe the same population the percentiles do.
+            F.count("value").alias("n"),
             F.expr(
                 f"approx_percentile(value, array({pct_list}), {_APPROX_ACCURACY})"
             ).alias("pcts"),
