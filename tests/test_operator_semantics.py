@@ -1225,3 +1225,27 @@ def test_id_gaps_ranges_match_replay(spark):
                 expected[(t, a + 1, b - 1)] = b - a - 1
     assert got == expected
     assert len(expected) > 0  # interleaved counters guarantee gaps
+
+
+def test_weighted_sample_matches_replay_and_is_weighted(spark):
+    """The selection must equal the python replay of u/weight keys, and
+    the sample must actually skew toward high-value orders (the
+    property that distinguishes it from q08's uniform draw)."""
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = [r["o_orderkey"] for r in Q["q79_weighted_sample"](spark, sf).collect()]
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    keyed = sorted(
+        (((o["o_orderkey"] * 1103515245 + 12345) % 2147483648)
+         / o["o_totalprice"], o["o_orderkey"])
+        for o in orders
+    )
+    assert got == [k for _, k in keyed[:100]]
+    # weighting bites: sampled mean price well above the population mean
+    prices = {o["o_orderkey"]: o["o_totalprice"] for o in orders}
+    pop_mean = sum(prices.values()) / len(prices)
+    sample_mean = sum(prices[k] for k in got) / len(got)
+    assert sample_mean > 1.2 * pop_mean

@@ -249,3 +249,10 @@ def test_q78_gap_audit_is_partitioned(spark):
     assert plan.count("hashpartitioning(") == 1, plan
     assert plan.count(") Window") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_q79_weighted_sample_is_take_ordered_no_shuffle(spark):
+    """Per-row key + global top-k: TakeOrdered, zero exchanges."""
+    plan = formatted_plan(spark, "q79_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning(") == 0, plan

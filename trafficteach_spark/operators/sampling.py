@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_events_range
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 
@@ -108,4 +108,52 @@ def q09_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("users"),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+# Weighted sample size and the LCG mix reapplied to o_orderkey.
+_WSAMPLE_K = 100
+_WMIX = "(o_orderkey * 1103515245 + 12345) % 2147483648"
+
+
+@register(
+    "q79_weighted_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM (
+        SELECT o_orderkey, o_totalprice, o_orderpriority,
+               CAST({_WMIX} AS DOUBLE) / o_totalprice AS k
+        FROM orders
+    )
+    ORDER BY k, o_orderkey
+    LIMIT {_WSAMPLE_K}
+    """,
+    tags=("sampling", "O33", "weighted"),
+)
+def q79_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sample without replacement: the 100 orders with
+    the smallest u/weight keys, where u is the LCG mix of the order key
+    and weight is o_totalprice — high-value orders are proportionally
+    more likely to be drawn, deterministically (the weighted analog of
+    q08's unweighted hash-quota draw; the training-mix use case is
+    quality-weighted corpus subsampling).
+
+    Numeric-parity note: the production form of priority sampling is
+    A-ES keys (-ln(u)/w, exactly probability-proportional); ln is NOT
+    correctly rounded identically across engines, so the last ulp could
+    flip the Kth-boundary selection and break the oracle. Integer-exact
+    u and IEEE-exact double DIVISION (correctly rounded by spec in both
+    engines) make u/w bit-stable — the same engineering trade recorded
+    on q08's LCG-vs-xxhash choice. Plan: per-row key + TakeOrdered
+    (per-partition top-k, driver merge of k x partitions) — one scan,
+    no shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "k", F.expr(_WMIX).cast("double") / F.col("o_totalprice")
+        )
+        .orderBy("k", "o_orderkey")
+        .limit(_WSAMPLE_K)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
