@@ -28,28 +28,74 @@ from trafficteach_spark.session import ensure_session_confs
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_EVENTS_TS_KIND_CACHE: dict[str, str] = {}
+
+
+def _events_ts_kind(path: str) -> str:
+    """Physical encoding of ``events.ts`` at *path*: ``"int64_ns"`` (parquet
+    TIMESTAMP(NANOS), which Spark 4 can only read as a raw long) or
+    ``"timestamp"`` (plain TIMESTAMP_MICROS, readable natively as NTZ).
+
+    Generated testdata has used both encodings across driver versions, so
+    the loader probes the parquet footer once per path (a driver-side
+    metadata read of a few KB — never a data scan) and adapts. Cached per
+    path; at 100 TB this is one footer read per job, not per partition.
+    """
+    kind = _EVENTS_TS_KIND_CACHE.get(path)
+    if kind is None:
+        import pyarrow.parquet as _pq
+        import pyarrow.types as _pt
+
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            probe = os.path.join(path, parts[0])
+        field = _pq.read_schema(probe).field("ts")
+        kind = "int64_ns" if _pt.is_integer(field.type) else "timestamp"
+        _EVENTS_TS_KIND_CACHE[path] = kind
+    return kind
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table with its declared schema; normalize physical quirks.
 
-    ``events.ts`` arrives as int64 nanoseconds (parquet TIMESTAMP(NANOS) is
-    unreadable by Spark 4 otherwise); converted here with integer division
-    — `ts div 1000` — which matches DuckDB's ns->us truncation exactly.
+    ``events.ts`` has two known on-disk encodings (see
+    :func:`_events_ts_kind`); either way operators see the logical
+    ``schemas.EVENTS`` shape — a microsecond TIMESTAMP_NTZ ``ts``. The
+    int64-ns form is converted with integer division — `ts div 1000` —
+    which matches DuckDB's ns->us truncation exactly.
     """
     ensure_session_confs(spark)
     if name not in schemas.READ_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {schemas.TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(schemas.READ_SCHEMAS[name]).parquet(path)
     if name == "events":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if _events_ts_kind(path) == "int64_ns":
+            df = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return spark.read.schema(schemas.EVENTS).parquet(path)
+    df = spark.read.schema(schemas.READ_SCHEMAS[name]).parquet(path)
     return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All tables as a dict — convenience for multi-table queries."""
     return {name: load_table(spark, sf_dir, name) for name in schemas.TABLE_NAMES}
+
+
+def _ts_norm(ts: str) -> str:
+    """Normalize a 'YYYY-MM-DD[ HH:MM:SS]' string to full timestamp form
+    (validates the literal before it is spliced into a TIMESTAMP_NTZ expr)."""
+    import datetime as dt
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in ts else "%Y-%m-%d"
+    return dt.datetime.strptime(ts, fmt).strftime("%Y-%m-%d %H:%M:%S")
 
 
 def _ts_to_ns(ts: str) -> int:
@@ -64,22 +110,31 @@ def _ts_to_ns(ts: str) -> int:
 
 def load_events_range(spark: SparkSession, sf_dir: str, start: str, end: str) -> DataFrame:
     """Events scan with the [start, end) predicate applied to the PHYSICAL
-    int64-ns column — so it reaches the parquet reader as a pushed filter
+    column — so it reaches the parquet reader as a pushed filter
     (row-group min/max skipping; `.explain` shows GreaterThanOrEqual/
-    LessThan under PushedFilters). Filtering the *converted* timestamp
-    instead leaves only IsNotNull pushable, which at 100 TB forfeits all
-    scan pruning on the fact table.
+    LessThan under PushedFilters).
 
+    For the int64-ns encoding the predicate must be on the raw long —
+    filtering the *converted* timestamp instead leaves only IsNotNull
+    pushable, which at 100 TB forfeits all scan pruning on the fact table.
     Exact equivalence: the loader's conversion truncates `ns div 1000`,
     and ``ns div 1000 >= start_us  <=>  ns >= start_us * 1000`` (ditto
     strict `<` on the end bound), so this equals filtering the logical ts.
+    For the native TIMESTAMP encoding the timestamp predicate itself is
+    pushdown-eligible, so it is applied directly.
     """
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    df = spark.read.schema(schemas.READ_SCHEMAS["events"]).parquet(path)
-    df = df.where(
-        (F.col("ts") >= F.lit(_ts_to_ns(start))) & (F.col("ts") < F.lit(_ts_to_ns(end)))
-    )
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    if _events_ts_kind(path) == "int64_ns":
+        df = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
+        df = df.where(
+            (F.col("ts") >= F.lit(_ts_to_ns(start)))
+            & (F.col("ts") < F.lit(_ts_to_ns(end)))
+        )
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    df = spark.read.schema(schemas.EVENTS).parquet(path)
+    start_lit = F.expr(f"TIMESTAMP_NTZ '{_ts_norm(start)}'")
+    end_lit = F.expr(f"TIMESTAMP_NTZ '{_ts_norm(end)}'")
+    return df.where((F.col("ts") >= start_lit) & (F.col("ts") < end_lit))
