@@ -50,6 +50,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
+    # The parity digest re-executes 31 constituent queries that are each
+    # timed individually right here — benching it would double-count.
+    qs.pop("q80_parity_digest", None)
 
     # Warmup: run everything once untimed (JVM JIT, codegen cache, parquet
     # footer cache) so timed rounds measure the query, not the cold start.
@@ -78,14 +81,32 @@ def main() -> None:
             timings[key] = -1.0
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+    # Full per-query detail for humans/BASELINE.md bookkeeping -> stderr.
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:30s} {v:8.3f} s", file=sys.stderr)
+
+    # The driver keeps only the LAST 2000 CHARS of stdout and parses the
+    # JSON line from that tail (an 83-query dict overflowed it in r03 and
+    # recorded "parsed": null). Budget the line: slowest queries first,
+    # compact separators, and an explicit queries_omitted count.
+    budget = 1800
     result = {
         "metric": "median_wall_sec_total_all_queries",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {},
+        "queries_total": len(timings),
+        "queries_omitted": 0,
         "sf": sf,
     }
-    print(json.dumps(result))
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        candidate = dict(result)
+        candidate["queries"] = {**result["queries"], k: v}
+        candidate["queries_omitted"] = len(timings) - len(candidate["queries"])
+        if len(json.dumps(candidate, separators=(",", ":"))) > budget:
+            break
+        result = candidate
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

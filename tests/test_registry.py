@@ -77,3 +77,41 @@ def test_every_query_executes_on_degenerate_fixture(spark, tiny_sf_dir):
         except Exception as exc:  # noqa: BLE001 - report all at once
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]
     assert not failures, failures
+
+
+def test_driver_order_covers_core_and_llm_families():
+    """The driver checks only the first 50 queries() keys; that window
+    must contain the full SURVEY §3 core + one key per X-family, and the
+    parity digest for everything demoted past it."""
+    keys = list(registry.queries())
+    first50 = set(keys[:50])
+    assert set(registry.DRIVER_ORDER) <= first50
+    assert "q80_parity_digest" in first50
+    # every key must still be registered exactly once
+    assert len(keys) == len(set(keys))
+
+
+def test_digest_schema_map_matches_live_schemas(spark):
+    """DIGEST_SCHEMAS is the build plan for both engines' fingerprint
+    exprs; a drifting constituent schema must fail here, not hash-diverge
+    at the driver."""
+    from tests.conftest import SMOKE_SF_DIR
+
+    from trafficteach_spark.operators import digest
+
+    specs = registry.all_specs()
+    for key, declared in digest.DIGEST_SCHEMAS.items():
+        live = [
+            (f.name, f.dataType.simpleString())
+            for f in specs[key].fn(spark, SMOKE_SF_DIR).schema.fields
+        ]
+        assert live == declared, key
+
+
+def test_digest_covers_every_demoted_oracle_key():
+    from trafficteach_spark.operators import digest
+
+    keys = list(registry.queries())
+    oracles = registry.oracle_sql()
+    demoted_with_oracle = {k for k in keys[50:] if k in oracles and k != "q80_parity_digest"}
+    assert demoted_with_oracle == set(digest.DIGEST_SCHEMAS)
