@@ -1,0 +1,90 @@
+"""events.ts dual-encoding loader (the round-3 -> round-4 data break).
+
+Driver-generated testdata has stored events.ts two ways across rounds:
+int64 epoch-nanoseconds (parquet TIMESTAMP(NANOS), readable in Spark 4
+only as a raw long) and plain TIMESTAMP_MICROS. Reading the micros form
+through the ns path divides every value by 1000 and lands in 1970,
+silently emptying every date-filtered scan — so the loader probes the
+footer and adapts. These tests pin: both encodings load to identical
+logical rows, the range loader agrees with a post-filter in both, and
+the range predicate stays pushdown-eligible.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trafficteach_spark import schemas
+from trafficteach_spark.sources import tables
+
+
+_ROWS_NS = [
+    # (event_id, ts_ns, user_id, event_type, value, props)
+    (1, 1_704_153_600_123_456_789, 7, "view", 1.5, "{}"),   # 2024-01-02 00:00:00.123456789
+    (2, 1_704_240_000_000_000_000, 8, "click", 2.5, "{}"),  # 2024-01-03
+    (3, 1_704_844_800_999_999_000, 7, "view", 3.5, "{}"),   # 2024-01-10 00:00:00.999999
+]
+
+
+@pytest.fixture(scope="module")
+def dual_dirs(spark, tmp_path_factory):
+    ns_dir = tmp_path_factory.mktemp("enc_ns")
+    us_dir = tmp_path_factory.mktemp("enc_us")
+    spark.createDataFrame(_ROWS_NS, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(ns_dir / "events.parquet"))
+    # Same logical rows, native TIMESTAMP_NTZ storage (ns truncated to us,
+    # matching the ns-path's `div 1000` semantics).
+    us = spark.createDataFrame(_ROWS_NS, schemas.EVENTS_PHYSICAL).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+    us.coalesce(1).write.mode("overwrite").parquet(str(us_dir / "events.parquet"))
+    return str(ns_dir), str(us_dir)
+
+
+def test_kind_probe(dual_dirs):
+    ns_dir, us_dir = dual_dirs
+    import os
+
+    assert tables._events_ts_kind(os.path.join(ns_dir, "events.parquet")) == "int64_ns"
+    assert tables._events_ts_kind(os.path.join(us_dir, "events.parquet")) == "timestamp"
+
+
+def test_both_encodings_load_identically(spark, dual_dirs):
+    ns_dir, us_dir = dual_dirs
+    a = tables.load_table(spark, ns_dir, "events")
+    b = tables.load_table(spark, us_dir, "events")
+    assert a.schema == b.schema == schemas.EVENTS
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    assert ra[0][1].microsecond == 123456  # sub-second survives in both
+
+
+@pytest.mark.parametrize("which", [0, 1])
+def test_range_loader_matches_postfilter(spark, dual_dirs, which):
+    d = dual_dirs[which]
+    got = sorted(
+        r.event_id
+        for r in tables.load_events_range(spark, d, "2024-01-02 12:00:00", "2024-01-11").collect()
+    )
+    assert got == [2, 3]
+    # and the [start, end) bounds are half-open in both encodings
+    exact = sorted(
+        r.event_id
+        for r in tables.load_events_range(spark, d, "2024-01-03", "2024-01-10").collect()
+    )
+    assert exact == [2]
+
+
+@pytest.mark.parametrize("which", [0, 1])
+def test_range_predicate_is_pushed(spark, dual_dirs, which):
+    d = dual_dirs[which]
+    df = tables.load_events_range(spark, d, "2024-01-02", "2024-01-11")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # the ts bounds must reach the scan, not just IsNotNull
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThan" in ln or "LessThan" in ln for ln in pushed), pushed
