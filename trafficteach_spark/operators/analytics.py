@@ -586,3 +586,61 @@ def q78_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") - 1).alias("gap_end"),
         (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth feature binning (training-feature discretization)
+
+N_DECILES = 10
+
+
+@register(
+    "q83_feature_bins",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               NTILE({N_DECILES}) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS decile
+        FROM lineitem
+    )
+    SELECT l_returnflag, decile, COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 6) AS lo,
+           ROUND(MAX(l_extendedprice), 6) AS hi,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "binning"),
+)
+def q83_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) discretization of a numeric feature per
+    category — the feature-binning pass of a training pipeline (price ->
+    decile id + per-bin stats usable as an embedding/bucketing table).
+
+    Determinism: the NTILE ordering carries the unique (price, orderkey,
+    linenumber) key, so tied prices land in the same decile in both
+    engines. Exact NTILE partitioned by a LOW-cardinality category is a
+    per-category single-task sort — fine at report scale, but the
+    100 TB path for a billion-row category is the engine's sketch pair:
+    approx_percentile boundaries (q77's t-digest, mergeable map-side)
+    followed by a stateless range-bucket join — same output contract,
+    no global sort. This query is the exact-oracle form of that
+    operator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("decile", F.ntile(N_DECILES).over(w))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+    )

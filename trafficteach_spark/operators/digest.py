@@ -69,6 +69,9 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q76_set_ops_bag": [("o_custkey", "bigint"), ("kind", "string"), ("n", "bigint")],
     "q78_id_gaps": [("event_type", "string"), ("gap_start", "bigint"), ("gap_end", "bigint"), ("n_missing", "bigint")],
     "q79_weighted_sample": [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("o_orderpriority", "string")],
+    "q81_hash_split": [("doc_id", "bigint"), ("split", "string"), ("n_chars", "bigint")],
+    "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
+    "q83_feature_bins": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

@@ -556,3 +556,120 @@ def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> cast(cast(round(s.m, 6) as decimal(12,6)) as string)), ',')"
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus split (train/val/test)
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+# 15 hex chars of md5 -> 60-bit non-negative int, identical in both
+# engines (Spark conv(,16,10); DuckDB '0x'-literal cast).
+_SPLIT_HASH_SPARK = (
+    "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT), 100)"
+)
+_SPLIT_HASH_DUCK = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+)
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Assign each row a deterministic train/val/test split label from a
+    cryptographic hash of its id — the reproducible-split primitive every
+    training pipeline needs (stable under reruns, re-partitioning, and
+    data growth: a doc's split never depends on what else is in the
+    corpus). Pure per-row expression: no shuffle, no state."""
+    bucket = F.expr(_SPLIT_HASH_SPARK.replace("doc_id", id_col))
+    return df.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test"),
+    )
+
+
+@register(
+    "q81_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_SPLIT_HASH_DUCK} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {_SPLIT_HASH_DUCK} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           n_chars
+    FROM documents
+    """,
+    tags=("llm", "corpus", "split"),
+)
+def q81_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/rest corpus split
+    keyed on md5(doc_id) (see :func:`hash_split`). Registered per-doc so
+    the oracle checks every single assignment, not just the totals.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "split", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# BPE seeding: weighted adjacent-symbol-pair counts
+
+BPE_TOP_PAIRS = 30
+
+@register(
+    "q82_bpe_pairs",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, COUNT(*) AS wn FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INTEGER), 2))) AS pair,
+               wn
+        FROM wc
+    )
+    SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("llm", "corpus", "tokenizer"),
+)
+def q82_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First merge-candidate scan of BPE tokenizer training: count
+    adjacent character pairs across the corpus, weighted by word
+    frequency, top-{BPE_TOP_PAIRS} with deterministic (count desc, pair
+    asc) ties.
+
+    Plan: tokenize -> word-count (first shuffle collapses the corpus to
+    its vocabulary — the classic BPE trick, pairs are then counted over
+    DISTINCT words x frequency, not over every token occurrence) ->
+    in-word pair explode (bounded fan-out = word length) -> pair-count
+    (second shuffle, vocabulary-sized input) -> TakeOrdered. Both
+    shuffles carry vocabulary-scale data, so at 100 TB the corpus is
+    read once and everything after is tiny. All built-in HOFs
+    (sequence/transform), zero Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wn",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
