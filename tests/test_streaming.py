@@ -143,13 +143,13 @@ def test_kafka_value_projection_matches_batch(spark):
     """O5 made real code: the kafka branch's value-JSON projection must
     produce row-for-row the same typed events as the batch/file path. No
     broker exists in this container, so the projection runs over a batch
-    frame of synthesized Kafka records (value = JSON of the physical row,
-    exactly what a producer mirroring the parquet layout would send)."""
-    from trafficteach_spark import schemas
-
-    phys = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(
-        SMOKE_SF_DIR + "/events.parquet"
-    )
+    frame of synthesized Kafka records (value = JSON with ts as int64
+    nanoseconds — the documented producer contract, independent of how
+    the parquet testdata happens to encode ts on disk)."""
+    batch_src = load_table(spark, SMOKE_SF_DIR, "events")
+    phys = batch_src.withColumn(
+        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     records = phys.select(
         F.to_json(F.struct(*phys.columns)).cast("binary").alias("value")
     )

@@ -112,6 +112,23 @@ def read_event_stream(
         raise ValueError(f"unknown source {source!r}: expected 'file' or 'kafka'")
     if events_path is None:
         raise ValueError("file source needs events_path (a directory to tail)")
+    # Same dual-encoding probe as the batch loader (sources/tables.py):
+    # testdata has stored ts both as int64-ns and native TIMESTAMP across
+    # driver versions. An empty landing directory (files arrive later)
+    # can't be probed — default to the int64-ns layout, which is also the
+    # Kafka JSON value contract.
+    from trafficteach_spark.sources.tables import _events_ts_kind
+
+    try:
+        kind = _events_ts_kind(events_path)
+    except FileNotFoundError:
+        kind = "int64_ns"
+    if kind == "timestamp":
+        return (
+            spark.readStream.schema(schemas.EVENTS)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(events_path)
+        )
     raw = (
         spark.readStream.schema(schemas.EVENTS_PHYSICAL)
         .option("maxFilesPerTrigger", 4)
