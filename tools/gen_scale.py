@@ -67,7 +67,15 @@ def main() -> None:
     spark = get_spark("gen-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    events = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(f"{src}/events.parquet")
+    # Replicate in the LOGICAL domain via the dual-encoding loader, then
+    # convert back to the int64-ns physical form (ns since epoch) so the
+    # replica exercises the same read path regardless of the source
+    # testdata's on-disk ts encoding.
+    from trafficteach_spark.sources.tables import load_table
+
+    events = load_table(spark, src, "events").withColumn(
+        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+    )
     copies = [
         events.select(
             (F.col("event_id") + i * EVENT_ID_STRIDE).alias("event_id"),
