@@ -121,18 +121,36 @@ def main() -> None:
     dd.repartition(16).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     emb = spark.read.schema(schemas.EMBEDDINGS).parquet(f"{src}/embeddings.parquet")
+
+    # Per-copy decorrelation = dimension PERMUTATION + sign pattern (both
+    # deterministic from the copy index). Sign flips alone exactly
+    # preserve within-copy cosines but fail when the corpus is tightly
+    # clustered around near-axis centroids (the regenerated testdata is):
+    # flipped copies of a cluster still hit cosine ±1 against each other,
+    # and cross-copy near-dup pairs scaled k^2 (measured: 387k of 428k
+    # pairs at k=10 were cross-copy). A permutation relocates each
+    # cluster's energy dims per copy, so cross-copy cosines collapse to
+    # noise while within-copy geometry stays EXACTLY preserved.
+    import random as _random
+
+    def _copy_expr(i: int) -> F.Column:
+        if i == 0:
+            return F.col("embedding")
+        rnd = _random.Random(7_000 + i)
+        dim = schemas.EMBEDDING_DIM
+        perm = rnd.sample(range(dim), dim)
+        signs = [rnd.choice((1.0, -1.0)) for _ in range(dim)]
+        return F.array(
+            *[
+                (F.lit(signs[j]) * F.col("embedding")[perm[j]]).cast("float")
+                for j in range(dim)
+            ]
+        )
+
     ecopies = [
         emb.select(
             (F.col("vec_id") + i * DOC_ID_STRIDE).alias("vec_id"),
-            (
-                F.col("embedding")
-                if i == 0
-                else F.expr(
-                    f"transform(embedding, (x, j) -> CASE WHEN "
-                    f"pmod(xxhash64(j, {i}), 2) = 1 THEN cast(-x as float) "
-                    f"ELSE x END)"
-                )
-            ).alias("embedding"),
+            _copy_expr(i).alias("embedding"),
             "label",
         )
         for i in range(k)
