@@ -1249,3 +1249,29 @@ def test_weighted_sample_matches_replay_and_is_weighted(spark):
     pop_mean = sum(prices.values()) / len(prices)
     sample_mean = sum(prices[k] for k in got) / len(got)
     assert sample_mean > 1.2 * pop_mean
+
+
+def test_feature_bins_sketch_is_equi_depth(spark):
+    """q84 (sketch path) must deliver what equi-depth means without the
+    sort: 10 bins per category, each within 25% of n/10, with ordered
+    disjoint [lo, hi] ranges — and its per-category totals must equal
+    the exact q83 twin's."""
+    from tests.conftest import SMOKE_SF_DIR
+    from trafficteach_spark import registry
+
+    qs = registry.queries()
+    rows = qs["q84_feature_bins_sketch"](spark, SMOKE_SF_DIR).collect()
+    exact = qs["q83_feature_bins"](spark, SMOKE_SF_DIR).collect()
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r)
+    assert set(by_flag) == {r.l_returnflag for r in exact}
+    for flag, bins in by_flag.items():
+        bins.sort(key=lambda r: r.decile)
+        assert [b.decile for b in bins] == list(range(1, 11))
+        total = sum(b.n for b in bins)
+        assert total == sum(r.n for r in exact if r.l_returnflag == flag)
+        for b in bins:
+            assert abs(b.n - total / 10) <= 0.25 * total / 10, (flag, b)
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev.lo <= prev.hi <= nxt.lo <= nxt.hi, (flag, prev, nxt)

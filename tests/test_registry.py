@@ -25,6 +25,7 @@ def test_oracle_keys_subset_of_queries():
         "q10_distinct_users_approx",
         "q31_simhash",
         "q77_approx_percentiles",
+        "q84_feature_bins_sketch",
     }
 
 

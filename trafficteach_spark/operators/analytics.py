@@ -644,3 +644,50 @@ def q83_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         )
     )
+
+
+@register(
+    "q84_feature_bins_sketch",
+    oracle=None,  # approx_percentile boundaries are engine-internal
+    tags=("analytics", "binning", "scale"),
+)
+def q84_feature_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q83: equi-depth binning WITHOUT any sort.
+    Per-category decile boundaries come from approx_percentile (a
+    mergeable sketch, computed map-side in one aggregation), the
+    boundary table (9 doubles per category) broadcasts, and each row's
+    decile is a branch-free HOF fold over the boundary array. Two
+    vocabulary-small shuffles total; no per-category single-task sort,
+    so a billion-row category costs the same per row as a small one.
+
+    Rows-only by design: the sketch's split points are engine-internal
+    (DuckDB's approx_quantile uses a different sketch), so there is no
+    cross-engine oracle. The invariant test pins what equi-depth means:
+    every bin within 25% of n/10 and per-bin [lo, hi] ranges ordered
+    and disjoint; q83 is the exact-oracle twin of this operator.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [i / N_DECILES for i in range(1, N_DECILES)], 10_000
+        ).alias("bs")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .withColumn(
+            "decile",
+            F.expr(
+                "1 + aggregate(bs, 0, (a, b) -> a + CASE WHEN l_extendedprice > b"
+                " THEN 1 ELSE 0 END)"
+            ),
+        )
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+    )
