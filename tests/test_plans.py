@@ -256,3 +256,37 @@ def test_q79_weighted_sample_is_take_ordered_no_shuffle(spark):
     plan = formatted_plan(spark, "q79_weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("hashpartitioning(") == 0, plan
+
+
+def test_q81_hash_split_no_shuffle(spark):
+    """The split is a per-row expression: scan -> project, nothing else."""
+    plan = formatted_plan(spark, "q81_hash_split")
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+
+
+def test_q82_bpe_pairs_explodes_vocabulary_not_corpus(spark):
+    """The pair explode must run AFTER the word-count aggregation (the
+    corpus collapses to its vocabulary first), and the final top-k must
+    be a TakeOrdered, not a global sort."""
+    plan = formatted_plan(spark, "q82_bpe_pairs")
+    assert "TakeOrderedAndProject" in plan
+    gen = plan.index("Generate")
+    # the FIRST aggregate (deepest in the plan text = word count) must
+    # appear below the pair-generate node: explode input is vocab-sized
+    assert "HashAggregate" in plan[gen:], plan[:400]
+
+
+def test_q84_sketch_binning_has_no_sort(spark):
+    """The whole point of the sketch path: no per-category sort node
+    anywhere, boundary table broadcast."""
+    plan = formatted_plan(spark, "q84_feature_bins_sketch")
+    assert "Sort" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q80_digest_no_python_rows(spark):
+    """The digest wraps 30+ constituents; none may fall back to
+    row-at-a-time Python evaluation."""
+    plan = formatted_plan(spark, "q80_parity_digest")
+    assert "BatchEvalPython" not in plan
