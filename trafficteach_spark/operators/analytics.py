@@ -691,3 +691,56 @@ def q84_feature_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         )
     )
+
+
+@register(
+    "q86_feature_normalize",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           ROUND((l.l_extendedprice - s.mn) / NULLIF(s.mx - s.mn, 0), 6) AS minmax,
+           ROUND((l.l_extendedprice - s.avg_p) / NULLIF(s.sd, 0), 6) AS zscore
+    FROM lineitem l
+    JOIN (
+        SELECT l_returnflag, MIN(l_extendedprice) AS mn,
+               MAX(l_extendedprice) AS mx, AVG(l_extendedprice) AS avg_p,
+               STDDEV_SAMP(l_extendedprice) AS sd
+        FROM lineitem GROUP BY l_returnflag
+    ) s USING (l_returnflag)
+    """,
+    tags=("analytics", "feature-prep"),
+)
+def q86_feature_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category feature normalization — min-max scaling and z-score
+    of a numeric column, the standard feature-prep transform before
+    training. Computed as aggregate + BROADCAST join (category stats are
+    tiny) rather than an un-ordered analytic window: a window partitioned
+    only by a low-cardinality category is a single task per category,
+    while this form keeps the row pass embarrassingly parallel at any
+    per-category row count. NULLIF guards degenerate (constant)
+    categories; ROUND(6) absorbs the one-ulp FP divergence floating
+    division can produce across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.avg("l_extendedprice").alias("avg_p"),
+        F.stddev_samp("l_extendedprice").alias("sd"),
+    )
+    return li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            (F.col("l_extendedprice") - F.col("mn"))
+            / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0)),
+            6,
+        ).alias("minmax"),
+        F.round(
+            (F.col("l_extendedprice") - F.col("avg_p"))
+            / F.nullif(F.col("sd"), F.lit(0.0)),
+            6,
+        ).alias("zscore"),
+    )

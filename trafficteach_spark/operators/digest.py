@@ -72,6 +72,8 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q81_hash_split": [("doc_id", "bigint"), ("split", "string"), ("n_chars", "bigint")],
     "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
     "q83_feature_bins": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
+    "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
+    "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

@@ -355,3 +355,59 @@ def q74_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch window-dedup (the batch twin of streaming/stateful.py's
+# dedup-within-watermark)
+
+DEDUP_BUCKET_SEC = 300
+
+
+@register(
+    "q85_window_dedup",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type,
+                                epoch_us(ts) // {DEDUP_BUCKET_SEC * 1_000_000}
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+    tags=("windows", "dedup", "O36"),
+)
+def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed deduplication, batch form: keep the FIRST event per
+    (user, event_type) within each {DEDUP_BUCKET_SEC}-second tumbling
+    bucket — the retry/at-least-once-delivery collapse every event
+    pipeline needs. Exact twin of the streaming dedup-within-watermark
+    operator (streaming/stateful.py), so backfill (this) and live
+    (that) produce the same keep-set.
+
+    The bucket is computed ARITHMETICALLY (epoch-micros div) rather than
+    via each engine's window/time_bucket function, so both engines bin
+    identically with no origin-convention risk. One shuffle on
+    (user_id, event_type, bucket); the per-key window sees only that
+    bucket's rows, state never exceeds a bucket — same bound the
+    watermark gives the streaming twin.
+    """
+    from trafficteach_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        / F.lit(DEDUP_BUCKET_SEC * 1_000_000)
+    ).cast("long")
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("bucket", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
