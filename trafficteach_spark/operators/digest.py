@@ -74,6 +74,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q83_feature_bins": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
     "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
     "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
+    "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

@@ -673,3 +673,97 @@ def q82_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations (PMI)
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+@register(
+    "q87_bigram_pmi",
+    oracle=f"""
+    WITH docs_w AS (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT unnest(ws) AS w FROM docs_w
+    ),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uc),
+    bi AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) AS bg
+        FROM docs_w WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT bg, COUNT(*) AS cab FROM bi GROUP BY bg),
+    n_bi AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM bc)
+    SELECT bg AS bigram, cab AS n,
+           ROUND(ln((CAST(cab AS DOUBLE) * nu * nu) /
+                    (CAST(nb AS DOUBLE) * ca.c * cb.c)), 6) AS pmi
+    FROM bc
+    JOIN uc ca ON ca.w = string_split(bg, ' ')[1]
+    JOIN uc cb ON cb.w = string_split(bg, ' ')[2]
+    CROSS JOIN n_uni CROSS JOIN n_bi
+    WHERE cab >= {PMI_MIN_COUNT}
+    ORDER BY cab DESC, bigram ASC LIMIT {PMI_TOP_K}
+    """,
+    tags=("llm", "corpus", "collocation"),
+)
+def q87_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation scoring: pointwise mutual information
+    ``ln(p(ab) / (p(a) p(b)))`` with ``p(ab) = c_ab / N_bi`` and
+    ``p(x) = c_x / N_uni``, for the top-{PMI_TOP_K} bigrams by count
+    (min count {PMI_MIN_COUNT}, ties broken on the bigram). The phrase /
+    multi-word-expression mining pass of corpus preparation.
+
+    Plan: one tokenized scan feeds both the unigram and bigram counts
+    (vocabulary-sized shuffles); the bigram frame joins its two
+    constituent unigram counts (vocab-vocab equi-joins — broadcastable
+    at any corpus size since vocabulary, not corpus, bounds them); the
+    two scalar totals ride along as broadcast single rows. Integer
+    counts divide in double and pass through ln identically in both
+    engines up to 1 ulp; ROUND(6) absorbs it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(F.split(F.lower("text"), " ").alias("ws"))
+    uni = ws.select(F.explode("ws").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n_uni = uc.agg(F.sum("c").cast("long").alias("nu"))
+    bi = ws.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    bc = bi.groupBy("bigram").agg(F.count("*").alias("cab"))
+    n_bi = bc.agg(F.sum("cab").cast("long").alias("nb"))
+    parts = F.split("bigram", " ")
+    scored = (
+        bc.where(F.col("cab") >= PMI_MIN_COUNT)
+        .withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(F.broadcast(uc.withColumnRenamed("w", "wa").withColumnRenamed("c", "ca")), "wa")
+        .join(F.broadcast(uc.withColumnRenamed("w", "wb").withColumnRenamed("c", "cb")), "wb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    return (
+        scored.select(
+            "bigram",
+            F.col("cab").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("cab").cast("double") * F.col("nu") * F.col("nu"))
+                    / (F.col("nb").cast("double") * F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(PMI_TOP_K)
+    )
