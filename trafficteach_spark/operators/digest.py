@@ -75,6 +75,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
     "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
     "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
+    "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

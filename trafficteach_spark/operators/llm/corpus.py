@@ -767,3 +767,82 @@ def q87_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection (dedup completion: keep BEST, not first)
+
+def _peeked_oracle(key: str) -> str:
+    from trafficteach_spark import registry as _registry
+
+    spec = _registry.peek_specs().get(key)
+    assert spec is not None and spec.oracle, f"{key} must register before q88"
+    return spec.oracle
+
+
+@register(
+    "q88_keep_best_per_cluster",
+    oracle=f"""
+    WITH clusters AS (
+        {_peeked_oracle("q46_dedup_clusters")}
+    ),
+    qual AS (
+        {_peeked_oracle("q39_quality_score")}
+    ),
+    ranked AS (
+        SELECT c.canonical_id, c.doc_id, q.quality, q.n_tokens,
+               COUNT(*) OVER (PARTITION BY c.canonical_id) AS cluster_size,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.canonical_id
+                   ORDER BY CASE q.quality WHEN 'high' THEN 3
+                            WHEN 'medium' THEN 2 ELSE 1 END DESC,
+                            q.n_tokens DESC, c.doc_id ASC
+               ) AS rn
+        FROM clusters c JOIN qual q USING (doc_id)
+    )
+    SELECT canonical_id, doc_id AS best_doc_id, cluster_size,
+           quality AS best_quality, n_tokens AS best_n_tokens
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("llm", "corpus", "dedup", "X2"),
+)
+def q88_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup completion the way production pipelines actually keep
+    documents: within each near-dup cluster (q46's connected
+    components), keep the BEST document by quality class, then token
+    count, then lowest id — not merely the lowest-id one. Output is one
+    row per cluster: its representative and size.
+
+    Composition of two oracle-checked operators (q46 clusters ⋈ q39
+    quality features) plus a per-cluster rank window. The window
+    partitions on canonical_id — cluster-count cardinality — so no
+    single task ever sees more than one cluster's docs: scale-safe for
+    any corpus with bounded cluster sizes (and a pathological mega-
+    cluster is exactly what the dedup threshold bounds).
+    """
+    from trafficteach_spark.operators.llm.dedup import q46_dedup_clusters
+    from trafficteach_spark.operators.llm.text import q39_quality_score
+
+    clusters = q46_dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    qual = q39_quality_score(spark, sf_dir).select("doc_id", "quality", "n_tokens")
+    joined = clusters.join(qual, "doc_id")
+    qnum = (
+        F.when(F.col("quality") == "high", 3)
+        .when(F.col("quality") == "medium", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy("canonical_id")
+    wr = w.orderBy(F.desc("qnum"), F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        joined.withColumn("qnum", qnum)
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("best_doc_id"),
+            "cluster_size",
+            F.col("quality").alias("best_quality"),
+            F.col("n_tokens").alias("best_n_tokens"),
+        )
+    )
