@@ -593,3 +593,64 @@ def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("canonical_id") == F.col("doc_id"), 1).otherwise(0),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "q90_containment_dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([{_DUCK_SHINGLE_WORDS}
+                              for i in range(1, len(w) - {SHINGLE_K - 2})]) AS s
+        FROM tok
+        WHERE len(w) >= {SHINGLE_K}
+    )
+    SELECT doc_a, doc_b, ROUND(containment, 6) AS containment
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / LEAST(len(a.s), len(b.s)) AS containment
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("llm", "X2", "dedup"),
+)
+def q90_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup (X2, fourth semantic): score =
+    |A∩B| / min(|A|, |B|) over the same {SHINGLE_K}-gram shingle sets.
+    Jaccard misses the quote-inclusion case — a short document copied
+    verbatim inside a much longer one scores J = |A|/|B| ≈ 0 but
+    containment 1.0 — and containment is the standard remedy (the same
+    asymmetric score MinHash-over-min estimates at scale).
+
+    Identical inverted-index plan to q31_near_dedup — candidates only
+    where a shingle is shared, exact for any threshold > 0, never
+    all-pairs — reusing the persisted shingle frame. At 100 TB the same
+    LSH banding applies (band the smaller set's signature).
+    """
+    sets = _shingle_sets(spark, sf_dir).persist()
+    tok_a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.explode("s").alias("shingle")
+    )
+    tok_b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.explode("s").alias("shingle")
+    )
+    return (
+        tok_a.join(tok_b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least("sz_a", "sz_b"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )

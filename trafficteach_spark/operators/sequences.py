@@ -289,3 +289,65 @@ def q51_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(
         (F.col("is_event") == 1) & F.col("o_orderkey").isNotNull()
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "q89_asof_forward",
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e
+    ASOF JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+    tags=("sequence", "asof", "scale"),
+)
+def q89_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — q51's mirror: for every event, the user's
+    NEXT order at or after the event time (the "time-to-next-conversion"
+    shape attribution and churn models need). Same union-then-window
+    decomposition, with the frame reversed: ``first(value, ignorenulls)``
+    over (user, time) looking FORWARD, orders sorted after events at an
+    equal timestamp so a same-instant order matches. One shuffle, no
+    join node, no BNLJ — identical scale profile to q51.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    od = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_orderkey").alias("o_orderkey"))
+    ev_side = events.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    od_side = od.select(
+        "user_id",
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    # Sort (ts asc, is_event desc): at an equal instant the event row
+    # precedes the order row, so the forward frame still sees the order.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_event"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = ev_side.unionByName(od_side).withColumns(
+        {
+            "o_orderkey": F.first("o_orderkey", ignorenulls=True).over(w),
+            "o_orderdate": F.first("o_orderdate", ignorenulls=True).over(w),
+        }
+    )
+    return merged.where(
+        (F.col("is_event") == 1) & F.col("o_orderkey").isNotNull()
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
