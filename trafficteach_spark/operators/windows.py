@@ -398,10 +398,12 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trafficteach_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    bucket = (
-        F.unix_micros(F.col("ts").cast("timestamp"))
-        / F.lit(DEDUP_BUCKET_SEC * 1_000_000)
-    ).cast("long")
+    # integer `div`, not `/` + cast: double division can land one ulp
+    # under an exact multiple and truncate to bucket-1 where the
+    # oracle's integer floor-div does not.
+    bucket = F.expr(
+        f"unix_micros(CAST(ts AS TIMESTAMP)) div {DEDUP_BUCKET_SEC * 1_000_000}"
+    )
     w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
         "ts", "event_id"
     )
