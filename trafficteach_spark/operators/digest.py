@@ -76,7 +76,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
     "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
     "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
-    "q89_asof_forward": [("event_id", "bigint"), ("user_id", "bigint"), ("ts", "timestamp_ntz"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz")],
+    "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
     "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
 }
 
