@@ -96,7 +96,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "queries_total": len(timings),
-        "queries_omitted": 0,
+        # Starts at "all omitted" so a zero-query emission (every candidate
+        # over budget) stays self-consistent; each accepted candidate
+        # recomputes it below.
+        "queries_omitted": len(timings),
         "sf": sf,
     }
     for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):

@@ -285,6 +285,32 @@ def test_q84_sketch_binning_has_no_sort(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_feature_bins_default_is_the_sketch_path(spark):
+    """The library entry point must default to the scale-safe sketch
+    plan (no ntile window, boundary broadcast); the exact NTILE form is
+    opt-in only (round-4 verdict item 7)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from trafficteach_spark.operators.analytics import feature_bins
+
+    spark.catalog.clearCache()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        feature_bins(spark, SMOKE_SF_DIR).explain("formatted")
+    default_plan = buf.getvalue()
+    # "ntile(" is the window function; percentile_approx also contains
+    # the bare substring "ntile", so match the call form.
+    assert "ntile(" not in default_plan
+    assert "Sort" not in default_plan
+    assert "BroadcastExchange" in default_plan
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        feature_bins(spark, SMOKE_SF_DIR, exact=True).explain("formatted")
+    assert "ntile(" in buf.getvalue()
+
+
 def test_q80_digest_no_python_rows(spark):
     """The digest wraps 30+ constituents; none may fall back to
     row-at-a-time Python evaluation."""

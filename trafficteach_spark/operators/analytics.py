@@ -693,6 +693,26 @@ def q84_feature_bins_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_bins(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
+    """Equi-depth binning entry point for composed pipelines: the
+    SKETCH path (q84 — approx_percentile boundaries + broadcast
+    range-fold, no per-category sort) is the DEFAULT; the exact NTILE
+    form (q83) is opt-in via ``exact=True``.
+
+    q83's per-category NTILE funnels each category's rows through one
+    window task — the suite's worst scale ratio (measured 4.9-5.7x wall
+    at 10x data vs the sketch's 1.5x; BASELINE.md) — so it exists as the
+    ORACLE ANCHOR for the binning contract, not as the path a 100 TB
+    pipeline should reach by default (round-4 verdict item 7: the
+    docstring recommendation, now enforced in code).
+    """
+    if exact:
+        return q83_feature_bins(spark, sf_dir)
+    return q84_feature_bins_sketch(spark, sf_dir)
+
+
 @register(
     "q86_feature_normalize",
     oracle="""

@@ -14,12 +14,22 @@ one-row fingerprint computed identically in Spark and DuckDB:
   fp_str — sum over string columns of character lengths
   fp_ts  — sum over timestamp columns of epoch microseconds
            (+ date columns as days-since-epoch)
+  fp_md5 — sum over rows of the top 36 bits of md5(canonical row string)
 
 All fingerprints are integer sums, so they are order-independent and
 exact (no FP accumulation ambiguity across engines); doubles enter only
 through ROUND(x*1000) on values both engines computed identically (the
 full per-row hash parity of every constituent is separately verified by
 ``tools/parity.py``, recorded per round in PARITY_LOCAL.md).
+
+``fp_md5`` is the anti-cancellation column (round-4 verdict item 3): the
+per-column sums could in principle agree while individual rows differ in
+compensating ways; a sum of per-row md5-derived integers makes that
+implausible (two differing row multisets collide with probability
+~2^-36 per query, and the collision would have to happen in BOTH the
+column sums and the hash sum simultaneously). 36 bits (9 hex chars)
+rather than 60 keeps the BIGINT sum overflow-free to ~1e8 rows under
+ANSI arithmetic (2^36 * 1e8 < 2^63).
 
 The declared schema map below is asserted against the live Spark schemas
 in tests/test_registry.py, so a constituent query changing shape fails
@@ -38,49 +48,110 @@ from trafficteach_spark import registry
 # key -> [(column, simpleString dtype)] for every demoted oracle-backed
 # query (positions 51+ of the driver order; see registry.DRIVER_ORDER).
 DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "q09_group_concat": [("event_type", "string"), ("users", "string"), ("n_users", "bigint")],
+    "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
+    "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
+    "q14_intersect": [("user_id", "bigint")],
+    "q15_union": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q16_string_funcs": [("doc_id", "bigint"), ("n_tokens", "int"), ("first_word", "string"), ("last_word", "string"), ("head_upper", "string"), ("lang_src", "string"), ("text_len", "int")],
+    "q17_date_funcs": [("event_date", "date"), ("hr", "int"), ("day_name", "string"), ("n_events", "bigint"), ("n_users", "bigint")],
+    "q18_json_funcs": [("event_type", "string"), ("n_events", "bigint"), ("max_k", "bigint"), ("sum_k", "bigint"), ("avg_k", "double"), ("n_high", "bigint")],
+    "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
+    "q23_pandas_udf": [("event_type", "string"), ("speed_decile", "bigint"), ("n_events", "bigint")],
+    "q23_pandas_udaf": [("event_type", "string"), ("value_spread", "double")],
+    "q24_explode": [("label", "int"), ("pos", "int"), ("n_vals", "bigint"), ("min_val", "double"), ("max_val", "double"), ("avg_val", "double")],
+    "q33_text_stats": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("avg_tokens", "double"), ("avg_chars", "double"), ("min_chars", "bigint"), ("max_chars", "bigint")],
+    "q37_token_count": [("lang", "string"), ("n_docs", "bigint"), ("ws_tokens", "bigint"), ("alpha_tokens", "bigint"), ("num_tokens", "bigint"), ("punct_tokens", "bigint")],
+    "q38_fingerprint": [("doc_id", "bigint"), ("fingerprint", "string"), ("n_uniq_tokens", "int")],
     "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
     "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
     "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],
-    "q51_asof_join": [("event_id", "bigint"), ("user_id", "bigint"), ("ts", "timestamp_ntz"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz")],
     "q52_percentiles": [("event_type", "string"), ("n", "bigint"), ("p50", "double"), ("p90", "double"), ("p99", "double")],
     "q53_rollup": [("event_type", "string"), ("hr", "int"), ("gid", "bigint"), ("n", "bigint"), ("sum_value", "double")],
     "q54_pivot": [("hr", "int"), ("n_click", "bigint"), ("n_error", "bigint"), ("n_purchase", "bigint"), ("n_signup", "bigint"), ("n_view", "bigint")],
     "q55_salted_distinct": [("event_type", "string"), ("n_distinct", "bigint")],
     "q56_vocab_topk": [("term", "string"), ("n", "bigint"), ("frac", "double"), ("vocab_rank", "int")],
-    "q57_edit_distance": [("doc_a", "bigint"), ("doc_b", "bigint"), ("edit_dist", "int")],
     "q58_domain_mix": [("doc_id", "bigint"), ("source", "string"), ("sample_rank", "int")],
     "q59_label_centroids": [("label", "int"), ("n_vectors", "bigint"), ("centroid", "string")],
     "q60_histogram": [("event_type", "string"), ("bin_id", "int"), ("n", "bigint"), ("lo_seen", "double"), ("hi_seen", "double")],
-    "q61_merge_upsert": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string")],
     "q62_time_resample": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("sum_value", "double")],
-    "q63_range_join": [("o_orderpriority", "string"), ("n_pairs", "bigint"), ("n_orders", "bigint"), ("sum_qty", "double")],
     "q64_cumulative": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("seq", "bigint"), ("running_total", "double"), ("mov_avg3", "double")],
     "q65_cube": [("o_orderstatus", "string"), ("o_orderpriority", "string"), ("gid", "bigint"), ("n", "bigint"), ("sum_price", "double")],
     "q66_anomaly": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("z", "double")],
-    "q67_basket_pairs": [("part_a", "bigint"), ("part_b", "bigint"), ("n_orders", "bigint")],
-    "q68_attribution_join": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
     "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],
-    "q70_trailing_range": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("trailing_30d", "double"), ("n_30d", "bigint")],
     "q71_full_outer": [("d", "date"), ("n_orders", "bigint"), ("n_ships", "bigint"), ("presence", "string")],
-    "q72_corr_stats": [("l_returnflag", "string"), ("n", "bigint"), ("qty_price_corr", "double"), ("qty_disc_covar", "double"), ("price_stddev", "double")],
     "q73_regex_extract": [("token", "string"), ("n", "bigint"), ("n_docs", "bigint")],
     "q74_rank_distribution": [("event_id", "bigint"), ("event_type", "string"), ("quartile", "int"), ("pct_rank", "double"), ("cume", "double")],
-    "q75_bm25": [("doc_id", "bigint"), ("score", "double")],
     "q76_set_ops_bag": [("o_custkey", "bigint"), ("kind", "string"), ("n", "bigint")],
     "q78_id_gaps": [("event_type", "string"), ("gap_start", "bigint"), ("gap_end", "bigint"), ("n_missing", "bigint")],
     "q79_weighted_sample": [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("o_orderpriority", "string")],
     "q81_hash_split": [("doc_id", "bigint"), ("split", "string"), ("n_chars", "bigint")],
     "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
-    "q83_feature_bins": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
-    "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
     "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
-    "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
-    "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
-    "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
-    "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
+
+# 36-bit md5 prefix (9 hex chars): sum stays inside BIGINT to ~1e8 rows.
+_MD5_HEX_CHARS = 9
+_MD5_DROP_BITS = 64 - 4 * _MD5_HEX_CHARS  # low bits of the first-8-byte word
+
+
+def _md5_int_expr(s: str, engine: str) -> str:
+    """Top {_MD5_HEX_CHARS} hex chars of md5(``s``) as a BIGINT, identically
+    in both engines. Spark parses the hex prefix directly; DuckDB's
+    ``md5_number_upper`` returns the first 8 digest bytes LITTLE-endian,
+    so the bytes are swapped back to hex-string order (HUGEINT arithmetic
+    — same proven trick as llm/dedup._DUCK_MD5_TOKEN_HASH) and the low
+    {_MD5_DROP_BITS} bits dropped."""
+    if engine == "spark":
+        return f"CAST(CONV(SUBSTRING(MD5({s}), 1, {_MD5_HEX_CHARS}), 16, 10) AS BIGINT)"
+    be = " + ".join(
+        f"(CAST((md5_number_upper({s}) >> {8 * j}) & 255 AS HUGEINT)"
+        f" * {1 << (56 - 8 * j)}::HUGEINT)"
+        for j in range(8)
+    )
+    return f"CAST(({be}) // {1 << _MD5_DROP_BITS} AS BIGINT)"
+
+
+def _canon_token(c: str, dtype: str, spark: bool) -> str:
+    """Canonical STRING rendering of one column for the fp_md5 row string
+    — every branch renders to the identical text in both engines (ints
+    and the ROUND(x*1000) integers print alike; timestamps/dates go
+    through their epoch integers, never engine-specific formatting).
+    NULL renders as an unprintable sentinel no fixture string contains."""
+    null_tok = "CHAR(2)" if spark else "CHR(2)"
+    to_str = "STRING" if spark else "VARCHAR"
+    if dtype in _INT_TYPES:
+        val = f"CAST({c} AS {to_str})"
+    elif dtype in ("double", "float"):
+        rounded = (
+            f"CAST(ROUND({c} * 1000, 0) AS BIGINT)"
+            if spark
+            else f"CAST(ROUND({c} * 1000) AS BIGINT)"
+        )
+        return (
+            f"CASE WHEN {c} IS NULL THEN {null_tok}"
+            f" WHEN isnan({c}) THEN 'NaN'"
+            f" ELSE CAST({rounded} AS {to_str}) END"
+        )
+    elif dtype == "string":
+        val = c
+    elif dtype in ("timestamp", "timestamp_ntz"):
+        val = (
+            f"CAST(unix_millis(CAST({c} AS TIMESTAMP)) AS {to_str})"
+            if spark
+            else f"CAST(epoch_ms({c}) AS {to_str})"
+        )
+    elif dtype == "date":
+        val = (
+            f"CAST(datediff({c}, DATE'1970-01-01') AS {to_str})"
+            if spark
+            else f"CAST({c} - DATE '1970-01-01' AS {to_str})"
+        )
+    else:  # pragma: no cover - new dtype must be handled explicitly
+        raise ValueError(f"unhandled canon dtype {dtype!r}")
+    return f"CASE WHEN {c} IS NULL THEN {null_tok} ELSE {val} END"
 
 
 def _terms(cols: list[tuple[str, str]], engine: str) -> dict[str, list[str]]:
@@ -92,6 +163,13 @@ def _terms(cols: list[tuple[str, str]], engine: str) -> dict[str, list[str]]:
     spark = engine == "spark"
     q = (lambda c: f"`{c}`") if spark else (lambda c: f'"{c}"')
     out: dict[str, list[str]] = {"fp_int": [], "fp_num": [], "fp_str": [], "fp_ts": []}
+    sep = "CHAR(1)" if spark else "CHR(1)"
+    row_str = (
+        f"CONCAT_WS({sep}, "
+        + ", ".join(_canon_token(q(n), d, spark) for n, d in cols)
+        + ")"
+    )
+    out["fp_md5"] = [_md5_int_expr(row_str, engine)]
     for name, dtype in cols:
         c = q(name)
         if dtype in _INT_TYPES:
@@ -139,7 +217,7 @@ def _fp_aggs(cols: list[tuple[str, str]], engine: str) -> list[tuple[str, str]]:
     """(aggregate expression, alias) pairs for the four fingerprints."""
     terms = _terms(cols, engine)
     out = []
-    for fp in ("fp_int", "fp_num", "fp_str", "fp_ts"):
+    for fp in ("fp_int", "fp_num", "fp_str", "fp_ts", "fp_md5"):
         row = " + ".join(terms[fp]) if terms[fp] else "CAST(0 AS BIGINT)"
         out.append((f"CAST(COALESCE(SUM({row}), 0) AS BIGINT)", fp))
     return out
@@ -151,8 +229,9 @@ def digest_keys() -> list[str]:
 
 def build_oracle() -> str:
     subs = []
+    covered = set()
     for key, spec in registry.peek_specs().items():
-        if key not in DIGEST_SCHEMAS:
+        if key not in DIGEST_SCHEMAS or spec.oracle is None:
             continue
         fps = ", ".join(
             f"{expr} AS {alias}" for expr, alias in _fp_aggs(DIGEST_SCHEMAS[key], "duckdb")
@@ -161,7 +240,14 @@ def build_oracle() -> str:
             f"SELECT '{key}' AS qkey, COUNT(*) AS n, {fps}\n"
             f"FROM (\n{spec.oracle}\n) __digest_{key}"
         )
-    assert len(subs) == len(DIGEST_SCHEMAS), "digest key missing an oracle"
+        covered.add(key)
+    if covered != set(DIGEST_SCHEMAS):
+        # Not an assert: under ``python -O`` a silently shrunken oracle
+        # would surface as a baffling parity diff instead of this error.
+        raise RuntimeError(
+            "digest keys missing an oracle/spec: "
+            f"{sorted(set(DIGEST_SCHEMAS) - covered)}"
+        )
     return "\nUNION ALL\n".join(subs)
 
 

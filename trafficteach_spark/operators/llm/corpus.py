@@ -811,7 +811,11 @@ def q88_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents: within each near-dup cluster (q46's connected
     components), keep the BEST document by quality class, then token
     count, then lowest id — not merely the lowest-id one. Output is one
-    row per cluster: its representative and size.
+    row per cluster: its representative and size. Library form with an
+    injectable cluster frame: :func:`keep_best_per_cluster`; the
+    registered query consumes the once-materialized cluster frame so
+    the q31->q46->q88 chain pays pair generation and the CC loop once
+    per dataset, not once per stage (round-4 verdict item 4).
 
     Composition of two oracle-checked operators (q46 clusters ⋈ q39
     quality features) plus a per-cluster rank window. The window
@@ -820,10 +824,27 @@ def q88_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus with bounded cluster sizes (and a pathological mega-
     cluster is exactly what the dedup threshold bounds).
     """
-    from trafficteach_spark.operators.llm.dedup import q46_dedup_clusters
+    from trafficteach_spark.operators.llm.dedup import materialized_clusters
+
+    return keep_best_per_cluster(
+        spark, sf_dir, clusters=materialized_clusters(spark, sf_dir)
+    )
+
+
+def keep_best_per_cluster(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
+    """Representative selection over an arbitrary ``clusters`` frame
+    (columns doc_id, canonical_id; defaults to computing the cluster
+    chain fresh). Pipelines holding a cluster assignment — from a
+    different pairing variant or a prior materialized run — inject it
+    here (the `funnel()` chain-parameter pattern)."""
+    from trafficteach_spark.operators.llm.dedup import dedup_clusters
     from trafficteach_spark.operators.llm.text import q39_quality_score
 
-    clusters = q46_dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir)
+    clusters = clusters.select("doc_id", "canonical_id")
     qual = q39_quality_score(spark, sf_dir).select("doc_id", "quality", "n_tokens")
     joined = clusters.join(qual, "doc_id")
     qnum = (

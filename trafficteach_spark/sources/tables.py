@@ -28,7 +28,8 @@ from trafficteach_spark.session import ensure_session_confs
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-_EVENTS_TS_KIND_CACHE: dict[str, str] = {}
+# path -> (dir/file mtime_ns at probe time, encoding verdict)
+_EVENTS_TS_KIND_CACHE: dict[str, tuple[int, str]] = {}
 
 
 def _events_ts_kind(path: str) -> str:
@@ -37,26 +38,49 @@ def _events_ts_kind(path: str) -> str:
     ``"timestamp"`` (plain TIMESTAMP_MICROS, readable natively as NTZ).
 
     Generated testdata has used both encodings across driver versions, so
-    the loader probes the parquet footer once per path (a driver-side
-    metadata read of a few KB — never a data scan) and adapts. Cached per
-    path; at 100 TB this is one footer read per job, not per partition.
+    the loader probes parquet footers once per path (driver-side metadata
+    reads of a few KB — never a data scan) and adapts. For a directory,
+    the first and last few part files are probed (footers are ordered by
+    name, so a mid-run encoding flip lands at a boundary) and MIXED
+    encodings raise instead of being silently misread through one schema
+    (round-4 advisory). Cached per path keyed on the directory's mtime,
+    so an in-process rewrite with the other encoding re-probes instead of
+    serving the stale verdict; at 100 TB this is a handful of footer
+    reads per job, not per partition.
     """
-    kind = _EVENTS_TS_KIND_CACHE.get(path)
-    if kind is None:
-        import pyarrow.parquet as _pq
-        import pyarrow.types as _pt
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no parquet at {path}") from None
+    cached = _EVENTS_TS_KIND_CACHE.get(path)
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
+    import pyarrow.parquet as _pq
+    import pyarrow.types as _pt
 
-        probe = path
-        if os.path.isdir(path):
-            parts = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
-            if not parts:
-                raise FileNotFoundError(f"no parquet files under {path}")
-            probe = os.path.join(path, parts[0])
-        field = _pq.read_schema(probe).field("ts")
-        kind = "int64_ns" if _pt.is_integer(field.type) else "timestamp"
-        _EVENTS_TS_KIND_CACHE[path] = kind
+    probes = [path]
+    if os.path.isdir(path):
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        # Head + tail sample: an encoding flip from an appending writer is
+        # contiguous in name order, so it always crosses this boundary.
+        sample = parts[:2] + parts[-2:] if len(parts) > 4 else parts
+        probes = [os.path.join(path, f) for f in dict.fromkeys(sample)]
+    kinds = {
+        "int64_ns"
+        if _pt.is_integer(_pq.read_schema(probe).field("ts").type)
+        else "timestamp"
+        for probe in probes
+    }
+    if len(kinds) > 1:
+        raise ValueError(
+            f"mixed events.ts encodings under {path}: both int64-ns and "
+            "native TIMESTAMP part files present — rewrite to one encoding "
+            "(reading through either schema would corrupt the other half)"
+        )
+    kind = kinds.pop()
+    _EVENTS_TS_KIND_CACHE[path] = (mtime, kind)
     return kind
 
 

@@ -71,11 +71,27 @@ def parse_kafka_events(records: DataFrame) -> DataFrame:
     )
 
 
+def parse_socket_lines(lines: DataFrame) -> DataFrame:
+    """Socket-source lines -> typed event rows: each line carries the same
+    one-JSON-object-per-event contract as the Kafka ``value`` bytes (ts as
+    int64 nanoseconds), so everything downstream of the source node is the
+    identical plan again. The socket source is the network path that CAN
+    be integration-tested in this container (a plain TCP server stands in
+    for the broker — tests/test_streaming_socket.py streams real bytes
+    through it into the q20 window aggregation)."""
+    return _with_event_time(
+        lines.select(
+            F.from_json(F.col("value"), schemas.EVENTS_PHYSICAL).alias("e")
+        ).select("e.*")
+    )
+
+
 def read_event_stream(
     spark: SparkSession,
     events_path: str | None = None,
     source: str = "file",
     kafka_options: dict[str, str] | None = None,
+    socket_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """O35/O5: streaming source over the events table layout.
 
@@ -92,8 +108,25 @@ def read_event_stream(
     source. Requires the ``spark-sql-kafka`` package on the cluster; no
     broker exists in this container, so tests cover the value projection
     and the wiring error path rather than an end-to-end consume.
+
+    ``source="socket"``: newline-delimited JSON events over a TCP
+    connection (``socket_options`` needs ``host`` and ``port``) — the
+    network stream path exercised end-to-end in tests via a local server.
+    Not for production (no replay, no offsets); it exists as the
+    integration seam between the file fixture and a real broker.
     """
     ensure_session_confs(spark)
+    if source == "socket":
+        opts = socket_options or {}
+        if "host" not in opts or "port" not in opts:
+            raise ValueError("socket source needs socket_options with 'host' and 'port'")
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", opts["host"])
+            .option("port", int(opts["port"]))
+            .load()
+        )
+        return parse_socket_lines(raw)
     if source == "kafka":
         opts = kafka_options or {}
         if "kafka.bootstrap.servers" not in opts:
@@ -109,7 +142,9 @@ def read_event_stream(
         raw = spark.readStream.format("kafka").options(**opts).load()
         return parse_kafka_events(raw)
     if source != "file":
-        raise ValueError(f"unknown source {source!r}: expected 'file' or 'kafka'")
+        raise ValueError(
+            f"unknown source {source!r}: expected 'file', 'kafka', or 'socket'"
+        )
     if events_path is None:
         raise ValueError("file source needs events_path (a directory to tail)")
     # Same dual-encoding probe as the batch loader (sources/tables.py):
@@ -122,6 +157,20 @@ def read_event_stream(
     try:
         kind = _events_ts_kind(events_path)
     except FileNotFoundError:
+        import warnings
+
+        # If native-TIMESTAMP parquet lands later, a LongType schema would
+        # read its ts column as nulls/garbage SILENTLY — warn loudly so the
+        # operator knows the layout was assumed, not probed (round-4
+        # advisory). Re-probing on first trigger isn't possible from here
+        # (the schema is fixed at stream definition), so the remedy is to
+        # restart the stream once files exist.
+        warnings.warn(
+            f"streaming source dir {events_path!r} is empty: assuming the "
+            "int64-ns events layout; if native-TIMESTAMP files land here, "
+            "restart the stream so the schema can be probed",
+            stacklevel=2,
+        )
         kind = "int64_ns"
     if kind == "timestamp":
         return (
