@@ -88,6 +88,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q81_hash_split": [("doc_id", "bigint"), ("split", "string"), ("n_chars", "bigint")],
     "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
     "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
+    "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

@@ -776,7 +776,10 @@ def _peeked_oracle(key: str) -> str:
     from trafficteach_spark import registry as _registry
 
     spec = _registry.peek_specs().get(key)
-    assert spec is not None and spec.oracle, f"{key} must register before q88"
+    if spec is None or not spec.oracle:
+        # Not an assert: a registration-order regression must fail loudly
+        # under ``python -O`` too, not surface as a broken composed oracle.
+        raise RuntimeError(f"{key} must register (with an oracle) before its consumers")
     return spec.oracle
 
 
@@ -865,5 +868,80 @@ def keep_best_per_cluster(
             "cluster_size",
             F.col("quality").alias("best_quality"),
             F.col("n_tokens").alias("best_n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus prep pipeline (the composition the library form exists
+# for: dedup clusters -> keep-best representative -> quality gate -> per-
+# stratum yield accounting)
+
+@register(
+    "q91_corpus_pipeline",
+    oracle=f"""
+    WITH kept AS (
+        SELECT best_doc_id
+        FROM (
+            {{q88}}
+        ) best
+        WHERE best_quality <> 'low'
+    ),
+    qual AS (
+        {{q39}}
+    )
+    SELECT d.lang, d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN k.best_doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.best_doc_id IS NOT NULL THEN q.n_tokens
+                     ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM documents d
+    JOIN qual q ON d.doc_id = q.doc_id
+    LEFT JOIN kept k ON d.doc_id = k.best_doc_id
+    GROUP BY 1, 2
+    """.format(
+        q88=_peeked_oracle("q88_keep_best_per_cluster"),
+        q39=_peeked_oracle("q39_quality_score"),
+    ),
+    tags=("llm", "corpus", "pipeline", "X1", "X2", "X4"),
+)
+def q91_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep pipeline as ONE registered, oracle-checked
+    query: near-dup clustering (q46) -> best-representative selection
+    (q88) -> quality gate (drop 'low') -> per-(lang, source) yield
+    accounting (docs in, docs kept, tokens kept). This is the composed
+    flow a training-data pipeline actually runs, and the reason the
+    dedup chain exposes injectable/materialized intermediates: this
+    query costs one window + two joins beyond the already-materialized
+    cluster frame instead of re-running shingling three stages deep.
+
+    Scale: the heavy lifting (pair generation, CC) happens once per
+    dataset in the materialized layer; everything added here is a
+    broadcast-size join of representatives against the corpus plus one
+    corpus-partitioned aggregate — no new shuffle wider than the
+    vocabulary of (lang, source) strata.
+    """
+    from trafficteach_spark.operators.llm.text import q39_quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    qual = q39_quality_score(spark, sf_dir).select("doc_id", "n_tokens")
+    kept = (
+        q88_keep_best_per_cluster(spark, sf_dir)
+        .where(F.col("best_quality") != "low")
+        .select(F.col("best_doc_id").alias("doc_id"), F.lit(1).alias("is_kept"))
+    )
+    return (
+        docs.join(qual, "doc_id")
+        .join(kept, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("is_kept", F.lit(0))).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_kept").isNotNull(), F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
         )
     )
