@@ -88,3 +88,44 @@ def test_range_predicate_is_pushed(spark, dual_dirs, which):
     # the ts bounds must reach the scan, not just IsNotNull
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("GreaterThan" in ln or "LessThan" in ln for ln in pushed), pushed
+
+
+def test_mixed_encoding_dir_raises(spark, dual_dirs, tmp_path):
+    """A directory holding BOTH encodings must fail fast — reading it
+    through either schema would corrupt half the rows (round-4 advisory:
+    the old probe trusted the first part file alone)."""
+    import shutil
+    import os
+
+    ns_dir, us_dir = dual_dirs
+    mixed = tmp_path / "events.parquet"
+    mixed.mkdir()
+    def _part(src_dir, out_name):
+        src = os.path.join(src_dir, "events.parquet")
+        part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(src, part), mixed / out_name)
+
+    _part(ns_dir, "part-00000-a.parquet")
+    _part(us_dir, "part-00001-b.parquet")
+    with pytest.raises(ValueError, match="mixed events.ts encodings"):
+        tables._events_ts_kind(str(mixed))
+
+
+def test_probe_cache_invalidates_on_rewrite(spark, tmp_path):
+    """Rewriting a path with the OTHER encoding must re-probe (the old
+    per-path cache served the stale verdict forever)."""
+    import time
+
+    d = tmp_path / "flip"
+    d.mkdir()
+    path = str(d / "events.parquet")
+    spark.createDataFrame(_ROWS_NS, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert tables._events_ts_kind(path) == "int64_ns"
+    time.sleep(0.05)  # ensure the directory mtime moves
+    us = spark.createDataFrame(_ROWS_NS, schemas.EVENTS_PHYSICAL).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+    us.coalesce(1).write.mode("overwrite").parquet(path)
+    assert tables._events_ts_kind(path) == "timestamp"

@@ -1275,3 +1275,51 @@ def test_feature_bins_sketch_is_equi_depth(spark):
             assert abs(b.n - total / 10) <= 0.25 * total / 10, (flag, b)
         for prev, nxt in zip(bins, bins[1:]):
             assert prev.lo <= prev.hi <= nxt.lo <= nxt.hi, (flag, prev, nxt)
+
+
+def test_dedup_memos_are_dataset_scoped(spark):
+    """The materialized pair/cluster frames are keyed by (app, sf_dir):
+    two datasets in one session must not cross-contaminate, and repeated
+    invocations must be value-stable (a memo bug here would silently
+    poison q46/q88/q91 for every later dataset in the session)."""
+    from trafficteach_spark.operators.llm import dedup
+
+    sf_small = "/root/testdata/sf0.001"
+    sf_big = "/root/testdata/sf0.01"
+    small_1 = {tuple(r) for r in dedup.q46_dedup_clusters(spark, sf_small).collect()}
+    big = {tuple(r) for r in dedup.q46_dedup_clusters(spark, sf_big).collect()}
+    small_2 = {tuple(r) for r in dedup.q46_dedup_clusters(spark, sf_small).collect()}
+    assert small_1 == small_2
+    # The memoized result must equal a fresh no-memo computation of the
+    # SAME dataset (catches both staleness and cross-dataset bleed; the
+    # two fixtures happen to share a row count, so sizes can't be the
+    # discriminator).
+    fresh_big = {
+        tuple(r)
+        for r in dedup.dedup_clusters(
+            spark, sf_big, pairs=dedup.near_dup_pairs(spark, sf_big)
+        ).collect()
+    }
+    assert big == fresh_big
+    # and the memo actually holds separate entries per sf_dir
+    app = spark.sparkContext.applicationId
+    assert (app, sf_small) in dedup._PAIRS_MEMO
+    assert (app, sf_big) in dedup._PAIRS_MEMO
+
+
+def test_injected_pairs_override_is_used(spark):
+    """dedup_clusters(pairs=...) must cluster the INJECTED frame, not
+    recompute its own — the whole point of the chain parameter."""
+    from trafficteach_spark.operators.llm import dedup
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = [r.doc_id for r in load_table(spark, sf, "documents").select("doc_id").orderBy("doc_id").limit(3).collect()]
+    a, b, c = docs
+    fake = spark.createDataFrame([(a, b), (b, c)], "doc_a long, doc_b long")
+    out = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.dedup_clusters(spark, sf, pairs=fake).collect()
+        if r.doc_id in (a, b, c)
+    }
+    assert out == {(a, a), (b, a), (c, a)}
