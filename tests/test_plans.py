@@ -311,6 +311,17 @@ def test_feature_bins_default_is_the_sketch_path(spark):
     assert "ntile(" in buf.getvalue()
 
 
+def test_q91_pipeline_plan_is_clean(spark):
+    """The composed corpus pipeline must stay join+window shaped: no
+    nested-loop/cartesian fallback, no Python row evaluation, and the
+    representative set must reach the corpus as broadcast joins."""
+    plan = formatted_plan(spark, "q91_corpus_pipeline")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_q80_digest_no_python_rows(spark):
     """The digest wraps 30+ constituents; none may fall back to
     row-at-a-time Python evaluation."""

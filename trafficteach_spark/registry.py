@@ -18,11 +18,16 @@ Design rules enforced by convention here (SURVEY.md §6):
 - DuckDB hugeint sums cast to BIGINT in oracles.
 
 Caching contract: a few queries ``persist()`` an intra-query frame (O43
-— q06_topn_details, the q31 shingle sets). The returned DataFrame is
-lazy, so the query function cannot unpersist it; long-lived sessions
-running many queries should call ``spark.catalog.clearCache()`` between
-queries (bench.py and the plan tests do) — Spark's LRU eviction bounds
-the cost otherwise.
+— q06_topn_details, the q31-family shared shingle frame). The returned
+DataFrame is lazy, so the query function cannot unpersist it; long-lived
+sessions running many queries should call ``spark.catalog.clearCache()``
+between queries (bench.py and the plan tests do) — Spark's LRU eviction
+bounds the cost otherwise. Separately, the dedup chain maintains a
+MATERIALIZED layer (``operators/llm/dedup.py``: localCheckpoint'ed pair
+and cluster frames, one per (application, sf_dir)) that clearCache()
+deliberately does NOT free — those blocks are the chain's reuse
+contract and live until the application exits; their footprint is
+pair-count-sized, not corpus-sized.
 """
 
 from __future__ import annotations
