@@ -89,6 +89,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
     "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
     "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
+    "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

@@ -355,3 +355,86 @@ def q70_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 6).alias("trailing_30d"),
         F.count("*").over(w).cast("long").alias("n_30d"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "q92_ewma",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    ew(user_id, event_id, ts, value, rn, ewma) AS (
+        SELECT user_id, event_id, ts, value, rn, value
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+               {EWMA_ALPHA} * o.value + {1 - EWMA_ALPHA} * ew.ewma
+        FROM ordered o JOIN ew
+          ON o.user_id = ew.user_id AND o.rn = ew.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ROUND(ewma, 6) AS ewma
+    FROM ew
+    """,
+    tags=("timeseries", "recursive", "scale"),
+)
+def q92_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per entity — the smoothing
+    pass monitoring/forecasting pipelines run over per-key event series
+    (y_0 = x_0; y_i = α·x_i + (1-α)·y_{{i-1}}, α = {EWMA_ALPHA}).
+
+    EWMA is a linear RECURRENCE, not a windowed aggregate — no Spark
+    window frame expresses it (the closed form Σ α(1-α)^(i-j)x_j
+    underflows for long series). Implemented as the engine's per-key
+    linear scan idiom (same contract as q12's trajectory build): one
+    shuffle on user_id, each key's time-sorted values folded once by an
+    ``aggregate`` HOF that appends α·x + (1-α)·last, then re-exploded.
+    O(n) work per key, one task per key — scale-safe for bounded per-key
+    series; an unbounded single key would need the segmented-scan
+    (scale, offset) combine, noted here rather than built since every
+    fixture and production key here is day-bounded. Both engines evaluate
+    the identical IEEE multiply-add chain in the identical order (DuckDB
+    re-derives it with a recursive CTE), so ROUND(6) only guards display.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    packed = events.groupBy("user_id").agg(
+        F.expr(
+            "array_sort(collect_list(struct(ts, event_id, value)))"
+        ).alias("seq")
+    )
+    folded = packed.select(
+        "user_id",
+        F.expr(
+            f"""
+            aggregate(
+                seq,
+                cast(array() as array<double>),
+                (acc, e) -> CASE WHEN size(acc) = 0 THEN array(e.value)
+                            ELSE array_append(
+                                acc,
+                                {EWMA_ALPHA}D * e.value
+                                + {1 - EWMA_ALPHA}D * element_at(acc, -1))
+                            END
+            )
+            """
+        ).alias("ewmas"),
+        F.col("seq"),
+    )
+    return folded.select(
+        "user_id",
+        F.expr("inline(arrays_zip(seq, ewmas))"),
+    ).select(
+        "user_id",
+        F.col("seq.event_id").alias("event_id"),
+        F.col("seq.ts").alias("ts"),
+        F.col("seq.value").alias("value"),
+        F.round("ewmas", 6).alias("ewma"),
+    )
