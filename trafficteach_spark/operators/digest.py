@@ -90,6 +90,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
     "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
     "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
+    "q93_unigram_logprob": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("avg_logprob", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

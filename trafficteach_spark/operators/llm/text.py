@@ -479,3 +479,55 @@ def q75_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+@register(
+    "q93_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(vocab.c / tot.n)), 6) AS avg_logprob
+    FROM tok JOIN vocab USING (t) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+    tags=("llm", "X4", "quality"),
+)
+def q93_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (X4 extension): each document's
+    mean log-probability under the corpus's own unigram MLE model —
+    the language-model quality filter LLM data pipelines run to drop
+    gibberish/boilerplate (low avg logprob = tokens the corpus finds
+    surprising; exp(-avg_logprob) is the per-token perplexity).
+
+    Plan: explode -> vocabulary count (corpus collapses to vocab size
+    before any join, the q56/q87 rule) -> BROADCAST the vocab + 1-row
+    total back onto the token stream -> per-doc mean of ln(c/N). Two
+    vocabulary-small shuffles plus one doc-keyed aggregate; at 100 TB
+    the vocab table is the only broadcast state and the token stream is
+    touched once. No smoothing needed: every scored token is in the
+    vocabulary by construction (the model is the corpus itself).
+    ROUND(6) absorbs cross-engine ln()/accumulation ulp drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias("avg_logprob"),
+        )
+    )
