@@ -1,0 +1,70 @@
+"""JSONL/CSV event sources: batch twins of the Kafka/socket value
+contract. Round-trip: physical rows -> text files -> reader -> logical
+rows identical to the parquet loader's output over the same data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trafficteach_spark import schemas
+from trafficteach_spark.sources import tables, text_formats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def physical_events(spark):
+    # Re-derive the physical (int64-ns) shape from the logical loader so
+    # the fixture works over either on-disk encoding.
+    logical = tables.load_table(spark, SF, "events")
+    return logical.withColumn(
+        "ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+    ).select(*[f.name for f in schemas.EVENTS_PHYSICAL.fields])
+
+
+def _logical_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_jsonl_roundtrip_matches_parquet_loader(spark, physical_events, tmp_path):
+    path = str(tmp_path / "events-jsonl")
+    text_formats.write_events_jsonl(physical_events, path)
+    got = text_formats.read_events_jsonl(spark, path)
+    assert got.schema == schemas.EVENTS
+    assert _logical_rows(got) == _logical_rows(tables.load_table(spark, SF, "events"))
+
+
+def test_csv_roundtrip_matches_parquet_loader(spark, physical_events, tmp_path):
+    path = str(tmp_path / "events-csv")
+    # props contains JSON (commas/quotes) — CSV writer must quote it and
+    # the reader must unquote it identically for the row sets to match.
+    physical_events.write.mode("overwrite").option("header", "true").csv(path)
+    got = text_formats.read_events_csv(spark, path)
+    assert got.schema == schemas.EVENTS
+    assert _logical_rows(got) == _logical_rows(tables.load_table(spark, SF, "events"))
+
+
+def test_jsonl_corrupt_line_fails_loudly(spark, tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"event_id": 1, "ts": 1700000000000000000, "user_id": 2,'
+        ' "event_type": "view", "value": 1.0, "props": "{}"}\n'
+        "THIS IS NOT JSON\n"
+    )
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        text_formats.read_events_jsonl(spark, str(d)).collect()
+
+
+def test_convert_to_parquet_is_query_equivalent(spark, physical_events, tmp_path):
+    jsonl = str(tmp_path / "landed-jsonl")
+    pq = str(tmp_path / "compacted" / "events.parquet")
+    text_formats.write_events_jsonl(physical_events, jsonl)
+    text_formats.convert_events_to_parquet(spark, jsonl, pq)
+    via_loader = tables.load_table(spark, str(tmp_path / "compacted"), "events")
+    assert _logical_rows(via_loader) == _logical_rows(
+        tables.load_table(spark, SF, "events")
+    )

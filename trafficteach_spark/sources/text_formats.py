@@ -1,0 +1,81 @@
+"""Text-format sources: newline-delimited JSON (and CSV) for the events
+table — the batch twins of the Kafka/socket value contract.
+
+The streaming sources already speak one-JSON-object-per-event with the
+PHYSICAL schema (ts as int64 epoch-nanoseconds; see
+``streaming/demo.parse_kafka_events``). These readers give batch jobs the
+same ingestion path for landed text files, normalizing to the logical
+``schemas.EVENTS`` shape so every downstream operator is
+format-oblivious, exactly like the parquet loader.
+
+Scale notes (100 TB): schemas are DECLARED (no inference pass over the
+files); JSON/CSV scans cannot push predicates into the format the way
+parquet row-group stats do, so production lands text into parquet via
+``convert_events_to_parquet`` below and text stays an ingestion-edge
+format only — the same tiering every lakehouse uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficteach_spark import schemas
+from trafficteach_spark.session import ensure_session_confs
+
+
+def _normalize(raw: DataFrame) -> DataFrame:
+    """Physical rows (ts int64 ns) -> logical EVENTS rows (ts NTZ µs),
+    the same truncating conversion the parquet loader applies."""
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read newline-delimited JSON events (the Kafka value contract as a
+    batch file source). Declared physical schema — no inference; corrupt
+    lines fail the job (mode FAILFAST) rather than silently nulling out,
+    matching the loader family's fail-loud posture."""
+    ensure_session_confs(spark)
+    raw = (
+        spark.read.schema(schemas.EVENTS_PHYSICAL)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+    return _normalize(raw)
+
+
+def read_events_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """Read CSV events with the same declared physical schema and
+    FAILFAST posture. Column order must match ``schemas.EVENTS_PHYSICAL``
+    when ``header=False``."""
+    ensure_session_confs(spark)
+    raw = (
+        spark.read.schema(schemas.EVENTS_PHYSICAL)
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    return _normalize(raw)
+
+
+def write_events_jsonl(events_physical: DataFrame, path: str) -> None:
+    """Write physical-shaped events as newline-delimited JSON — the
+    producer side of the contract (what a collector would land)."""
+    events_physical.write.mode("overwrite").json(path)
+
+
+def convert_events_to_parquet(
+    spark: SparkSession, jsonl_path: str, parquet_path: str
+) -> None:
+    """The ingestion-edge compaction step: land text -> columnar. After
+    this, every query runs against parquet with pushdown/pruning; the
+    text files are an archival input, not a query target."""
+    ensure_session_confs(spark)
+    raw = (
+        spark.read.schema(schemas.EVENTS_PHYSICAL)
+        .option("mode", "FAILFAST")
+        .json(jsonl_path)
+    )
+    raw.write.mode("overwrite").parquet(parquet_path)
