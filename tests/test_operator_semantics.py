@@ -1323,3 +1323,44 @@ def test_injected_pairs_override_is_used(spark):
         if r.doc_id in (a, b, c)
     }
     assert out == {(a, a), (b, a), (c, a)}
+
+
+def test_ewma_fold_matches_python_reference(spark):
+    """q92's HOF fold must equal the textbook recurrence computed in
+    Python over an arbitrary per-user series (pins the seed convention
+    y0 = x0 and the fold order; the oracle pins the same thing
+    cross-engine, this pins it against an independent implementation)."""
+    import datetime as dt
+
+    from trafficteach_spark.operators.timeseries import EWMA_ALPHA, q92_ewma
+
+    values = [3.0, -1.5, 0.0, 7.25, 2.0, 2.0, -0.125]
+    rows = [
+        (
+            1,
+            100 + i,
+            dt.datetime(2024, 1, 1, 0, i),
+            v,
+            "{}",
+            "view",
+        )
+        for i, v in enumerate(values)
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(r[1], r[2], r[0], r[5], r[3], r[4]) for r in rows],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.event_id: r.ewma
+            for r in q92_ewma(spark, d).collect()
+        }
+    expect = []
+    for v in values:
+        prev = expect[-1] if expect else v
+        expect.append(v if not expect else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * prev)
+    for i, e in enumerate(expect):
+        assert got[100 + i] == round(e, 6), (i, got[100 + i], e)
