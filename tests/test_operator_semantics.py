@@ -1364,3 +1364,116 @@ def test_ewma_fold_matches_python_reference(spark):
         expect.append(v if not expect else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * prev)
     for i, e in enumerate(expect):
         assert got[100 + i] == round(e, 6), (i, got[100 + i], e)
+
+
+# ---------- round-5 additions: entropy / zipf / psi / profile / overlap ----------
+
+
+def test_token_entropy_matches_python(spark, tiny_sf_dir):
+    import math
+    from collections import Counter
+
+    from tests.conftest import TINY_DOCS
+
+    got = {r["doc_id"]: r for r in Q["q94_token_entropy"](spark, tiny_sf_dir).collect()}
+    for doc_id, text, *_ in TINY_DOCS:
+        toks = text.split(" ")
+        cnt = Counter(toks)
+        n = len(toks)
+        expect = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        assert got[doc_id]["n_tokens"] == n
+        assert got[doc_id]["n_distinct"] == len(cnt)
+        assert abs(got[doc_id]["entropy"] - round(expect, 6)) < 1e-6, doc_id
+    # all-unique tokens -> max entropy log2(k); doc 3 has 8 unique tokens
+    assert abs(got[3]["entropy"] - 3.0) < 1e-6
+
+
+def test_zipf_slope_sign_and_bounds(spark, tiny_sf_dir):
+    r = Q["q95_zipf_slope"](spark, tiny_sf_dir).collect()[0]
+    # frequency is non-increasing in rank -> fitted slope can't be positive
+    assert r["zipf_slope"] <= 0
+    assert 0.0 <= r["zipf_r2"] <= 1.0
+    assert r["n_terms"] > 0
+
+
+def test_psi_drift_invariants(spark, tiny_sf_dir):
+    out = {r["event_type"]: r for r in Q["q96_psi_drift"](spark, tiny_sf_dir).collect()}
+    from tests.conftest import TINY_EVENTS
+
+    per_type = {}
+    for _, _, _, et, _, _ in TINY_EVENTS:
+        per_type[et] = per_type.get(et, 0) + 1
+    for et, r in out.items():
+        # PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+        assert r["psi"] >= 0, et
+        # halves partition the rows
+        assert r["n_first"] + r["n_second"] == per_type[et]
+    # tiny fixture: only the Feb 1 'view' row falls in the second half
+    assert out["view"]["n_second"] == 1
+    assert out["click"]["n_second"] == 0
+
+
+def test_psi_zero_for_identical_halves(spark, tmp_path):
+    # a value distribution identical across the split must score PSI == 0
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    def ns(day):
+        return int(
+            dt.datetime(2024, 1, day, tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000
+        )
+
+    rows_ = []
+    for i, day in enumerate((10, 20)):  # one event per half, same value
+        rows_.append((i, ns(day), 1, "click", 42.0, "{}"))
+    out = tmp_path / "events.parquet"
+    spark.createDataFrame(rows_, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(str(out))
+    r = Q["q96_psi_drift"](spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0]["psi"] == 0.0
+
+
+def test_data_profile_known_stats(spark, tiny_sf_dir):
+    prof = {r["col_name"]: r for r in Q["q97_data_profile"](spark, tiny_sf_dir).collect()}
+    assert set(prof) >= {"l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"}
+    for r in prof.values():
+        assert r["n_rows"] == 4 and r["n_null"] == 0
+    q = prof["l_quantity"]
+    assert (q["min_num"], q["max_num"], q["avg_num"]) == (1.0, 4.0, 2.5)
+    assert q["min_str"] is None and q["max_str"] is None
+    rf = prof["l_returnflag"]
+    assert (rf["min_str"], rf["max_str"], rf["n_distinct"]) == ("A", "R", 3)
+    assert rf["min_num"] is None
+    assert prof["l_orderkey"]["n_distinct"] == 3
+
+
+def test_source_overlap_matches_python_sets(spark, tiny_sf_dir):
+    from tests.conftest import TINY_DOCS
+
+    def shingles(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    per_src = {}
+    for _, text, _, src, _ in TINY_DOCS:
+        per_src.setdefault(src, set()).update(shingles(text))
+    inter = per_src["books"] & per_src["web"]
+    union = per_src["books"] | per_src["web"]
+    got = Q["q98_source_overlap"](spark, tiny_sf_dir).collect()
+    assert len(got) == 1  # only one source pair shares a shingle
+    r = got[0]
+    assert (r["src_a"], r["src_b"]) == ("books", "web")
+    assert r["n_common"] == len(inter)
+    assert (r["n_a"], r["n_b"]) == (len(per_src["books"]), len(per_src["web"]))
+    assert abs(r["jaccard"] - round(len(inter) / len(union), 6)) < 1e-9
+
+
+def test_dup_rate_by_source_counts_non_canonicals(spark, tiny_sf_dir):
+    out = {r["source"]: r for r in Q["q99_dup_rate_by_source"](spark, tiny_sf_dir).collect()}
+    # cluster {0,1,2} canonical 0; docs 3,4 singletons
+    # web holds docs 0,1,3,4 -> one dupe (doc 1); books holds doc 2 -> dupe
+    assert out["web"]["n_docs"] == 4 and out["web"]["n_dupes"] == 1
+    assert out["web"]["n_clusters"] == 3  # canonicals 0, 3, 4
+    assert out["books"]["n_docs"] == 1 and out["books"]["n_dupes"] == 1
+    assert out["books"]["dup_rate"] == 1.0

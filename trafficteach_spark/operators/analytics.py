@@ -764,3 +764,195 @@ def q86_feature_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zscore"),
     )
+
+
+# PSI drift: fixed-width value bins (range ~[0, 500)), compared between
+# the two halves of the fixture month. Bin width/count and the split
+# instant are part of the operator contract (like EVENT_TYPES above).
+PSI_BIN_WIDTH = 50.0
+PSI_MAX_BIN = 9
+PSI_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q96_psi_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(value / {PSI_BIN_WIDTH}) AS INTEGER), {PSI_MAX_BIN}) AS bin,
+               CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS h1
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, bin,
+               CAST(SUM(h1) AS BIGINT) AS n1,
+               CAST(SUM(1 - h1) AS BIGINT) AS n2
+        FROM b GROUP BY event_type, bin
+    ),
+    t AS (
+        SELECT event_type, CAST(SUM(n1) AS BIGINT) AS tot1,
+               CAST(SUM(n2) AS BIGINT) AS tot2, COUNT(*) AS nb
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           MAX(t.tot1) AS n_first,
+           MAX(t.tot2) AS n_second,
+           MAX(t.nb) AS n_bins,
+           ROUND(SUM(
+               ((n1 + 1) / CAST(tot1 + nb AS DOUBLE)
+                - (n2 + 1) / CAST(tot2 + nb AS DOUBLE))
+               * ln(((n1 + 1) / CAST(tot1 + nb AS DOUBLE))
+                    / ((n2 + 1) / CAST(tot2 + nb AS DOUBLE)))
+           ), 6) AS psi
+    FROM c JOIN t USING (event_type)
+    GROUP BY c.event_type
+    """,
+    tags=("analytics", "drift"),
+)
+def q96_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift (training-data ops): per event
+    type, PSI between the value distribution of the first and second half
+    of the month — the standard snapshot-over-snapshot drift gate a data
+    pipeline runs before shipping a new training mix (PSI < 0.1 stable,
+    > 0.25 shifted).
+
+    Plan: ONE corpus-sized hash-aggregate onto (event_type, bin) — both
+    halves counted in the same pass via conditional sums — then the PSI
+    fold runs on the bins-per-type frame (≤ 50 rows regardless of data
+    size). This is the scale-safe histogram form of distribution
+    comparison: an exact KS statistic would need a per-type global sort
+    (the q83-class trap); binned PSI needs one shuffle of pre-combined
+    bin counts. Laplace +1 smoothing over the OBSERVED bin set keeps
+    ln() finite for one-sided bins; bins empty in both halves contribute
+    exactly 0 so the observed set loses nothing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("int"), F.lit(PSI_MAX_BIN)
+        ).alias("bin"),
+        F.when(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp_ntz"), 1)
+        .otherwise(0)
+        .alias("h1"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum("h1").alias("n1"), F.sum(1 - F.col("h1")).alias("n2")
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n1").alias("tot1"),
+        F.sum("n2").alias("tot2"),
+        F.count("*").alias("nb"),
+    )
+    p = (F.col("n1") + 1) / (F.col("tot1") + F.col("nb")).cast("double")
+    q = (F.col("n2") + 1) / (F.col("tot2") + F.col("nb")).cast("double")
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("tot1").alias("n_first"),
+            F.max("tot2").alias("n_second"),
+            F.max("nb").alias("n_bins"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+    )
+
+
+# Column profile classes for q97 (lineitem). Profiling is schema-driven:
+# numeric columns get min/max/avg, strings get lexicographic min/max,
+# timestamps profile through epoch milliseconds.
+_PROFILE_NUM = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+)
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+_PROFILE_TS = ("l_shipdate",)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
+        if c in _PROFILE_NUM:
+            mn = f"ROUND(CAST(MIN({c}) AS DOUBLE), 6)"
+            mx = f"ROUND(CAST(MAX({c}) AS DOUBLE), 6)"
+            av = f"ROUND(AVG(CAST({c} AS DOUBLE)), 6)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif c in _PROFILE_STR:
+            mn = mx = av = "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        else:  # timestamp -> epoch millis / 1000
+            mn = f"ROUND(epoch_ms(MIN({c})) / 1000.0, 6)"
+            mx = f"ROUND(epoch_ms(MAX({c})) / 1000.0, 6)"
+            av = "CAST(NULL AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,\n"
+            f"       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {mn} AS min_num, {mx} AS max_num, {av} AS avg_num,\n"
+            f"       {ms} AS min_str, {xs} AS max_str\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("q97_data_profile", oracle=_profile_oracle(), tags=("analytics", "profiling"))
+def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (training-data ops): one row per
+    lineitem column with null count, exact distinct count, and typed
+    min/max/avg — the data-quality report every ingestion pipeline runs
+    before a table is admitted to a training mix.
+
+    Plan: ONE aggregate job over the table computes every per-column
+    statistic (the multi-COUNT(DISTINCT) is Catalyst's Expand strategy —
+    k distinct columns cost one k-way row expansion inside the same
+    scan, still a single pass; the oracle's UNION ALL re-scans per
+    column, fine for DuckDB at sf0.01 but exactly what the Spark side
+    must NOT do at 100 TB). The 1-row result is then unpivoted
+    driver-free via inline(array(struct...)) — profile width is schema
+    width, independent of data size. For wider tables where exact
+    distinct is too hot, swap COUNT(DISTINCT) for approx_count_distinct
+    per column (same single-pass shape, no Expand).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+        if c in _PROFILE_NUM:
+            aggs += [
+                F.round(F.min(c).cast("double"), 6).alias(f"mn_{c}"),
+                F.round(F.max(c).cast("double"), 6).alias(f"mx_{c}"),
+                F.round(F.avg(F.col(c).cast("double")), 6).alias(f"av_{c}"),
+            ]
+        elif c in _PROFILE_TS:
+            aggs += [
+                F.round(F.unix_millis(F.min(c).cast("timestamp")) / 1000.0, 6).alias(f"mn_{c}"),
+                F.round(F.unix_millis(F.max(c).cast("timestamp")) / 1000.0, 6).alias(f"mx_{c}"),
+            ]
+        else:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    row = li.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    entries = []
+    for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
+        is_str = c in _PROFILE_STR
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                (null_d if is_str else F.col(f"mn_{c}")).alias("min_num"),
+                (null_d if is_str else F.col(f"mx_{c}")).alias("max_num"),
+                (F.col(f"av_{c}") if c in _PROFILE_NUM else null_d).alias("avg_num"),
+                (F.col(f"mn_{c}") if is_str else null_s).alias("min_str"),
+                (F.col(f"mx_{c}") if is_str else null_s).alias("max_str"),
+            )
+        )
+    return row.select(F.inline(F.array(*entries)))

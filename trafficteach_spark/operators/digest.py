@@ -91,6 +91,12 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
     "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
     "q93_unigram_logprob": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("avg_logprob", "double")],
+    "q94_token_entropy": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("n_distinct", "bigint"), ("entropy", "double")],
+    "q95_zipf_slope": [("n_terms", "bigint"), ("zipf_slope", "double"), ("zipf_r2", "double")],
+    "q96_psi_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("n_bins", "bigint"), ("psi", "double")],
+    "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
+    "q98_source_overlap": [("src_a", "string"), ("src_b", "string"), ("n_common", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"), ("jaccard", "double")],
+    "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

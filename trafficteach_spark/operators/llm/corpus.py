@@ -945,3 +945,129 @@ def q91_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+def _source_overlap_oracle() -> str:
+    from trafficteach_spark.operators.llm.dedup import _DUCK_SHINGLE_WORDS, SHINGLE_K
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([{_DUCK_SHINGLE_WORDS}
+                                     for i in range(1, len(w) - {SHINGLE_K - 2})])) AS shingle
+        FROM tok WHERE len(w) >= {SHINGLE_K}
+    ),
+    ss AS (
+        SELECT DISTINCT d.source, sh.shingle
+        FROM sh JOIN documents d USING (doc_id)
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_common,
+           MAX(za.n) AS n_a, MAX(zb.n) AS n_b,
+           ROUND(COUNT(*) / CAST(MAX(za.n) + MAX(zb.n) - COUNT(*) AS DOUBLE), 6)
+               AS jaccard
+    FROM ss a
+    JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+    JOIN sz za ON za.source = a.source
+    JOIN sz zb ON zb.source = b.source
+    GROUP BY a.source, b.source
+    """
+
+
+@register("q98_source_overlap", oracle=_source_overlap_oracle(), tags=("llm", "corpus", "X2"))
+def q98_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level shingle-Jaccard overlap matrix (corpus curation): for
+    every pair of sources, the Jaccard similarity of their distinct
+    3-shingle vocabularies — the cross-source contamination report a
+    pipeline consults before declaring two crawls independent (and the
+    corpus-level twin of q31's per-document Jaccard).
+
+    Plan: documents collapse to DISTINCT (source, shingle) — the corpus
+    leaves the picture before any join, the same collapse-first rule as
+    q56/q93/q95 — then a self equi-join ON SHINGLE meets only sources
+    that actually share a shingle (a shingle row fans out to at most
+    n_sources^2 pairs, independent of corpus size), and the per-source
+    set sizes join back as a broadcast (n_sources rows). Reuses the
+    dedup family's shared persisted shingle frame, so after any
+    q31-family query the shingling pass is already paid.
+    """
+    from trafficteach_spark.operators.llm.dedup import shared_shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = (
+        shared_shingle_sets(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("source", F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    sz = ss.groupBy("source").agg(F.count("*").alias("n"))
+    a = ss.select(F.col("source").alias("src_a"), "shingle")
+    b = ss.select(F.col("source").alias("src_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
+        .join(F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
+        .select(
+            "src_a", "src_b", "n_common", "n_a", "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _dup_rate_oracle() -> str:
+    from trafficteach_spark import registry as _registry
+
+    q46 = _registry.peek_specs()["q46_dedup_clusters"].oracle
+    return f"""
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(1 - c.is_canonical) AS BIGINT) AS n_dupes,
+           COUNT(DISTINCT c.canonical_id) AS n_clusters,
+           ROUND(SUM(1 - c.is_canonical) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM ({q46}) c
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register("q99_dup_rate_by_source", oracle=_dup_rate_oracle(), tags=("llm", "corpus", "X1", "X2"))
+def q99_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report (corpus curation): how much of each
+    source survives dedup — the table that decides which crawls are
+    worth re-ingesting and feeds per-source sampling weights (q58's
+    domain mix) after dedup.
+
+    Plan: pure composition over the dedup chain's MATERIALIZED cluster
+    frame (dedup.materialized_clusters — computed once per (app,
+    dataset), localCheckpoint'ed): one broadcast-sized join to attach
+    source, one hash-aggregate on source. Running it after q46/q88 costs
+    only that aggregate; the oracle re-derives the full recursive-CTE
+    clustering so the composition stays end-to-end checked.
+    """
+    from trafficteach_spark.operators.llm.dedup import materialized_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = materialized_clusters(spark, sf_dir)
+    return (
+        clusters.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(1 - F.col("is_canonical")).cast("long").alias("n_dupes"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+            F.round(
+                F.sum(1 - F.col("is_canonical")) / F.count("*").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -531,3 +531,109 @@ def q93_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "q94_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+    tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT cnt.doc_id,
+           MAX(tot.n) AS n_tokens,
+           MAX(tot.k) AS n_distinct,
+           ROUND(-SUM((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 6)
+               AS entropy
+    FROM cnt JOIN tot USING (doc_id)
+    GROUP BY cnt.doc_id
+    """,
+    tags=("llm", "X4", "quality"),
+)
+def q94_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (X4 extension): the
+    distribution-shape quality signal that catches keyword-stuffed or
+    single-token-repeated documents that length/ratio filters miss
+    (low entropy = few tokens dominate; max entropy = log2(n_distinct)).
+
+    Plan: ZERO shuffles — the whole computation is a per-row
+    higher-order-function expression (array_distinct -> counted terms ->
+    aggregate fold), fully inside WholeStageCodegen. This is the
+    100 TB-critical property: corpus quality scoring must stay a map-only
+    pass; exploding tokens through a (doc_id, token) shuffle (how the
+    DuckDB oracle phrases it, fine at sf0.01) would shuffle the entire
+    token stream. ROUND(6) absorbs summation-order ulp drift between the
+    fold here and the oracle's SUM.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    p = "(CAST(size(filter(w, x -> x = u)) AS DOUBLE) / CAST(size(w) AS DOUBLE))"
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(array_distinct(w)) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            "ROUND(-aggregate("
+            f"  transform(array_distinct(w), u -> {p} * log2({p})),"
+            "  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6)"
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "q95_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r FROM vocab
+    )
+    SELECT COUNT(*) AS n_terms,
+           ROUND(REGR_SLOPE(ln(c), ln(r)), 6) AS zipf_slope,
+           ROUND(REGR_R2(ln(c), ln(r)), 6) AS zipf_r2
+    FROM ranked
+    """,
+    tags=("llm", "X4", "corpus"),
+)
+def q95_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (X4 extension): slope and R^2 of
+    ln(frequency) vs ln(rank) over the corpus vocabulary — the
+    corpus-health diagnostic (natural text fits slope ~ -1; synthetic or
+    template-heavy corpora flatten out; R^2 says how Zipfian it is).
+
+    Plan: the corpus collapses to its VOCABULARY before anything
+    order-sensitive happens (the q56/q87/q93 rule) — explode + count is
+    the only corpus-sized shuffle; the global ROW_NUMBER window and the
+    regr_* aggregates then run over a vocab-sized frame (machine-word
+    counts, not documents), which is exactly where a single-partition
+    window is acceptable at 100 TB. Ties broken by term so ranks are
+    deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from pyspark.sql import Window
+
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = vocab.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("t")))
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.expr("REGR_SLOPE(ln(c), ln(r))"), 6).alias("zipf_slope"),
+        F.round(F.expr("REGR_R2(ln(c), ln(r))"), 6).alias("zipf_r2"),
+    )
