@@ -903,19 +903,27 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/avg — the data-quality report every ingestion pipeline runs
     before a table is admitted to a training mix.
 
-    Plan: ONE aggregate job over the table computes every per-column
+    Plan: ONE corpus-sized aggregate job computes every fixed-width
     statistic (the multi-COUNT(DISTINCT) is Catalyst's Expand strategy —
     k distinct columns cost one k-way row expansion inside the same
     scan, still a single pass; the oracle's UNION ALL re-scans per
     column, fine for DuckDB at sf0.01 but exactly what the Spark side
-    must NOT do at 100 TB). The 1-row result is then unpivoted
-    driver-free via inline(array(struct...)) — profile width is schema
-    width, independent of data size. For wider tables where exact
-    distinct is too hot, swap COUNT(DISTINCT) for approx_count_distinct
-    per column (same single-pass shape, no Expand).
+    must NOT do at 100 TB). The string MIN/MAX live in a SEPARATE tiny
+    aggregate joined back as a 1x1 broadcast: a var-width (string)
+    aggregation buffer disqualifies the whole aggregate from
+    HashAggregateExec, and SortAggregate over the k-way-expanded stream
+    sorts k x |table| rows — measured 32.7 s vs 4.5 s at sf0.1 (7.2x)
+    for this exact query. The split keeps the Expand path hash-backed;
+    the second scan reads ONLY the two string columns (column-pruned).
+    The 1-row result is then unpivoted driver-free via
+    inline(array(struct...)) — profile width is schema width,
+    independent of data size. For wider tables where exact distinct is
+    too hot, swap COUNT(DISTINCT) for approx_count_distinct per column
+    (same single-pass shape, no Expand).
     """
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count("*").alias("n_rows")]
+    str_aggs = []  # var-width buffers: keep OUT of the Expand aggregate
     for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
@@ -935,8 +943,8 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.unix_millis(F.max(c).cast("timestamp")) / 1000.0, 6).alias(f"mx_{c}"),
             ]
         else:
-            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-    row = li.agg(*aggs)
+            str_aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    row = li.agg(*aggs).crossJoin(F.broadcast(li.agg(*str_aggs)))
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     entries = []
