@@ -836,19 +836,25 @@ def q96_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("h1"),
     )
+    from pyspark.sql import Window
+
     c = b.groupBy("event_type", "bin").agg(
         F.sum("h1").alias("n1"), F.sum(1 - F.col("h1")).alias("n2")
     )
-    t = c.groupBy("event_type").agg(
-        F.sum("n1").alias("tot1"),
-        F.sum("n2").alias("tot2"),
-        F.count("*").alias("nb"),
+    # Per-type totals via a window over the BINS frame (<= types x bins
+    # rows) — a groupBy-then-join-back would recompute c from the base
+    # table on the build side, i.e. a second corpus scan (plan-tested).
+    w = Window.partitionBy("event_type")
+    c = c.select(
+        "*",
+        F.sum("n1").over(w).alias("tot1"),
+        F.sum("n2").over(w).alias("tot2"),
+        F.count("*").over(w).alias("nb"),
     )
     p = (F.col("n1") + 1) / (F.col("tot1") + F.col("nb")).cast("double")
     q = (F.col("n2") + 1) / (F.col("tot2") + F.col("nb")).cast("double")
     return (
-        c.join(F.broadcast(t), "event_type")
-        .groupBy("event_type")
+        c.groupBy("event_type")
         .agg(
             F.max("tot1").alias("n_first"),
             F.max("tot2").alias("n_second"),
