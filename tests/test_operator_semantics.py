@@ -1477,3 +1477,39 @@ def test_dup_rate_by_source_counts_non_canonicals(spark, tiny_sf_dir):
     assert out["web"]["n_clusters"] == 3  # canonicals 0, 3, 4
     assert out["books"]["n_docs"] == 1 and out["books"]["n_dupes"] == 1
     assert out["books"]["dup_rate"] == 1.0
+
+
+def test_scd2_history_matches_python(spark, tiny_sf_dir):
+    from tests.conftest import TINY_EVENTS
+
+    got = Q["q100_scd2_history"](spark, tiny_sf_dir).collect()
+    # independent Python reference: run-length collapse per user
+    per_user = {}
+    for eid, ns, uid, et, _, _ in sorted(TINY_EVENTS, key=lambda r: (r[2], r[1], r[0])):
+        per_user.setdefault(uid, []).append((ns, et))
+    expect = {}
+    for uid, rows_ in per_user.items():
+        versions = []
+        for ns, et in rows_:
+            if not versions or versions[-1]["event_type"] != et:
+                versions.append({"event_type": et, "valid_from_ns": ns, "n_events": 1})
+            else:
+                versions[-1]["n_events"] += 1
+        expect[uid] = versions
+    got_by_user = {}
+    for r in sorted(got, key=lambda r: (r["user_id"], r["version"])):
+        got_by_user.setdefault(r["user_id"], []).append(r)
+    assert set(got_by_user) == set(expect)
+    for uid, versions in expect.items():
+        rows_ = got_by_user[uid]
+        assert len(rows_) == len(versions), uid
+        for i, (r, e) in enumerate(zip(rows_, versions)):
+            # versions are 1-based: the first row's NULL lag counts as a change
+            assert r["version"] == i + 1, (uid, i)
+            assert r["event_type"] == e["event_type"]
+            assert r["n_events"] == e["n_events"]
+            # intervals chain: valid_to == next version's valid_from
+            if i + 1 < len(rows_):
+                assert r["valid_to"] == rows_[i + 1]["valid_from"]
+            else:
+                assert r["valid_to"] is None

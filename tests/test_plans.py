@@ -384,3 +384,18 @@ def test_q96_psi_single_corpus_aggregate(spark):
     plan = formatted_plan(spark, "q96_psi_drift")
     scans = [l for l in plan.splitlines() if re.match(r"\(\d+\) Scan parquet", l.strip())]
     assert len(scans) == 1, scans
+
+
+def test_q100_scd2_single_exchange(spark):
+    # Every window and the version aggregate share the user_id
+    # partitioning — after ONE hash Exchange of the corpus the whole
+    # chain (lag, running sum, collapse, lead) must reuse it.
+    import re
+
+    plan = formatted_plan(spark, "q100_scd2_history")
+    exchanges = [
+        l for l in plan.splitlines()
+        if re.match(r"\(\d+\) Exchange", l.strip()) and "hashpartitioning" in plan
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -97,6 +97,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
     "q98_source_overlap": [("src_a", "string"), ("src_b", "string"), ("n_common", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"), ("jaccard", "double")],
     "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
+    "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

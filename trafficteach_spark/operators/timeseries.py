@@ -438,3 +438,77 @@ def q92_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq.value").alias("value"),
         F.round("ewmas", 6).alias("ewma"),
     )
+
+
+@register(
+    "q100_scd2_history",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS version
+        FROM o
+    ),
+    g AS (
+        SELECT user_id, version, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM v GROUP BY user_id, version
+    )
+    SELECT user_id, version, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           n_events
+    FROM g
+    """,
+    tags=("timeseries", "warehouse"),
+)
+def q100_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build: collapse each
+    user's event_type change stream into versioned validity intervals
+    ([valid_from, valid_to), NULL valid_to = current) — the standard
+    dimension-history table a warehouse derives from a CDC/event feed,
+    and the run-length "islands" twin of q22's session "gaps".
+
+    Plan: ONE shuffle — every window and the version aggregate partition
+    on user_id, so after the first Exchange the lag, running sum,
+    group-collapse, and lead all run in the same per-key partitioning
+    (plan-tested: exactly one corpus-sized Exchange). Per-key windows
+    never see more than one user's rows, so the q83-class
+    single-partition sort trap does not apply at any scale. Ties broken
+    by event_id for a deterministic cross-engine version chain.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    v = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(wo).alias("version"),
+    )
+    g = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return g.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )
