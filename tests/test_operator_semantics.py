@@ -1513,3 +1513,46 @@ def test_scd2_history_matches_python(spark, tiny_sf_dir):
                 assert r["valid_to"] == rows_[i + 1]["valid_from"]
             else:
                 assert r["valid_to"] is None
+
+
+def test_bpe_train_matches_python_reference(spark, tiny_sf_dir):
+    from collections import Counter
+
+    from tests.conftest import TINY_DOCS
+    from trafficteach_spark.operators.llm.corpus import bpe_train
+
+    merges, vocab = bpe_train(spark, tiny_sf_dir, n_merges=8, min_pair_count=2)
+
+    # pure-Python reference: identical tie rule (count desc, pair asc)
+    wc = Counter()
+    for _, text, *_ in TINY_DOCS:
+        for w in text.lower().split():
+            wc[w] += 1
+    syms = {w: tuple(list(w) + ["</w>"]) for w in wc}
+    expect_merges = []
+    for _ in range(8):
+        pc = Counter()
+        for w, n in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        expect_merges.append((a, b, n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    assert merges == expect_merges, (merges, expect_merges)
+    got_syms = {r["w"]: tuple(r["syms"]) for r in vocab.collect()}
+    assert got_syms == {w: s for w, s in syms.items()}

@@ -1071,3 +1071,88 @@ def q99_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 5,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Distributed BPE tokenizer training (the iterative completion of
+    q82's single merge-candidate scan): run ``n_merges`` rounds of
+    most-frequent-adjacent-pair merging and return ``(merges, vocab)``
+    where ``merges`` is the learned ``[(left, right, count), ...]`` merge
+    table (the tokenizer artifact) and ``vocab`` the final symbol-array
+    frame ``(w, wn, syms)``.
+
+    Scale design — the classic BPE factorization: the CORPUS is touched
+    exactly once (tokenize -> word-frequency table); every merge round
+    runs on the VOCABULARY frame (distinct words x their counts — a few
+    hundred thousand rows at any corpus size), so 100 TB of text costs
+    one corpus scan plus n_merges vocabulary-sized jobs. Per round: one
+    pair-count aggregate + TakeOrdered(1) picks the winner (count desc,
+    pair asc — deterministic ties), and the merge is applied with a
+    per-row HOF fold (left-to-right, non-overlapping, the reference BPE
+    rule). Like ``kmeans_train``/``q46``'s loops, this is a
+    driver-coordinated iteration with ONE action per round; the symbol
+    frame is ``localCheckpoint``ed every ``checkpoint_every`` rounds so
+    plan depth stays bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), "\\s+")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+        .select(
+            "w",
+            "wn",
+            F.expr("concat(filter(split(w, ''), x -> x != ''), array('</w>'))").alias(
+                "syms"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        best = (
+            vocab.select(
+                "wn",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        "         slice(syms, 2, size(syms) - 1),"
+                        "         (a, b) -> struct(a, b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("wn").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b, n = best[0]["p"]["a"], best[0]["p"]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        # Left-to-right non-overlapping merge: fold symbols, joining an
+        # occurrence of (a, b) only if the accumulated tail is an UNMERGED
+        # a (tracked by peeking at the fold's last element).
+        merged = (
+            "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+            f"IF(size(acc) > 0 AND element_at(acc, -1) = {_sql_str(a)} AND x = {_sql_str(b)}, "
+            f"   concat(slice(acc, 1, size(acc) - 1), array({_sql_str(a + b)})), "
+            "   concat(acc, array(x))))"
+        )
+        vocab = vocab.select("w", "wn", F.expr(merged).alias("syms"))
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def _sql_str(s: str) -> str:
+    """A SQL string literal (the merge symbols come from corpus text)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
