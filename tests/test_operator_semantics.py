@@ -1556,3 +1556,36 @@ def test_bpe_train_matches_python_reference(spark, tiny_sf_dir):
     assert merges == expect_merges, (merges, expect_merges)
     got_syms = {r["w"]: tuple(r["syms"]) for r in vocab.collect()}
     assert got_syms == {w: s for w, s in syms.items()}
+
+
+def test_incremental_rollup_merges_base_and_delta(spark, tiny_sf_dir):
+    import datetime as dt
+
+    from tests.conftest import TINY_EVENTS
+    from trafficteach_spark.operators import analytics
+
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in Q["q101_incremental_rollup"](spark, tiny_sf_dir).collect()
+    }
+    # independent reference: full recompute in Python
+    expect = {}
+    for _, ns, _, et, val, _ in TINY_EVENTS:
+        day = dt.datetime.fromtimestamp(ns / 1e9, dt.timezone.utc).date()
+        e = expect.setdefault((et, day), {"n": 0, "s": 0.0, "mn": val, "mx": val})
+        e["n"] += 1
+        e["s"] += val
+        e["mn"] = min(e["mn"], val)
+        e["mx"] = max(e["mx"], val)
+    assert set(got) == set(expect)
+    for k, e in expect.items():
+        r = got[k]
+        assert r["n"] == e["n"], k
+        assert abs(r["sum_value"] - round(e["s"], 6)) < 1e-9
+        assert (r["min_value"], r["max_value"]) == (e["mn"], e["mx"])
+        assert abs(r["avg_value"] - round(e["s"] / e["n"], 6)) < 1e-9
+    # the base memo is materialized once per (app, dataset) and reused
+    key = (spark.sparkContext.applicationId, tiny_sf_dir)
+    base1 = analytics._ROLLUP_BASE_MEMO[key]
+    Q["q101_incremental_rollup"](spark, tiny_sf_dir)
+    assert analytics._ROLLUP_BASE_MEMO[key] is base1

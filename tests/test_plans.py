@@ -399,3 +399,19 @@ def test_q100_scd2_single_exchange(spark):
     ]
     assert len(exchanges) == 1, exchanges
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q101_delta_scan_is_pruned_and_base_not_rescanned(spark):
+    # After the base materializes, a refresh must scan parquet ONLY for
+    # the delta — with the cutover pushed to the scan — and read the
+    # base from the checkpointed RDD.
+    import re
+
+    from trafficteach_spark.operators.analytics import rollup_base
+
+    rollup_base(spark, SMOKE_SF_DIR)  # materialize
+    plan = formatted_plan(spark, "q101_incremental_rollup")
+    scans = [l for l in plan.splitlines() if re.match(r"\(\d+\) Scan parquet", l.strip())]
+    assert len(scans) == 1, scans
+    assert "Scan ExistingRDD" in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts," in plan

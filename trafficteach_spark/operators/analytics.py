@@ -970,3 +970,97 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return row.select(F.inline(F.array(*entries)))
+
+
+# Incremental rollup: the materialized BASE aggregate covers everything
+# before the cutover instant; each refresh only aggregates the delta and
+# merges. The cutover is part of the operator contract (like PSI_SPLIT).
+ROLLUP_CUTOVER = "2024-01-20 00:00:00"
+
+# (applicationId, sf_dir) -> localCheckpoint'ed base-aggregate frame.
+_ROLLUP_BASE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def rollup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized daily rollup of all events before
+    ``ROLLUP_CUTOVER`` — computed once per (app, dataset) and
+    localCheckpoint-materialized, the stand-in for the persisted
+    aggregate table an incremental pipeline maintains."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ROLLUP_BASE_MEMO.get(key)
+    if df is None:
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("ts") < F.lit(ROLLUP_CUTOVER).cast("timestamp_ntz")
+        )
+        df = _daily_partial(ev).localCheckpoint(eager=True)
+        _ROLLUP_BASE_MEMO[key] = df
+    return df
+
+
+def _daily_partial(ev: DataFrame) -> DataFrame:
+    """Mergeable per-(event_type, day) partial aggregate: every statistic
+    is algebraic (n, sum, min, max), so two partials merge exactly."""
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "q101_incremental_rollup",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    tags=("analytics", "warehouse", "incremental"),
+)
+def q101_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily per-type
+    rollup refreshed by merging the MATERIALIZED base aggregate (all
+    data before the cutover — :func:`rollup_base`, computed once per
+    (app, dataset)) with a partial aggregate of only the delta rows —
+    the pattern that turns a 100 TB nightly full refresh into a job
+    sized by the day's arrivals.
+
+    Plan: the delta scan carries a pushed ``ts >= cutover`` predicate
+    (the base is never rescanned once materialized); both sides are
+    mergeable algebraic partials (n/sum/min/max), re-aggregated after a
+    union of rollup-sized frames; avg derives from merged sum/n at the
+    end. The oracle is the full-recompute GROUP BY — green means
+    incremental merge ≡ full refresh, the invariant incremental
+    pipelines must prove. Exact cross-engine: sums are reordered by the
+    merge, so ROUND(6) absorbs summation-order ulp drift.
+    """
+    delta = load_table(spark, sf_dir, "events").where(
+        F.col("ts") >= F.lit(ROLLUP_CUTOVER).cast("timestamp_ntz")
+    )
+    merged = (
+        rollup_base(spark, sf_dir)
+        .unionByName(_daily_partial(delta))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_raw"),
+            F.min("min_value").alias("min_raw"),
+            F.max("max_value").alias("max_raw"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("sum_raw", 6).alias("sum_value"),
+        F.round("min_raw", 6).alias("min_value"),
+        F.round("max_raw", 6).alias("max_value"),
+        F.round(F.col("sum_raw") / F.col("n"), 6).alias("avg_value"),
+    )

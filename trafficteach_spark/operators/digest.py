@@ -98,6 +98,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q98_source_overlap": [("src_a", "string"), ("src_b", "string"), ("n_common", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"), ("jaccard", "double")],
     "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
     "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
+    "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
