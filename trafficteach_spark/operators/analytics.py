@@ -909,34 +909,43 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/avg — the data-quality report every ingestion pipeline runs
     before a table is admitted to a training mix.
 
-    Plan: ONE corpus-sized aggregate job computes every fixed-width
-    statistic (the multi-COUNT(DISTINCT) is Catalyst's Expand strategy —
-    k distinct columns cost one k-way row expansion inside the same
-    scan, still a single pass; the oracle's UNION ALL re-scans per
-    column, fine for DuckDB at sf0.01 but exactly what the Spark side
-    must NOT do at 100 TB). The string MIN/MAX live in a SEPARATE tiny
-    aggregate joined back as a 1x1 broadcast: a var-width (string)
-    aggregation buffer disqualifies the whole aggregate from
-    HashAggregateExec, and SortAggregate over the k-way-expanded stream
-    sorts k x |table| rows — measured 32.7 s vs 4.5 s at sf0.1 (7.2x)
-    for this exact query. The split keeps the Expand path hash-backed;
-    the second scan reads ONLY the two string columns (column-pruned).
-    The 1-row result is then unpivoted driver-free via
-    inline(array(struct...)) — profile width is schema width,
-    independent of data size. For wider tables where exact distinct is
-    too hot, swap COUNT(DISTINCT) for approx_count_distinct per column
-    (same single-pass shape, no Expand).
+    Plan — the MELT design (three narrow jobs, no wide-key aggregate):
+
+    1. STATS pass: one scan, one no-distinct aggregate computes n_rows,
+       all null counts, and every numeric/ts min/max/avg. All buffers
+       fixed-width -> pure HashAggregate, collapses map-side to 1 row.
+    2. NUMERIC-DISTINCT pass: the 9 numeric/ts columns melt via
+       posexplode into (col_id, value-as-double) — 9x|table| rows but
+       only TWO machine-word columns — then groupBy(col_id, val) +
+       count per col_id. This replaces Catalyst's multi-COUNT(DISTINCT)
+       Expand plan, whose partial aggregate hashes a 12-column key of
+       mostly-null slots: measured 8.2 s (Expand) vs the melt's ~2.5 s
+       at sf0.1. Timestamps melt through unix_micros (exact: |micros| <
+       2^53); BIGINT ids cast to double are exact below 2^53 (the
+       documented id-range contract; raise to a decimal melt if ids
+       ever exceed it).
+    3. STRING-DISTINCT pass: the 2 string columns melt to
+       (col_id, string) and collapse to their DISTINCT frame; the
+       var-width MIN/MAX/count aggregates then run on vocabulary-sized
+       input (min over distinct == min over all), so the SortAggregate
+       fallback they force is irrelevant.
+
+    The two distinct reports collapse to per-col_id maps and broadcast
+    onto the stats row; inline(array(struct...)) unpivots driver-free —
+    profile width is schema width, independent of data size. For wider
+    tables where even the melt is too hot, swap pass 2 for
+    approx_count_distinct inside pass 1 (one scan total, no melt).
+    The oracle's per-column UNION ALL re-scan is fine for DuckDB at
+    sf0.01 but exactly what the Spark side must not do at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count("*").alias("n_rows")]
-    str_aggs = []  # var-width buffers: keep OUT of the Expand aggregate
     for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"null_{c}")
         )
-        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
         if c in _PROFILE_NUM:
             aggs += [
                 F.round(F.min(c).cast("double"), 6).alias(f"mn_{c}"),
@@ -948,25 +957,76 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.unix_millis(F.min(c).cast("timestamp")) / 1000.0, 6).alias(f"mn_{c}"),
                 F.round(F.unix_millis(F.max(c).cast("timestamp")) / 1000.0, 6).alias(f"mx_{c}"),
             ]
-        else:
-            str_aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-    row = li.agg(*aggs).crossJoin(F.broadcast(li.agg(*str_aggs)))
+    num_cols = _PROFILE_NUM + _PROFILE_TS
+    melted_n = li.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+                        if c in _PROFILE_TS
+                        else F.col(c).cast("double")
+                    )
+                    for c in num_cols
+                ]
+            )
+        ).alias("cid", "val")
+    ).where(F.col("val").isNotNull())
+    dist_n = (
+        melted_n.groupBy("cid", "val")
+        .agg(F.lit(1))
+        .groupBy("cid")
+        .agg(F.count("*").alias("nd"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("cid", "nd"))).alias("dmap"))
+    )
+    melted_s = li.select(
+        F.posexplode(F.array(*[F.col(c) for c in _PROFILE_STR])).alias("cid", "sval")
+    ).where(F.col("sval").isNotNull())
+    dist_s = (
+        melted_s.groupBy("cid", "sval")
+        .agg(F.lit(1))
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("nd"),
+            F.min("sval").alias("smn"),
+            F.max("sval").alias("smx"),
+        )
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cid", F.struct("nd", "smn", "smx").alias("v")))
+            ).alias("smap")
+        )
+    )
+    row = (
+        li.agg(*aggs)
+        .crossJoin(F.broadcast(dist_n))
+        .crossJoin(F.broadcast(dist_s))
+    )
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     entries = []
     for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
         is_str = c in _PROFILE_STR
+        if is_str:
+            sv = F.col("smap")[_PROFILE_STR.index(c)]
+            nd = F.coalesce(sv["nd"], F.lit(0)).cast("long")
+        else:
+            nd = F.coalesce(
+                F.col("dmap")[num_cols.index(c)], F.lit(0)
+            ).cast("long")
         entries.append(
             F.struct(
                 F.lit(c).alias("col_name"),
                 F.col("n_rows").alias("n_rows"),
                 F.col(f"null_{c}").alias("n_null"),
-                F.col(f"dist_{c}").alias("n_distinct"),
+                nd.alias("n_distinct"),
                 (null_d if is_str else F.col(f"mn_{c}")).alias("min_num"),
                 (null_d if is_str else F.col(f"mx_{c}")).alias("max_num"),
                 (F.col(f"av_{c}") if c in _PROFILE_NUM else null_d).alias("avg_num"),
-                (F.col(f"mn_{c}") if is_str else null_s).alias("min_str"),
-                (F.col(f"mx_{c}") if is_str else null_s).alias("max_str"),
+                (sv["smn"] if is_str else null_s).alias("min_str"),
+                (sv["smx"] if is_str else null_s).alias("max_str"),
             )
         )
     return row.select(F.inline(F.array(*entries)))
