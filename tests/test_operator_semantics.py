@@ -1589,3 +1589,37 @@ def test_incremental_rollup_merges_base_and_delta(spark, tiny_sf_dir):
     base1 = analytics._ROLLUP_BASE_MEMO[key]
     Q["q101_incremental_rollup"](spark, tiny_sf_dir)
     assert analytics._ROLLUP_BASE_MEMO[key] is base1
+
+
+def test_misra_gries_bounds_vs_exact(spark):
+    # sketch guarantees vs exact counts at sf0.001, several k values
+    from pyspark.sql import functions as F
+
+    from trafficteach_spark.operators.sketches import misra_gries
+    from trafficteach_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    n = sum(exact.values())
+    for k in (5, 20, 100):
+        got = {r["key"]: r["estimate"] for r in misra_gries(ev, "user_id", k).collect()}
+        assert len(got) <= k
+        for key, est in got.items():
+            assert est <= exact[key], (k, key)
+            assert exact[key] - est <= n / (k + 1) + 1e-9, (k, key)
+        # completeness: every key with freq > n/(k+1) must be present
+        for key, f in exact.items():
+            if f > n / (k + 1):
+                assert key in got, (k, key, f)
+
+
+def test_misra_gries_exact_when_k_exceeds_cardinality(spark, tiny_sf_dir):
+    from pyspark.sql import functions as F
+
+    from trafficteach_spark.operators.sketches import misra_gries
+    from trafficteach_spark.sources.tables import load_table
+
+    ev = load_table(spark, tiny_sf_dir, "events")
+    exact = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    got = {r["key"]: r["estimate"] for r in misra_gries(ev, "user_id", 100).collect()}
+    assert got == exact  # no compression ever triggers -> exact counts

@@ -406,3 +406,14 @@ def test_q101_delta_scan_is_pruned_and_base_not_rescanned(spark):
     assert len(scans) == 1, scans
     assert "Scan ExistingRDD" in plan
     assert "PushedFilters" in plan and "GreaterThanOrEqual(ts," in plan
+
+
+def test_q102_single_corpus_scan_and_shuffle(spark):
+    # One hash-aggregate on user_id; totals come from a window over the
+    # distinct-key counts frame, never a second corpus scan.
+    import re
+
+    plan = formatted_plan(spark, "q102_heavy_hitters")
+    scans = [l for l in plan.splitlines() if re.match(r"\(\d+\) Scan parquet", l.strip())]
+    assert len(scans) == 1, scans
+    assert plan.count("hashpartitioning(") == 1, plan

@@ -62,6 +62,7 @@ _OPERATOR_MODULES = (
     "trafficteach_spark.operators.analytics",
     "trafficteach_spark.operators.timeseries",
     "trafficteach_spark.operators.skew",
+    "trafficteach_spark.operators.sketches",
     "trafficteach_spark.operators.udx",
     "trafficteach_spark.operators.llm.dedup",
     "trafficteach_spark.operators.llm.similarity",
