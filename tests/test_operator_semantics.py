@@ -1623,3 +1623,28 @@ def test_misra_gries_exact_when_k_exceeds_cardinality(spark, tiny_sf_dir):
     exact = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     got = {r["key"]: r["estimate"] for r in misra_gries(ev, "user_id", 100).collect()}
     assert got == exact  # no compression ever triggers -> exact counts
+
+
+def test_corr_matrix_matches_numpy(spark, tiny_sf_dir):
+    import numpy as np
+
+    from tests.conftest import TINY_LINEITEM
+    from trafficteach_spark.operators.analytics import _CORR_COLS
+
+    got = {(r["col_a"], r["col_b"]): r for r in Q["q103_corr_matrix"](spark, tiny_sf_dir).collect()}
+    assert len(got) == len(_CORR_COLS) * (len(_CORR_COLS) - 1) // 2
+    from trafficteach_spark import schemas
+
+    cols = {f.name: i for i, f in enumerate(schemas.LINEITEM.fields)}
+    data = np.array(
+        [[float(row[cols[c]]) for c in _CORR_COLS] for row in TINY_LINEITEM]
+    )
+    for (a, b), r in got.items():
+        ia, ib = _CORR_COLS.index(a), _CORR_COLS.index(b)
+        sa, sb = data[:, ia], data[:, ib]
+        if sa.std() == 0 or sb.std() == 0:
+            assert r["corr"] is None, (a, b)
+        else:
+            expect = float(np.corrcoef(sa, sb)[0, 1])
+            assert abs(r["corr"] - round(expect, 6)) < 2e-6, (a, b, r["corr"], expect)
+        assert r["n"] == len(data)

@@ -417,3 +417,14 @@ def test_q102_single_corpus_scan_and_shuffle(spark):
     scans = [l for l in plan.splitlines() if re.match(r"\(\d+\) Scan parquet", l.strip())]
     assert len(scans) == 1, scans
     assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_q103_corr_matrix_single_pass(spark):
+    # All 28 pair correlations must ride ONE aggregate over ONE scan —
+    # the whole point vs the oracle's per-pair rescan.
+    import re
+
+    plan = formatted_plan(spark, "q103_corr_matrix")
+    scans = [l for l in plan.splitlines() if re.match(r"\(\d+\) Scan parquet", l.strip())]
+    assert len(scans) == 1, scans
+    assert plan.count("hashpartitioning(") == 0, plan  # global agg: partial+final, no hash key

@@ -1124,3 +1124,74 @@ def q101_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_raw", 6).alias("max_value"),
         F.round(F.col("sum_raw") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+_CORR_COLS = (
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+)
+
+
+def _corr_matrix_oracle() -> str:
+    parts = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            parts.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, COUNT(*) AS n,\n"
+                f"       ROUND(CORR({a}, {b}), 6) AS corr\nFROM lineitem"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("q103_corr_matrix", oracle=_corr_matrix_oracle(), tags=("analytics", "profiling"))
+def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the numeric lineitem
+    columns (the feature-redundancy screen a training pipeline runs
+    before assembling a feature set; q72's single-pair statistics,
+    widened to all k*(k-1)/2 pairs).
+
+    Plan: ONE aggregate job computes every pair — k stddev states plus
+    k(k-1)/2 covar states ride the same partial/final hash-aggregate
+    pass, each using Spark's numerically-stable single-pass co-moment
+    update (matching DuckDB's, so ROUND(6) parity holds despite
+    1e14-scale raw moments). corr is assembled as
+    try_divide(covar_samp, sa*sb) rather than F.corr because under
+    Spark 4's ANSI mode corr THROWS on a zero-variance column where
+    DuckDB (and this form) yield NULL. The oracle's per-pair UNION ALL
+    re-scans 28 times — fine for DuckDB at sf0.01, exactly what one
+    pass avoids at 100 TB. The 1-row result unpivots driver-free via
+    inline(array(struct...)).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    aggs = [F.count("*").alias("n")] + [
+        F.stddev_samp(c).alias(f"s_{c}") for c in _CORR_COLS
+    ] + [
+        F.covar_samp(a, b).alias(f"cv_{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    row = li.agg(*aggs).select(
+        "*",
+        *[
+            F.round(
+                F.try_divide(
+                    F.col(f"cv_{i}"), F.col(f"s_{a}") * F.col(f"s_{b}")
+                ),
+                6,
+            ).alias(f"c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("n").alias("n"),
+            F.col(f"c_{i}").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return row.select(F.inline(F.array(*entries)))

@@ -100,6 +100,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
     "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],
     "q102_heavy_hitters": [("user_id", "bigint"), ("freq", "bigint"), ("share", "double")],
+    "q103_corr_matrix": [("col_a", "string"), ("col_b", "string"), ("n", "bigint"), ("corr", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
