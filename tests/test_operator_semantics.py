@@ -1648,3 +1648,31 @@ def test_corr_matrix_matches_numpy(spark, tiny_sf_dir):
             expect = float(np.corrcoef(sa, sb)[0, 1])
             assert abs(r["corr"] - round(expect, 6)) < 2e-6, (a, b, r["corr"], expect)
         assert r["n"] == len(data)
+
+
+def test_fk_audit_detects_orphans(spark, tiny_sf_dir):
+    got = {
+        (r["child_table"], r["fk_col"]): r
+        for r in Q["q104_fk_audit"](spark, tiny_sf_dir).collect()
+    }
+    assert len(got) == 8
+    # tiny events reference users 1..4 but customers are only {1, 2}
+    ev = got[("events", "user_id")]
+    from tests.conftest import TINY_EVENTS
+
+    orphan_rows = sum(1 for e in TINY_EVENTS if e[2] not in (1, 2))
+    assert ev["n_child"] == len(TINY_EVENTS)
+    assert ev["n_orphan"] == orphan_rows and orphan_rows > 0
+    assert abs(ev["orphan_rate"] - round(orphan_rows / len(TINY_EVENTS), 6)) < 1e-9
+    # tiny lineitem/orders/nation chains are consistent
+    assert got[("lineitem", "l_orderkey")]["n_orphan"] == 0
+    assert got[("nation", "n_regionkey")]["n_orphan"] == 0
+
+
+def test_fk_audit_clean_on_driver_fixture(spark):
+    # the generated TPC-H-ish tables must be referentially consistent on
+    # every relation except the synthetic events->customer link
+    rows = Q["q104_fk_audit"](spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        if (r["child_table"], r["parent_table"]) != ("events", "customer"):
+            assert r["n_orphan"] == 0, r

@@ -1195,3 +1195,87 @@ def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(pairs)
     ]
     return row.select(F.inline(F.array(*entries)))
+
+
+# (child table, fk column, parent table, parent key) — the declared
+# referential contract of the data model (FIXTURES.md).
+_FK_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _fk_audit_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_RELATIONS:
+        parts.append(
+            f"SELECT '{child}' AS child_table, '{fk}' AS fk_col,\n"
+            f"       '{parent}' AS parent_table,\n"
+            f"       COUNT(*) AS n_child,\n"
+            f"       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,\n"
+            f"       ROUND(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)\n"
+            f"             / CAST(COUNT(*) AS DOUBLE), 6) AS orphan_rate\n"
+            f"FROM (SELECT {fk} FROM {child} WHERE {fk} IS NOT NULL) c\n"
+            f"LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("q104_fk_audit", oracle=_fk_audit_oracle(), tags=("analytics", "profiling", "quality"))
+def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per declared FK relation
+    with the orphan count and rate (child keys that resolve to no
+    parent) — the cross-table data-quality gate that runs beside q97's
+    per-column profile before a snapshot is admitted; non-zero
+    orphan_rate on a relation flags a broken ingest.
+
+    Plan: per relation, the child contributes only its FK COLUMN
+    (column-pruned scan) pre-aggregated to (key, count) — so the join
+    input is distinct-key-sized, not row-sized — left-joined to the
+    parent's distinct-key frame (dimension-sized; AQE broadcasts the
+    small ones) and collapsed to one audit row. The relation frames
+    union to the report. Child row counts are preserved exactly through
+    the pre-aggregation (sum of per-key counts == row count).
+    """
+    out = None
+    for child, fk, parent, pk in _FK_RELATIONS:
+        ckeys = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(fk).alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+        )
+        pkeys = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        rel = (
+            ckeys.join(pkeys, "k", "left")
+            .agg(
+                F.sum("cnt").alias("n_child"),
+                F.sum(F.when(F.col("hit").isNull(), F.col("cnt")).otherwise(0))
+                .cast("long")
+                .alias("n_orphan"),
+            )
+            .select(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("fk_col"),
+                F.lit(parent).alias("parent_table"),
+                "n_child",
+                "n_orphan",
+                F.round(
+                    F.col("n_orphan") / F.col("n_child").cast("double"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out

@@ -101,6 +101,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],
     "q102_heavy_hitters": [("user_id", "bigint"), ("freq", "bigint"), ("share", "double")],
     "q103_corr_matrix": [("col_a", "string"), ("col_b", "string"), ("n", "bigint"), ("corr", "double")],
+    "q104_fk_audit": [("child_table", "string"), ("fk_col", "string"), ("parent_table", "string"), ("n_child", "bigint"), ("n_orphan", "bigint"), ("orphan_rate", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
