@@ -1676,3 +1676,19 @@ def test_fk_audit_clean_on_driver_fixture(spark):
     for r in rows:
         if (r["child_table"], r["parent_table"]) != ("events", "customer"):
             assert r["n_orphan"] == 0, r
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark, tiny_sf_dir):
+    # rank-based encode on the training corpus must reproduce the
+    # trained symbol arrays word-for-word (merged pairs never re-form)
+    from trafficteach_spark.operators.llm.corpus import bpe_encode, bpe_train
+    from trafficteach_spark.sources.tables import load_table
+
+    merges, vocab = bpe_train(spark, tiny_sf_dir, n_merges=8, min_pair_count=2)
+    trained = {r["w"]: list(r["syms"]) for r in vocab.collect()}
+    docs = load_table(spark, tiny_sf_dir, "documents")
+    out = bpe_encode(docs, "text", merges).select("doc_id", "text", "tokens").collect()
+    assert out
+    for r in out:
+        expect = [s for w in r["text"].lower().split() for s in trained[w]]
+        assert list(r["tokens"]) == expect, r["doc_id"]

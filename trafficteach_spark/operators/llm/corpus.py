@@ -11,8 +11,11 @@ oracle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from trafficteach_spark import schemas
 from trafficteach_spark.registry import register
@@ -1156,3 +1159,68 @@ def bpe_train(
 def _sql_str(s: str) -> str:
     """A SQL string literal (the merge symbols come from corpus text)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`bpe_train`'s output) to
+    tokenize ``df[text_col]`` — the inference half of the tokenizer
+    lifecycle. Standard rank-based encoding: each word starts as
+    characters + ``</w>``; repeatedly merge the adjacent pair with the
+    best (lowest-index) rank until none applies. This reproduces the
+    training segmentation exactly on training words (a merged pair can
+    never re-form from later merges), pinned by the self-consistency
+    test.
+
+    Scale design: pure map — an Arrow-batched pandas UDF with the merge
+    table shipped once per task in the closure (vocabulary-sized, the
+    tokenizer artifact) and a per-batch word cache (Zipf reuse makes
+    the cache hit rate high); no shuffle, no driver involvement.
+    """
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                best, bi = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, bi = r, i
+                if best is None:
+                    break
+                a, b, _ = merges[best]
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        return texts.map(
+            lambda t: [
+                s
+                for w in str(t).lower().split()
+                for s in enc_word(w)
+            ]
+            if t is not None
+            else None
+        )
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))
