@@ -1692,3 +1692,39 @@ def test_bpe_encode_reproduces_training_segmentation(spark, tiny_sf_dir):
     for r in out:
         expect = [s for w in r["text"].lower().split() for s in trained[w]]
         assert list(r["tokens"]) == expect, r["doc_id"]
+
+
+def test_cohort_retention_matches_python(spark, tiny_sf_dir):
+    import datetime as dt
+
+    from tests.conftest import TINY_EVENTS
+
+    got = {
+        (r["cohort_wk"], r["week_offset"]): r
+        for r in Q["q105_cohort_retention"](spark, tiny_sf_dir).collect()
+    }
+    # python reference: ISO-Monday week truncation like both engines
+    def week_of(ns):
+        d = dt.datetime.fromtimestamp(ns / 1e9, dt.timezone.utc).date()
+        return d - dt.timedelta(days=d.weekday())
+
+    user_weeks = {}
+    for _, ns, uid, _, _, _ in TINY_EVENTS:
+        user_weeks.setdefault(uid, set()).add(week_of(ns))
+    expect = {}
+    for uid, wks in user_weeks.items():
+        first = min(wks)
+        for w in wks:
+            key = (first, (w - first).days // 7)
+            expect[key] = expect.get(key, 0) + 1
+    assert set(got) == set(expect)
+    for key, n in expect.items():
+        r = got[key]
+        assert r["n_active"] == n, key
+        size = expect[(key[0], 0)]
+        assert r["cohort_size"] == size
+        assert abs(r["retention"] - round(n / size, 6)) < 1e-9
+    # offset-0 rows retain 100% by construction
+    for key, r in got.items():
+        if key[1] == 0:
+            assert r["retention"] == 1.0

@@ -428,3 +428,15 @@ def test_q103_corr_matrix_single_pass(spark):
     scans = [l for l in plan.splitlines() if re.match(r"\(\d+\) Scan parquet", l.strip())]
     assert len(scans) == 1, scans
     assert plan.count("hashpartitioning(") == 0, plan  # global agg: partial+final, no hash key
+
+
+def test_q105_single_user_exchange(spark):
+    # The week-set collapse is the ONLY corpus-sized exchange: one scan,
+    # exactly one user_id hash partitioning; everything downstream runs
+    # on cohort-matrix-sized frames.
+    import re
+
+    plan = formatted_plan(spark, "q105_cohort_retention")
+    scans = [l for l in plan.splitlines() if re.match(r"\(\d+\) Scan parquet", l.strip())]
+    assert len(scans) == 1, scans
+    assert plan.count("hashpartitioning(user_id") == 1, plan

@@ -1279,3 +1279,71 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rel if out is None else out.unionByName(rel)
     return out
+
+
+@register(
+    "q105_cohort_retention",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id),
+    act AS (
+        SELECT fw.cohort_wk,
+               CAST((uw.wk - fw.cohort_wk) / 7 AS BIGINT) AS week_offset,
+               COUNT(*) AS n_active
+        FROM uw JOIN fw USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT cohort_wk, week_offset, n_active,
+           MAX(n_active) FILTER (WHERE week_offset = 0)
+               OVER (PARTITION BY cohort_wk) AS cohort_size,
+           ROUND(n_active / CAST(MAX(n_active) FILTER (WHERE week_offset = 0)
+               OVER (PARTITION BY cohort_wk) AS DOUBLE), 6) AS retention
+    FROM act
+    """,
+    tags=("analytics", "product"),
+)
+def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-active
+    week, with the share of each cohort still active N weeks later —
+    the canonical product-analytics report (and the engagement-decay
+    signal a data pipeline uses to weight recent snapshots).
+
+    Plan: ONE corpus-sized shuffle — each user's distinct week SET is
+    collected in a single user_id hash-aggregate (map-side partial
+    collect_set, so the exchange carries per-user week sets, not
+    events), after which first week (array_min) and the per-week
+    offsets are row-local expressions. A (user, week) DISTINCT followed
+    by a min-over-user window was measurably worse: the distinct hashes
+    on (user, week) so the window forces a second, re-keyed exchange of
+    the user-week frame (plan-tested to stay at ONE user_id exchange).
+    The cohort x offset aggregate and the cohort-size window then run
+    on activity-matrix-sized frames (weeks x cohorts, independent of
+    corpus size).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+        .select(F.array_min("wks").alias("cohort_wk"), F.explode("wks").alias("wk"))
+    )
+    act = per_user.groupBy(
+        "cohort_wk",
+        (F.datediff("wk", F.col("cohort_wk")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.count("*").alias("n_active"))
+    wc = Window.partitionBy("cohort_wk")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(wc)
+    return act.select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        size.alias("cohort_size"),
+        F.round(F.col("n_active") / size.cast("double"), 6).alias("retention"),
+    )
