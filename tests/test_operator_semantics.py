@@ -1728,3 +1728,33 @@ def test_cohort_retention_matches_python(spark, tiny_sf_dir):
     for key, r in got.items():
         if key[1] == 0:
             assert r["retention"] == 1.0
+
+
+def test_session_concurrency_matches_bruteforce(spark, tiny_sf_dir):
+    import datetime as dt
+
+    from tests.conftest import TINY_EVENTS
+
+    got = {r["day"]: r["max_concurrent"] for r in Q["q106_session_concurrency"](spark, tiny_sf_dir).collect()}
+
+    # brute force: sessionize per user (30-min gap), then evaluate
+    # concurrency at every start instant and every midnight
+    GAP = dt.timedelta(minutes=30)
+    per_user = {}
+    for _, ns, uid, _, _, _ in sorted(TINY_EVENTS, key=lambda e: e[1]):
+        t = dt.datetime.fromtimestamp(ns / 1e9, dt.timezone.utc).replace(tzinfo=None)
+        sessions = per_user.setdefault(uid, [])
+        if sessions and t - sessions[-1][1] < GAP:
+            sessions[-1][1] = t
+        else:
+            sessions.append([t, t])
+    sess = [(s, e + GAP) for lst in per_user.values() for s, e in lst]
+    lo = min(s for s, _ in sess).date()
+    hi = max(e for _, e in sess).date()
+    days = [lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
+    instants = [s for s, _ in sess] + [dt.datetime.combine(d, dt.time()) for d in days]
+    expect = {d: 0 for d in days}
+    for t in instants:
+        c = sum(1 for s, e in sess if s <= t < e)
+        expect[t.date()] = max(expect[t.date()], c)
+    assert got == expect

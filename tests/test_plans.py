@@ -440,3 +440,12 @@ def test_q105_single_user_exchange(spark):
     scans = [l for l in plan.splitlines() if re.match(r"\(\d+\) Scan parquet", l.strip())]
     assert len(scans) == 1, scans
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_q106_sweep_has_no_inequality_join(spark):
+    # The whole point: boundary deltas + per-day running sum, never the
+    # O(n^2) active-at-instant inequality join the oracle uses.
+    plan = formatted_plan(spark, "q106_session_concurrency")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ") Window" in plan

@@ -103,6 +103,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q103_corr_matrix": [("col_a", "string"), ("col_b", "string"), ("n", "bigint"), ("corr", "double")],
     "q104_fk_audit": [("child_table", "string"), ("fk_col", "string"), ("parent_table", "string"), ("n_child", "bigint"), ("n_orphan", "bigint"), ("orphan_rate", "double")],
     "q105_cohort_retention": [("cohort_wk", "date"), ("week_offset", "bigint"), ("n_active", "bigint"), ("cohort_size", "bigint"), ("retention", "double")],
+    "q106_session_concurrency": [("day", "date"), ("max_concurrent", "bigint")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from trafficteach_spark.functions.exprs import exact_sum
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_events_range
+from trafficteach_spark.sources.tables import load_events_range, load_table
 
 _ORACLE_RANGE = (
     f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
@@ -412,4 +412,138 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "q106_session_concurrency",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM marked
+    ),
+    sess AS (
+        SELECT MIN(ts) AS s, MAX(ts) + INTERVAL '30 minutes' AS e
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    cal AS (
+        SELECT unnest(generate_series(MIN(CAST(s AS DATE)),
+                                      MAX(CAST(e AS DATE)),
+                                      INTERVAL 1 DAY)) AS day
+        FROM sess
+    ),
+    inst AS (
+        -- concurrency can peak only just after a session start or at
+        -- midnight (carry-in); [s, e) half-open
+        SELECT CAST(s AS DATE) AS d, s AS t FROM sess
+        UNION ALL
+        SELECT CAST(day AS DATE), CAST(day AS TIMESTAMP) FROM cal
+    ),
+    act AS (
+        SELECT i.d, i.t,
+               (SELECT COUNT(*) FROM sess x
+                WHERE x.s <= i.t AND x.e > i.t) AS c
+        FROM inst i
+    )
+    SELECT d AS day, CAST(MAX(c) AS BIGINT) AS max_concurrent
+    FROM act GROUP BY d
+    """,
+    tags=("window", "O39", "sweepline"),
+)
+def q106_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (capacity planning / load-shape
+    report): sweep-line over the session intervals from q22's
+    sessionization — the operator class where the naive form (count
+    active sessions at every instant) is an O(n^2) inequality join, and
+    the scale answer is boundary deltas + running sum.
+
+    Plan: sessions melt to (+1 at start, -1 at end) boundary deltas;
+    each DAY is an independent sweep partition (running sum ordered by
+    (t, delta), ends before coincident starts for [s, e) semantics)
+    seeded by that day's CARRY-IN — sessions already active at
+    midnight, computed by exploding each session over the days it spans
+    (bounded fan-out: a 30-min-gap session spans few days). Peak(day) =
+    carry_in + max(0, max running sum at start rows). Per-day windows
+    bound the sort: no global single-partition sweep; for a day too hot
+    to sort, the same construction nests once more at hour grain.
+    Concurrency peaks only just after a start or at midnight, which is
+    exactly the candidate set the quadratic oracle evaluates.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"))
+    )
+    # An end falling EXACTLY on midnight is a no-op for both days: the
+    # session is active to the end of the previous day (no -1 needed
+    # there) and was never counted in the new day (carry-in requires
+    # e > midnight) — so its -1 must not leak into the new day's sweep.
+    deltas = sess.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("delta")).where(
+            F.col("t") != F.to_date("t").cast("timestamp_ntz")
+        )
+    )
+    wd = (
+        Window.partitionBy(F.to_date("t"))
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_peaks = (
+        deltas.select(
+            F.to_date("t").alias("day"),
+            "delta",
+            F.sum("delta").over(wd).alias("run"),
+        )
+        .where(F.col("delta") == 1)
+        .groupBy("day")
+        .agg(F.max("run").alias("max_run"))
+    )
+    carry = (
+        # sequence(lo, hi) DESCENDS when lo > hi — restrict to sessions
+        # that actually cross a midnight before exploding their day span
+        sess.where(F.to_date("e") > F.to_date("s")).select(
+            F.explode(
+                F.sequence(
+                    F.date_add(F.to_date("s"), 1), F.to_date("e")
+                )
+            ).alias("day"),
+            "e",
+        )
+        .where(F.col("e") > F.col("day").cast("timestamp"))
+        .groupBy("day")
+        .agg(F.count("*").alias("carry_in"))
+    )
+    cal = (
+        sess.agg(
+            F.min(F.to_date("s")).alias("lo"), F.max(F.to_date("e")).alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        cal.join(carry, "day", "left")
+        .join(start_peaks, "day", "left")
+        .select(
+            "day",
+            (
+                F.coalesce(F.col("carry_in"), F.lit(0))
+                + F.greatest(F.coalesce(F.col("max_run"), F.lit(0)), F.lit(0))
+            )
+            .cast("long")
+            .alias("max_concurrent"),
+        )
     )
