@@ -1758,3 +1758,25 @@ def test_session_concurrency_matches_bruteforce(spark, tiny_sf_dir):
         c = sum(1 for s, e in sess if s <= t < e)
         expect[t.date()] = max(expect[t.date()], c)
     assert got == expect
+
+
+def test_rolling_active_users_matches_python(spark, tiny_sf_dir):
+    import datetime as dt
+
+    from tests.conftest import TINY_EVENTS
+
+    got = {r["day"]: r for r in Q["q107_rolling_active_users"](spark, tiny_sf_dir).collect()}
+    ud = set()
+    for _, ns, uid, _, _, _ in TINY_EVENTS:
+        ud.add((uid, dt.datetime.fromtimestamp(ns / 1e9, dt.timezone.utc).date()))
+    lo = min(d for _, d in ud)
+    hi = max(d for _, d in ud)
+    days = [lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
+    assert set(got) == set(days)
+    for day in days:
+        dau = len({u for u, d in ud if d == day})
+        wau = len({u for u, d in ud if day - dt.timedelta(days=6) <= d <= day})
+        r = got[day]
+        assert (r["dau"], r["wau"]) == (dau, wau), day
+        if wau:
+            assert abs(r["stickiness"] - round(dau / wau, 6)) < 1e-9

@@ -449,3 +449,12 @@ def test_q106_sweep_has_no_inequality_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ") Window" in plan
+
+
+def test_q107_fanout_form_single_corpus_aggregate(spark):
+    # the 7-day distinct must come from the bounded explode, not a
+    # per-day range self-join
+    plan = formatted_plan(spark, "q107_rolling_active_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan

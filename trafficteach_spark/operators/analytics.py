@@ -1347,3 +1347,70 @@ def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         size.alias("cohort_size"),
         F.round(F.col("n_active") / size.cast("double"), 6).alias("retention"),
     )
+
+
+@register(
+    "q107_rolling_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    cal AS (
+        SELECT unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY)) AS day
+        FROM ud
+    )
+    SELECT CAST(c.day AS DATE) AS day,
+           (SELECT COUNT(DISTINCT u.user_id) FROM ud u
+            WHERE u.d = CAST(c.day AS DATE)) AS dau,
+           (SELECT COUNT(DISTINCT u.user_id) FROM ud u
+            WHERE u.d BETWEEN CAST(c.day AS DATE) - 6 AND CAST(c.day AS DATE))
+               AS wau,
+           ROUND((SELECT COUNT(DISTINCT u.user_id) FROM ud u
+                  WHERE u.d = CAST(c.day AS DATE))
+                 / CAST((SELECT COUNT(DISTINCT u.user_id) FROM ud u
+                         WHERE u.d BETWEEN CAST(c.day AS DATE) - 6
+                                       AND CAST(c.day AS DATE)) AS DOUBLE), 6)
+               AS stickiness
+    FROM cal c
+    """,
+    tags=("analytics", "product"),
+)
+def q107_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day active users, and stickiness
+    (DAU/WAU) per calendar day — the engagement dashboard's headline
+    row, and the denominator q105's cohorts feed.
+
+    Plan: the corpus collapses once to DISTINCT (user, day); each such
+    row then fans out to the <= 7 trailing days it keeps the user
+    active for (bounded replication — the scale-safe exact form of a
+    sliding distinct count, vs a per-day window over raw events), and
+    one aggregate counts distinct users per (day, is_today). Days with
+    no activity in range still appear via the calendar frame. A
+    rolling-distinct can't be computed from daily distinct counts
+    (distinct doesn't sum), which is exactly why the fan-out form
+    exists; for very long windows swap the explode for a per-day HLL
+    sketch merge (approx_count_distinct over the same fan-out).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    fan = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+    )
+    per_day = fan.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("d") == F.col("day"), F.col("user_id"))).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )
+    cal = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return (
+        cal.join(per_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.round(
+                F.col("dau") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

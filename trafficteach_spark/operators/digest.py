@@ -104,6 +104,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q104_fk_audit": [("child_table", "string"), ("fk_col", "string"), ("parent_table", "string"), ("n_child", "bigint"), ("n_orphan", "bigint"), ("orphan_rate", "double")],
     "q105_cohort_retention": [("cohort_wk", "date"), ("week_offset", "bigint"), ("n_active", "bigint"), ("cohort_size", "bigint"), ("retention", "double")],
     "q106_session_concurrency": [("day", "date"), ("max_concurrent", "bigint")],
+    "q107_rolling_active_users": [("day", "date"), ("dau", "bigint"), ("wau", "bigint"), ("stickiness", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
