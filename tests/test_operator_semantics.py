@@ -1780,3 +1780,27 @@ def test_rolling_active_users_matches_python(spark, tiny_sf_dir):
         assert (r["dau"], r["wau"]) == (dau, wau), day
         if wau:
             assert abs(r["stickiness"] - round(dau / wau, 6)) < 1e-9
+
+
+def test_time_to_convert_matches_python(spark, tiny_sf_dir):
+    import datetime as dt
+
+    from tests.conftest import TINY_EVENTS
+
+    r = Q["q108_time_to_convert"](spark, tiny_sf_dir).collect()[0]
+    signup, purchase = {}, {}
+    for _, ns, uid, et, _, _ in sorted(TINY_EVENTS, key=lambda e: e[1]):
+        t = ns / 1e9
+        if et == "signup":
+            signup.setdefault(uid, t)
+    for _, ns, uid, et, _, _ in sorted(TINY_EVENTS, key=lambda e: e[1]):
+        t = ns / 1e9
+        if et == "purchase" and uid in signup and t >= signup[uid]:
+            purchase.setdefault(uid, t)
+    lats = sorted(purchase[u] - signup[u] for u in purchase)
+    assert r["n_signups"] == len(signup)
+    assert r["n_converted"] == len(lats)
+    if lats:
+        assert abs(r["min_sec"] - round(lats[0], 6)) < 1e-6
+        assert abs(r["max_sec"] - round(lats[-1], 6)) < 1e-6
+        assert abs(r["conversion_rate"] - round(len(lats) / len(signup), 6)) < 1e-9

@@ -361,3 +361,103 @@ def q89_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(
         (F.col("is_order") == 1) & F.col("event_id").isNotNull()
     ).select("o_orderkey", "user_id", "o_orderdate", "event_id", "event_ts")
+
+
+@register(
+    "q108_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT s.user_id,
+               date_diff('microsecond', s.signup_ts, p.first_purchase)
+                   / 1000000.0 AS sec
+        FROM s JOIN p USING (user_id)
+    )
+    SELECT COUNT(*) AS n_converted,
+           (SELECT COUNT(*) FROM s) AS n_signups,
+           ROUND(COUNT(*) / CAST(NULLIF((SELECT COUNT(*) FROM s), 0) AS DOUBLE), 6)
+               AS conversion_rate,
+           ROUND(MIN(sec), 6) AS min_sec,
+           ROUND(quantile_cont(sec, 0.5), 6) AS p50_sec,
+           ROUND(quantile_cont(sec, 0.9), 6) AS p90_sec,
+           ROUND(MAX(sec), 6) AS max_sec
+    FROM lat
+    """,
+    tags=("sequence", "product", "O34"),
+)
+def q108_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion report: for every user who signed up, the
+    latency from first signup to first subsequent purchase —
+    conversion rate plus the min/p50/p90/max latency distribution (the
+    funnel-velocity metric behind q19's step counts).
+
+    Plan: the first-signup anchor folds in one user_id hash-aggregate;
+    "min purchase AT OR AFTER that signup" cannot fold in the same pass
+    (the threshold isn't known until the aggregate finishes), so the
+    purchase rows join the user-sized anchor frame (equi-join on
+    user_id — AQE broadcast-sizes the anchor side) and fold to the
+    first qualifying purchase in a second user_id aggregate. The
+    latency frame is converted-user-sized; the exact percentile sort
+    runs only there. No self-join of events against events anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(per_user.where(F.col("signup_ts").isNotNull()), "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.first("signup_ts").alias("signup_ts"),
+        )
+    )
+    lat = purchases.select(
+        (
+            (
+                F.unix_micros(F.col("first_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+            ).cast("double")
+            / 1e6
+        ).alias("sec")
+    )
+    n_signups = per_user.where(F.col("signup_ts").isNotNull()).agg(
+        F.count("*").alias("n_signups")
+    )
+    return (
+        lat.agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.min("sec"), 6).alias("min_sec"),
+            F.expr("ROUND(percentile(sec, 0.5D), 6)").alias("p50_sec"),
+            F.expr("ROUND(percentile(sec, 0.9D), 6)").alias("p90_sec"),
+            F.round(F.max("sec"), 6).alias("max_sec"),
+        )
+        .crossJoin(F.broadcast(n_signups))
+        .select(
+            "n_converted",
+            "n_signups",
+            F.round(
+                F.try_divide(
+                    F.col("n_converted"), F.col("n_signups").cast("double")
+                ),
+                6,
+            ).alias("conversion_rate"),
+            "min_sec",
+            "p50_sec",
+            "p90_sec",
+            "max_sec",
+        )
+    )
