@@ -1804,3 +1804,82 @@ def test_time_to_convert_matches_python(spark, tiny_sf_dir):
         assert abs(r["min_sec"] - round(lats[0], 6)) < 1e-6
         assert abs(r["max_sec"] - round(lats[-1], 6)) < 1e-6
         assert abs(r["conversion_rate"] - round(len(lats) / len(signup), 6)) < 1e-9
+
+
+def test_transition_matrix_matches_python(spark, tiny_sf_dir):
+    from tests.conftest import TINY_EVENTS
+
+    got = {(r["src"], r["dst"]): r for r in Q["q109_transition_matrix"](spark, tiny_sf_dir).collect()}
+    per_user = {}
+    for eid, ns, uid, et, _, _ in sorted(TINY_EVENTS, key=lambda e: (e[1], e[0])):
+        per_user.setdefault(uid, []).append(et)
+    pairs = {}
+    for seq in per_user.values():
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    assert set(got) == set(pairs)
+    row_totals = {}
+    for (a, _), n in pairs.items():
+        row_totals[a] = row_totals.get(a, 0) + n
+    for k, n in pairs.items():
+        assert got[k]["n"] == n, k
+        assert abs(got[k]["p"] - round(n / row_totals[k[0]], 6)) < 1e-9
+    # probabilities are a distribution per src row
+    for src, tot in row_totals.items():
+        s = sum(r["n"] for (a, _), r in got.items() if a == src)
+        assert s == tot
+
+
+def test_ab_lift_matches_python(spark, tiny_sf_dir):
+    import hashlib
+    import math
+
+    from tests.conftest import TINY_EVENTS
+
+    r = Q["q110_ab_lift"](spark, tiny_sf_dir).collect()[0]
+    conv, variant = {}, {}
+    for _, _, uid, et, _, _ in TINY_EVENTS:
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+        variant[uid] = h
+        conv[uid] = max(conv.get(uid, 0), 1 if et == "purchase" else 0)
+    n_a = sum(1 for u in variant if variant[u] == 0)
+    n_b = sum(1 for u in variant if variant[u] == 1)
+    c_a = sum(conv[u] for u in variant if variant[u] == 0)
+    c_b = sum(conv[u] for u in variant if variant[u] == 1)
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (n_a, c_a, n_b, c_b)
+    if n_a and n_b:
+        ra, rb = c_a / n_a, c_b / n_b
+        assert abs(r["lift"] - round(rb - ra, 6)) < 1e-9
+        p = (c_a + c_b) / (n_a + n_b)
+        se = math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+        if se > 0:
+            assert abs(r["z"] - round((rb - ra) / se, 6)) < 1e-6
+        else:
+            assert r["z"] is None
+
+
+def test_misra_gries_property_random_streams(spark):
+    # randomized (seeded) streams: MG guarantees must hold for any data
+    import random
+
+    from trafficteach_spark.operators.sketches import misra_gries
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 5000
+        # zipf-ish skew: a few heavy keys + uniform tail
+        keys = [rng.choice([1, 1, 1, 2, 2, 3]) if rng.random() < 0.5
+                else rng.randrange(1000) for _ in range(n)]
+        df = spark.createDataFrame([(k,) for k in keys], "key: long").repartition(7)
+        exact = {}
+        for k in keys:
+            exact[k] = exact.get(k, 0) + 1
+        for k_param in (3, 25):
+            got = {r["key"]: r["estimate"] for r in misra_gries(df, "key", k_param).collect()}
+            assert len(got) <= k_param
+            for key, est in got.items():
+                assert est <= exact[key]
+                assert exact[key] - est <= n / (k_param + 1) + 1e-9
+            for key, f in exact.items():
+                if f > n / (k_param + 1):
+                    assert key in got, (trial, k_param, key, f)

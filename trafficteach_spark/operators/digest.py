@@ -105,6 +105,8 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q105_cohort_retention": [("cohort_wk", "date"), ("week_offset", "bigint"), ("n_active", "bigint"), ("cohort_size", "bigint"), ("retention", "double")],
     "q106_session_concurrency": [("day", "date"), ("max_concurrent", "bigint")],
     "q107_rolling_active_users": [("day", "date"), ("dau", "bigint"), ("wau", "bigint"), ("stickiness", "double")],
+    "q110_ab_lift": [("n_a", "bigint"), ("conv_a", "bigint"), ("rate_a", "double"), ("n_b", "bigint"), ("conv_b", "bigint"), ("rate_b", "double"), ("lift", "double"), ("z", "double")],
+    "q109_transition_matrix": [("src", "string"), ("dst", "string"), ("n", "bigint"), ("p", "double")],
     "q108_time_to_convert": [("n_converted", "bigint"), ("n_signups", "bigint"), ("conversion_rate", "double"), ("min_sec", "double"), ("p50_sec", "double"), ("p90_sec", "double"), ("max_sec", "double")],
 }
 

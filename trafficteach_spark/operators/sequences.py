@@ -461,3 +461,148 @@ def q108_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sec",
         )
     )
+
+
+@register(
+    "q109_transition_matrix",
+    oracle="""
+    WITH step AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    pair AS (
+        SELECT src, dst, COUNT(*) AS n FROM step
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+    FROM pair
+    """,
+    tags=("sequence", "markov"),
+)
+def q109_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    (src, dst) pair, how often dst immediately follows src within a
+    user's stream, and the row-normalized transition probability — the
+    behavioral model behind next-action prediction and anomalous-flow
+    detection (q19's funnel asks "did the path happen"; this measures
+    every step's likelihood).
+
+    Plan: ONE corpus-sized shuffle (the per-user lead window, ordered
+    by (ts, event_id) for deterministic ties); pairs collapse to the
+    types x types frame, and row normalization is a window over THAT
+    tiny frame (the q96 rule — no second corpus scan for totals).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wu).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    ws = Window.partitionBy("src")
+    return pair.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(ws).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+_AB_HASH_SPARK = (
+    "pmod(CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT), 2)"
+)
+_AB_HASH_DUCK = (
+    "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2)"
+)
+
+
+@register(
+    "q110_ab_lift",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               {_AB_HASH_DUCK} AS v,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS n_a,
+               CAST(SUM(conv) FILTER (WHERE v = 0) AS BIGINT) AS conv_a,
+               CAST(COUNT(*) FILTER (WHERE v = 1) AS BIGINT) AS n_b,
+               CAST(SUM(conv) FILTER (WHERE v = 1) AS BIGINT) AS conv_b
+        FROM u
+    )
+    SELECT n_a, conv_a, ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           n_b, conv_b, ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND(conv_b / CAST(n_b AS DOUBLE)
+                 - conv_a / CAST(n_a AS DOUBLE), 6) AS lift,
+           ROUND((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                 / NULLIF(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                          * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z
+    FROM g
+    """,
+    tags=("sequence", "product", "experiment"),
+)
+def q110_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-bucketed
+    into two variants (the md5-based cross-engine bucketing q81's
+    corpus split established), per-variant purchase-conversion rates,
+    the lift, and the pooled two-proportion z statistic — the
+    experiment-analysis primitive every growth pipeline runs.
+
+    Plan: ONE corpus-sized user_id aggregate (variant + converted flag
+    fold per user); the variant roll-up and the z arithmetic run on the
+    2-row frame. Assignment is a pure row expression — no lookup join,
+    no stored assignment table — so the same users land in the same
+    variants on any engine and any data size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    ).select(F.expr(_AB_HASH_SPARK).alias("v"), "conv")
+    g = u.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    rate_a = F.try_divide(F.col("conv_a"), F.col("n_a").cast("double"))
+    rate_b = F.try_divide(F.col("conv_b"), F.col("n_b").cast("double"))
+    pooled = F.try_divide(
+        (F.col("conv_a") + F.col("conv_b")),
+        (F.col("n_a") + F.col("n_b")).cast("double"),
+    )
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (
+            F.try_divide(F.lit(1.0), F.col("n_a"))
+            + F.try_divide(F.lit(1.0), F.col("n_b"))
+        )
+    )
+    return g.select(
+        "n_a",
+        "conv_a",
+        F.round(rate_a, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b - rate_a, 6).alias("lift"),
+        F.round(
+            F.try_divide(rate_b - rate_a, F.nullif(se, F.lit(0.0))), 6
+        ).alias("z"),
+    )
