@@ -97,3 +97,38 @@ def test_image_features_through_spark(spark):
         r = rows[doc_id]
         assert (r.width, r.height, r.n_pixels) == (3, 2, 6)
         assert r.pixel_md5 == expected_md5
+
+
+def make_bmp_top_down(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Spec-conformant TOP-DOWN BMP: negative biHeight, rows stored
+    first-row-first."""
+    height = len(pixels)
+    width = len(pixels[0])
+    row_bytes = (width * 3 + 3) & ~3
+    data = bytearray()
+    for row in pixels:  # top-down storage, no reversal
+        for r, g, b in row:
+            data += bytes((b, g, r))
+        data += b"\x00" * (row_bytes - width * 3)
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(data), 0, 0, 0, 0
+    )
+    return file_header + info_header + bytes(data)
+
+
+def test_decode_bmp_top_down_negative_height():
+    # biHeight is SIGNED: negative means top-down rows. Before the fix
+    # this unpacked as ~4e9 and the row loop exploded.
+    img = decode_bmp(make_bmp_top_down(PIXELS))
+    assert img["height"] == len(PIXELS) and img["width"] == len(PIXELS[0])
+    assert img["pixels"] == PIXELS
+
+
+def test_decode_bmp_rejects_zero_dimensions():
+    import pytest
+
+    bad = bytearray(make_bmp(PIXELS))
+    bad[18:22] = struct.pack("<i", 0)  # width = 0
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_bmp(bytes(bad))

@@ -1883,3 +1883,23 @@ def test_misra_gries_property_random_streams(spark):
             for key, f in exact.items():
                 if f > n / (k_param + 1):
                     assert key in got, (trial, k_param, key, f)
+
+
+def test_fk_audit_empty_child_reports_zero_not_null(spark, tiny_sf_dir, tmp_path):
+    # contract: an empty child frame (all-NULL FK) reports n_child = 0,
+    # n_orphan = 0, orphan_rate NULL — never NULL counts
+    import shutil
+
+    from trafficteach_spark import schemas
+
+    for name in ("documents", "embeddings", "region", "nation", "supplier",
+                 "customer", "part", "orders", "lineitem"):
+        shutil.copytree(f"{tiny_sf_dir}/{name}.parquet", tmp_path / f"{name}.parquet")
+    rows_ = [(1, 1_700_000_000_000_000_000, None, "click", 1.0, "{}")]
+    spark.createDataFrame(rows_, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {r["child_table"]: r for r in Q["q104_fk_audit"](spark, str(tmp_path)).collect()}
+    ev = got["events"]
+    assert (ev["n_child"], ev["n_orphan"]) == (0, 0)
+    assert ev["orphan_rate"] is None

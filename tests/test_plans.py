@@ -386,8 +386,11 @@ def test_q100_scd2_single_exchange(spark):
     plan = formatted_plan(spark, "q100_scd2_history")
     exchanges = [
         l for l in plan.splitlines()
-        if re.match(r"\(\d+\) Exchange", l.strip()) and "hashpartitioning" in plan
+        if re.match(r"\(\d+\) Exchange", l.strip())
     ]
+    # every counted Exchange must be the user_id hash partitioning —
+    # checked on the Arguments lines that follow each Exchange header
+    assert plan.count("hashpartitioning(user_id") >= 1
     assert len(exchanges) == 1, exchanges
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 

@@ -836,8 +836,6 @@ def q96_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("h1"),
     )
-    from pyspark.sql import Window
-
     c = b.groupBy("event_type", "bin").agg(
         F.sum("h1").alias("n1"), F.sum(1 - F.col("h1")).alias("n2")
     )
@@ -1218,9 +1216,9 @@ def _fk_audit_oracle() -> str:
             f"SELECT '{child}' AS child_table, '{fk}' AS fk_col,\n"
             f"       '{parent}' AS parent_table,\n"
             f"       COUNT(*) AS n_child,\n"
-            f"       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,\n"
-            f"       ROUND(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)\n"
-            f"             / CAST(COUNT(*) AS DOUBLE), 6) AS orphan_rate\n"
+            f"       CAST(COALESCE(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphan,\n"
+            f"       ROUND(COALESCE(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0)\n"
+            f"             / CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6) AS orphan_rate\n"
             f"FROM (SELECT {fk} FROM {child} WHERE {fk} IS NOT NULL) c\n"
             f"LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}"
         )
@@ -1261,8 +1259,13 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel = (
             ckeys.join(pkeys, "k", "left")
             .agg(
-                F.sum("cnt").alias("n_child"),
-                F.sum(F.when(F.col("hit").isNull(), F.col("cnt")).otherwise(0))
+                # COALESCE to 0 on an empty child frame: the contract (and
+                # the oracle's COUNT(*)) reports 0, never NULL.
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child"),
+                F.coalesce(
+                    F.sum(F.when(F.col("hit").isNull(), F.col("cnt")).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_orphan"),
             )
@@ -1273,7 +1276,11 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_child",
                 "n_orphan",
                 F.round(
-                    F.col("n_orphan") / F.col("n_child").cast("double"), 6
+                    F.try_divide(
+                        F.col("n_orphan"),
+                        F.nullif(F.col("n_child"), F.lit(0)).cast("double"),
+                    ),
+                    6,
                 ).alias("orphan_rate"),
             )
         )

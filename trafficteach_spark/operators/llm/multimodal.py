@@ -97,9 +97,14 @@ def decode_bmp(payload: bytes) -> dict:
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
-    header_size, width, height = struct.unpack_from("<IiI", payload, 14)
+    # biHeight is SIGNED: negative means a top-down pixel array.
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
     if header_size < 40:
         raise ValueError(f"unsupported BMP header size {header_size}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    top_down = height < 0
+    height = abs(height)
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
@@ -109,8 +114,8 @@ def decode_bmp(payload: bytes) -> dict:
     row_bytes = (width * 3 + 3) & ~3
     rows = []
     for y in range(height):
-        # BMP stores rows bottom-up; emit top-down.
-        off = data_offset + (height - 1 - y) * row_bytes
+        # Bottom-up (the default) flips to top-down; top-down reads as-is.
+        off = data_offset + (y if top_down else height - 1 - y) * row_bytes
         row = [
             (payload[off + 3 * x + 2], payload[off + 3 * x + 1], payload[off + 3 * x])
             for x in range(width)

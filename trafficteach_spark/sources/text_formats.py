@@ -32,18 +32,23 @@ def _normalize(raw: DataFrame) -> DataFrame:
     )
 
 
-def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    """Read newline-delimited JSON events (the Kafka value contract as a
-    batch file source). Declared physical schema — no inference; corrupt
-    lines fail the job (mode FAILFAST) rather than silently nulling out,
-    matching the loader family's fail-loud posture."""
+def _read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """The one JSONL reader (shared by the query path and the compaction
+    path so reader options can never drift apart): declared physical
+    schema — no inference; corrupt lines fail the job (mode FAILFAST)
+    rather than silently nulling out."""
     ensure_session_confs(spark)
-    raw = (
+    return (
         spark.read.schema(schemas.EVENTS_PHYSICAL)
         .option("mode", "FAILFAST")
         .json(path)
     )
-    return _normalize(raw)
+
+
+def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read newline-delimited JSON events (the Kafka value contract as a
+    batch file source), normalized to the logical events shape."""
+    return _normalize(_read_raw_jsonl(spark, path))
 
 
 def read_events_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
@@ -72,10 +77,4 @@ def convert_events_to_parquet(
     """The ingestion-edge compaction step: land text -> columnar. After
     this, every query runs against parquet with pushdown/pruning; the
     text files are an archival input, not a query target."""
-    ensure_session_confs(spark)
-    raw = (
-        spark.read.schema(schemas.EVENTS_PHYSICAL)
-        .option("mode", "FAILFAST")
-        .json(jsonl_path)
-    )
-    raw.write.mode("overwrite").parquet(parquet_path)
+    _read_raw_jsonl(spark, jsonl_path).write.mode("overwrite").parquet(parquet_path)
