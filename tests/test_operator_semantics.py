@@ -1903,3 +1903,23 @@ def test_fk_audit_empty_child_reports_zero_not_null(spark, tiny_sf_dir, tmp_path
     ev = got["events"]
     assert (ev["n_child"], ev["n_orphan"]) == (0, 0)
     assert ev["orphan_rate"] is None
+
+
+def test_fulfillment_lag_matches_python(spark, tiny_sf_dir):
+    from tests.conftest import TINY_LINEITEM, TINY_ORDERS
+
+    got = {r["o_orderpriority"]: r for r in Q["q111_fulfillment_lag"](spark, tiny_sf_dir).collect()}
+    last_ship = {}
+    for row in TINY_LINEITEM:
+        ok, ship = row[0], row[10]
+        if ok not in last_ship or ship > last_ship[ok]:
+            last_ship[ok] = ship
+    per_prio = {}
+    for ok, _, _, _, odate, prio in TINY_ORDERS:
+        if ok in last_ship:
+            per_prio.setdefault(prio, []).append((last_ship[ok] - odate).days)
+    assert set(got) == set(per_prio)
+    for prio, lags in per_prio.items():
+        r = got[prio]
+        assert r["n_orders"] == len(lags)
+        assert abs(r["avg_days"] - round(sum(lags) / len(lags), 6)) < 1e-9

@@ -461,3 +461,19 @@ def test_q107_fanout_form_single_corpus_aggregate(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_q111_preaggregates_before_the_join(spark):
+    # lineitem must collapse to (orderkey, last_ship) BEFORE joining
+    # orders: in the formatted tree the join consumes an aggregate on
+    # the lineitem side — i.e. a HashAggregate appears below the join on
+    # that branch, and no aggregate consumes raw joined line items.
+    import re
+
+    plan = formatted_plan(spark, "q111_fulfillment_lag")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the l_orderkey max-aggregate exists as its own node pair
+    assert re.search(r"\(\d+\) HashAggregate", plan)
+    assert "max(l_shipdate" in plan
+    # join keys are the order key on both sides
+    assert "o_orderkey" in plan and "l_orderkey" in plan

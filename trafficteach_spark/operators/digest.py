@@ -102,6 +102,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q102_heavy_hitters": [("user_id", "bigint"), ("freq", "bigint"), ("share", "double")],
     "q103_corr_matrix": [("col_a", "string"), ("col_b", "string"), ("n", "bigint"), ("corr", "double")],
     "q104_fk_audit": [("child_table", "string"), ("fk_col", "string"), ("parent_table", "string"), ("n_child", "bigint"), ("n_orphan", "bigint"), ("orphan_rate", "double")],
+    "q111_fulfillment_lag": [("o_orderpriority", "string"), ("n_orders", "bigint"), ("avg_days", "double"), ("p50_days", "double"), ("p90_days", "double")],
     "q105_cohort_retention": [("cohort_wk", "date"), ("week_offset", "bigint"), ("n_active", "bigint"), ("cohort_size", "bigint"), ("retention", "double")],
     "q106_session_concurrency": [("day", "date"), ("max_concurrent", "bigint")],
     "q107_rolling_active_users": [("day", "date"), ("dau", "bigint"), ("wau", "bigint"), ("stickiness", "double")],
