@@ -1923,3 +1923,81 @@ def test_fulfillment_lag_matches_python(spark, tiny_sf_dir):
         r = got[prio]
         assert r["n_orders"] == len(lags)
         assert abs(r["avg_days"] - round(sum(lags) / len(lags), 6)) < 1e-9
+
+
+def test_token_entropy_property_random_docs(spark, tmp_path):
+    # seeded random docs: the run-length entropy fold must match an
+    # independent Counter-based reference for arbitrary token streams,
+    # including single-token and all-identical extremes
+    import math
+    import random
+    from collections import Counter
+
+    from trafficteach_spark import schemas
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "cc", "ddd", "e"]
+    docs = []
+    texts = {}
+    for i in range(40):
+        n = rng.choice([1, 2, 3, 10, 50])
+        toks = (["a"] * n if i % 10 == 0
+                else [rng.choice(vocab) for _ in range(n)])
+        text = " ".join(toks)
+        texts[i] = toks
+        docs.append((i, text, "en", "web", 0))
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in Q["q94_token_entropy"](spark, str(tmp_path)).collect()}
+    assert set(got) == set(texts)
+    for i, toks in texts.items():
+        cnt = Counter(toks)
+        n = len(toks)
+        expect = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        assert got[i]["n_tokens"] == n
+        assert got[i]["n_distinct"] == len(cnt)
+        assert abs(got[i]["entropy"] - round(expect, 6)) < 2e-6, i
+
+
+def test_scd2_property_random_streams(spark, tmp_path):
+    # seeded random event streams: version chains must match a
+    # run-length reference for arbitrary interleavings
+    import datetime as dt
+    import random
+
+    from trafficteach_spark import schemas
+
+    rng = random.Random(11)
+    rows_ = []
+    eid = 0
+    for uid in range(1, 6):
+        t = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        for _ in range(rng.randrange(1, 30)):
+            t += dt.timedelta(minutes=rng.randrange(1, 300))
+            rows_.append(
+                (eid, int(t.timestamp() * 1e9), uid,
+                 rng.choice(["view", "click", "purchase"]), 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(rows_, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = {}
+    for r in Q["q100_scd2_history"](spark, str(tmp_path)).collect():
+        got.setdefault(r["user_id"], []).append(r)
+    per_user = {}
+    for e, ns, uid, et, _, _ in sorted(rows_, key=lambda r: (r[2], r[1], r[0])):
+        per_user.setdefault(uid, []).append(et)
+    for uid, seq in per_user.items():
+        runs = []
+        for et in seq:
+            if runs and runs[-1][0] == et:
+                runs[-1][1] += 1
+            else:
+                runs.append([et, 1])
+        rows_u = sorted(got[uid], key=lambda r: r["version"])
+        assert len(rows_u) == len(runs), uid
+        for i, (r, (et, n)) in enumerate(zip(rows_u, runs)):
+            assert (r["event_type"], r["n_events"], r["version"]) == (et, n, i + 1)
+        assert rows_u[-1]["valid_to"] is None
