@@ -47,68 +47,72 @@ from trafficteach_spark import registry
 
 # key -> [(column, simpleString dtype)] for every demoted oracle-backed
 # query (positions 51+ of the driver order; see registry.DRIVER_ORDER).
+# Rotated each round in lockstep with DRIVER_ORDER: promoted keys leave
+# this dict, demoted keys enter it with their live Spark schemas.
 DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
-    "q09_group_concat": [("event_type", "string"), ("users", "string"), ("n_users", "bigint")],
+    # Round-6 demotions: full-hash green in round 5 (CORRECTNESS_r05)
+    "q01_filter_range": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q02_group_count": [("event_type", "string"), ("n_events", "bigint"), ("n_users", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
+    "q03_star_join": [("r_name", "string"), ("n_name", "string"), ("revenue", "double"), ("n_orders", "bigint")],
+    "q04_monitor_state": [("n_name", "string"), ("n_suppliers", "bigint"), ("n_active", "bigint"), ("n_silent", "bigint")],
+    "q05_missing_cameras": [("s_suppkey", "bigint"), ("s_name", "string")],
+    "q06_topn": [("user_id", "bigint"), ("n_events", "bigint")],
+    "q06_topn_details": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q07_speed_buckets": [("event_type", "string"), ("n_high", "bigint"), ("n_medium", "bigint"), ("n_normal", "bigint"), ("n_low", "bigint")],
+    "q08_stratified_sample": [("stratum_hour", "timestamp"), ("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q11_topk_per_group": [("event_type", "string"), ("user_id", "bigint"), ("n_events", "bigint"), ("rn", "int")],
+    "q13_follow_within": [("leader_id", "bigint"), ("follower_id", "bigint"), ("n_follow", "bigint")],
+    "q19_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
+    "q20_sliding_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
+    "q22_session_window": [("user_id", "bigint"), ("session_start", "timestamp_ntz"), ("session_end", "timestamp_ntz"), ("n_events", "bigint")],
+    "q_stream_avg": [("event_type", "string"), ("n_events", "bigint"), ("avg_speed", "double")],
+    "q30_exact_dedup": [("content_hash", "string"), ("doc_id", "bigint"), ("n_copies", "bigint")],
+    "q31_near_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
+    "q31_minhash_lsh": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
+    "q31_simhash_md5": [("doc_a", "bigint"), ("doc_b", "bigint"), ("hamming", "int")],
+    "q46_dedup_clusters": [("doc_id", "bigint"), ("canonical_id", "bigint"), ("is_canonical", "int")],
+    "q32_knn_cosine": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q32_knn_lsh": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q32_knn_ivf": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q35_embed_near_dup": [("vec_a", "bigint"), ("vec_b", "bigint"), ("cosine", "double")],
+    "q44_int8_quantize": [("vec_id", "bigint"), ("label", "int"), ("scale", "double"), ("qv", "string"), ("max_abs_err", "double")],
+    "q36_langid": [("actual_lang", "string"), ("predicted_lang", "string"), ("n_docs", "bigint")],
+    "q39_quality_score": [("doc_id", "bigint"), ("n_tokens", "int"), ("uniq_ratio", "double"), ("avg_token_len", "double"), ("stop_ratio", "double"), ("quality", "string")],
+    "q43_chunk_split": [("doc_id", "bigint"), ("chunk_idx", "bigint"), ("chunk_text", "string"), ("n_tokens", "bigint")],
+    "q45_repetition": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_dup_grams", "bigint"), ("dup_ratio", "double"), ("is_repetitive", "int")],
+    "q47_pii_redact": [("doc_id", "bigint"), ("n_emails", "int"), ("n_phones", "int"), ("redacted", "string")],
+    "q48_tfidf": [("doc_id", "bigint"), ("term", "string"), ("tf", "bigint"), ("df", "bigint"), ("tfidf", "double"), ("term_rank", "int")],
+    "q49_pack_sequences": [("doc_id", "bigint"), ("source", "string"), ("n_tokens", "bigint"), ("bin_id", "bigint"), ("pack_offset", "bigint")],
+    "q50_decontaminate": [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
+    "q34_multimodal_join": [("label", "int"), ("lang", "string"), ("n_docs", "bigint"), ("sum_chars", "bigint"), ("avg_chars", "double"), ("min_doc_id", "bigint")],
+    "q51_asof_join": [("event_id", "bigint"), ("user_id", "bigint"), ("ts", "timestamp_ntz"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz")],
+    "q57_edit_distance": [("doc_a", "bigint"), ("doc_b", "bigint"), ("edit_dist", "int")],
+    "q61_merge_upsert": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string")],
+    "q63_range_join": [("o_orderpriority", "string"), ("n_pairs", "bigint"), ("n_orders", "bigint"), ("sum_qty", "double")],
+    "q67_basket_pairs": [("part_a", "bigint"), ("part_b", "bigint"), ("n_orders", "bigint")],
+    "q68_attribution_join": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
+    "q70_trailing_range": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("trailing_30d", "double"), ("n_30d", "bigint")],
+    "q72_corr_stats": [("l_returnflag", "string"), ("n", "bigint"), ("qty_price_corr", "double"), ("qty_disc_covar", "double"), ("price_stddev", "double")],
+    "q75_bm25": [("doc_id", "bigint"), ("score", "double")],
+    "q83_feature_bins": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
+    "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
+    "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
+    "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
+    "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
+    "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
+    # Long-demoted keys (full-hash green in rounds 1-4)
     "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
-    "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
     "q14_intersect": [("user_id", "bigint")],
     "q15_union": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
     "q16_string_funcs": [("doc_id", "bigint"), ("n_tokens", "int"), ("first_word", "string"), ("last_word", "string"), ("head_upper", "string"), ("lang_src", "string"), ("text_len", "int")],
     "q17_date_funcs": [("event_date", "date"), ("hr", "int"), ("day_name", "string"), ("n_events", "bigint"), ("n_users", "bigint")],
     "q18_json_funcs": [("event_type", "string"), ("n_events", "bigint"), ("max_k", "bigint"), ("sum_k", "bigint"), ("avg_k", "double"), ("n_high", "bigint")],
-    "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
     "q23_pandas_udf": [("event_type", "string"), ("speed_decile", "bigint"), ("n_events", "bigint")],
     "q23_pandas_udaf": [("event_type", "string"), ("value_spread", "double")],
     "q24_explode": [("label", "int"), ("pos", "int"), ("n_vals", "bigint"), ("min_val", "double"), ("max_val", "double"), ("avg_val", "double")],
     "q33_text_stats": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("avg_tokens", "double"), ("avg_chars", "double"), ("min_chars", "bigint"), ("max_chars", "bigint")],
     "q37_token_count": [("lang", "string"), ("n_docs", "bigint"), ("ws_tokens", "bigint"), ("alpha_tokens", "bigint"), ("num_tokens", "bigint"), ("punct_tokens", "bigint")],
     "q38_fingerprint": [("doc_id", "bigint"), ("fingerprint", "string"), ("n_uniq_tokens", "int")],
-    "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
-    "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
-    "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],
-    "q52_percentiles": [("event_type", "string"), ("n", "bigint"), ("p50", "double"), ("p90", "double"), ("p99", "double")],
-    "q53_rollup": [("event_type", "string"), ("hr", "int"), ("gid", "bigint"), ("n", "bigint"), ("sum_value", "double")],
-    "q54_pivot": [("hr", "int"), ("n_click", "bigint"), ("n_error", "bigint"), ("n_purchase", "bigint"), ("n_signup", "bigint"), ("n_view", "bigint")],
-    "q55_salted_distinct": [("event_type", "string"), ("n_distinct", "bigint")],
-    "q56_vocab_topk": [("term", "string"), ("n", "bigint"), ("frac", "double"), ("vocab_rank", "int")],
-    "q58_domain_mix": [("doc_id", "bigint"), ("source", "string"), ("sample_rank", "int")],
-    "q59_label_centroids": [("label", "int"), ("n_vectors", "bigint"), ("centroid", "string")],
-    "q60_histogram": [("event_type", "string"), ("bin_id", "int"), ("n", "bigint"), ("lo_seen", "double"), ("hi_seen", "double")],
-    "q62_time_resample": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("sum_value", "double")],
-    "q64_cumulative": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("seq", "bigint"), ("running_total", "double"), ("mov_avg3", "double")],
-    "q65_cube": [("o_orderstatus", "string"), ("o_orderpriority", "string"), ("gid", "bigint"), ("n", "bigint"), ("sum_price", "double")],
-    "q66_anomaly": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("z", "double")],
-    "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],
-    "q71_full_outer": [("d", "date"), ("n_orders", "bigint"), ("n_ships", "bigint"), ("presence", "string")],
-    "q73_regex_extract": [("token", "string"), ("n", "bigint"), ("n_docs", "bigint")],
-    "q74_rank_distribution": [("event_id", "bigint"), ("event_type", "string"), ("quartile", "int"), ("pct_rank", "double"), ("cume", "double")],
-    "q76_set_ops_bag": [("o_custkey", "bigint"), ("kind", "string"), ("n", "bigint")],
-    "q78_id_gaps": [("event_type", "string"), ("gap_start", "bigint"), ("gap_end", "bigint"), ("n_missing", "bigint")],
-    "q79_weighted_sample": [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("o_orderpriority", "string")],
-    "q81_hash_split": [("doc_id", "bigint"), ("split", "string"), ("n_chars", "bigint")],
-    "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
-    "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
-    "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
-    "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
-    "q93_unigram_logprob": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("avg_logprob", "double")],
-    "q94_token_entropy": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("n_distinct", "bigint"), ("entropy", "double")],
-    "q95_zipf_slope": [("n_terms", "bigint"), ("zipf_slope", "double"), ("zipf_r2", "double")],
-    "q96_psi_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("n_bins", "bigint"), ("psi", "double")],
-    "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
-    "q98_source_overlap": [("src_a", "string"), ("src_b", "string"), ("n_common", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"), ("jaccard", "double")],
-    "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
-    "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
-    "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],
-    "q102_heavy_hitters": [("user_id", "bigint"), ("freq", "bigint"), ("share", "double")],
-    "q103_corr_matrix": [("col_a", "string"), ("col_b", "string"), ("n", "bigint"), ("corr", "double")],
-    "q104_fk_audit": [("child_table", "string"), ("fk_col", "string"), ("parent_table", "string"), ("n_child", "bigint"), ("n_orphan", "bigint"), ("orphan_rate", "double")],
-    "q111_fulfillment_lag": [("o_orderpriority", "string"), ("n_orders", "bigint"), ("avg_days", "double"), ("p50_days", "double"), ("p90_days", "double")],
-    "q105_cohort_retention": [("cohort_wk", "date"), ("week_offset", "bigint"), ("n_active", "bigint"), ("cohort_size", "bigint"), ("retention", "double")],
-    "q106_session_concurrency": [("day", "date"), ("max_concurrent", "bigint")],
-    "q107_rolling_active_users": [("day", "date"), ("dau", "bigint"), ("wau", "bigint"), ("stickiness", "double")],
-    "q110_ab_lift": [("n_a", "bigint"), ("conv_a", "bigint"), ("rate_a", "double"), ("n_b", "bigint"), ("conv_b", "bigint"), ("rate_b", "double"), ("lift", "double"), ("z", "double")],
-    "q109_transition_matrix": [("src", "string"), ("dst", "string"), ("n", "bigint"), ("p", "double")],
-    "q108_time_to_convert": [("n_converted", "bigint"), ("n_signups", "bigint"), ("conversion_rate", "double"), ("min_sec", "double"), ("p50_sec", "double"), ("p90_sec", "double"), ("max_sec", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

@@ -79,32 +79,40 @@ _OPERATOR_MODULES = (
 # eventually collects full row-hash driver evidence (round-4 verdict
 # item 2): a key green for 2+ rounds may be demoted into the
 # q80_parity_digest fingerprint (position 50), freeing its slot for a
-# key that so far has only fingerprint + local evidence. Round 5
-# promoted the 15 long-tail keys below (asof/interval joins, the dedup
-# cluster chain, edit distance, binning, PMI) and demoted 15 core keys
-# that were full-hash green in rounds 1/2/4. Demoted keys keep their
-# full individual oracles (run by tools/parity.py -> PARITY_LOCAL.md).
+# key that so far has only fingerprint + local evidence. Round 6
+# promotes ALL 33 oracle-backed keys that had never been in the driver
+# window (the round-5 analytics/corpus additions q91-q111, the
+# corpus-health family, rollup/pivot/unpivot, EWMA/SCD2/heavy-hitters,
+# q53-q59 et al.) plus the 16 stalest keys (last driver-hashed in
+# rounds 2-4: the multimodal trio q40-q42, the round-3-only analytics
+# keys q52/q55/q60/q64/q65/q71/q74/q76/q78/q79, and q09/q12/q21),
+# demoting the 49 keys that were full-hash green in round 5. After this
+# rotation every oracle-backed key in the registry has at least one
+# round of full row-hash driver evidence. Demoted keys keep their full
+# individual oracles (run by tools/parity.py -> PARITY_LOCAL.md) and
+# are fingerprinted per-round by the digest. OPERATORS.md tracks each
+# key's last driver-hash round.
 DRIVER_ORDER: tuple[str, ...] = (
-    # SURVEY §3 core operators (O1-O45) — window anchors
-    "q01_filter_range", "q02_group_count", "q03_star_join",
-    "q04_monitor_state", "q05_missing_cameras", "q06_topn",
-    "q06_topn_details", "q07_speed_buckets", "q08_stratified_sample",
-    "q11_topk_per_group", "q13_follow_within", "q19_funnel",
-    "q20_sliding_window", "q22_session_window", "q_stream_avg",
-    # LLM-pipeline families (X1-X5)
-    "q30_exact_dedup", "q31_near_dedup", "q31_minhash_lsh",
-    "q31_simhash_md5", "q46_dedup_clusters", "q32_knn_cosine",
-    "q32_knn_lsh", "q32_knn_ivf", "q35_embed_near_dup",
-    "q44_int8_quantize", "q36_langid", "q39_quality_score",
-    "q43_chunk_split", "q45_repetition", "q47_pii_redact", "q48_tfidf",
-    "q49_pack_sequences", "q50_decontaminate", "q34_multimodal_join",
-    # Round-5 promotions: first-ever full row-hash driver evidence
-    "q51_asof_join", "q57_edit_distance", "q61_merge_upsert",
-    "q63_range_join", "q67_basket_pairs", "q68_attribution_join",
-    "q70_trailing_range", "q72_corr_stats", "q75_bm25",
-    "q83_feature_bins", "q85_window_dedup", "q87_bigram_pmi",
-    "q88_keep_best_per_cluster", "q89_asof_forward",
-    "q90_containment_dedup",
+    # Round-6 promotions, group 1: never-driver-hashed analytics
+    "q53_rollup", "q54_pivot", "q69_unpivot", "q62_time_resample",
+    "q66_anomaly", "q86_feature_normalize", "q92_ewma",
+    "q96_psi_drift", "q97_data_profile", "q100_scd2_history",
+    "q101_incremental_rollup", "q102_heavy_hitters", "q103_corr_matrix",
+    "q104_fk_audit", "q105_cohort_retention", "q106_session_concurrency",
+    "q107_rolling_active_users", "q108_time_to_convert",
+    "q109_transition_matrix", "q110_ab_lift", "q111_fulfillment_lag",
+    # Group 2: never-driver-hashed corpus/text keys
+    "q56_vocab_topk", "q58_domain_mix", "q59_label_centroids",
+    "q73_regex_extract", "q81_hash_split", "q82_bpe_pairs",
+    "q91_corpus_pipeline", "q93_unigram_logprob", "q94_token_entropy",
+    "q95_zipf_slope", "q98_source_overlap", "q99_dup_rate_by_source",
+    # Group 3: stalest re-verifications (last hashed r2/r3/r4)
+    "q40_binary_pipeline", "q41_frame_sample", "q42_resize",
+    "q52_percentiles", "q55_salted_distinct", "q60_histogram",
+    "q64_cumulative", "q65_cube", "q71_full_outer",
+    "q74_rank_distribution", "q76_set_ops_bag", "q78_id_gaps",
+    "q79_weighted_sample", "q09_group_concat", "q12_trajectory",
+    "q21_tumbling_window",
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )
