@@ -9,6 +9,8 @@ every query carries a DuckDB oracle.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1155,7 +1157,12 @@ def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e14-scale raw moments). corr is assembled as
     try_divide(covar_samp, sa*sb) rather than F.corr because under
     Spark 4's ANSI mode corr THROWS on a zero-variance column where
-    DuckDB (and this form) yield NULL. The oracle's per-pair UNION ALL
+    DuckDB (and this form) yield NULL. Null-free contract: each stddev
+    is computed over its own column's non-null rows while CORR proper
+    uses pairwise-complete rows — the decomposition is exactly CORR
+    only because lineitem's numeric columns are null-free (q97 profiles
+    every one as n_null=0). Pointing this operator at nullable columns
+    requires pairwise stddev states (k(k-1)/2 extra aggs) instead. The oracle's per-pair UNION ALL
     re-scans 28 times — fine for DuckDB at sf0.01, exactly what one
     pass avoids at 100 TB. The 1-row result unpivots driver-free via
     inline(array(struct...)).
@@ -1233,59 +1240,94 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-column profile before a snapshot is admitted; non-zero
     orphan_rate on a relation flags a broken ingest.
 
-    Plan: per relation, the child contributes only its FK COLUMN
-    (column-pruned scan) pre-aggregated to (key, count) — so the join
-    input is distinct-key-sized, not row-sized — left-joined to the
-    parent's distinct-key frame (dimension-sized; AQE broadcasts the
-    small ones) and collapsed to one audit row. The relation frames
-    union to the report. Child row counts are preserved exactly through
-    the pre-aggregation (sum of per-key counts == row count).
+    Plan (round-6 single-pass redesign, was 8 independent scan+join
+    passes): each CHILD table is scanned exactly once — its FK columns
+    melt row-locally via inline(array(struct...)) to
+    (parent, key, relation_id) rows — and each PARENT contributes its
+    pruned key column tagged is_parent=1. The union flows through ONE
+    hash aggregate on (parent, key) computing the parent-hit flag plus
+    a conditional count per declared relation (partial aggregation
+    collapses duplicate keys map-side before the only row-sized
+    shuffle), then a global fold sums each relation's child/orphan
+    totals and inline() emits the 8 audit rows. Zero joins, two
+    shuffles total (one row-sized, one distinct-key-sized) instead of
+    eight of each; at 100 TB that is one pass over the fact tables
+    rather than one per FK. An empty child yields n_child=0 rows, never
+    a missing relation, exactly like the oracle's COUNT(*).
     """
-    out = None
-    for child, fk, parent, pk in _FK_RELATIONS:
-        ckeys = (
-            load_table(spark, sf_dir, child)
-            .select(F.col(fk).alias("k"))
-            .where(F.col("k").isNotNull())
-            .groupBy("k")
-            .agg(F.count("*").alias("cnt"))
-        )
-        pkeys = (
-            load_table(spark, sf_dir, parent)
-            .select(F.col(pk).alias("k"))
-            .distinct()
-            .withColumn("hit", F.lit(1))
-        )
-        rel = (
-            ckeys.join(pkeys, "k", "left")
-            .agg(
-                # COALESCE to 0 on an empty child frame: the contract (and
-                # the oracle's COUNT(*)) reports 0, never NULL.
-                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child"),
-                F.coalesce(
-                    F.sum(F.when(F.col("hit").isNull(), F.col("cnt")).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_orphan"),
-            )
-            .select(
-                F.lit(child).alias("child_table"),
-                F.lit(fk).alias("fk_col"),
-                F.lit(parent).alias("parent_table"),
-                "n_child",
-                "n_orphan",
-                F.round(
-                    F.try_divide(
-                        F.col("n_orphan"),
-                        F.nullif(F.col("n_child"), F.lit(0)).cast("double"),
-                    ),
-                    6,
-                ).alias("orphan_rate"),
+    rels = list(enumerate(_FK_RELATIONS))
+    # One melt entry list per DISTINCT table: a table that is both a
+    # child and a parent (orders, customer, supplier, nation) emits its
+    # FK structs and its parent-key struct from the SAME scan.
+    by_table: dict[str, list] = {}
+    for i, (child, fk, parent, _pk) in rels:
+        by_table.setdefault(child, []).append(
+            F.struct(
+                F.lit(parent).alias("p"),
+                F.col(fk).cast("long").alias("k"),
+                F.lit(i).alias("rel"),
+                F.lit(0).alias("is_parent"),
             )
         )
-        out = rel if out is None else out.unionByName(rel)
-    return out
+    for parent, pk in {(p, k) for _, (_, _, p, k) in rels}:
+        by_table.setdefault(parent, []).append(
+            F.struct(
+                F.lit(parent).alias("p"),
+                F.col(pk).cast("long").alias("k"),
+                F.lit(-1).alias("rel"),
+                F.lit(1).alias("is_parent"),
+            )
+        )
+
+    frames = [
+        load_table(spark, sf_dir, table)
+        .select(F.inline(F.array(*entries)))
+        .where(F.col("k").isNotNull())
+        for table, entries in sorted(by_table.items())
+    ]
+
+    per_key = (
+        reduce(DataFrame.unionByName, frames)
+        .groupBy("p", "k")
+        .agg(
+            F.max("is_parent").alias("hit"),
+            *[
+                F.sum(F.when(F.col("rel") == i, 1).otherwise(0)).alias(f"cnt_{i}")
+                for i, _ in rels
+            ],
+        )
+    )
+    totals = per_key.agg(
+        *[
+            F.coalesce(F.sum(f"cnt_{i}"), F.lit(0)).alias(f"n_child_{i}")
+            for i, _ in rels
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("hit") == 0, F.col(f"cnt_{i}")).otherwise(0)),
+                F.lit(0),
+            ).alias(f"n_orphan_{i}")
+            for i, _ in rels
+        ],
+    )
+    report = [
+        F.struct(
+            F.lit(child).alias("child_table"),
+            F.lit(fk).alias("fk_col"),
+            F.lit(parent).alias("parent_table"),
+            F.col(f"n_child_{i}").alias("n_child"),
+            F.col(f"n_orphan_{i}").alias("n_orphan"),
+            F.round(
+                F.try_divide(
+                    F.col(f"n_orphan_{i}"),
+                    F.nullif(F.col(f"n_child_{i}"), F.lit(0)).cast("double"),
+                ),
+                6,
+            ).alias("orphan_rate"),
+        )
+        for i, (child, fk, parent, _pk) in rels
+    ]
+    return totals.select(F.inline(F.array(*report)))
 
 
 @register(
@@ -1416,8 +1458,16 @@ def q107_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.coalesce("dau", F.lit(0)).alias("dau"),
             F.coalesce("wau", F.lit(0)).alias("wau"),
+            # try_divide + nullif, not plain /: a calendar day with zero
+            # trailing-7d activity would hit 0/0 -> NaN under IEEE
+            # division where DuckDB's SQL division yields NULL (same
+            # ANSI/cross-engine edge q104/q108/q110 already guard).
             F.round(
-                F.col("dau") / F.col("wau").cast("double"), 6
+                F.try_divide(
+                    F.col("dau"),
+                    F.nullif(F.col("wau"), F.lit(0)).cast("double"),
+                ),
+                6,
             ).alias("stickiness"),
         )
     )

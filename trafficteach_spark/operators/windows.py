@@ -524,7 +524,10 @@ def q106_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day"),
             "e",
         )
-        .where(F.col("e") > F.col("day").cast("timestamp"))
+        # timestamp_ntz, matching the midnight-end sweep filter above:
+        # casting to plain TIMESTAMP (LTZ) would silently depend on the
+        # pinned-UTC session timeZone for correctness.
+        .where(F.col("e") > F.col("day").cast("timestamp_ntz"))
         .groupBy("day")
         .agg(F.count("*").alias("carry_in"))
     )
