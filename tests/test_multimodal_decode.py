@@ -73,8 +73,9 @@ def test_decode_image_dispatches_on_magic():
 
 
 def test_unknown_codec_still_raises():
+    # JPEG magic: a codec genuinely absent from this container.
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0....")
 
 
 def test_odd_width_bmp_row_padding():
@@ -132,3 +133,173 @@ def test_decode_bmp_rejects_zero_dimensions():
     bad[18:22] = struct.pack("<i", 0)  # width = 0
     with pytest.raises(ValueError, match="dimensions"):
         decode_bmp(bytes(bad))
+
+
+# ---------------------------------------------------------------- PNG --
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(
+    pixels: list[list[tuple[int, int, int]]],
+    filters: list[int] | None = None,
+    rgba: bool = False,
+) -> bytes:
+    """Spec-conformant non-interlaced 8-bit PNG encoder (written from the
+    published PNG spec, not by inverting the decoder): IHDR + one IDAT
+    (zlib of filtered scanlines) + IEND. ``filters`` picks the per-row
+    filter type (default all 0 = None); filtering math follows the spec's
+    Sub/Up/Average/Paeth definitions so round-tripping proves the
+    decoder's UNfiltering, not just filter-0 passthrough."""
+    import zlib as _z
+
+    height = len(pixels)
+    width = len(pixels[0])
+    bpp = 4 if rgba else 3
+    color_type = 6 if rgba else 2
+    filters = filters or [0] * height
+
+    def rowbytes(row):
+        out = bytearray()
+        for px in row:
+            out += bytes(px[:3]) + (b"\xAA" if rgba else b"")
+        return out
+
+    raw = bytearray()
+    prev = bytearray(width * bpp)
+    for y, row in enumerate(pixels):
+        cur = rowbytes(row)
+        f = filters[y]
+        enc = bytearray(cur)
+        if f == 1:  # Sub: x - left
+            for i in range(len(cur) - 1, -1, -1):
+                left = cur[i - bpp] if i >= bpp else 0
+                enc[i] = (cur[i] - left) & 0xFF
+        elif f == 2:  # Up: x - above
+            for i in range(len(cur)):
+                enc[i] = (cur[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(len(cur)):
+                left = cur[i - bpp] if i >= bpp else 0
+                enc[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(len(cur)):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([f]) + enc
+        prev = cur
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_filter0_rgb():
+    from trafficteach_spark.operators.llm.multimodal import decode_png
+
+    img = decode_png(make_png(PIXELS))
+    assert (img["width"], img["height"]) == (3, 2)
+    assert img["pixels"] == PIXELS
+
+
+def test_decode_png_every_filter_type():
+    from trafficteach_spark.operators.llm.multimodal import decode_png
+
+    # 5 rows, one per filter type; values chosen to exercise wraparound.
+    px = [
+        [(255, 0, 128), (1, 2, 3), (250, 251, 252)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(0, 0, 0), (255, 255, 255), (127, 128, 129)],
+        [(5, 250, 5), (250, 5, 250), (100, 100, 100)],
+        [(9, 8, 7), (6, 5, 4), (3, 2, 1)],
+    ]
+    img = decode_png(make_png(px, filters=[0, 1, 2, 3, 4]))
+    assert img["pixels"] == px
+
+
+def test_decode_png_rgba_drops_alpha():
+    from trafficteach_spark.operators.llm.multimodal import decode_png
+
+    img = decode_png(make_png(PIXELS, filters=[4, 2], rgba=True))
+    assert (img["width"], img["height"]) == (3, 2)
+    assert img["pixels"] == PIXELS
+
+
+def test_decode_png_multi_idat_chunks():
+    """IDAT may be split arbitrarily; the zlib stream spans chunks."""
+    import zlib as _z
+
+    from trafficteach_spark.operators.llm.multimodal import decode_png
+
+    whole = make_png(PIXELS)
+    # rebuild with the IDAT payload split into 1-byte chunks
+    comp = _z.compress(
+        bytes(
+            b"".join(
+                bytes([0]) + bytes(c for px in row for c in px)
+                for row in PIXELS
+            )
+        )
+    )
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    rebuilt = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + b"".join(_png_chunk(b"IDAT", comp[i : i + 1]) for i in range(len(comp)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(rebuilt)["pixels"] == decode_png(whole)["pixels"] == PIXELS
+
+
+def test_decode_png_rejects_unsupported_shapes():
+    from trafficteach_spark.operators.llm.multimodal import decode_png
+
+    palette = bytearray(make_png(PIXELS))
+    palette[25] = 3  # IHDR color type byte -> palette
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(palette))
+    interlaced = bytearray(make_png(PIXELS))
+    interlaced[28] = 1  # IHDR interlace byte -> Adam7
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(interlaced))
+
+
+def test_decode_image_dispatches_png():
+    assert decode_image(make_png(PIXELS))["pixels"] == PIXELS
+
+
+def test_png_through_spark_pipeline(spark):
+    """q40-style honest path: planted PNG bytes as a binary column,
+    decoded inside Arrow-batched mapInPandas alongside BMP and PPM."""
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_bmp(PIXELS))),
+            (2, bytearray(make_ppm(PIXELS))),
+            (3, bytearray(make_png(PIXELS, filters=[1, 4]))),
+            (4, bytearray(make_png(PIXELS, rgba=True))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in image_features(df).collect()}
+    expected_md5 = hashlib.md5(FLAT).hexdigest()
+    for doc_id in (1, 2, 3, 4):
+        r = rows[doc_id]
+        assert (r.width, r.height, r.n_pixels) == (3, 2, 6)
+        assert r.pixel_md5 == expected_md5
