@@ -32,7 +32,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from trafficteach_spark import registry  # noqa: E402
-from trafficteach_spark.session import get_spark  # noqa: E402
+from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
 
 
 def _force(df) -> None:
@@ -70,11 +70,12 @@ def main() -> None:
                 # Intra-query persist() is part of a query's honest cost;
                 # letting it survive into the next round (or the next
                 # query, via CacheManager subplan substitution) would
-                # flatter the numbers.
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                _force(fn(spark, sf_dir))
-                samples.append(time.perf_counter() - t0)
+                # flatter the numbers. cache_scope enforces the
+                # registry's clearCache contract per timed run.
+                with cache_scope(spark):
+                    t0 = time.perf_counter()
+                    _force(fn(spark, sf_dir))
+                    samples.append(time.perf_counter() - t0)
             timings[key] = round(statistics.median(samples), 3)
         except Exception as exc:
             print(f"bench {key} failed: {exc}", file=sys.stderr)

@@ -116,3 +116,30 @@ def test_digest_covers_every_demoted_oracle_key():
     oracles = registry.oracle_sql()
     demoted_with_oracle = {k for k in keys[50:] if k in oracles and k != "q80_parity_digest"}
     assert demoted_with_oracle == set(digest.DIGEST_SCHEMAS)
+
+
+def test_cache_scope_drops_scope_local_persists(spark):
+    """The registry caching contract's foolproof form: persists created
+    inside cache_scope are gone on exit; entering with a pre-existing
+    cached frame warns (and still clears — Spark cannot clear
+    selectively)."""
+    import warnings
+
+    from trafficteach_spark.session import cache_scope
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    with cache_scope(spark):
+        df = spark.range(100).persist()
+        df.count()
+        assert not cm.isEmpty()
+    assert cm.isEmpty()
+
+    pre = spark.range(50).persist()
+    pre.count()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with cache_scope(spark):
+            pass
+    assert any("pre-existing" in str(w.message) for w in caught)
+    assert cm.isEmpty()

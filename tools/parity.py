@@ -32,7 +32,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from trafficteach_spark import registry, schemas  # noqa: E402
-from trafficteach_spark.session import get_spark  # noqa: E402
+from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
 
 
 def _canon(v: object) -> str:
@@ -129,7 +129,10 @@ def main() -> int:
             failed += 1
             continue
         try:
-            res = check(spark, con, key, sf_dir)
+            # cache_scope: each query's intra-query persists are dropped
+            # after its rows are collected (registry caching contract).
+            with cache_scope(spark):
+                res = check(spark, con, key, sf_dir)
         except Exception as exc:  # noqa: BLE001
             res = Result(key, False, f"EXCEPTION: {type(exc).__name__}: {exc}")
         print(f"{'OK' if res.ok else 'FAIL'} {key}: {res.detail}")

@@ -16,6 +16,8 @@ Two entry points:
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -75,6 +77,44 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
                 stacklevel=2,
             )
     return spark
+
+
+@contextmanager
+def cache_scope(spark: SparkSession) -> Iterator[SparkSession]:
+    """Scope for the registry's caching contract (registry.py: queries may
+    ``persist()`` an intra-query frame that the lazy return value cannot
+    unpersist): everything cached inside the ``with`` block is dropped on
+    exit via ``spark.catalog.clearCache()``, so a harness cannot
+    accumulate query-local persists across many queries by forgetting the
+    manual call. bench.py, tools/parity.py and the plan tests run every
+    query inside this scope.
+
+    The dedup chain's MATERIALIZED pair/cluster layer (localCheckpoint
+    blocks, see operators/llm/dedup.py) is deliberately unaffected —
+    localCheckpoint storage is not a catalog cache entry, and those
+    blocks are the chain's cross-query reuse contract.
+
+    If the session enters the scope with PRE-EXISTING cached frames, a
+    warning is raised (exit still clears everything — Spark's catalog
+    cache cannot be cleared selectively): run long-lived caller caches
+    outside the scope, or re-cache after it.
+    """
+    try:
+        pre_existing = not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    except Exception:  # non-classic session (e.g. Connect): can't probe
+        pre_existing = False
+    try:
+        yield spark
+    finally:
+        if pre_existing:
+            import warnings
+
+            warnings.warn(
+                "cache_scope entered with pre-existing cached frames; "
+                "clearCache() on exit drops those too",
+                stacklevel=2,
+            )
+        spark.catalog.clearCache()
 
 
 def get_spark(app_name: str = "trafficteach-spark", cpus: int | None = None) -> SparkSession:
