@@ -1,0 +1,164 @@
+"""Streaming incremental rollup (round-5 verdict item 6): the
+foreachBatch + merge_upsert maintenance of q101's daily rollup must (a)
+equal a batch full recompute over everything that has arrived —
+stream == batch parity — and (b) resume from its committed state across
+a query restart, including ignoring a crash-replayed micro-batch."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from trafficteach_spark import schemas
+from trafficteach_spark.streaming.rollup import (
+    finalize_rollup,
+    merge_rollup_state,
+    read_rollup_state,
+    start_incremental_rollup,
+)
+
+
+def _ns(*args):
+    return int(dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000)
+
+
+def _drop_file(spark, tmp_path, watch, rows, name):
+    stage = tmp_path / ("stage_" + name)
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    part = glob.glob(str(stage / "part-*.parquet"))[0]
+    shutil.copy(part, watch / f"{name}.parquet")
+
+
+def _batch_recompute(spark, rows):
+    """Full-refresh reference over every event seen so far, in q101's
+    reporting shape."""
+    ev = spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).select(
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    return {
+        (r["event_type"], r["day"]): r
+        for r in ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.sum("value") / F.count("*"), 6).alias("avg_value"),
+        )
+        .collect()
+    }
+
+
+ROWS_1 = [
+    (1, _ns(2024, 1, 6, 10, 0, 0), 1, "view", 10.0, "{}"),
+    (2, _ns(2024, 1, 6, 11, 0, 0), 1, "click", 20.0, "{}"),
+    (3, _ns(2024, 1, 7, 10, 30, 0), 2, "view", 5.0, "{}"),
+    (4, _ns(2024, 1, 7, 23, 59, 59), 3, "view", 2.5, "{}"),
+]
+ROWS_2 = [
+    # same (view, 2024-01-06) key as batch 1 -> exercises the merge,
+    # plus a brand-new key
+    (5, _ns(2024, 1, 6, 12, 0, 0), 4, "view", 40.0, "{}"),
+    (6, _ns(2024, 1, 8, 9, 0, 0), 1, "purchase", 99.0, "{}"),
+]
+
+
+def _state_dict(spark, state_dir):
+    return {
+        (r["event_type"], r["day"]): r
+        for r in finalize_rollup(read_rollup_state(spark, str(state_dir))).collect()
+    }
+
+
+def _assert_same(got, expect):
+    assert set(got) == set(expect)
+    for k, e in expect.items():
+        g = got[k]
+        for c in ("n", "sum_value", "min_value", "max_value", "avg_value"):
+            assert g[c] == e[c], (k, c, g[c], e[c])
+
+
+def test_streaming_rollup_matches_batch_and_recovers(spark, tmp_path):
+    watch = tmp_path / "in"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = tmp_path / "state"
+
+    # --- run 1: first file arrives, stream drains, state == batch ---
+    _drop_file(spark, tmp_path, watch, ROWS_1, "f1")
+    q = start_incremental_rollup(spark, str(watch), str(state), ckpt)
+    q.awaitTermination(120)
+    _assert_same(_state_dict(spark, state), _batch_recompute(spark, ROWS_1))
+
+    # --- run 2: RESTART from the same checkpoint with a new file; the
+    # merged state must cover both files (resumed, not recomputed) ---
+    _drop_file(spark, tmp_path, watch, ROWS_2, "f2")
+    q = start_incremental_rollup(spark, str(watch), str(state), ckpt)
+    q.awaitTermination(120)
+    _assert_same(
+        _state_dict(spark, state), _batch_recompute(spark, ROWS_1 + ROWS_2)
+    )
+    # the overlapping key merged, not duplicated: events 1 (10.0, run 1)
+    # and 5 (40.0, run 2) share (view, 2024-01-06)
+    merged = _state_dict(spark, state)[("view", dt.date(2024, 1, 6))]
+    assert merged["n"] == 2 and merged["sum_value"] == 50.0
+
+
+def test_crash_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch redelivers the last batch id after a crash-restart;
+    the batch-id guard must make the re-merge a no-op."""
+    from trafficteach_spark.streaming import rollup as R
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    state = tmp_path / "state"
+    state.mkdir()
+
+    batch_df = spark.createDataFrame(ROWS_1, schemas.EVENTS_PHYSICAL).select(
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    partial = R._daily_partial(batch_df)
+    base = read_rollup_state(spark, str(state))
+    R._commit(str(state), 0, merge_rollup_state(base, partial))
+    once = _state_dict(spark, state)
+
+    # simulate the replay: same batch id through the foreachBatch body
+    def replay(bdf, bid):
+        last_id, _ = R._latest(str(state))
+        if bid <= last_id:
+            return
+        R._commit(
+            str(state),
+            bid,
+            merge_rollup_state(read_rollup_state(spark, str(state)), partial),
+        )
+
+    replay(batch_df, 0)
+    _assert_same(_state_dict(spark, state), once)
+    _assert_same(once, _batch_recompute(spark, ROWS_1))
+
+
+def test_merge_touches_only_affected_keys_plan(spark):
+    """Scale contract: the merge plan rewrites affected keys only — the
+    base flows through a semi-join (affected slice) and an anti-join
+    (untouched pass-through), never a full re-aggregate of the base."""
+    base = spark.createDataFrame(
+        [("view", dt.date(2024, 1, 1), 10, 100.0, 1.0, 9.0)],
+        R_SCHEMA := "event_type string, day date, n bigint, sum_value double, min_value double, max_value double",
+    )
+    partial = spark.createDataFrame(
+        [("view", dt.date(2024, 1, 2), 1, 5.0, 5.0, 5.0)], R_SCHEMA
+    )
+    plan = merge_rollup_state(base, partial)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
