@@ -21,7 +21,13 @@ of combinatorially exploding:
   are exactly preserved; cross-copy cosines are decorrelated, so the
   near-dup threshold query's output scales ~k, not k^2.
 
-Usage: python tools/gen_scale.py <k> <out_dir> [src_sf_dir]
+Usage: python tools/gen_scale.py <k> <out_dir> [src_sf_dir] [tables]
+
+``tables`` (optional, comma-separated) restricts generation to a
+subset — e.g. ``lineitem,documents`` for the 100x probe of the
+scan-bound heavies, where replicating 100x of every table would
+cost minutes and gigabytes the probe never reads. Fixed-cardinality
+dims (region/nation/supplier) are always copied through.
 """
 
 from __future__ import annotations
@@ -64,6 +70,11 @@ def main() -> None:
     k = int(sys.argv[1])
     out = sys.argv[2]
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+
+    def wanted(table: str) -> bool:
+        return only is None or table in only
+
     spark = get_spark("gen-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -73,159 +84,166 @@ def main() -> None:
     # testdata's on-disk ts encoding.
     from trafficteach_spark.sources.tables import load_table
 
-    events = load_table(spark, src, "events").withColumn(
-        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
-    )
-    copies = [
-        events.select(
-            (F.col("event_id") + i * EVENT_ID_STRIDE).alias("event_id"),
-            (F.col("ts") + F.lit(i * 1_000_000_000)).alias("ts"),
-            (F.col("user_id") + i * USER_ID_STRIDE).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
+    if wanted("events"):
+        events = load_table(spark, src, "events").withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
         )
-        for i in range(k)
-    ]
-    ev = _union_all(copies)
-    ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+        copies = [
+            events.select(
+                (F.col("event_id") + i * EVENT_ID_STRIDE).alias("event_id"),
+                (F.col("ts") + F.lit(i * 1_000_000_000)).alias("ts"),
+                (F.col("user_id") + i * USER_ID_STRIDE).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for i in range(k)
+        ]
+        ev = _union_all(copies)
+        ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    docs = spark.read.schema(schemas.DOCUMENTS).parquet(f"{src}/documents.parquet")
+    if wanted("documents"):
+        docs = spark.read.schema(schemas.DOCUMENTS).parquet(f"{src}/documents.parquet")
 
-    def copy_text(i: int):
-        if i == 0:
-            return F.col("text")
-        return F.expr(
-            f"array_join(transform(split(text, ' '), w -> concat(w, '{i}')), ' ')"
-        )
+        def copy_text(i: int):
+            if i == 0:
+                return F.col("text")
+            return F.expr(
+                f"array_join(transform(split(text, ' '), w -> concat(w, '{i}')), ' ')"
+            )
 
-    dcopies = [
-        docs.select(
-            (F.col("doc_id") + i * DOC_ID_STRIDE).alias("doc_id"),
-            copy_text(i).alias("text"),
-            "lang",
-            "source",
-            # Copies remap the text, so n_chars must be recomputed — a
-            # stale column would skew every text-stats query over the
-            # scaled fixture (parity wouldn't catch it: both engines
-            # would read the same wrong value).
-            (
-                F.col("n_chars")
-                if i == 0
-                else F.length(copy_text(i)).cast("long")
-            ).alias("n_chars"),
-        )
-        for i in range(k)
-    ]
-    dd = _union_all(dcopies)
-    dd.repartition(16).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        dcopies = [
+            docs.select(
+                (F.col("doc_id") + i * DOC_ID_STRIDE).alias("doc_id"),
+                copy_text(i).alias("text"),
+                "lang",
+                "source",
+                # Copies remap the text, so n_chars must be recomputed — a
+                # stale column would skew every text-stats query over the
+                # scaled fixture (parity wouldn't catch it: both engines
+                # would read the same wrong value).
+                (
+                    F.col("n_chars")
+                    if i == 0
+                    else F.length(copy_text(i)).cast("long")
+                ).alias("n_chars"),
+            )
+            for i in range(k)
+        ]
+        dd = _union_all(dcopies)
+        dd.repartition(16).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
-    emb = spark.read.schema(schemas.EMBEDDINGS).parquet(f"{src}/embeddings.parquet")
+    if wanted("embeddings"):
+        emb = spark.read.schema(schemas.EMBEDDINGS).parquet(f"{src}/embeddings.parquet")
 
-    # Per-copy decorrelation = dimension PERMUTATION + sign pattern (both
-    # deterministic from the copy index). Sign flips alone exactly
-    # preserve within-copy cosines but fail when the corpus is tightly
-    # clustered around near-axis centroids (the regenerated testdata is):
-    # flipped copies of a cluster still hit cosine ±1 against each other,
-    # and cross-copy near-dup pairs scaled k^2 (measured: 387k of 428k
-    # pairs at k=10 were cross-copy). A permutation relocates each
-    # cluster's energy dims per copy, so cross-copy cosines collapse to
-    # noise while within-copy geometry stays EXACTLY preserved.
-    import random as _random
+        # Per-copy decorrelation = dimension PERMUTATION + sign pattern (both
+        # deterministic from the copy index). Sign flips alone exactly
+        # preserve within-copy cosines but fail when the corpus is tightly
+        # clustered around near-axis centroids (the regenerated testdata is):
+        # flipped copies of a cluster still hit cosine ±1 against each other,
+        # and cross-copy near-dup pairs scaled k^2 (measured: 387k of 428k
+        # pairs at k=10 were cross-copy). A permutation relocates each
+        # cluster's energy dims per copy, so cross-copy cosines collapse to
+        # noise while within-copy geometry stays EXACTLY preserved.
+        import random as _random
 
-    def _copy_expr(i: int) -> F.Column:
-        if i == 0:
-            return F.col("embedding")
-        rnd = _random.Random(7_000 + i)
-        dim = schemas.EMBEDDING_DIM
-        perm = rnd.sample(range(dim), dim)
-        signs = [rnd.choice((1.0, -1.0)) for _ in range(dim)]
-        return F.array(
-            *[
-                (F.lit(signs[j]) * F.col("embedding")[perm[j]]).cast("float")
-                for j in range(dim)
-            ]
-        )
+        def _copy_expr(i: int) -> F.Column:
+            if i == 0:
+                return F.col("embedding")
+            rnd = _random.Random(7_000 + i)
+            dim = schemas.EMBEDDING_DIM
+            perm = rnd.sample(range(dim), dim)
+            signs = [rnd.choice((1.0, -1.0)) for _ in range(dim)]
+            return F.array(
+                *[
+                    (F.lit(signs[j]) * F.col("embedding")[perm[j]]).cast("float")
+                    for j in range(dim)
+                ]
+            )
 
-    ecopies = [
-        emb.select(
-            (F.col("vec_id") + i * DOC_ID_STRIDE).alias("vec_id"),
-            _copy_expr(i).alias("embedding"),
-            "label",
-        )
-        for i in range(k)
-    ]
-    ee = _union_all(ecopies)
-    ee.repartition(16).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        ecopies = [
+            emb.select(
+                (F.col("vec_id") + i * DOC_ID_STRIDE).alias("vec_id"),
+                _copy_expr(i).alias("embedding"),
+                "label",
+            )
+            for i in range(k)
+        ]
+        ee = _union_all(ecopies)
+        ee.repartition(16).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
-    # orders/lineitem: perturbed k-fold replicas for the TPC-H-side
-    # operators (q63/q64/q67/q70). Key offsets keep copies disjoint
-    # (per-customer histories and baskets stay reference-sized — row
-    # counts scale k, not k^2); the SAME per-copy date shift on
-    # o_orderdate and l_shipdate keeps within-copy interval joins
-    # intact. The shift is i * _COPY_SHIFT_DAYS with _COPY_SHIFT_DAYS
-    # exceeding the source's whole date span, so copies are FULLY
-    # time-disjoint — the "k-fold more history" growth model: per-day
-    # interval density stays constant and q63's matched pairs scale ~k.
-    # (The first cut shifted by only i days; copies then overlapped in
-    # time and cross-copy interval matches made q63 pairs scale k^2 —
-    # measured 4.00x at k=2 — which invalidated the probe. The price of
-    # time-disjointness: calendar-window queries like q76's
-    # year-over-year only see copy 0; probe those on the events side.)
-    # customer/part are replicated with the MATCHING key offsets so the
-    # scaled fixture keeps referential integrity for dim joins.
-    orders = spark.read.parquet(f"{src}/orders.parquet")
-    ocopies = [
-        orders.select(
-            (F.col("o_orderkey") + i * ORDER_KEY_STRIDE).alias("o_orderkey"),
-            (F.col("o_custkey") + i * CUST_KEY_STRIDE).alias("o_custkey"),
-            "o_orderstatus",
-            "o_totalprice",
-            (F.col("o_orderdate") + F.expr(f"INTERVAL {i * _COPY_SHIFT_DAYS} DAYS")).alias("o_orderdate"),
-            "o_orderpriority",
-        )
-        for i in range(k)
-    ]
-    oo = _union_all(ocopies)
-    oo.repartition(16).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+        # orders/lineitem: perturbed k-fold replicas for the TPC-H-side
+        # operators (q63/q64/q67/q70). Key offsets keep copies disjoint
+        # (per-customer histories and baskets stay reference-sized — row
+        # counts scale k, not k^2); the SAME per-copy date shift on
+        # o_orderdate and l_shipdate keeps within-copy interval joins
+        # intact. The shift is i * _COPY_SHIFT_DAYS with _COPY_SHIFT_DAYS
+        # exceeding the source's whole date span, so copies are FULLY
+        # time-disjoint — the "k-fold more history" growth model: per-day
+        # interval density stays constant and q63's matched pairs scale ~k.
+        # (The first cut shifted by only i days; copies then overlapped in
+        # time and cross-copy interval matches made q63 pairs scale k^2 —
+        # measured 4.00x at k=2 — which invalidated the probe. The price of
+        # time-disjointness: calendar-window queries like q76's
+        # year-over-year only see copy 0; probe those on the events side.)
+        # customer/part are replicated with the MATCHING key offsets so the
+        # scaled fixture keeps referential integrity for dim joins.
+    if wanted("orders"):
+        orders = spark.read.parquet(f"{src}/orders.parquet")
+        ocopies = [
+            orders.select(
+                (F.col("o_orderkey") + i * ORDER_KEY_STRIDE).alias("o_orderkey"),
+                (F.col("o_custkey") + i * CUST_KEY_STRIDE).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                (F.col("o_orderdate") + F.expr(f"INTERVAL {i * _COPY_SHIFT_DAYS} DAYS")).alias("o_orderdate"),
+                "o_orderpriority",
+            )
+            for i in range(k)
+        ]
+        oo = _union_all(ocopies)
+        oo.repartition(16).write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
-    lineitem = spark.read.parquet(f"{src}/lineitem.parquet")
-    lcopies = [
-        lineitem.select(
-            (F.col("l_orderkey") + i * ORDER_KEY_STRIDE).alias("l_orderkey"),
-            (F.col("l_partkey") + i * PART_KEY_STRIDE).alias("l_partkey"),
-            "l_suppkey",
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "l_tax",
-            "l_returnflag",
-            "l_linestatus",
-            (F.col("l_shipdate") + F.expr(f"INTERVAL {i * _COPY_SHIFT_DAYS} DAYS")).alias("l_shipdate"),
-        )
-        for i in range(k)
-    ]
-    ll = _union_all(lcopies)
-    ll.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    if wanted("lineitem"):
+        lineitem = spark.read.parquet(f"{src}/lineitem.parquet")
+        lcopies = [
+            lineitem.select(
+                (F.col("l_orderkey") + i * ORDER_KEY_STRIDE).alias("l_orderkey"),
+                (F.col("l_partkey") + i * PART_KEY_STRIDE).alias("l_partkey"),
+                "l_suppkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                (F.col("l_shipdate") + F.expr(f"INTERVAL {i * _COPY_SHIFT_DAYS} DAYS")).alias("l_shipdate"),
+            )
+            for i in range(k)
+        ]
+        ll = _union_all(lcopies)
+        ll.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
-    customer = spark.read.parquet(f"{src}/customer.parquet")
-    ccopies = [
-        customer.withColumn(
-            "c_custkey", F.col("c_custkey") + i * CUST_KEY_STRIDE
-        )
-        for i in range(k)
-    ]
-    cc = _union_all(ccopies)
-    cc.repartition(8).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    if wanted("customer"):
+        customer = spark.read.parquet(f"{src}/customer.parquet")
+        ccopies = [
+            customer.withColumn(
+                "c_custkey", F.col("c_custkey") + i * CUST_KEY_STRIDE
+            )
+            for i in range(k)
+        ]
+        cc = _union_all(ccopies)
+        cc.repartition(8).write.mode("overwrite").parquet(f"{out}/customer.parquet")
 
-    part = spark.read.parquet(f"{src}/part.parquet")
-    pcopies = [
-        part.withColumn("p_partkey", F.col("p_partkey") + i * PART_KEY_STRIDE)
-        for i in range(k)
-    ]
-    pp = _union_all(pcopies)
-    pp.repartition(8).write.mode("overwrite").parquet(f"{out}/part.parquet")
+    if wanted("part"):
+        part = spark.read.parquet(f"{src}/part.parquet")
+        pcopies = [
+            part.withColumn("p_partkey", F.col("p_partkey") + i * PART_KEY_STRIDE)
+            for i in range(k)
+        ]
+        pp = _union_all(pcopies)
+        pp.repartition(8).write.mode("overwrite").parquet(f"{out}/part.parquet")
 
     # Remaining tables: straight copies (fixed-cardinality dims).
     for t in ("region", "nation", "supplier"):
