@@ -1256,6 +1256,11 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a missing relation, exactly like the oracle's COUNT(*).
     """
     rels = list(enumerate(_FK_RELATIONS))
+    # Parents keyed by a small INT id: the (parent, key) shuffle key is
+    # then two integers, not a string + long — narrower shuffle rows and
+    # cheaper hashing at any scale; names reappear only in the final
+    # 8-row report.
+    parent_ids = {p: j for j, p in enumerate(sorted({r[2] for r in _FK_RELATIONS}))}
     # One melt entry list per DISTINCT table: a table that is both a
     # child and a parent (orders, customer, supplier, nation) emits its
     # FK structs and its parent-key struct from the SAME scan.
@@ -1263,7 +1268,7 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (child, fk, parent, _pk) in rels:
         by_table.setdefault(child, []).append(
             F.struct(
-                F.lit(parent).alias("p"),
+                F.lit(parent_ids[parent]).alias("p"),
                 F.col(fk).cast("long").alias("k"),
                 F.lit(i).alias("rel"),
                 F.lit(0).alias("is_parent"),
@@ -1272,7 +1277,7 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for parent, pk in {(p, k) for _, (_, _, p, k) in rels}:
         by_table.setdefault(parent, []).append(
             F.struct(
-                F.lit(parent).alias("p"),
+                F.lit(parent_ids[parent]).alias("p"),
                 F.col(pk).cast("long").alias("k"),
                 F.lit(-1).alias("rel"),
                 F.lit(1).alias("is_parent"),
