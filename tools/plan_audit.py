@@ -43,6 +43,13 @@ WHITELIST = {
         "corpus size; the data itself moves only through the subsequent "
         "hash join on block id",
     ),
+    "q80_parity_digest": (
+        ("conditioned-BNLJ",),
+        "the digest UNIONS every demoted query's plan; since the round-6 "
+        "rotation that includes q32_knn_cosine and q35_embed_near_dup, "
+        "whose conditioned BNLJs are whitelisted above for their own "
+        "reasons — no new join is introduced by the digest wrapper itself",
+    ),
 }
 
 
