@@ -100,6 +100,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
     "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
     "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
+    "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     # Long-demoted keys (full-hash green in rounds 1-4)
     "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
     "q14_intersect": [("user_id", "bigint")],

@@ -753,3 +753,104 @@ def q90_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
     )
+
+
+# Incremental-dedup batch split: every INCREMENT_MOD-th doc plays the
+# "incoming crawl batch", the rest the existing corpus.
+INCREMENT_MOD = 20
+
+
+@register(
+    "q112_incremental_dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([{_DUCK_SHINGLE_WORDS}
+                              for i in range(1, len(w) - {SHINGLE_K - 2})]) AS s
+        FROM tok
+        WHERE len(w) >= {SHINGLE_K}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS new_id,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id % {INCREMENT_MOD} = 0 AND b.doc_id % {INCREMENT_MOD} != 0
+    ),
+    stats AS (
+        SELECT new_id, COUNT(*) AS n_dups, MAX(jaccard) AS best
+        FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        GROUP BY new_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_dups, 0) AS BIGINT) AS n_dups,
+           ROUND(s.best, 6) AS best_jaccard,
+           CASE WHEN s.new_id IS NULL THEN 1 ELSE 0 END AS is_new
+    FROM documents d LEFT JOIN stats s ON d.doc_id = s.new_id
+    WHERE d.doc_id % {INCREMENT_MOD} = 0
+    """,
+    tags=("llm", "X2", "dedup", "incremental"),
+)
+def q112_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — admit an incoming batch against the EXISTING
+    corpus (X2's production steady-state: a crawler never re-dedups the
+    whole corpus; it checks each new batch against what it already has).
+    One verdict row per incoming doc (every {INCREMENT_MOD}-th doc_id
+    plays the batch): how many corpus near-dups it has (Jaccard >=
+    {JACCARD_THRESHOLD} over {SHINGLE_K}-gram shingles), the best score,
+    and the admit flag is_new. Docs too short to shingle have no
+    candidates and admit trivially, matching the oracle's left join.
+
+    Plan — the asymmetric inverted index: ONLY the batch side and the
+    corpus postings for shingles the batch actually contains ever meet
+    in the join (the equi-join on shingle prunes the rest at the
+    exchange); cost scales with the BATCH size times posting-list depth,
+    not the corpus. Both sides slice the shared persisted shingle frame
+    (one shingling pass). At 100 TB the corpus side is the standing
+    shingle->doc index, bucketed by shingle so each batch admission is a
+    bucket-local join against corpus partitions it touches; within-batch
+    duplicates are q31 over the batch alone.
+    """
+    sets = shared_shingle_sets(spark, sf_dir)
+    inc = sets.where(F.col("doc_id") % INCREMENT_MOD == 0)
+    corp = sets.where(F.col("doc_id") % INCREMENT_MOD != 0)
+    tok_n = inc.select(
+        F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_n"), F.explode("s").alias("shingle")
+    )
+    tok_c = corp.select(
+        F.col("doc_id").alias("dup_id"), F.col("sz").alias("sz_c"), F.explode("s").alias("shingle")
+    )
+    stats = (
+        tok_n.join(tok_c, "shingle")
+        .groupBy("new_id", "dup_id", "sz_n", "sz_c")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_n") + F.col("sz_c") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_dups_raw"),
+            F.max("jaccard").alias("best_raw"),
+        )
+    )
+    incoming = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % INCREMENT_MOD == 0)
+        .select("doc_id")
+    )
+    return (
+        incoming.join(stats, incoming.doc_id == stats.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups_raw", F.lit(0)).cast("long").alias("n_dups"),
+            F.round("best_raw", 6).alias("best_jaccard"),
+            F.when(F.col("new_id").isNull(), 1).otherwise(0).cast("int").alias("is_new"),
+        )
+    )
