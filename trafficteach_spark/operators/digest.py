@@ -101,6 +101,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
     "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
+    "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     # Long-demoted keys (full-hash green in rounds 1-4)
     "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
     "q14_intersect": [("user_id", "bigint")],

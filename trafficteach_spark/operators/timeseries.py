@@ -512,3 +512,62 @@ def q100_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         "n_events",
     )
+
+@register(
+    "q113_linear_attribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT v.user_id, v.event_id AS view_id,
+               p.event_id AS purchase_id, p.value AS purchase_value
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts > v.ts
+         AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    ),
+    shares AS (
+        SELECT user_id, view_id,
+               purchase_value / COUNT(*) OVER (PARTITION BY purchase_id)
+                   AS share
+        FROM pairs
+    )
+    SELECT user_id, view_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(share), 6) AS credit
+    FROM shares
+    GROUP BY user_id, view_id
+    """,
+    tags=("timeseries", "attribution"),
+)
+def q113_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution (q68's last-touch complement):
+    every view in the hour before a purchase shares that purchase's
+    value equally, and each view accumulates its credit across all
+    purchases it contributed to — the credit assignment ad/content
+    pipelines feed back into training-data weighting.
+
+    Plan: the SAME interval equi-join as q68 (attribution_pairs — the
+    stream-tested body), then one window on purchase_id turns each
+    purchase's value into equal shares (count-over-partition, no
+    second join), then one hash aggregate per view sums its credit.
+    Three shuffles total, all keyed and skew-safe under AQE; nothing
+    is ever per-(view x purchase) beyond the pairs the interval join
+    already bounds (rate x horizon per user).
+    """
+    from trafficteach_spark.streaming.joinstream import attribution_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    pairs = attribution_pairs(events).select(
+        "user_id", "view_id", "purchase_id", "purchase_value"
+    )
+    w = Window.partitionBy("purchase_id")
+    shares = pairs.select(
+        "user_id",
+        "view_id",
+        (F.col("purchase_value") / F.count("*").over(w)).alias("share"),
+    )
+    return shares.groupBy("user_id", "view_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("share"), 6).alias("credit"),
+    )
