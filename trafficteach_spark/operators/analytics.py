@@ -1534,3 +1534,94 @@ def q111_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ROUND(percentile(days, 0.5D), 6)").alias("p50_days"),
         F.expr("ROUND(percentile(days, 0.9D), 6)").alias("p90_days"),
     )
+
+
+@register(
+    "q114_snapshot_diff",
+    oracle="""
+    WITH new_snap AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'R' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey % 17 != 3
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        FROM orders
+        WHERE o_orderkey % 13 = 5
+    ),
+    base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    joined AS (
+        SELECT CASE
+                   WHEN b.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN b.o_custkey = n.o_custkey
+                        AND b.o_orderstatus = n.o_orderstatus
+                        AND b.o_totalprice = n.o_totalprice THEN 'unchanged'
+                   ELSE 'changed'
+               END AS kind
+        FROM base b
+        FULL OUTER JOIN new_snap n ON b.o_orderkey = n.o_orderkey
+    )
+    SELECT kind, COUNT(*) AS n_rows
+    FROM joined GROUP BY kind
+    """,
+    tags=("analytics", "cdc", "quality"),
+)
+def q114_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / reconciliation: classify every key across two
+    dataset versions as added / removed / changed / unchanged — the
+    acceptance gate a warehouse runs between an old and a new snapshot
+    before swapping them (and the audit q61's MERGE feeds). The "new"
+    snapshot is synthesized deterministically from orders (every 10th
+    re-statused, every 17th≡3 dropped, every 13th≡5 re-keyed as an
+    insert), so both engines diff identical inputs.
+
+    Plan: ONE full-outer equi-join on the key (both sides column-pruned
+    to the compared columns), kind classified row-locally, then a tiny
+    hash aggregate — at 100 TB this is the canonical partition-pruned
+    reconciliation join: both snapshots bucketed by key diff co-located,
+    and AQE handles the skewed-key case. No row ever leaves as a full
+    payload; changed-row *details* are the same join minus the final
+    aggregate.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new_snap = (
+        base.where(F.col("o_orderkey") % 17 != 3)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 10 == 0, "R").otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 13 == 5).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    b = base.alias("b")
+    n = new_snap.alias("n")
+    joined = b.join(n, F.col("b.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    kind = (
+        F.when(F.col("b.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("b.o_custkey") == F.col("n.o_custkey"))
+            & (F.col("b.o_orderstatus") == F.col("n.o_orderstatus"))
+            & (F.col("b.o_totalprice") == F.col("n.o_totalprice")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return joined.select(kind.alias("kind")).groupBy("kind").agg(
+        F.count("*").alias("n_rows")
+    )

@@ -102,6 +102,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
+    "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
     # Long-demoted keys (full-hash green in rounds 1-4)
     "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
     "q14_intersect": [("user_id", "bigint")],
