@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from trafficteach_spark.registry import queries
 
@@ -2001,3 +2002,82 @@ def test_scd2_property_random_streams(spark, tmp_path):
         for i, (r, (et, n)) in enumerate(zip(rows_u, runs)):
             assert (r["event_type"], r["n_events"], r["version"]) == (et, n, i + 1)
         assert rows_u[-1]["valid_to"] is None
+
+
+def test_incremental_dedup_verdicts_on_tiny(spark, tiny_sf_dir):
+    """TINY_DOCS: doc 0 is the only incoming doc (doc_id % 20 == 0); its
+    corpus holds an exact dup (doc 2, J=1.0) and a near-dup (doc 1,
+    6 shared of 8 union shingles = 0.75)."""
+    rows = {r["doc_id"]: r for r in Q["q112_incremental_dedup"](spark, tiny_sf_dir).collect()}
+    assert set(rows) == {0}
+    r = rows[0]
+    assert r["n_dups"] == 2
+    assert r["best_jaccard"] == 1.0
+    assert r["is_new"] == 0
+
+
+def test_incremental_dedup_short_doc_admits_trivially(spark, tmp_path):
+    """A doc too short to shingle has no candidates and must still get a
+    verdict row: is_new=1, n_dups=0, best_jaccard NULL (the left join)."""
+    from trafficteach_spark import schemas
+
+    docs = [
+        (1, "a b c d e", "en", "web", 9),     # corpus
+        (20, "zz", "en", "web", 2),            # incoming, unshingleable
+        (40, "a b c d e", "en", "web", 9),     # incoming, exact copy
+    ]
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in Q["q112_incremental_dedup"](spark, str(tmp_path)).collect()}
+    assert set(rows) == {20, 40}
+    assert rows[20]["is_new"] == 1 and rows[20]["n_dups"] == 0
+    assert rows[20]["best_jaccard"] is None
+    assert rows[40]["is_new"] == 0 and rows[40]["n_dups"] == 1
+    assert rows[40]["best_jaccard"] == 1.0
+
+
+def test_linear_attribution_conserves_purchase_value(spark):
+    """Credit conservation: summed credit across views equals the summed
+    value of every purchase that has >= 1 attributable view (each
+    purchase's value is split, never duplicated or lost)."""
+    sf = "/root/testdata/sf0.001"
+    pairs = Q["q68_attribution_join"](spark, sf)
+    expected = (
+        pairs.select("purchase_id", "purchase_value")
+        .distinct()
+        .agg(F.sum("purchase_value"))
+        .collect()[0][0]
+    )
+    got = (
+        Q["q113_linear_attribution"](spark, sf)
+        .agg(F.sum("credit"))
+        .collect()[0][0]
+    )
+    n_rows = Q["q113_linear_attribution"](spark, sf).count()
+    # per-view ROUND(6) can drift the sum by <= n_rows * 5e-7
+    assert abs(got - expected) <= 5e-7 * max(n_rows, 1), (got, expected)
+
+
+def test_snapshot_diff_counts_match_synthesis_rules(spark):
+    """The four kind counts must equal what the deterministic synthesis
+    implies, computed independently from the raw orders table."""
+    sf = "/root/testdata/sf0.001"
+    from trafficteach_spark.sources.tables import load_table
+
+    o = load_table(spark, sf, "orders")
+    removed = o.where(F.col("o_orderkey") % 17 == 3).count()
+    added = o.where(F.col("o_orderkey") % 13 == 5).count()
+    changed = o.where(
+        (F.col("o_orderkey") % 17 != 3)
+        & (F.col("o_orderkey") % 10 == 0)
+        & (F.col("o_orderstatus") != "R")
+    ).count()
+    unchanged = o.where(F.col("o_orderkey") % 17 != 3).count() - changed
+    got = {r["kind"]: r["n_rows"] for r in Q["q114_snapshot_diff"](spark, sf).collect()}
+    assert got == {
+        "removed": removed,
+        "added": added,
+        "changed": changed,
+        "unchanged": unchanged,
+    }, got

@@ -503,3 +503,29 @@ def test_q104_fk_audit_single_pass_no_joins(spark):
     # one scan per distinct child/parent table, not one per relation:
     # lineitem carries three FKs but must appear exactly once.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 8, plan
+
+
+def test_q112_incremental_dedup_is_asymmetric_equi_join(spark):
+    """Batch admission must be the inverted-index equi-join on shingle
+    (batch side x matching corpus postings), never any nested-loop or
+    cartesian pairing of batch x corpus."""
+    plan = formatted_plan(spark, "q112_incremental_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "shingle" in plan
+
+
+def test_q113_attribution_single_window_no_second_join(spark):
+    """Linear attribution adds ONE count-over-purchase window on top of
+    q68's interval equi-join — no per-purchase re-join for the share."""
+    plan = formatted_plan(spark, "q113_linear_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count(") Window") == 1, plan
+
+
+def test_q114_snapshot_diff_single_full_outer(spark):
+    plan = formatted_plan(spark, "q114_snapshot_diff")
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
