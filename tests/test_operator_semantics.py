@@ -2081,3 +2081,20 @@ def test_snapshot_diff_counts_match_synthesis_rules(spark):
         "changed": changed,
         "unchanged": unchanged,
     }, got
+
+
+def test_rolling_active_sketch_tracks_exact(spark):
+    """q115 (HLL sketch merge) must agree with exact q107 within HLL
+    error (lgK=14 -> well under 1%; exact at fixture cardinalities) and
+    produce the same calendar frame."""
+    sf = "/root/testdata/sf0.001"
+    exact = {r["day"]: r for r in Q["q107_rolling_active_users"](spark, sf).collect()}
+    approx = {r["day"]: r for r in Q["q115_rolling_active_sketch"](spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for day, e in exact.items():
+        a = approx[day]
+        for c in ("dau", "wau"):
+            if e[c] == 0:
+                assert a[c] == 0, (day, c)
+            else:
+                assert abs(a[c] - e[c]) / e[c] <= 0.01, (day, c, a[c], e[c])

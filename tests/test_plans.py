@@ -529,3 +529,15 @@ def test_q114_snapshot_diff_single_full_outer(spark):
     assert "FullOuter" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q115_sketch_shuffles_day_frame_not_users(spark):
+    """The sketch twin's whole point: after the per-day sketch
+    aggregate, every later exchange moves the DAY-level frame. The plan
+    has no distinct over (user, day) and at most the sketch-agg,
+    window-merge and calendar exchanges."""
+    import re
+
+    plan = formatted_plan(spark, "q115_rolling_active_sketch")
+    assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan

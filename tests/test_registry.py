@@ -26,6 +26,7 @@ def test_oracle_keys_subset_of_queries():
         "q31_simhash",
         "q77_approx_percentiles",
         "q84_feature_bins_sketch",
+        "q115_rolling_active_sketch",
     }
 
 

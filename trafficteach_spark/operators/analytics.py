@@ -1625,3 +1625,67 @@ def q114_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(kind.alias("kind")).groupBy("kind").agg(
         F.count("*").alias("n_rows")
     )
+
+
+@register(
+    "q115_rolling_active_sketch",
+    # No oracle by design: Apache DataSketches HLL state is not
+    # reproducible in DuckDB (same class as q10_distinct_users_approx /
+    # q84_feature_bins_sketch); the accuracy contract is pinned against
+    # exact q107 in tests instead.
+    oracle=None,
+    tags=("analytics", "product", "sketch", "scale"),
+)
+def q115_rolling_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's sketch twin — rolling 7-day active users from MERGEABLE
+    per-day HLL sketches (Apache DataSketches, built into Spark) instead
+    of fanning out user-day rows.
+
+    The scale contract this changes: q107's exact form replicates every
+    DISTINCT (user, day) row up to 7x before the final distinct-count —
+    shuffle volume scales with users x days x 7. Here the corpus
+    collapses ONCE per day into a fixed-size HLL sketch (one
+    hash-aggregate over events), and the trailing-window union runs on
+    the DAY-LEVEL frame: 365 sketch rows per year fan to <= 7 trailing
+    days and hll_union_agg merges them — shuffle volume is days x
+    sketch-bytes, independent of user count. At 100 TB that is the
+    difference between re-shuffling the user population per window and
+    a rollup-sized job; the same pattern extends to 30/90-day windows
+    by changing one literal. Estimates: DAU and WAU are both HLL
+    estimates (lgK=14 -> ~0.8% relative error, exact far beyond this
+    fixture's cardinalities); stickiness divides the two with the same
+    try_divide guard as q107.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").groupBy("d").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    fan = daily.select(
+        "sk",
+        "d",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+    )
+    per_day = fan.groupBy("day").agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(F.col("d") == F.col("day"), F.col("sk")), F.lit(True))
+        ).alias("dau_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("wau_est"),
+    )
+    cal = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return (
+        cal.join(per_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau_est", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau_est", F.lit(0)).cast("long").alias("wau"),
+            F.round(
+                F.try_divide(
+                    F.col("dau_est"),
+                    F.nullif(F.col("wau_est"), F.lit(0)).cast("double"),
+                ),
+                6,
+            ).alias("stickiness"),
+        )
+    )
