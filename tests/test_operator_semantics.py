@@ -2098,3 +2098,41 @@ def test_rolling_active_sketch_tracks_exact(spark):
                 assert a[c] == 0, (day, c)
             else:
                 assert abs(a[c] - e[c]) / e[c] <= 0.01, (day, c, a[c], e[c])
+
+
+def test_locf_gap_fill_semantics(spark, tmp_path):
+    """Hand-built stream: type 'a' observes at hours 0 and 3, so hours
+    1-2 carry hour 0's average; type 'b' first observes at hour 2, so
+    its hours 0-1 are LEADING gaps with NULL locf."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    def ns(h, m=0):
+        return int(dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+
+    rows = [
+        (1, ns(0), 1, "a", 10.0, "{}"),
+        (2, ns(0, 30), 1, "a", 20.0, "{}"),   # hour-0 avg = 15
+        (3, ns(3), 1, "a", 40.0, "{}"),
+        (4, ns(2), 2, "b", 7.0, "{}"),
+    ]
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["event_type"], r["hr"].hour): r
+        for r in Q["q116_gap_fill_locf"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 8  # 2 types x hours 0..3
+    assert got[("a", 0)]["avg_value"] == 15.0 and got[("a", 0)]["is_gap"] == 0
+    for h in (1, 2):
+        g = got[("a", h)]
+        assert g["n"] == 0 and g["is_gap"] == 1
+        assert g["avg_value"] is None and g["locf_avg"] == 15.0
+    assert got[("a", 3)]["locf_avg"] == 40.0
+    # leading gaps: no observation yet -> locf stays NULL
+    for h in (0, 1):
+        g = got[("b", h)]
+        assert g["is_gap"] == 1 and g["locf_avg"] is None
+    assert got[("b", 2)]["locf_avg"] == 7.0

@@ -541,3 +541,18 @@ def test_q115_sketch_shuffles_day_frame_not_users(spark):
     plan = formatted_plan(spark, "q115_rolling_active_sketch")
     assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+
+
+def test_q116_window_runs_over_grid_not_events(spark):
+    """The LOCF window must consume the types x hours grid (post-
+    aggregate), never raw events: exactly one fact-table scan feeds the
+    persisted hourly frame, and the Window sits above the grid join."""
+    import re
+
+    plan = formatted_plan(spark, "q116_gap_fill_locf")
+    assert ") Window" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # the only cross join is the sanctioned calendar grid attach
+    # (types x hours, both post-aggregate tiny — q62's documented shape);
+    # the classifier in tools/plan_audit.py tags it cross-attach.
+    assert "CartesianProduct" not in plan

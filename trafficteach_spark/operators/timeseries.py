@@ -571,3 +571,91 @@ def q113_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_purchases"),
         F.round(F.sum("share"), 6).alias("credit"),
     )
+
+@register(
+    "q116_gap_fill_locf",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    cal AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               COUNT(*) AS n, AVG(value) AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, c.hr,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+               h.avg_value
+        FROM types t
+        CROSS JOIN cal c
+        LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hr = c.hr
+    )
+    SELECT event_type, hr, n,
+           ROUND(avg_value, 6) AS avg_value,
+           ROUND(last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS locf_avg,
+           CASE WHEN n = 0 THEN 1 ELSE 0 END AS is_gap
+    FROM grid
+    """,
+    tags=("timeseries", "O36", "gapfill"),
+)
+def q116_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap fill (last observation carried forward): q62 surfaces
+    empty buckets as n=0; this carries the last OBSERVED hourly average
+    into them — the sensor/metrics semantic where a gap means "value
+    unchanged", not "value zero" (and the feature a training pipeline
+    forward-fills before windowed featurization). Leading gaps before a
+    type's first observation stay NULL, exactly like the SQL window.
+
+    Plan: the q62 grid (one fact shuffle + persisted hourly frame +
+    broadcast-joined calendar) plus ONE window over the grid —
+    last_value(ignorenulls) per type ordered by hour. The window input
+    is the types x hours grid, never raw events, so the extra shuffle
+    is calendar-sized at any data volume; partition count = type count,
+    which is exactly the O(dashboard series) cardinality this report
+    shape implies.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_raw"))
+        .persist()
+    )
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = (
+        types.crossJoin(cal)
+        .join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "avg_raw",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round("avg_raw", 6).alias("avg_value"),
+        F.round(F.last("avg_raw", ignorenulls=True).over(w), 6).alias("locf_avg"),
+        F.when(F.col("n") == 0, 1).otherwise(0).alias("is_gap"),
+    )
