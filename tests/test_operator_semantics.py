@@ -2136,3 +2136,62 @@ def test_locf_gap_fill_semantics(spark, tmp_path):
         g = got[("b", h)]
         assert g["is_gap"] == 1 and g["locf_avg"] is None
     assert got[("b", 2)]["locf_avg"] == 7.0
+
+
+def test_salted_join_is_identity_rewrite(spark):
+    """salted_join must return exactly the rows of the plain equi-join
+    (inner and left, including unmatched left rows), with the salt
+    column gone."""
+    from trafficteach_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(500)]        # hot key 1
+        + [(2, 1000), (3, 2000), (9, 9000)],  # 9 unmatched
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "two"), (3, "three"), (4, "unused")], "k long, name string"
+    )
+    plain_inner = sorted(
+        tuple(r) for r in skewed.join(dim, "k").select("k", "payload", "name").collect()
+    )
+    salted_inner = sorted(
+        tuple(r)
+        for r in salted_join(skewed, dim, "k").select("k", "payload", "name").collect()
+    )
+    assert salted_inner == plain_inner and len(plain_inner) == 502
+
+    plain_left = sorted(
+        tuple(r)
+        for r in skewed.join(dim, "k", "left").select("k", "payload", "name").collect()
+    )
+    salted_left = sorted(
+        tuple(r)
+        for r in salted_join(skewed, dim, "k", how="left")
+        .select("k", "payload", "name")
+        .collect()
+    )
+    assert salted_left == plain_left and len(plain_left) == 503
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(skewed, dim, "k", how="full")
+
+
+def test_salted_join_spreads_hot_key_across_salts(spark):
+    """The mechanism itself: a hot key's rows must actually occupy many
+    (key, salt) buckets (the whole point of the rewrite)."""
+    from pyspark.sql import functions as F
+
+    from trafficteach_spark.operators.skew import N_SALTS
+
+    skewed = spark.createDataFrame([(1, i) for i in range(500)], "k long, payload long")
+    n_buckets = (
+        skewed.select(
+            F.pmod(F.xxhash64("k", "payload"), F.lit(N_SALTS)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets == N_SALTS

@@ -67,3 +67,46 @@ def q55_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     return salted_distinct_count(events, ["event_type"], "user_id")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = N_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Hand-salted equi-join for EXTREME key skew: the skewed (fact)
+    side gets a random-per-row salt derived deterministically from its
+    columns, the other (dim) side is replicated ``n_salts`` ways, and
+    the join runs on (key, salt) — a hot key's rows spread over
+    ``n_salts`` reducers instead of one.
+
+    When to use: AQE's skew-join split (on by default in session.py)
+    already handles most skew by splitting oversized partitions, but it
+    can only split what one join key hashes to AFTER the exchange — a
+    single pathological key whose rows exceed executor memory still
+    needs the salt to change the join KEY itself. This is that escape
+    hatch; it costs an ``n_salts``-fold replication of the other side,
+    so only ever pass a broadcast-sized ``other``.
+
+    The salt must be DETERMINISTIC (xxhash64 of the skewed row's
+    columns, mod n_salts), not rand(): a task retry with rand() would
+    re-salt rows differently mid-shuffle and drop/duplicate matches —
+    and determinism is also what the oracle-parity test methodology
+    here requires. Supported ``how``: inner / left (semantics preserved
+    because every skewed row keeps exactly its original matches —
+    the other side's replica set covers every salt value).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    ).alias("_salt")
+    salted = skewed.select("*", salt_expr)
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")
+    ).alias("_salt")
+    replicated = other.select("*", salts)
+    out = salted.join(replicated, [key, "_salt"], how)
+    return out.drop("_salt")
