@@ -186,3 +186,51 @@ def test_kafka_source_wiring(spark):
         )
     with pytest.raises(ValueError, match="unknown source"):
         demo.read_event_stream(spark, SMOKE_SF_DIR, source="pulsar")
+
+
+def test_stream_session_windows_match_batch_upto_watermark(spark, tmp_path):
+    """O39 streaming twin: every emitted session must exactly equal a
+    batch q22 session, the emitted set must cover every session that the
+    final watermark closed, and only still-open-at-watermark sessions
+    may be withheld (append-mode contract)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    staged = demo.stage_events_dir(SMOKE_SF_DIR, str(tmp_path / "in"))
+    events = demo.read_event_stream(spark, staged)
+    emitted = []
+    q = (
+        demo.stream_session_windows(events)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_events = load_table(spark, SMOKE_SF_DIR, "events")
+    batch = (
+        batch_events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    batch_set = {tuple(r) for r in batch.collect()}
+    stream_set = {tuple(r) for r in emitted}
+    assert stream_set <= batch_set          # nothing fabricated
+    assert len(stream_set) > 0
+
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - dt.timedelta(hours=2)  # demo.WATERMARK
+    closed = {t for t in batch_set if t[2] <= final_wm}
+    withheld = batch_set - stream_set
+    # every session the final watermark closed was emitted...
+    assert closed <= stream_set, (len(closed), len(stream_set))
+    # ...and anything withheld is genuinely still open at the watermark
+    assert all(t[2] > final_wm for t in withheld), sorted(withheld)[:3]

@@ -246,3 +246,31 @@ def start_demo(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_session_windows(events: DataFrame) -> DataFrame:
+    """O39 streaming form: native ``session_window`` sessionization on
+    the watermarked event-time stream, same 30-minute gap and output
+    shape as batch q22 (the NTZ casts mirror :func:`stream_sliding_avg`
+    — watermarks attach only to TIMESTAMP, and the pinned-UTC session tz
+    makes the round-trip a value identity).
+
+    Append-mode semantics (the only mode session aggregation supports
+    with a watermark): a session row emits once its window can no longer
+    grow — i.e. when the watermark passes its end + gap. Sessions still
+    open against the final watermark stay in state and do NOT emit; the
+    parity test asserts exactly that subset relation against batch q22.
+    """
+    marked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", WATERMARK
+    )
+    return (
+        marked.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
