@@ -1224,3 +1224,69 @@ def bpe_encode(
         )
 
     return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+N_HASH_BUCKETS = 64
+
+# 60-bit md5 token hash, identical in both engines (the proven trick
+# from llm/dedup._DUCK_MD5_TOKEN_HASH / the q80 digest): Spark parses
+# the first 15 hex chars; DuckDB reassembles md5_number_upper's
+# little-endian word big-endian and drops the low 4 bits.
+_SPARK_MD5_60 = "CAST(CONV(SUBSTRING(MD5(t), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_MD5_60 = (
+    "CAST(("
+    + " + ".join(
+        f"(CAST((md5_number_upper(t) >> {8 * j}) & 255 AS HUGEINT) * {1 << (56 - 8 * j)})"
+        for j in range(8)
+    )
+    + ") // 16 AS BIGINT)"
+)
+
+
+@register(
+    "q117_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    h AS (
+        SELECT doc_id, ({_DUCK_MD5_60}) % {N_HASH_BUCKETS} AS bucket
+        FROM tok WHERE length(t) > 0
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket, COUNT(*) AS n
+    FROM h GROUP BY doc_id, bucket
+    """,
+    tags=("llm", "features", "X4"),
+)
+def q117_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): tokens hash into a fixed
+    {N_HASH_BUCKETS}-bucket space and each doc becomes sparse
+    (bucket, count) features — the vocabulary-free vectorization that
+    sidesteps a fitted dictionary entirely (no vocab build pass, no
+    OOV), which is what makes it THE featurizer that needs zero global
+    state at 100 TB: pure map + one (doc, bucket) hash aggregate,
+    embarrassingly parallel, no broadcast, no second scan. The bucket
+    hash is the cross-engine 60-bit md5 (same construction the simhash
+    oracle and the q80 digest already prove), so the oracle checks the
+    actual hash values, not just shapes. Long-form sparse output; a
+    trainer-side dense assembly is ``map_from_entries`` /
+    ``array(bucket counts)`` over this frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .where(F.length("t") > 0)
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.pmod(F.expr(_SPARK_MD5_60), F.lit(N_HASH_BUCKETS))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
