@@ -653,3 +653,76 @@ def q95_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("REGR_SLOPE(ln(c), ln(r))"), 6).alias("zipf_slope"),
         F.round(F.expr("REGR_R2(ln(c), ln(r))"), 6).alias("zipf_r2"),
     )
+
+
+@register(
+    "q118_chunk_dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    fanout AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, (len(w) - 1) // {_CHUNK_TOKENS})) AS c
+        FROM tok
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(w[c * {_CHUNK_TOKENS} + 1 :
+                                     (c + 1) * {_CHUNK_TOKENS}], ' ')) AS h
+        FROM fanout
+    ),
+    counted AS (
+        SELECT doc_id, h,
+               COUNT(*) OVER (PARTITION BY h) AS cnt
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM counted
+    GROUP BY doc_id
+    """,
+    tags=("llm", "X2", "X4", "dedup", "chunking"),
+)
+def q118_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/chunk-level dedup report (the C4/RefinedWeb cleaning
+    stage between q30's whole-doc hashing and q31's whole-doc Jaccard):
+    chunk every document exactly as q43 does, hash each chunk, and
+    report per doc how many of its chunks occur more than once in the
+    corpus (within-doc repeats AND cross-doc boilerplate both count —
+    the quantity a cleaning pass thresholds on before dropping or
+    trimming docs).
+
+    Plan: the q43 map-side chunk fan-out, chunks reduced to md5 hashes
+    (never the chunk text past the first projection), ONE
+    count-over-hash window (partition = a hash's occurrence list, tiny
+    by construction) and the per-doc aggregate — two shuffles, both on
+    narrow (doc_id, hash) rows. The frequency side is never joined back
+    as a separate frame, so no chunk-vocabulary broadcast exists to
+    outgrow memory at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunk_hashes = F.expr(
+        f"transform(sequence(0, (size(w) - 1) div {_CHUNK_TOKENS}),"
+        f" c -> md5(array_join(slice(w, c * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' ')))"
+    )
+    chunks = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(chunk_hashes).alias("h"))
+    )
+    counted = chunks.select(
+        "doc_id", F.count("*").over(Window.partitionBy("h")).alias("cnt")
+    )
+    dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+    return counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        dup.cast("long").alias("n_dup_chunks"),
+        F.round(dup / F.count("*").cast("double"), 6).alias("dup_frac"),
+    )
