@@ -234,3 +234,64 @@ def test_stream_session_windows_match_batch_upto_watermark(spark, tmp_path):
     assert closed <= stream_set, (len(closed), len(stream_set))
     # ...and anything withheld is genuinely still open at the watermark
     assert all(t[2] > final_wm for t in withheld), sorted(withheld)[:3]
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Redelivered events (same event_id, later micro-batch) must be
+    dropped while distinct ids all pass — and the dedup must hold
+    ACROSS micro-batches, which is exactly what the state store adds
+    over a per-batch dropDuplicates."""
+    import datetime as dt
+    import glob as _glob
+    import shutil as _shutil
+
+    from trafficteach_spark import schemas
+
+    def ns(m):
+        return int(dt.datetime(2024, 1, 6, 10, m, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+
+    def drop(rows, name):
+        stage = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        _shutil.copy(part, watch / f"{name}.parquet")
+
+    emitted = []
+
+    def run():
+        q = (
+            demo.stream_dedup_events(demo.read_event_stream(spark, str(watch)))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop(
+        [
+            (1, ns(0), 1, "view", 1.0, "{}"),
+            (2, ns(1), 1, "click", 2.0, "{}"),
+            (2, ns(1), 1, "click", 2.0, "{}"),  # same-batch duplicate
+        ],
+        "f1",
+    )
+    run()
+    # second RUN from the same checkpoint: the redelivered id 1 must hit
+    # dedup state recovered from the state store, not batch-local memory
+    drop(
+        [
+            (1, ns(0), 1, "view", 1.0, "{}"),   # cross-run redelivery
+            (3, ns(2), 2, "view", 3.0, "{}"),
+        ],
+        "f2",
+    )
+    run()
+    ids = sorted(r["event_id"] for r in emitted)
+    assert ids == [1, 2, 3], ids

@@ -274,3 +274,26 @@ def stream_session_windows(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def stream_dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup — q85's window-dedup twin for the ingest
+    edge (at-least-once sources redeliver; this makes the downstream
+    exactly-once on event_id): ``dropDuplicatesWithinWatermark`` keeps
+    the first arrival of each event_id and ages its dedup state out
+    once the watermark passes, so state is bounded by rate x watermark
+    horizon instead of growing forever (the plain streaming
+    ``dropDuplicates`` would leak state without a watermark — at 100 TB
+    /day that difference is the job surviving the week).
+
+    A duplicate arriving WITHIN the watermark horizon is always
+    dropped; one arriving later than the horizon may be re-admitted —
+    that is the documented trade (same contract as the engine's late-row
+    handling), and the ingest SLA picks the horizon accordingly.
+    """
+    marked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", WATERMARK
+    )
+    return marked.dropDuplicatesWithinWatermark(["event_id"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
