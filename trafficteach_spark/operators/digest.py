@@ -106,6 +106,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q116_gap_fill_locf": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("avg_value", "double"), ("locf_avg", "double"), ("is_gap", "int")],
     "q117_feature_hashing": [("doc_id", "bigint"), ("bucket", "int"), ("n", "bigint")],
     "q118_chunk_dedup": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_dup_chunks", "bigint"), ("dup_frac", "double")],
+    "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
     # Long-demoted keys (full-hash green in rounds 1-4)
     "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
     "q14_intersect": [("user_id", "bigint")],

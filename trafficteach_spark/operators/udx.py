@@ -148,3 +148,77 @@ def q24_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("val"), 5).alias("avg_val"),
         )
     )
+
+
+@F.udtf(returnType="start_pos int, token string, run_len int", useArrow=True)
+class RepeatRunsUDTF:
+    """Python UDTF (the third UDX surface beside the scalar pandas UDF
+    and the GROUPED_AGG UDAF — O40/O41/O42): emit one row per
+    consecutive-duplicate token run of length >= 2 in a text. The
+    stateful row-scan (carrying the current run across tokens) is what
+    a declarative explode can't express in one pass without windows;
+    Arrow-optimized so the exchange stays batched (the ban on
+    row-at-a-time BatchEvalPython applies to UDTFs too, enforced by
+    tests/test_plans.py::test_no_row_at_a_time_python_anywhere)."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        tokens = [t for t in text.split(" ") if t]
+        run_start = 0
+        for i in range(1, len(tokens) + 1):
+            if i == len(tokens) or tokens[i] != tokens[run_start]:
+                if i - run_start >= 2:
+                    # 1-based start position, matching SQL subscripts
+                    yield run_start + 1, tokens[run_start], i - run_start
+                run_start = i
+
+
+@register(
+    "q119_python_udtf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    grp AS (
+        SELECT doc_id, t, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY pos)
+                   AS island
+        FROM tok WHERE t != ''
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS start_pos,
+           t AS token,
+           CAST(COUNT(*) AS INT) AS run_len
+    FROM grp
+    GROUP BY doc_id, t, island
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("udx", "O42", "X4"),
+)
+def q119_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-repetition runs per document via a real Python UDTF
+    in a LATERAL join — the generator-function surface the reference's
+    flatMap jobs imply, now as an actual arrow-batched table function
+    (q24 covers the declarative posexplode form; this one needs
+    per-row STATE across the generated sequence). The oracle recomputes
+    the runs with the classic gaps-and-islands SQL, so the UDTF's
+    Python scan is value-checked row-for-row.
+
+    Scale: pure map-side generate (no shuffle at all before any
+    downstream agg); Arrow batching keeps the Python exchange columnar.
+    """
+    spark.udtf.register("repeat_runs", RepeatRunsUDTF)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__q119_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.start_pos, r.token, r.run_len
+        FROM __q119_docs d, LATERAL repeat_runs(d.text) r
+        WHERE d.text IS NOT NULL
+        """
+    )
