@@ -1689,3 +1689,68 @@ def q115_rolling_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+def _skew_audit_oracle() -> str:
+    parts = []
+    for child, fk, _parent, _pk in _FK_RELATIONS:
+        parts.append(
+            f"SELECT '{child}' AS child_table, '{fk}' AS key_col,\n"
+            f"       CAST(SUM(c) AS BIGINT) AS n_rows,\n"
+            f"       COUNT(*) AS n_keys,\n"
+            f"       CAST(MAX(c) AS BIGINT) AS max_per_key,\n"
+            f"       ROUND(quantile_cont(c, 0.99), 6) AS p99_per_key,\n"
+            f"       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share\n"
+            f"FROM (SELECT {fk}, COUNT(*) AS c FROM {child}\n"
+            f"      WHERE {fk} IS NOT NULL GROUP BY {fk}) g"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("q120_skew_audit", oracle=_skew_audit_oracle(), tags=("analytics", "profiling", "skew"))
+def q120_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: rows-per-key distribution (key count, max,
+    p99, top-key share) for every declared FK/join key — the report an
+    operator reads BEFORE pointing a 100 TB join at a key (q104 answers
+    "is the key valid", this answers "is the key safe to shuffle on";
+    a top_share near 1 says salt it — `skew.salted_join` — or broadcast
+    the other side).
+
+    Plan: q104's single-pass melt reused for a different aggregate —
+    each child table scanned once with its FK columns melted
+    row-locally, ONE hash aggregate to (table, col, key) counts (the
+    row-sized shuffle, map-side combined), then a per-(table, col)
+    aggregate over key counts with an exact percentile. The percentile
+    makes the second aggregate a sort-based one over each key-count
+    group; groups are per-key-count-sized (already collapsed), which is
+    the cheap place to pay for exactness — at 100 TB swap
+    percentile_approx in if even that is too hot.
+    """
+    rels = list(_FK_RELATIONS)
+    by_table: dict[str, list] = {}
+    for child, fk, _parent, _pk in rels:
+        by_table.setdefault(child, []).append(
+            F.struct(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("key_col"),
+                F.col(fk).cast("long").alias("k"),
+            )
+        )
+    frames = [
+        load_table(spark, sf_dir, table)
+        .select(F.inline(F.array(*entries)))
+        .where(F.col("k").isNotNull())
+        for table, entries in sorted(by_table.items())
+    ]
+    per_key = (
+        reduce(DataFrame.unionByName, frames)
+        .groupBy("child_table", "key_col", "k")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_key.groupBy("child_table", "key_col").agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_per_key"),
+        F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_per_key"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_share"),
+    )
