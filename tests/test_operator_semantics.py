@@ -2195,3 +2195,93 @@ def test_salted_join_spreads_hot_key_across_salts(spark):
         .count()
     )
     assert n_buckets == N_SALTS
+
+
+def test_asof_join_library_matches_q51_and_q89(spark):
+    """The general asof_join must reproduce both registered as-of
+    queries exactly (backward == q51, forward == q89) when fed the same
+    pre-deduped inputs."""
+    from trafficteach_spark.operators.sequences import asof_join
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf, "orders")
+    od = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts")
+    ).agg(F.max("o_orderkey").alias("o_orderkey"))
+
+    got = asof_join(events, od, on="ts", by="user_id", direction="backward")
+    lib = {
+        (r["event_id"], r["o_orderkey"]) for r in got.collect()
+    }
+    q51 = {
+        (r["event_id"], r["o_orderkey"])
+        for r in Q["q51_asof_join"](spark, sf).collect()
+    }
+    assert lib == q51 and len(lib) > 0
+
+    ords = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    ed = load_table(spark, sf, "events").groupBy("user_id", "ts").agg(
+        F.max("event_id").alias("event_id")
+    )
+    fwd = asof_join(ords, ed, on="ts", by="user_id", direction="forward")
+    lib_f = {(r["o_orderkey"], r["event_id"]) for r in fwd.collect()}
+    q89 = {
+        (r["o_orderkey"], r["event_id"])
+        for r in Q["q89_asof_forward"](spark, sf).collect()
+    }
+    assert lib_f == q89 and len(lib_f) > 0
+
+
+def test_asof_join_tolerance_and_left_how(spark):
+    """Hand-built frame: tolerance drops too-old matches; how='left'
+    keeps unmatched rows with NULL right columns; equal timestamps
+    match in both directions; colliding right names get _r suffix."""
+    import datetime as dt
+
+    from trafficteach_spark.operators.sequences import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, T(10), "a"), (1, T(30), "b"), (2, T(5), "c")],
+        "k long, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 100.0), (1, T(12), 120.0)],
+        "k long, ts timestamp_ntz, tag double",  # 'tag' collides
+    )
+    # backward, no tolerance: b matches T(12) (nearest before T(30));
+    # a matches the equal-instant T(10); c has no match -> dropped (inner)
+    got = {
+        (r["tag"], r["tag_r"])
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert got == {("a", 100.0), ("b", 120.0)}
+
+    # tolerance 300s: T(30)-T(12) = 18 min > 5 min -> b unmatched;
+    # how='left' keeps every left row, unmatched with NULLs
+    got_l = {
+        r["tag"]: r["tag_r"]
+        for r in asof_join(
+            left, right, on="ts", by="k", tolerance_sec=300, how="left"
+        ).collect()
+    }
+    assert got_l == {"a": 100.0, "b": None, "c": None}
+
+    # forward: a (T10) matches equal-instant 100.0, b (T30) nothing
+    got_f = {
+        r["tag"]: r["tag_r"]
+        for r in asof_join(
+            left, right, on="ts", by="k", direction="forward", how="left"
+        ).collect()
+    }
+    assert got_f == {"a": 100.0, "b": None, "c": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="ts", by="k", direction="nearest")

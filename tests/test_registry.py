@@ -144,3 +144,21 @@ def test_cache_scope_drops_scope_local_persists(spark):
             pass
     assert any("pre-existing" in str(w.message) for w in caught)
     assert cm.isEmpty()
+
+
+def test_missing_sf_dir_fails_cleanly(spark):
+    """Harness seam contract: a bad sf_dir raises a clean, path-naming
+    error at plan/first-action time — never a silent empty result. The
+    events loader probes the parquet footer itself (FileNotFoundError
+    with the path); plain-table queries surface Spark's
+    PATH_NOT_FOUND AnalysisException."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from trafficteach_spark.registry import queries
+
+    qs = queries()
+    with _pytest.raises(FileNotFoundError, match="/nonexistent/sfdir"):
+        qs["q01_filter_range"](spark, "/nonexistent/sfdir").count()
+    with _pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        qs["q97_data_profile"](spark, "/nonexistent/sfdir").count()

@@ -606,3 +606,103 @@ def q110_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(rate_b - rate_a, F.nullif(se, F.lit(0.0))), 6
         ).alias("z"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """General as-of join — the library entry point behind q51
+    (backward) and q89 (forward): attach to each ``left`` row the
+    nearest ``right`` row per ``by`` key at-or-before (backward) /
+    at-or-after (forward) its ``on`` time, optionally within
+    ``tolerance_sec``. ``how='left'`` keeps unmatched (or
+    out-of-tolerance) left rows with NULL right columns.
+
+    PRECONDITION (as in every as-of engine): ``right`` must be unique
+    per (by, on) — pre-aggregate ties like q51's MAX(o_orderkey) dedup,
+    or the carried row is whichever sorts last. Ties across sides match:
+    a right row AT the left row's exact timestamp is taken in both
+    directions.
+
+    Plan (the union-then-window decomposition, never an inequality
+    join): both inputs shuffle ONCE on the by-key, the window streams
+    each key's merged timeline, and no join node exists at all — the
+    naive ``left.join(right, cond)`` lowers to BroadcastNestedLoopJoin
+    (all-pairs per key), which the plan tests ban. Internal columns are
+    underscore-reserved; right columns that collide with left names
+    come back suffixed ``_r``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    lcols = list(left.columns)
+    rcols = [c for c in right.columns if c not in (by, on)]
+    out_names = {c: (c if c not in lcols else f"{c}_r") for c in rcols}
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+
+    l_side = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in rcols],
+        F.lit(None).cast(rtypes[on]).alias("_rt"),
+    )
+    r_side = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.col(on).alias("_rt"),
+    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_by")
+            .orderBy(F.asc("_t"), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = {
+            f"_r_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w) for c in rcols
+        } | {"_rt": F.last("_rt", ignorenulls=True).over(w)}
+    else:
+        # at an equal instant the left row must still see the right row,
+        # so left sorts BEFORE right going forward
+        w = (
+            Window.partitionBy("_by")
+            .orderBy(F.asc("_t"), F.desc("_is_left"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = {
+            f"_r_{c}": F.first(f"_r_{c}", ignorenulls=True).over(w) for c in rcols
+        } | {"_rt": F.first("_rt", ignorenulls=True).over(w)}
+
+    merged = l_side.unionByName(r_side).withColumns(carry).where(F.col("_is_left") == 1)
+
+    matched = F.col("_rt").isNotNull()
+    if tolerance_sec is not None:
+        gap = (
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            - F.unix_micros(F.col("_rt").cast("timestamp"))
+        ) / F.lit(1_000_000.0)
+        gap = gap if direction == "backward" else -gap
+        matched = matched & (gap <= F.lit(float(tolerance_sec)))
+
+    if how == "inner":
+        out = merged.where(matched)
+    else:
+        # null out an out-of-tolerance carry so 'left' rows read unmatched
+        out = merged.withColumns(
+            {f"_r_{c}": F.when(matched, F.col(f"_r_{c}")) for c in rcols}
+        )
+    return out.select(
+        *lcols, *[F.col(f"_r_{c}").alias(out_names[c]) for c in rcols]
+    )
