@@ -2285,3 +2285,68 @@ def test_asof_join_tolerance_and_left_how(spark):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, on="ts", by="k", direction="nearest")
+
+
+def test_asof_join_property_random_streams(spark):
+    """Seeded random timelines: asof_join (both directions, with and
+    without tolerance, inner and left) must match a brute-force Python
+    reference on arbitrary interleavings, including exact-timestamp
+    ties across sides."""
+    import datetime as dt
+    import random
+
+    from trafficteach_spark.operators.sequences import asof_join
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    lid = rid = 0
+    for k in range(1, 6):
+        for _ in range(rng.randrange(1, 15)):
+            lrows.append((k, base + dt.timedelta(minutes=rng.randrange(0, 200)), lid))
+            lid += 1
+        # right: unique per (k, t) by construction (sampled w/o replacement)
+        for m in rng.sample(range(0, 200), rng.randrange(1, 10)):
+            rrows.append((k, base + dt.timedelta(minutes=m), rid))
+            rid += 1
+    left = spark.createDataFrame(lrows, "k long, ts timestamp_ntz, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp_ntz, rid long")
+
+    def ref(direction, tol):
+        out = {}
+        for k, t, i in lrows:
+            cands = [
+                (rt, ri)
+                for (rk, rt, ri) in rrows
+                if rk == k
+                and (rt <= t if direction == "backward" else rt >= t)
+                and (tol is None or abs((t - rt).total_seconds()) <= tol)
+            ]
+            if cands:
+                rt, ri = (max if direction == "backward" else min)(cands)
+                out[i] = ri
+            else:
+                out[i] = None
+        return out
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 1800):
+            expect = ref(direction, tol)
+            got_left = {
+                r["lid"]: r["rid"]
+                for r in asof_join(
+                    left, right, on="ts", by="k",
+                    direction=direction, tolerance_sec=tol, how="left",
+                ).collect()
+            }
+            assert got_left == expect, (direction, tol)
+            got_inner = {
+                r["lid"]: r["rid"]
+                for r in asof_join(
+                    left, right, on="ts", by="k",
+                    direction=direction, tolerance_sec=tol,
+                ).collect()
+            }
+            assert got_inner == {i: v for i, v in expect.items() if v is not None}, (
+                direction, tol,
+            )
