@@ -2350,3 +2350,77 @@ def test_asof_join_property_random_streams(spark):
             assert got_inner == {i: v for i, v in expect.items() if v is not None}, (
                 direction, tol,
             )
+
+
+def test_range_join_library_matches_q63(spark):
+    """The general range_join must reproduce q63's registered result
+    when fed the same mega-order intervals at day buckets."""
+    from trafficteach_spark.operators.timeseries import (
+        _IVAL_DAYS,
+        _MEGA_PRICE,
+        range_join,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_totalprice") > _MEGA_PRICE)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .withColumn("o_end", F.col("o_orderdate") + F.expr(f"INTERVAL {_IVAL_DAYS} DAYS"))
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    got = (
+        range_join(li, orders, "l_shipdate", "o_orderdate", "o_end")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+    )
+    expect = {tuple(r) for r in Q["q63_range_join"](spark, sf).collect()}
+    assert {tuple(r) for r in got.collect()} == expect and expect
+
+
+def test_range_join_property_random_intervals(spark):
+    """Seeded random points/intervals at an odd bucket width (7200 s):
+    matches must equal the brute-force cross check, for both exclusive
+    and inclusive ends, with an extra equi-key."""
+    import datetime as dt
+    import random
+
+    from trafficteach_spark.operators.timeseries import range_join
+
+    rng = random.Random(31)
+    base = dt.datetime(2024, 1, 1)
+    pts, ivs = [], []
+    for pid in range(120):
+        pts.append(
+            (rng.randrange(1, 4), base + dt.timedelta(minutes=rng.randrange(0, 4000)), pid)
+        )
+    for vid in range(25):
+        s = base + dt.timedelta(minutes=rng.randrange(0, 4000))
+        ivs.append(
+            (rng.randrange(1, 4), s, s + dt.timedelta(minutes=rng.randrange(0, 600)), vid)
+        )
+    points = spark.createDataFrame(pts, "g long, t timestamp_ntz, pid long")
+    intervals = spark.createDataFrame(ivs, "g long, s timestamp_ntz, e timestamp_ntz, vid long")
+    for inclusive in (False, True):
+        got = {
+            (r["pid"], r["vid"])
+            for r in range_join(
+                points, intervals, "t", "s", "e",
+                bucket_sec=7200, end_inclusive=inclusive, keys=("g",),
+            ).collect()
+        }
+        expect = {
+            (pid, vid)
+            for (pg, t, pid) in pts
+            for (ig, s, e, vid) in ivs
+            if pg == ig and s <= t and (t <= e if inclusive else t < e)
+        }
+        assert got == expect, inclusive
+        assert len(expect) > 0

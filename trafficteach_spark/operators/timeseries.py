@@ -659,3 +659,54 @@ def q116_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("avg_raw", ignorenulls=True).over(w), 6).alias("locf_avg"),
         F.when(F.col("n") == 0, 1).otherwise(0).alias("is_gap"),
     )
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_sec: float = 86_400.0,
+    end_inclusive: bool = False,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """General point-in-interval range join — the library form of q63's
+    bucketized decomposition: each interval explodes into the fixed-width
+    time buckets it covers (bounded fan-out = interval length /
+    ``bucket_sec``), each point maps to exactly ONE bucket, the join
+    runs as a plain equi-join on (``keys``..., bucket), and the exact
+    range predicate filters residually. A point's bucket occurs at most
+    once per interval's cover, so matches are exact with no dedup pass.
+
+    Catalyst would otherwise lower the raw inequality join to a
+    BroadcastNestedLoopJoin (all pairs); this form shuffles both sides
+    once on the bucket (plus any equi-``keys``) and scales like any
+    hash join. Pick ``bucket_sec`` near the median interval length:
+    shorter buckets fan the intervals wider, longer buckets widen the
+    residual's false-candidate band. Timestamp and date columns both
+    work (dates are midnight timestamps); ``end_inclusive`` selects
+    [start, end] vs [start, end). Output: all point columns + all
+    interval columns (caller projects; name collisions are the
+    caller's to avoid, as with any join).
+    """
+    width_us = int(bucket_sec * 1_000_000)
+    p_us = F.unix_micros(F.col(point_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    last_us = e_us if end_inclusive else e_us - F.lit(1)
+
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (s_us / width_us).cast("long"), (last_us / width_us).cast("long")
+            )
+        ),
+    )
+    pts = points.withColumn("_bucket", (p_us / width_us).cast("long"))
+    cond = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) <= F.col(end_col)
+        if end_inclusive
+        else F.col(point_col) < F.col(end_col)
+    )
+    return pts.join(ivals, [*keys, "_bucket"]).where(cond).drop("_bucket")
