@@ -2424,3 +2424,85 @@ def test_range_join_property_random_intervals(spark):
         }
         assert got == expect, inclusive
         assert len(expect) > 0
+
+
+def test_q119_udtf_irregular_whitespace_matches_oracle_islands(spark, tmp_path):
+    """Latent-divergence regression (round-6 review finding): runs are
+    adjacency in RAW split positions — 'b  b' (double space) is NOT a
+    run because the empty token holds position 2, exactly like the
+    oracle's gaps-and-islands over generate_subscripts. Verified
+    against DuckDB on a planted irregular-whitespace fixture."""
+    import duckdb
+
+    from trafficteach_spark import registry, schemas
+
+    docs = [
+        (1, "b  b", "en", "web", 4),          # double space: no run
+        (2, " x x", "en", "web", 4),          # leading space shifts pos
+        (3, "a a  a a", "en", "web", 8),      # two runs of 2, split by gap
+        (4, "c c c", "en", "web", 5),         # plain run of 3
+    ]
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        tuple(r) for r in Q["q119_python_udtf"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    # Spark wrote a DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            registry.all_specs()["q119_python_udtf"].oracle
+        ).fetchall()
+    )
+    assert got == oracle
+    assert got == [(2, 2, "x", 2), (3, 1, "a", 2), (3, 4, "a", 2), (4, 1, "c", 3)]
+
+
+def test_range_join_degenerate_intervals_no_fanout(spark):
+    """Empty (start == end, exclusive) and inverted (end < start)
+    intervals must produce zero candidate rows BEFORE the residual
+    filter — not a descending bucket fan-out (round-6 review finding)."""
+    import datetime as dt
+
+    from trafficteach_spark.operators.timeseries import range_join
+
+    T = lambda d: dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+    points = spark.createDataFrame([(T(0), 1)], "t timestamp_ntz, pid long")
+    intervals = spark.createDataFrame(
+        [
+            (T(0), T(0), 10),          # empty under exclusive end
+            (T(100), T(0), 11),        # inverted by ~100 days
+            (T(0), T(1), 12),          # genuine match
+        ],
+        "s timestamp_ntz, e timestamp_ntz, vid long",
+    )
+    out = range_join(points, intervals, "t", "s", "e")
+    assert {r["vid"] for r in out.collect()} == {12}
+    # the explode input must carry ONLY the valid interval: the join's
+    # interval side, pre-residual, has exactly 1 bucket row (the one-day
+    # interval covers one day bucket under the exclusive end)
+    from pyspark.sql import functions as F
+
+    n_buckets = (
+        intervals.where(
+            F.unix_micros(F.col("e").cast("timestamp"))
+            > F.unix_micros(F.col("s").cast("timestamp"))
+        )
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    (F.unix_micros(F.col("s").cast("timestamp")) / 86_400_000_000).cast("long"),
+                    ((F.unix_micros(F.col("e").cast("timestamp")) - 1) / 86_400_000_000).cast("long"),
+                )
+            ),
+        )
+        .count()
+    )
+    assert n_buckets == 1

@@ -135,7 +135,7 @@ def test_crash_replayed_batch_is_idempotent(spark, tmp_path):
 
     # simulate the replay: same batch id through the foreachBatch body
     def replay(bdf, bid):
-        last_id, _ = R._latest(str(state))
+        last_id, _, _ = R._latest(str(state))
         if bid <= last_id:
             return
         R._commit(
@@ -162,3 +162,34 @@ def test_merge_touches_only_affected_keys_plan(spark):
     )
     plan = merge_rollup_state(base, partial)._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_rollup_rejects_foreign_checkpoint_lineage(spark, tmp_path):
+    """Round-6 review finding: state_dir outliving checkpoint_dir must
+    FAIL LOUDLY, not silently drop the new checkpoint's restarted batch
+    ids (0..n <= committed id) or double-count the replayed source."""
+    import pytest as _pytest
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    state = tmp_path / "state"
+
+    _drop_file(spark, tmp_path, watch, ROWS_1, "f1")
+    q = start_incremental_rollup(
+        spark, str(watch), str(state), str(tmp_path / "ckpt_a")
+    )
+    q.awaitTermination(120)
+    committed = _state_dict(spark, state)
+    assert committed  # first lineage committed normally
+
+    # same state dir, FRESH checkpoint -> the whole source replays with
+    # batch ids restarting at 0; the guard must raise, and the state
+    # must be left exactly as committed
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="lineage"):
+        q2 = start_incremental_rollup(
+            spark, str(watch), str(state), str(tmp_path / "ckpt_b")
+        )
+        q2.awaitTermination(120)
+    assert _state_dict(spark, state) == committed

@@ -1216,6 +1216,23 @@ _FK_RELATIONS = (
 )
 
 
+
+def _melt_tables(spark: SparkSession, sf_dir: str, by_table: dict[str, list]) -> DataFrame:
+    """Single-pass multi-column melt shared by q104 and q120: each table
+    is scanned ONCE, its per-table struct entries fan out row-locally
+    via inline(array(...)), rows with a NULL key column ``k`` drop, and
+    the tables union. Every struct entry must alias its key as ``k``."""
+    return reduce(
+        DataFrame.unionByName,
+        [
+            load_table(spark, sf_dir, table)
+            .select(F.inline(F.array(*entries)))
+            .where(F.col("k").isNotNull())
+            for table, entries in sorted(by_table.items())
+        ],
+    )
+
+
 def _fk_audit_oracle() -> str:
     parts = []
     for child, fk, parent, pk in _FK_RELATIONS:
@@ -1284,15 +1301,8 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    frames = [
-        load_table(spark, sf_dir, table)
-        .select(F.inline(F.array(*entries)))
-        .where(F.col("k").isNotNull())
-        for table, entries in sorted(by_table.items())
-    ]
-
     per_key = (
-        reduce(DataFrame.unionByName, frames)
+        _melt_tables(spark, sf_dir, by_table)
         .groupBy("p", "k")
         .agg(
             F.max("is_parent").alias("hit"),
@@ -1736,14 +1746,8 @@ def q120_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(fk).cast("long").alias("k"),
             )
         )
-    frames = [
-        load_table(spark, sf_dir, table)
-        .select(F.inline(F.array(*entries)))
-        .where(F.col("k").isNotNull())
-        for table, entries in sorted(by_table.items())
-    ]
     per_key = (
-        reduce(DataFrame.unionByName, frames)
+        _melt_tables(spark, sf_dir, by_table)
         .groupBy("child_table", "key_col", "k")
         .agg(F.count("*").alias("c"))
     )

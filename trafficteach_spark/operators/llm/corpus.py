@@ -1262,7 +1262,7 @@ _DUCK_MD5_60 = (
 )
 def q117_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature hashing (the hashing trick): tokens hash into a fixed
-    {N_HASH_BUCKETS}-bucket space and each doc becomes sparse
+    64-bucket (N_HASH_BUCKETS) space and each doc becomes sparse
     (bucket, count) features — the vocabulary-free vectorization that
     sidesteps a fitted dictionary entirely (no vocab build pass, no
     OOV), which is what makes it THE featurizer that needs zero global

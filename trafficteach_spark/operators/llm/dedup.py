@@ -799,9 +799,10 @@ def q112_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — admit an incoming batch against the EXISTING
     corpus (X2's production steady-state: a crawler never re-dedups the
     whole corpus; it checks each new batch against what it already has).
-    One verdict row per incoming doc (every {INCREMENT_MOD}-th doc_id
-    plays the batch): how many corpus near-dups it has (Jaccard >=
-    {JACCARD_THRESHOLD} over {SHINGLE_K}-gram shingles), the best score,
+    One verdict row per incoming doc (every 20th doc_id
+    plays the batch — INCREMENT_MOD): how many corpus near-dups it has
+    (Jaccard >= 0.5 = JACCARD_THRESHOLD over 3-gram = SHINGLE_K
+    shingles), the best score,
     and the admit flag is_new. Docs too short to shingle have no
     candidates and admit trivially, matching the oracle's left join.
 

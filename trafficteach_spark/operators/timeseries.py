@@ -695,7 +695,15 @@ def range_join(
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
     last_us = e_us if end_inclusive else e_us - F.lit(1)
 
-    ivals = intervals.withColumn(
+    # Degenerate intervals (empty under the chosen end semantics, or
+    # dirty end < start rows) are dropped BEFORE the explode: Spark's
+    # sequence(a, b) steps -1 when a > b, so without this guard an
+    # inverted interval fans out into a long DESCENDING bucket list that
+    # only the residual filter removes — wasted shuffle volume, and for
+    # a badly inverted row, thousands of spurious rows (round-6 review
+    # finding). They cannot match anything, so dropping them is exact.
+    nonempty = (e_us >= s_us) if end_inclusive else (e_us > s_us)
+    ivals = intervals.where(nonempty).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

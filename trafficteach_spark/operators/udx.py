@@ -164,11 +164,16 @@ class RepeatRunsUDTF:
     def eval(self, text: str):
         if text is None:
             return
-        tokens = [t for t in text.split(" ") if t]
+        # Positions come from the RAW split array (empty tokens from
+        # consecutive/leading spaces keep their slot and BREAK runs),
+        # matching the oracle's generate_subscripts + t != '' islands:
+        # in 'b  b' the b's sit at raw positions 1 and 3 — not adjacent,
+        # so no run. Filtering empties first would merge them.
+        tokens = text.split(" ")
         run_start = 0
         for i in range(1, len(tokens) + 1):
             if i == len(tokens) or tokens[i] != tokens[run_start]:
-                if i - run_start >= 2:
+                if i - run_start >= 2 and tokens[run_start] != "":
                     # 1-based start position, matching SQL subscripts
                     yield run_start + 1, tokens[run_start], i - run_start
                 run_start = i

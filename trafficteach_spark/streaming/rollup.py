@@ -70,21 +70,39 @@ def merge_rollup_state(base: DataFrame, partial: DataFrame) -> DataFrame:
     return merge_upsert(base, merged_affected, ROLLUP_KEYS)
 
 
-def _latest(state_dir: str) -> tuple[int, str | None]:
-    """(last committed batch id, state path) — (-1, None) before the
-    first commit."""
+def _latest(state_dir: str) -> tuple[int, str | None, str | None]:
+    """(last committed batch id, state path, committing query lineage id)
+    — (-1, None, None) before the first commit."""
     ptr = os.path.join(state_dir, "_LATEST")
     if not os.path.exists(ptr):
-        return -1, None
+        return -1, None, None
     with open(ptr) as fh:
         meta = json.load(fh)
-    return int(meta["batch_id"]), os.path.join(state_dir, meta["version"])
+    return (
+        int(meta["batch_id"]),
+        os.path.join(state_dir, meta["version"]),
+        meta.get("lineage"),
+    )
+
+
+def _checkpoint_lineage(checkpoint_dir: str) -> str | None:
+    """The streaming query id Spark persists in <checkpoint>/metadata —
+    stable across restarts FROM that checkpoint, different for a fresh
+    or recreated checkpoint. This is what makes the batch-id replay
+    guard safe: batch ids restart at 0 with a new checkpoint, so a bare
+    `batch_id <= last_id` comparison across lineages would silently
+    drop real batches (round-6 review finding)."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return json.load(fh)["id"]
+    except Exception:
+        return None
 
 
 def read_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The committed rollup state (empty frame with the right schema
     before the first commit)."""
-    _, path = _latest(state_dir)
+    _, path, _ = _latest(state_dir)
     if path is None:
         return spark.createDataFrame([], ROLLUP_STATE_SCHEMA)
     return spark.read.schema(ROLLUP_STATE_SCHEMA).parquet(path)
@@ -104,7 +122,9 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
     )
 
 
-def _commit(state_dir: str, batch_id: int, merged: DataFrame) -> None:
+def _commit(
+    state_dir: str, batch_id: int, merged: DataFrame, lineage: str | None = None
+) -> None:
     """Write the merged state as a new version directory, then flip the
     ``_LATEST`` pointer via atomic rename. Versions older than the
     previous one are pruned (crash between write and flip leaves an
@@ -114,7 +134,9 @@ def _commit(state_dir: str, batch_id: int, merged: DataFrame) -> None:
     merged.write.mode("overwrite").parquet(out)
     fd, tmp = tempfile.mkstemp(dir=state_dir, prefix="_LATEST.")
     with os.fdopen(fd, "w") as fh:
-        json.dump({"batch_id": batch_id, "version": version}, fh)
+        json.dump(
+            {"batch_id": batch_id, "version": version, "lineage": lineage}, fh
+        )
     os.replace(tmp, os.path.join(state_dir, "_LATEST"))
     for name in os.listdir(state_dir):
         if (
@@ -146,7 +168,21 @@ def start_incremental_rollup(
     os.makedirs(state_dir, exist_ok=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last_id, _ = _latest(state_dir)
+        last_id, _, stored_lineage = _latest(state_dir)
+        lineage = _checkpoint_lineage(checkpoint_dir)
+        if stored_lineage is not None and lineage != stored_lineage:
+            # A FRESH checkpoint replays the whole source from scratch:
+            # merging onto the existing state would double-count every
+            # already-merged event, and trusting batch ids would silently
+            # drop batches (ids restart at 0). Neither is recoverable
+            # automatically — make the operator choose.
+            raise RuntimeError(
+                f"rollup state at {state_dir} was committed by streaming "
+                f"query {stored_lineage}, but this run's checkpoint "
+                f"({checkpoint_dir}) has lineage {lineage}. Either restart "
+                "from the original checkpoint, or clear the state dir to "
+                "rebuild the rollup from the replayed source."
+            )
         if batch_id <= last_id:  # crash-replay of a committed batch
             return
         batch_spark = batch_df.sparkSession
@@ -159,7 +195,7 @@ def start_incremental_rollup(
         # conflicts can't arise; materializing still keeps the commit
         # from re-running the merge twice (write + any later action).
         merged = merge_rollup_state(base, partial).localCheckpoint(eager=True)
-        _commit(state_dir, batch_id, merged)
+        _commit(state_dir, batch_id, merged, lineage)
 
     return (
         read_event_stream(spark, source_dir)
