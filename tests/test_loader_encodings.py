@@ -129,3 +129,91 @@ def test_probe_cache_invalidates_on_rewrite(spark, tmp_path):
     )
     us.coalesce(1).write.mode("overwrite").parquet(path)
     assert tables._events_ts_kind(path) == "timestamp"
+
+
+def test_annotated_nanos_encoding_loads_and_pushes_range(spark, tmp_path):
+    """Round-6 review finding: a TRUE parquet TIMESTAMP(NANOS) column
+    (pyarrow timestamp[ns], not a plain int64) must classify as
+    int64_ns — Spark's nanosAsLong reads it as raw long — and flow
+    through the same div-1000 conversion and physical-domain range
+    pushdown as the int64 form."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trafficteach_spark.sources.tables import (
+        _events_ts_kind,
+        load_events_range,
+        load_table,
+    )
+
+    def ns(h):
+        return int(dt.datetime(2024, 1, 6, h, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array([ns(9), ns(10), ns(11)], type=pa.timestamp("ns")),
+            "user_id": pa.array([1, 2, 3], type=pa.int64()),
+            "event_type": pa.array(["view", "click", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    path = tmp_path / "events.parquet"
+    pq.write_table(tbl, str(path), store_schema=False)
+
+    assert _events_ts_kind(str(path)) == "int64_ns"
+    rows = {r["event_id"]: r for r in load_table(spark, str(tmp_path), "events").collect()}
+    assert rows[2]["ts"] == dt.datetime(2024, 1, 6, 10)
+    ranged = load_events_range(
+        spark, str(tmp_path), "2024-01-06 09:30:00", "2024-01-06 10:30:00"
+    )
+    assert [r["event_id"] for r in ranged.collect()] == [2]
+
+
+def test_encoding_cache_detects_inplace_rewrite(spark, tmp_path):
+    """Round-6 review finding: rewriting a part file IN PLACE (same
+    name) with the other encoding must re-probe, not serve the cached
+    verdict — the cache keys on the part files' own stat fingerprint."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trafficteach_spark.sources.tables import _events_ts_kind
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+
+    def write(kind):
+        t = int(dt.datetime(2024, 1, 6, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+        ts_arr = (
+            pa.array([t], type=pa.int64())
+            if kind == "int64"
+            else pa.array([dt.datetime(2024, 1, 6)], type=pa.timestamp("us"))
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1], type=pa.int64()),
+                    "ts": ts_arr,
+                    "user_id": pa.array([1], type=pa.int64()),
+                    "event_type": pa.array(["view"]),
+                    "value": pa.array([1.0]),
+                    "props": pa.array(["{}"]),
+                }
+            ),
+            str(part),
+            store_schema=False,
+        )
+
+    write("int64")
+    assert _events_ts_kind(str(d)) == "int64_ns"
+    import time as _time
+
+    _time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+    write("us")  # same filename, same directory entry count
+    assert _events_ts_kind(str(d)) == "timestamp"

@@ -68,3 +68,48 @@ def test_convert_to_parquet_is_query_equivalent(spark, physical_events, tmp_path
     assert _logical_rows(via_loader) == _logical_rows(
         tables.load_table(spark, SF, "events")
     )
+
+
+def test_csv_reordered_header_fails_instead_of_transposing(spark, tmp_path):
+    """Round-6 review finding: with header=True the reader must validate
+    header NAMES (enforceSchema=false) — a reordered same-typed column
+    pair (event_id/user_id) previously transposed silently."""
+    import pytest as _pytest
+
+    from trafficteach_spark.sources.text_formats import read_events_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "user_id,event_id,ts,event_type,value,props\n"  # swapped first two
+        "7,1,1704535200000000000,view,1.0,{}\n"
+    )
+    with _pytest.raises(Exception, match="CSV header does not conform|header"):
+        read_events_csv(spark, str(p)).collect()
+
+    good = tmp_path / "good.csv"
+    good.write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        "1,1704535200000000000,7,view,1.0,{}\n"
+    )
+    rows = read_events_csv(spark, str(good)).collect()
+    assert rows[0]["event_id"] == 1 and rows[0]["user_id"] == 7
+
+
+def test_jsonl_renamed_field_fails_instead_of_nulling(spark, tmp_path):
+    """Round-6 review finding: a producer renaming 'ts' to 'timestamp'
+    yields well-formed JSON that FAILFAST accepts with NULL ts — the
+    required-field guard must fail the ingest loudly."""
+    import pytest as _pytest
+
+    from trafficteach_spark.sources.text_formats import read_events_jsonl
+
+    p = tmp_path / "drifted.jsonl"
+    p.write_text(
+        '{"event_id": 1, "timestamp": 1704535200000000000, "user_id": 7, '
+        '"event_type": "view", "value": 1.0, "props": "{}"}\n'
+    )
+    with _pytest.raises(ValueError, match="required event fields parsed as NULL"):
+        read_events_jsonl(spark, str(p))
+    # validate=False keeps the old composable action-free behavior
+    rows = read_events_jsonl(spark, str(p), validate=False).collect()
+    assert rows[0]["ts"] is None

@@ -166,7 +166,18 @@ def q35_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned into it, and ``applyInPandas`` runs the block product in
     numpy/BLAS (Arrow batches, no per-element lambda). vs the row-wise
     higher-order-function form this is ~40x at sf0.1 (19.2s -> see
-    BASELINE.md) for the identical exact result.
+    BASELINE.md).
+
+    Numerical contract (honest version — round-6 review): the result is
+    NOT bit-identical to the oracle's fold. normalize-then-matmul
+    evaluates (x_i/na)(y_i/nb) with a BLAS-reordered reduction while
+    DuckDB folds sum(x_i*y_i)/(na*nb) sequentially, and np.round ties
+    to even where DuckDB rounds half away — so individual cosines can
+    differ by ~1e-15 (float64 on 64 terms). Parity holds because no
+    fixture pair's cosine lies within that margin of the {NEAR_DUP_COS}
+    threshold or of a 6th-decimal rounding tie; a production corpus
+    should treat the threshold as having a +-1e-12 tolerance band, as
+    every ANN system does.
 
     Scale: no corpus broadcast, no driver collect — replication factor is
     (_N_BLOCKS+1), each task holds two blocks; at 100 TB pick the block
@@ -287,11 +298,23 @@ def _ivf_assign(vecs: DataFrame, nprobe: int) -> tuple[DataFrame, DataFrame]:
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     ranked = scored.withColumn("crank", F.row_number().over(w))
-    assigned = ranked.where(F.col("crank") == 1).select(
+    # persist() the shared slice: assigned AND probes both derive from
+    # the same crossJoin + ranking window, and Spark has no cross-branch
+    # common-subexpression reuse — without the cache the embeddings
+    # scan, K-centroid dot products and the per-vector window all
+    # execute twice in one q32_knn_ivf plan (round-6 review finding).
+    # Filter first so only the consumed rows materialize (corpus-sized
+    # assignment + the tiny probe tail, not corpus x K); O43 contract:
+    # cache_scope / clearCache frees it.
+    keep = ranked.where(
+        (F.col("crank") == 1)
+        | ((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe))
+    ).persist()
+    assigned = keep.where(F.col("crank") == 1).select(
         "vec_id", "label", "v", "nrm", F.col("cid").alias("list_id")
     )
     probes = (
-        ranked.where((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe))
+        keep.where((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe))
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),

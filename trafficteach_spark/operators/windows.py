@@ -344,8 +344,6 @@ def q74_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (percent_rank/cume_dist then see singleton peer groups). One
     shuffle serves all three (shared WINDOW spec; same profile as q64).
     """
-    from trafficteach_spark.sources.tables import load_table
-
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return events.select(
@@ -395,14 +393,21 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's rows, state never exceeds a bucket — same bound the
     watermark gives the streaming twin.
     """
-    from trafficteach_spark.sources.tables import load_table
-
     ev = load_table(spark, sf_dir, "events")
     # integer `div`, not `/` + cast: double division can land one ulp
     # under an exact multiple and truncate to bucket-1 where the
-    # oracle's integer floor-div does not.
+    # oracle's integer floor-div does not. Epoch micros are derived from
+    # the NTZ value's own date/time FIELDS — never through
+    # unix_micros(CAST(ts AS TIMESTAMP)), whose NTZ->LTZ cast shifts by
+    # the session zone offset (and non-uniformly across DST) if the
+    # pinned-UTC conf is ever refused; the oracle's epoch_us(ts) is
+    # naive, so buckets would drift per environment (round-6 review
+    # finding — the exact pattern q106's carry-in comment forbids).
     bucket = F.expr(
-        f"unix_micros(CAST(ts AS TIMESTAMP)) div {DEDUP_BUCKET_SEC * 1_000_000}"
+        "(datediff(CAST(ts AS DATE), DATE'1970-01-01') * 86400000000L"
+        " + (hour(ts) * 3600 + minute(ts) * 60) * 1000000L"
+        " + CAST(date_part('SECOND', ts) * 1000000 AS BIGINT))"
+        f" div {DEDUP_BUCKET_SEC * 1_000_000}"
     )
     w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
         "ts", "event_id"

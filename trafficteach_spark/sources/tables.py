@@ -28,8 +28,8 @@ from trafficteach_spark.session import ensure_session_confs
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# path -> (dir/file mtime_ns at probe time, encoding verdict)
-_EVENTS_TS_KIND_CACHE: dict[str, tuple[int, str]] = {}
+# path -> (part-file (name, size, mtime_ns) fingerprint, encoding verdict)
+_EVENTS_TS_KIND_CACHE: dict[str, tuple[tuple, str]] = {}
 
 
 def _events_ts_kind(path: str) -> str:
@@ -43,17 +43,33 @@ def _events_ts_kind(path: str) -> str:
     the first and last few part files are probed (footers are ordered by
     name, so a mid-run encoding flip lands at a boundary) and MIXED
     encodings raise instead of being silently misread through one schema
-    (round-4 advisory). Cached per path keyed on the directory's mtime,
-    so an in-process rewrite with the other encoding re-probes instead of
-    serving the stale verdict; at 100 TB this is a handful of footer
+    (round-4 advisory). Cached per path keyed on the part files'
+    (name, size, mtime) fingerprint, so any rewrite — including in-place
+    — re-probes instead of serving the stale verdict; at 100 TB this is a handful of footer
     reads per job, not per partition.
     """
+    # Cache key = fingerprint of the part files themselves (name, size,
+    # mtime_ns), not the directory mtime: POSIX only bumps a dir's mtime
+    # on entry add/remove/rename, so an IN-PLACE part-file rewrite with
+    # the other encoding would otherwise serve the stale verdict and
+    # skip the mixed-encoding guard (round-6 review finding).
     try:
-        mtime = os.stat(path).st_mtime_ns
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                stamp = tuple(
+                    sorted(
+                        (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                        for e in it
+                        if e.name.endswith(".parquet")
+                    )
+                )
+        else:
+            st = os.stat(path)
+            stamp = ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
     except FileNotFoundError:
         raise FileNotFoundError(f"no parquet at {path}") from None
     cached = _EVENTS_TS_KIND_CACHE.get(path)
-    if cached is not None and cached[0] == mtime:
+    if cached is not None and cached[0] == stamp:
         return cached[1]
     import pyarrow.parquet as _pq
     import pyarrow.types as _pt
@@ -67,12 +83,20 @@ def _events_ts_kind(path: str) -> str:
         # contiguous in name order, so it always crosses this boundary.
         sample = parts[:2] + parts[-2:] if len(parts) > 4 else parts
         probes = [os.path.join(path, f) for f in dict.fromkeys(sample)]
-    kinds = {
-        "int64_ns"
-        if _pt.is_integer(_pq.read_schema(probe).field("ts").type)
-        else "timestamp"
-        for probe in probes
-    }
+    def _kind_of(probe: str) -> str:
+        t = _pq.read_schema(probe).field("ts").type
+        # Two physical forms need the raw-long read path: a plain int64
+        # column AND an annotated TIMESTAMP(NANOS) column — pyarrow
+        # surfaces the latter as timestamp[ns] (NOT an integer type),
+        # but Spark's nanosAsLong=true still materializes it as long
+        # (verified against a planted file in test_loader_encodings).
+        # Probing only is_integer misclassified true NANOS files as
+        # native timestamps (round-6 review finding).
+        if _pt.is_integer(t) or (_pt.is_timestamp(t) and t.unit == "ns"):
+            return "int64_ns"
+        return "timestamp"
+
+    kinds = {_kind_of(probe) for probe in probes}
     if len(kinds) > 1:
         raise ValueError(
             f"mixed events.ts encodings under {path}: both int64-ns and "
@@ -80,7 +104,7 @@ def _events_ts_kind(path: str) -> str:
             "(reading through either schema would corrupt the other half)"
         )
     kind = kinds.pop()
-    _EVENTS_TS_KIND_CACHE[path] = (mtime, kind)
+    _EVENTS_TS_KIND_CACHE[path] = (stamp, kind)
     return kind
 
 

@@ -35,8 +35,13 @@ def _normalize(raw: DataFrame) -> DataFrame:
 def _read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """The one JSONL reader (shared by the query path and the compaction
     path so reader options can never drift apart): declared physical
-    schema — no inference; corrupt lines fail the job (mode FAILFAST)
-    rather than silently nulling out."""
+    schema — no inference; malformed lines fail the job (mode FAILFAST).
+
+    FAILFAST's scope is PARSE errors only: a well-formed JSON object
+    with missing or renamed fields (a producer emitting "timestamp"
+    instead of "ts") still yields NULLs silently. The key-field guard
+    in :func:`read_events_jsonl` closes that hole (round-6 review
+    finding)."""
     ensure_session_confs(spark)
     return (
         spark.read.schema(schemas.EVENTS_PHYSICAL)
@@ -45,20 +50,61 @@ def _read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
+# Fields a valid event line must carry: NULLs here mean the producer's
+# field NAMES drifted from the contract, which FAILFAST cannot catch.
+_REQUIRED_EVENT_FIELDS = ("event_id", "ts", "user_id", "event_type")
+
+
+def validate_event_fields(raw: DataFrame, source: str) -> DataFrame:
+    """Fail ingestion when any required field parsed as NULL — the
+    missing-/renamed-field failure mode that sails past FAILFAST. ONE
+    cheap aggregate action over the batch (ingestion-edge cost, like
+    merge_upsert's check_unique); returns the frame unchanged."""
+    null_counts = raw.select(
+        [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+            for c in _REQUIRED_EVENT_FIELDS
+        ]
+    ).first()
+    bad = {c: null_counts[c] for c in _REQUIRED_EVENT_FIELDS if null_counts[c]}
+    if bad:
+        raise ValueError(
+            f"{source}: required event fields parsed as NULL {bad} — "
+            "well-formed lines with missing/renamed fields (FAILFAST "
+            "only catches malformed ones); fix the producer or the "
+            "field mapping"
+        )
+    return raw
+
+
+def read_events_jsonl(
+    spark: SparkSession, path: str, validate: bool = True
+) -> DataFrame:
     """Read newline-delimited JSON events (the Kafka value contract as a
-    batch file source), normalized to the logical events shape."""
-    return _normalize(_read_raw_jsonl(spark, path))
+    batch file source), normalized to the logical events shape. With
+    ``validate`` (default), required-field NULLs fail the read — pass
+    ``validate=False`` only when composing into a plan that must stay
+    action-free."""
+    raw = _read_raw_jsonl(spark, path)
+    if validate:
+        raw = validate_event_fields(raw, path)
+    return _normalize(raw)
 
 
 def read_events_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
     """Read CSV events with the same declared physical schema and
-    FAILFAST posture. Column order must match ``schemas.EVENTS_PHYSICAL``
-    when ``header=False``."""
+    FAILFAST posture. With ``header=True``, ``enforceSchema`` is turned
+    OFF so Spark actually validates the header names against the
+    declared schema — the default (enforceSchema=true) skips the header
+    and maps columns POSITIONALLY, which silently transposes same-typed
+    columns in a reordered file (event_id/user_id are both int64 —
+    round-6 review finding). ``header=False`` necessarily trusts
+    position: column order must match ``schemas.EVENTS_PHYSICAL``."""
     ensure_session_confs(spark)
     raw = (
         spark.read.schema(schemas.EVENTS_PHYSICAL)
         .option("header", str(header).lower())
+        .option("enforceSchema", "false" if header else "true")
         .option("mode", "FAILFAST")
         .csv(path)
     )
