@@ -2506,3 +2506,79 @@ def test_range_join_degenerate_intervals_no_fanout(spark):
         .count()
     )
     assert n_buckets == 1
+
+
+def test_asof_join_nullable_right_attributes_carry_atomically(spark):
+    """Round-6 review finding: a NULL attribute in the NEAREST right row
+    must come back as NULL — per-column ignorenulls carries would blend
+    in a staler row's value for that column."""
+    import datetime as dt
+
+    from trafficteach_spark.operators.sequences import asof_join
+
+    T = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame([(1, T(30), 99)], "k long, ts timestamp_ntz, lid long")
+    right = spark.createDataFrame(
+        [(1, T(10), 1.0, 2.0), (1, T(20), None, 3.0)],
+        "k long, ts timestamp_ntz, a double, b double",
+    )
+    r = asof_join(left, right, on="ts", by="k").collect()[0]
+    # nearest row is T(20): a must be NULL (not 1.0 from T(10)), b = 3.0
+    assert r["a"] is None and r["b"] == 3.0
+
+
+def test_salted_join_spreads_literally_duplicate_rows(spark):
+    """Round-6 review finding: a hot key whose rows are IDENTICAL after
+    column pruning must still spread across salts (the salt includes a
+    per-row ordinal, not just the column values)."""
+    from pyspark.sql import functions as F
+
+    from trafficteach_spark.operators.skew import N_SALTS, salted_join
+
+    skewed = spark.createDataFrame([(1, 7)] * 2000, "k long, payload long")
+    dim = spark.createDataFrame([(1, "hot")], "k long, name string")
+    out = salted_join(skewed, dim, "k")
+    assert out.count() == 2000  # identity rewrite still holds
+    n_buckets = (
+        skewed.select(
+            F.pmod(
+                F.xxhash64("k", "payload", F.monotonically_increasing_id()),
+                F.lit(N_SALTS),
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets == N_SALTS
+
+
+def test_rolling_active_twins_agree_on_quiet_days(spark, tmp_path):
+    """Round-6 review finding: a calendar day with NO events but trailing
+    7-day activity must report stickiness 0.0 in BOTH the exact (q107)
+    and sketch (q115) forms — not NULL in one of them."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    def ns(d, h=10):
+        return int(
+            dt.datetime(2024, 1, d, h, tzinfo=dt.timezone.utc).timestamp() * 1e9
+        )
+
+    # activity on Jan 1 and Jan 5; Jan 2-4 are quiet but trailing-active
+    rows = [
+        (1, ns(1), 1, "view", 1.0, "{}"),
+        (2, ns(1), 2, "view", 1.0, "{}"),
+        (3, ns(5), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    exact = {r["day"]: r for r in Q["q107_rolling_active_users"](spark, str(tmp_path)).collect()}
+    sk = {r["day"]: r for r in Q["q115_rolling_active_sketch"](spark, str(tmp_path)).collect()}
+    assert set(exact) == set(sk)
+    for d in (2, 3, 4):
+        day = dt.date(2024, 1, d)
+        assert exact[day]["dau"] == 0 and exact[day]["stickiness"] == 0.0
+        assert sk[day]["dau"] == 0 and sk[day]["stickiness"] == 0.0, day
+        assert sk[day]["wau"] == exact[day]["wau"] == 2

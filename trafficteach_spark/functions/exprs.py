@@ -30,3 +30,59 @@ def exact_sum(col: Column | str, alias: str) -> Column:
     ``CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS alias``.
     """
     return F.sum(money(col)).cast("double").alias(alias)
+
+
+def epoch_us_sql(col_name: str) -> str:
+    """Spark SQL text: epoch microseconds of a timestamp column derived
+    from its OWN date/time fields — timezone-free on TIMESTAMP_NTZ (the
+    engine's logical ts type), unlike ``unix_micros(CAST(x AS
+    TIMESTAMP))`` whose NTZ->LTZ cast shifts with the session zone if
+    the pinned-UTC conf is ever refused (round-6 review findings; q85
+    and asof_join use this). Matches DuckDB's naive ``epoch_us(ts)``
+    exactly. Text form so callers can apply integer ``div`` (a Column
+    ``/`` + cast would reintroduce the one-ulp truncation hazard the
+    bucket operators guard against)."""
+    return (
+        f"(datediff(CAST({col_name} AS DATE), DATE'1970-01-01') * 86400000000L"
+        f" + (hour({col_name}) * 3600 + minute({col_name}) * 60) * 1000000L"
+        f" + CAST(date_part('SECOND', {col_name}) * 1000000 AS BIGINT))"
+    )
+
+
+def epoch_us_expr(col_name: str) -> Column:
+    """Column form of :func:`epoch_us_sql`."""
+    return F.expr(epoch_us_sql(col_name))
+
+
+# --- cross-engine md5-prefix integer hash -----------------------------
+#
+# ONE construction, four historical call sites (dedup token hash, q81
+# split hash, q110 arm hash, the q80 digest row hash) — consolidated so
+# an endianness/nibble fix can never drift between copies (round-6
+# review finding). Semantics: the first ``hex_chars`` hex digits of
+# md5(input) read as a base-16 BIGINT, identically in Spark and DuckDB.
+# 15 hex chars (60 bits) is the BIGINT-safe maximum; fewer chars leave
+# headroom for SUM() aggregation (the digest uses 9).
+
+
+def md5_prefix_int_spark(inner_sql: str, hex_chars: int = 15) -> str:
+    """Spark SQL text: md5-prefix integer of ``inner_sql`` (a SQL string
+    expression)."""
+    return (
+        f"CAST(conv(substring(md5({inner_sql}), 1, {hex_chars}), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def md5_prefix_int_duck(inner_sql: str, hex_chars: int = 15) -> str:
+    """DuckDB SQL text computing the IDENTICAL value: DuckDB's
+    ``md5_number_upper`` returns the first 8 digest bytes as a
+    LITTLE-endian uint64, so the bytes are reassembled big-endian in
+    HUGEINT arithmetic and the low ``64 - 4*hex_chars`` bits dropped —
+    the proven trick from the dedup simhash oracle and the q80 digest."""
+    be = " + ".join(
+        f"(CAST((md5_number_upper({inner_sql}) >> {8 * j}) & 255 AS HUGEINT)"
+        f" * {1 << (56 - 8 * j)}::HUGEINT)"
+        for j in range(8)
+    )
+    return f"CAST(({be}) // {1 << (64 - 4 * hex_chars)} AS BIGINT)"

@@ -132,10 +132,19 @@ def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot (no value list) would add a distinct job and make the schema
     data-dependent — never do that in a pipeline.
     """
+    return hourly_event_matrix(spark, sf_dir)
+
+
+def hourly_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hour x event-type wide count matrix — ONE construction shared
+    by q54 (pivot) and q69 (its unpivot inverse), so the round-trip law
+    q54 |> unpivot == q69 is structural, not just test-enforced (round-6
+    review folded two drifting copies). Absent cells are zero-coalesced
+    longs, matching both oracles' FILTER-count semantics."""
     events = load_table(spark, sf_dir, "events")
-    with_hr = events.withColumn("hr", F.hour("ts").cast("int"))
     pivoted = (
-        with_hr.groupBy("hr")
+        events.withColumn("hr", F.hour("ts").cast("int"))
+        .groupBy("hr")
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.count(F.lit(1)))  # count("*") is invalid inside a pivot agg
     )
@@ -383,16 +392,7 @@ def q69_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles). Round-trip law q54 |> unpivot == q69 is the semantic
     anchor; the DuckDB UNPIVOT oracle states it independently.
     """
-    wide = load_table(spark, sf_dir, "events").groupBy(
-        F.hour("ts").cast("int").alias("hr")
-    ).pivot("event_type", list(EVENT_TYPES)).count()
-    # pivot-count yields NULL for absent (hr, type) cells; the oracle's
-    # FILTER count yields 0 — normalize before melting.
-    renamed = wide.select(
-        "hr",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
-    )
-    return renamed.unpivot(
+    return hourly_event_matrix(spark, sf_dir).unpivot(
         ["hr"],
         [f"n_{t}" for t in EVENT_TYPES],
         "event_type_col",
@@ -1690,9 +1690,15 @@ def q115_rolling_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.coalesce("dau_est", F.lit(0)).cast("long").alias("dau"),
             F.coalesce("wau_est", F.lit(0)).cast("long").alias("wau"),
+            # COALESCE the numerator: a quiet day with trailing activity
+            # has dau_est NULL (no d==day sketch) but a real wau — the
+            # exact twin q107 reports stickiness 0.0 there, and a bare
+            # NULL/wau would diverge from it (round-6 review finding).
+            # Fully dead days keep NULL via the wau_est nullif, as q107
+            # does.
             F.round(
                 F.try_divide(
-                    F.col("dau_est"),
+                    F.coalesce(F.col("dau_est"), F.lit(0.0)),
                     F.nullif(F.col("wau_est"), F.lit(0)).cast("double"),
                 ),
                 6,

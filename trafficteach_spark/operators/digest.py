@@ -137,14 +137,14 @@ def _md5_int_expr(s: str, engine: str) -> str:
     so the bytes are swapped back to hex-string order (HUGEINT arithmetic
     — same proven trick as llm/dedup._DUCK_MD5_TOKEN_HASH) and the low
     {_MD5_DROP_BITS} bits dropped."""
-    if engine == "spark":
-        return f"CAST(CONV(SUBSTRING(MD5({s}), 1, {_MD5_HEX_CHARS}), 16, 10) AS BIGINT)"
-    be = " + ".join(
-        f"(CAST((md5_number_upper({s}) >> {8 * j}) & 255 AS HUGEINT)"
-        f" * {1 << (56 - 8 * j)}::HUGEINT)"
-        for j in range(8)
+    from trafficteach_spark.functions.exprs import (
+        md5_prefix_int_duck,
+        md5_prefix_int_spark,
     )
-    return f"CAST(({be}) // {1 << _MD5_DROP_BITS} AS BIGINT)"
+
+    if engine == "spark":
+        return md5_prefix_int_spark(s, _MD5_HEX_CHARS)
+    return md5_prefix_int_duck(s, _MD5_HEX_CHARS)
 
 
 def _canon_token(c: str, dtype: str, spark: bool) -> str:

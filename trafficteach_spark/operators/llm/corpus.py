@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from trafficteach_spark import schemas
+from trafficteach_spark.functions.exprs import (
+    md5_prefix_int_duck,
+    md5_prefix_int_spark,
+)
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_table
 
@@ -253,6 +257,32 @@ def word_kgrams(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
+_KGRAMS_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def shared_word_kgrams(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The persisted k-gram frame, ONE instance per (app, dataset, k) —
+    q50 and q57 both consume the identical word_kgrams(docs, DECON_K)
+    frame, and each used to persist() a FRESH instance per invocation
+    with no unpersist: in a bench loop those stack as distinct cache
+    entries until LRU eviction, and running both queries paid the
+    dominant 8-gram HOF explode twice (round-6 review finding — the
+    same per-call cache-pressure leak dedup's _SHINGLE_MEMO fixed).
+    clearCache() evicts the data AND deregisters the plan, so the memo
+    re-persists into the same slot when that happened, exactly like
+    dedup.shared_shingle_sets."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    df = _KGRAMS_MEMO.get(key)
+    if df is None:
+        df = word_kgrams(load_table(spark, sf_dir, "documents"), k).persist()
+        _KGRAMS_MEMO[key] = df
+    elif df.storageLevel == StorageLevel.NONE:
+        df.persist()
+    return df
+
+
 @register(
     "q50_decontaminate",
     oracle=f"""
@@ -290,10 +320,10 @@ def q50_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark gram set is the only global state and it's
     broadcast-sized by definition.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # persist: the gram explode (the dominant per-row cost) feeds both
-    # the benchmark side and the corpus side (O43 discipline).
-    grams = word_kgrams(docs, DECON_K).persist()
+    # shared memoized gram frame (one persisted instance per app/dataset;
+    # the explode feeds both the benchmark side and the corpus side, and
+    # q57 reuses the same frame)
+    grams = shared_word_kgrams(spark, sf_dir, DECON_K)
     bench = (
         grams.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
         .select("gram")
@@ -420,10 +450,10 @@ def q57_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-truncated prefixes back by doc_id, so text bytes cross the wire
     at most twice and already cut to {EDIT_PREFIX_CHARS} chars.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # persist: the same gram frame is both join sides (O43 discipline —
-    # without it the 8-gram explode, the dominant cost, runs twice).
-    grams = word_kgrams(docs, DECON_K).persist()
+    # shared memoized gram frame: both join sides AND q50 reuse one
+    # persisted instance (O43 discipline — without it the 8-gram
+    # explode, the dominant cost, runs once per reference).
+    grams = shared_word_kgrams(spark, sf_dir, DECON_K)
     cand = (
         grams.select(F.col("doc_id").alias("doc_a"), "gram")
         .join(grams.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
@@ -431,6 +461,7 @@ def q57_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    docs = load_table(spark, sf_dir, "documents")
     prefixes = docs.select(
         "doc_id", F.substring("text", 1, EDIT_PREFIX_CHARS).alias("prefix")
     )
@@ -453,7 +484,16 @@ def q57_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order within a source is the same LCG mix q08 uses — computable
 # identically in both engines, unlike murmur/xxhash built-ins.
 MIX_BASE_QUOTA = 8
-_MIX_LCG = "(doc_id * 1103515245 + 12345) % 2147483648"
+# The multiply runs in DECIMAL(38,0): a bare BIGINT product overflows
+# for doc_id >= ~8.4e9 — inside the 100 TB design envelope — which
+# Spark's ANSI mode turns into ARITHMETIC_OVERFLOW (job failure) while
+# DuckDB would widen to HUGEINT and silently diverge (round-6 review
+# finding). DECIMAL(38,0) holds doc_id * 2^30 for any int64 doc_id and
+# both engines compute the identical modulus.
+_MIX_LCG = (
+    "CAST((CAST(doc_id AS DECIMAL(38,0)) * 1103515245 + 12345)"
+    " % 2147483648 AS BIGINT)"
+)
 # Tier by name length, not by parsing digits out of the name — robust to
 # any source vocabulary and identical in both engines.
 _TIER_SPARK = f"{MIX_BASE_QUOTA} * (1 + pmod(length(source), 3))"
@@ -570,11 +610,10 @@ SPLIT_VAL_PCT = 10  # test gets the remainder
 # 15 hex chars of md5 -> 60-bit non-negative int, identical in both
 # engines (Spark conv(,16,10); DuckDB '0x'-literal cast).
 _SPLIT_HASH_SPARK = (
-    "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
-    " AS BIGINT), 100)"
+    f"pmod({md5_prefix_int_spark('CAST(doc_id AS STRING)')}, 100)"
 )
 _SPLIT_HASH_DUCK = (
-    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+    f"({md5_prefix_int_duck('CAST(doc_id AS VARCHAR)')} % 100)"
 )
 
 
@@ -1228,19 +1267,11 @@ def bpe_encode(
 
 N_HASH_BUCKETS = 64
 
-# 60-bit md5 token hash, identical in both engines (the proven trick
-# from llm/dedup._DUCK_MD5_TOKEN_HASH / the q80 digest): Spark parses
-# the first 15 hex chars; DuckDB reassembles md5_number_upper's
-# little-endian word big-endian and drops the low 4 bits.
-_SPARK_MD5_60 = "CAST(CONV(SUBSTRING(MD5(t), 1, 15), 16, 10) AS BIGINT)"
-_DUCK_MD5_60 = (
-    "CAST(("
-    + " + ".join(
-        f"(CAST((md5_number_upper(t) >> {8 * j}) & 255 AS HUGEINT) * {1 << (56 - 8 * j)})"
-        for j in range(8)
-    )
-    + ") // 16 AS BIGINT)"
-)
+# 60-bit md5 token hash, identical in both engines — the ONE shared
+# construction (functions/exprs.py; round-6 review consolidated the
+# four historical copies).
+_SPARK_MD5_60 = md5_prefix_int_spark("t")
+_DUCK_MD5_60 = md5_prefix_int_duck("t")
 
 
 @register(

@@ -22,6 +22,10 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trafficteach_spark.functions.exprs import (
+    md5_prefix_int_duck,
+    md5_prefix_int_spark,
+)
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_table
 
@@ -449,14 +453,8 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5_number_upper() returns the first 8 digest bytes LITTLE-endian, so
 # byte-swap back to the hex-string order, then drop the low nibble
 # (HUGEINT multiply/divide — DuckDB's << overflows int64 here).
-_DUCK_MD5_TOKEN_HASH = (
-    "CAST(("
-    + " + ".join(
-        f"(CAST((md5_number_upper(t) >> {8 * j}) & 255 AS HUGEINT) * {1 << (56 - 8 * j)})"
-        for j in range(8)
-    )
-    + ") // 16 AS BIGINT)"
-)
+# the shared cross-engine construction (functions/exprs.py)
+_DUCK_MD5_TOKEN_HASH = md5_prefix_int_duck("t")
 
 _SIMHASH_MD5_BITS = 60  # 15 hex chars -> 4 blocks of 15 bits
 
@@ -508,7 +506,7 @@ def q31_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(
         docs,
-        "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)",
+        md5_prefix_int_spark("t"),
         _SIMHASH_MD5_BITS,
     )
 

@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
+from trafficteach_spark.functions.exprs import (
+    epoch_us_expr,
+    md5_prefix_int_duck,
+    md5_prefix_int_spark,
+)
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_events_range, load_table
 
@@ -521,11 +526,10 @@ def q109_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AB_HASH_SPARK = (
-    "pmod(CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
-    " AS BIGINT), 2)"
+    f"pmod({md5_prefix_int_spark('CAST(user_id AS STRING)')}, 2)"
 )
 _AB_HASH_DUCK = (
-    "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2)"
+    f"({md5_prefix_int_duck('CAST(user_id AS VARCHAR)')} % 2)"
 )
 
 
@@ -628,7 +632,11 @@ def asof_join(
     per (by, on) — pre-aggregate ties like q51's MAX(o_orderkey) dedup,
     or the carried row is whichever sorts last. Ties across sides match:
     a right row AT the left row's exact timestamp is taken in both
-    directions.
+    directions. Right attribute columns MAY be NULL: the nearest row is
+    carried ATOMICALLY as one struct, so a NULL attribute in the nearest
+    row comes back as NULL rather than blending in a staler row's value
+    (per-column last/first(ignorenulls) carries would — round-6 review
+    finding).
 
     Plan (the union-then-window decomposition, never an inequality
     join): both inputs shuffle ONCE on the by-key, the window streams
@@ -638,6 +646,8 @@ def asof_join(
     underscore-reserved; right columns that collide with left names
     come back suffixed ``_r``.
     """
+    from pyspark.sql import types as T
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if how not in ("inner", "left"):
@@ -647,22 +657,28 @@ def asof_join(
     out_names = {c: (c if c not in lcols else f"{c}_r") for c in rcols}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
     rtypes = {f.name: f.dataType for f in right.schema.fields}
+    # the nearest right row travels as ONE nullable struct (never null
+    # per-field): _rt first, then the attribute columns
+    r_struct_type = T.StructType(
+        [T.StructField("_rt", rtypes[on])]
+        + [T.StructField(c, rtypes[c]) for c in rcols]
+    )
 
     l_side = left.select(
         F.col(by).alias("_by"),
         F.col(on).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in rcols],
-        F.lit(None).cast(rtypes[on]).alias("_rt"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_side = right.select(
         F.col(by).alias("_by"),
         F.col(on).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
-        F.col(on).alias("_rt"),
+        F.struct(
+            F.col(on).alias("_rt"), *[F.col(c) for c in rcols]
+        ).alias("_r"),
     )
     if direction == "backward":
         w = (
@@ -670,9 +686,7 @@ def asof_join(
             .orderBy(F.asc("_t"), F.asc("_is_left"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carry = {
-            f"_r_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w) for c in rcols
-        } | {"_rt": F.last("_rt", ignorenulls=True).over(w)}
+        carry = F.last("_r", ignorenulls=True).over(w)
     else:
         # at an equal instant the left row must still see the right row,
         # so left sorts BEFORE right going forward
@@ -681,17 +695,21 @@ def asof_join(
             .orderBy(F.asc("_t"), F.desc("_is_left"))
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        carry = {
-            f"_r_{c}": F.first(f"_r_{c}", ignorenulls=True).over(w) for c in rcols
-        } | {"_rt": F.first("_rt", ignorenulls=True).over(w)}
+        carry = F.first("_r", ignorenulls=True).over(w)
 
-    merged = l_side.unionByName(r_side).withColumns(carry).where(F.col("_is_left") == 1)
+    merged = (
+        l_side.unionByName(r_side)
+        .withColumn("_r", carry)
+        .where(F.col("_is_left") == 1)
+    )
 
-    matched = F.col("_rt").isNotNull()
+    matched = F.col("_r").isNotNull()
     if tolerance_sec is not None:
+        # field-derived epoch micros (tz-free on NTZ; plain difference on
+        # LTZ) — a cast-through-TIMESTAMP difference would shift across a
+        # DST transition between the two instants on an unpinned session
         gap = (
-            F.unix_micros(F.col("_t").cast("timestamp"))
-            - F.unix_micros(F.col("_rt").cast("timestamp"))
+            epoch_us_expr("_t") - epoch_us_expr("_r._rt")
         ) / F.lit(1_000_000.0)
         gap = gap if direction == "backward" else -gap
         matched = matched & (gap <= F.lit(float(tolerance_sec)))
@@ -699,10 +717,8 @@ def asof_join(
     if how == "inner":
         out = merged.where(matched)
     else:
-        # null out an out-of-tolerance carry so 'left' rows read unmatched
-        out = merged.withColumns(
-            {f"_r_{c}": F.when(matched, F.col(f"_r_{c}")) for c in rcols}
-        )
+        # null the whole carried struct so 'left' rows read unmatched
+        out = merged.withColumn("_r", F.when(matched, F.col("_r")))
     return out.select(
-        *lcols, *[F.col(f"_r_{c}").alias(out_names[c]) for c in rcols]
+        *lcols, *[F.col(f"_r.{c}").alias(out_names[c]) for c in rcols]
     )

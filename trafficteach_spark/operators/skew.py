@@ -90,18 +90,28 @@ def salted_join(
     hatch; it costs an ``n_salts``-fold replication of the other side,
     so only ever pass a broadcast-sized ``other``.
 
-    The salt must be DETERMINISTIC (xxhash64 of the skewed row's
-    columns, mod n_salts), not rand(): a task retry with rand() would
-    re-salt rows differently mid-shuffle and drop/duplicate matches —
-    and determinism is also what the oracle-parity test methodology
-    here requires. Supported ``how``: inner / left (semantics preserved
-    because every skewed row keeps exactly its original matches —
-    the other side's replica set covers every salt value).
+    The salt hashes the row's columns TOGETHER WITH a per-row ordinal
+    (``monotonically_increasing_id``): columns alone would send every
+    LITERALLY DUPLICATE row — the common extreme-skew shape after
+    column pruning — to one salt bucket, silently disabling the
+    mitigation while still paying the dim replication (round-6 review
+    finding). The ordinal is partition-deterministic (partition id +
+    row index), so a recomputed map task re-derives the same salts from
+    the same input split — the stability a plain rand() lacks; like any
+    salt-by-position scheme it assumes the upstream produces partitions
+    deterministically (true for file scans and shuffles, the places a
+    skewed fact side comes from). Supported ``how``: inner / left
+    (semantics preserved because every skewed row keeps exactly its
+    original matches — the other side's replica set covers every salt
+    value).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salt_expr = F.pmod(
-        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+        F.xxhash64(
+            *[F.col(c) for c in skewed.columns], F.monotonically_increasing_id()
+        ),
+        F.lit(n_salts),
     ).alias("_salt")
     salted = skewed.select("*", salt_expr)
     salts = F.explode(

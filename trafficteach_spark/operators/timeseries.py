@@ -17,6 +17,63 @@ from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_table
 
 
+_HOURLY_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_hourly_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hr, n, sum_value, avg_raw) over the full types x
+    hours grid, gap rows present with n=0 / NULL aggregates — the ONE
+    construction q62 (zero-filled resample) and q116 (LOCF fill) both
+    project from; round-6 review folded their two near-identical
+    6-step pipelines into this helper so the calendar/persist
+    discipline cannot drift between them.
+
+    The hourly frame is persisted as ONE memoized instance per
+    (app, dataset) — per-branch column pruning specializes each
+    consumer's partial aggregate so ReuseExchange canNOT share them
+    (the unpersisted first cut measured THREE full fact scans), and a
+    per-call persist would stack a fresh cache entry per invocation
+    (the q50/q57 leak pattern). clearCache() deregisters the plan, so
+    the memo re-persists into the same slot when that happened.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hourly = _HOURLY_MEMO.get(key)
+    if hourly is None:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_type", "ts", "value"
+        )
+        hourly = (
+            events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("sum_value"),
+                F.avg("value").alias("avg_raw"),
+            )
+            .persist()
+        )
+        _HOURLY_MEMO[key] = hourly
+    elif hourly.storageLevel == StorageLevel.NONE:
+        hourly.persist()
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = hourly.select("event_type").distinct()
+    return (
+        types.crossJoin(cal)
+        .join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "sum_value",
+            "avg_raw",
+        )
+    )
+
+
 @register(
     "q62_time_resample",
     oracle="""
@@ -63,26 +120,11 @@ def q62_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid joins are post-aggregation small, so AQE broadcasts. The grid
     stays tiny at any volume (types x hours grows with time, not data).
     """
-    events = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    hourly = (
-        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
-        .persist()
-    )
-    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
-    cal = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
-    )
-    types = hourly.select("event_type").distinct()
-    grid = types.crossJoin(cal)
-    return (
-        grid.join(hourly, ["event_type", "hr"], "left")
-        .select(
-            "event_type",
-            "hr",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-            F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 6).alias("sum_value"),
-        )
+    return shared_hourly_grid(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 6).alias("sum_value"),
     )
 
 
@@ -625,26 +667,8 @@ def q116_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly the O(dashboard series) cardinality this report
     shape implies.
     """
-    events = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    hourly = (
-        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
-        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_raw"))
-        .persist()
-    )
-    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
-    cal = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
-    )
-    types = hourly.select("event_type").distinct()
-    grid = (
-        types.crossJoin(cal)
-        .join(hourly, ["event_type", "hr"], "left")
-        .select(
-            "event_type",
-            "hr",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-            "avg_raw",
-        )
+    grid = shared_hourly_grid(spark, sf_dir).select(
+        "event_type", "hr", F.col("n").cast("long").alias("n"), "avg_raw"
     )
     w = (
         Window.partitionBy("event_type")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trafficteach_spark.functions.exprs import exact_sum
+from trafficteach_spark.functions.exprs import epoch_us_sql, exact_sum
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_events_range, load_table
@@ -404,10 +404,7 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # naive, so buckets would drift per environment (round-6 review
     # finding — the exact pattern q106's carry-in comment forbids).
     bucket = F.expr(
-        "(datediff(CAST(ts AS DATE), DATE'1970-01-01') * 86400000000L"
-        " + (hour(ts) * 3600 + minute(ts) * 60) * 1000000L"
-        " + CAST(date_part('SECOND', ts) * 1000000 AS BIGINT))"
-        f" div {DEDUP_BUCKET_SEC * 1_000_000}"
+        f"{epoch_us_sql('ts')} div {DEDUP_BUCKET_SEC * 1_000_000}"
     )
     w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
         "ts", "event_id"
