@@ -61,6 +61,11 @@ def main() -> None:
             _force(fn(spark, sf_dir))
         except Exception as exc:  # pragma: no cover - surfaced in timings
             print(f"warmup {key} failed: {exc}", file=sys.stderr)
+    # Drop every intra-query persist the warmup stacked up: the first
+    # timed round must start from the same cold-cache state as every
+    # other (round-6 review finding — with ROUNDS=1 a contaminated
+    # first sample IS the recorded median).
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for key, fn in qs.items():

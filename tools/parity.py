@@ -99,13 +99,23 @@ def check(spark, con, key: str, sf_dir: str) -> Result:
         return Result(key, False, f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
     hs, hd = _hash_rows(s_cols, s_rows), _hash_rows(d_cols, d_rows)
     if hs != hd:
-        # Find a few differing rows for debugging.
+        # Differing rows for debugging — MULTISET diff (Counter), not a
+        # set diff: a divergence that differs only in duplicate-row
+        # multiplicity would otherwise report a confirmed mismatch with
+        # empty only-spark/only-duckdb samples, sending the debugger
+        # after a phantom canonicalization bug (round-6 review finding).
+        from collections import Counter
+
         order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
         order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-        set_s = {"\x01".join(_canon(r[i]) for i in order_s) for r in s_rows}
-        set_d = {"\x01".join(_canon(r[i]) for i in order_d) for r in d_rows}
-        only_s = list(set_s - set_d)[:3]
-        only_d = list(set_d - set_s)[:3]
+        cnt_s = Counter("\x01".join(_canon(r[i]) for i in order_s) for r in s_rows)
+        cnt_d = Counter("\x01".join(_canon(r[i]) for i in order_d) for r in d_rows)
+        only_s = [
+            f"{row!r} x{n}" for row, n in list((cnt_s - cnt_d).items())[:3]
+        ]
+        only_d = [
+            f"{row!r} x{n}" for row, n in list((cnt_d - cnt_s).items())[:3]
+        ]
         return Result(
             key,
             False,

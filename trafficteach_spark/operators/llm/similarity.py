@@ -510,7 +510,10 @@ def int8_quantize(emb: DataFrame) -> DataFrame:
     place of the float array).
 
     All math in double via codegen'd higher-order functions; one map
-    stage, no shuffle.
+    stage, no shuffle. Degenerate all-zero vectors quantize to zeros
+    with scale 0 and error 0 — without the guard, 0/0 = NaN and the
+    int cast THROWS under Spark 4's ANSI mode, failing the whole job
+    on one bad row (round-6 review finding).
     """
     return (
         emb.select(
@@ -525,11 +528,14 @@ def int8_quantize(emb: DataFrame) -> DataFrame:
             "vec_id",
             "label",
             F.round("scale_raw", 9).alias("scale"),
-            F.expr("transform(v, x -> cast(round(x / scale_raw) as int))").alias("qv"),
+            F.expr(
+                "transform(v, x -> IF(scale_raw = 0.0D, 0,"
+                " cast(round(x / scale_raw) as int)))"
+            ).alias("qv"),
             F.round(
                 F.expr(
-                    "array_max(transform(v,"
-                    " x -> abs(x - round(x / scale_raw) * scale_raw)))"
+                    "IF(scale_raw = 0.0D, 0.0D, array_max(transform(v,"
+                    " x -> abs(x - round(x / scale_raw) * scale_raw))))"
                 ),
                 9,
             ).alias("max_abs_err"),
@@ -553,9 +559,13 @@ def int8_quantize(emb: DataFrame) -> DataFrame:
     SELECT vec_id, label,
            ROUND(scale, 9) AS scale,
            array_to_string(list_transform(v,
-               x -> CAST(CAST(round(x / scale) AS INT) AS VARCHAR)), ',') AS qv,
-           ROUND(list_max(list_transform(v,
-                 x -> abs(x - round(x / scale) * scale))), 9) AS max_abs_err
+               x -> CAST(CASE WHEN scale = 0 THEN 0
+                         ELSE CAST(round(x / scale) AS INT) END AS VARCHAR)),
+               ',') AS qv,
+           ROUND(CASE WHEN scale = 0 THEN 0
+                 ELSE list_max(list_transform(v,
+                      x -> abs(x - round(x / scale) * scale))) END,
+                 9) AS max_abs_err
     FROM s
     """,
     tags=("llm", "X3", "quantization"),

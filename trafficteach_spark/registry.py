@@ -151,12 +151,27 @@ def peek_specs() -> dict[str, QuerySpec]:
 
 def all_specs() -> dict[str, QuerySpec]:
     _load()
+    # Explicit integrity checks, not asserts (must hold under python -O),
+    # and not the old post-hoc len comparison: a missing key used to
+    # surface as a bare KeyError before that check ran, and a DUPLICATE
+    # in DRIVER_ORDER collapsed in the dict so the window silently
+    # gained whichever non-driver key registered first — the exact
+    # silent-reorder the guard exists to prevent (round-6 review
+    # finding).
+    if len(set(DRIVER_ORDER)) != len(DRIVER_ORDER):
+        seen: set[str] = set()
+        dupes = sorted({k for k in DRIVER_ORDER if k in seen or seen.add(k)})
+        raise RuntimeError(
+            f"DRIVER_ORDER contains duplicate keys {dupes}: the driver's "
+            "50-key correctness window would silently shift"
+        )
+    missing = sorted(k for k in DRIVER_ORDER if k not in _REGISTRY)
+    if missing:
+        raise RuntimeError(
+            f"DRIVER_ORDER references unregistered keys {missing}"
+        )
     ordered = {k: _REGISTRY[k] for k in DRIVER_ORDER}
     ordered.update((k, s) for k, s in _REGISTRY.items() if k not in ordered)
-    if len(ordered) != len(_REGISTRY):
-        # Not an assert: must hold under ``python -O`` too — a DRIVER_ORDER
-        # typo would otherwise silently reorder the correctness window.
-        raise RuntimeError("DRIVER_ORDER references a key missing from the registry")
     return ordered
 
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
 
 def read_jdbc_dim(

@@ -23,6 +23,7 @@ unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -75,6 +76,13 @@ def write_date_partitioned(
     partition, ``sort_cols`` orders rows so parquet min/max row-group
     stats make residual predicates cheap (the poor man's z-order).
     """
+    # Repartition BY the partition columns first: without it every task
+    # emits a file per partition value it happens to hold — a tasks x
+    # partition-values small-file explosion (200 tasks x 365 days = up
+    # to 73k tiny files) that melts exactly the listing the layout is
+    # supposed to protect (round-6 review finding). After the shuffle,
+    # each partition value lives in one task -> one file per value.
+    df = df.repartition(*[F.col(c) for c in partition_cols])
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

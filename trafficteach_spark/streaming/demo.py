@@ -214,8 +214,15 @@ def stage_events_dir(sf_dir: str, staging_dir: str) -> str:
     os.makedirs(staging_dir, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(staging_dir, "events-00000.parquet")
-    if not os.path.exists(dst):
-        os.symlink(src, dst)
+    # lexists, not exists: exists() follows the link and returns False
+    # for a DANGLING symlink (fixture regenerated elsewhere), so a
+    # restage would crash on FileExistsError instead of relinking
+    # (round-6 review finding).
+    if os.path.lexists(dst):
+        if os.path.realpath(dst) == os.path.realpath(src):
+            return staging_dir
+        os.remove(dst)  # stale or dangling: point at the current fixture
+    os.symlink(src, dst)
     return staging_dir
 
 
@@ -290,10 +297,11 @@ def stream_dedup_events(events: DataFrame) -> DataFrame:
     dropped; one arriving later than the horizon may be re-admitted —
     that is the documented trade (same contract as the engine's late-row
     handling), and the ingest SLA picks the horizon accordingly.
+
+    Thin binding of :func:`trafficteach_spark.streaming.stateful.
+    streaming_dedup` to this module's WATERMARK constant — ONE
+    implementation (round-6 review deduplicated the two copies).
     """
-    marked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-        "ts", WATERMARK
-    )
-    return marked.dropDuplicatesWithinWatermark(["event_id"]).withColumn(
-        "ts", F.col("ts").cast("timestamp_ntz")
-    )
+    from trafficteach_spark.streaming.stateful import streaming_dedup
+
+    return streaming_dedup(events, WATERMARK)

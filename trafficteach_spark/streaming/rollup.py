@@ -85,18 +85,32 @@ def _latest(state_dir: str) -> tuple[int, str | None, str | None]:
     )
 
 
-def _checkpoint_lineage(checkpoint_dir: str) -> str | None:
+def _checkpoint_lineage(checkpoint_dir: str) -> str:
     """The streaming query id Spark persists in <checkpoint>/metadata —
     stable across restarts FROM that checkpoint, different for a fresh
     or recreated checkpoint. This is what makes the batch-id replay
     guard safe: batch ids restart at 0 with a new checkpoint, so a bare
     `batch_id <= last_id` comparison across lineages would silently
-    drop real batches (round-6 review finding)."""
+    drop real batches (round-6 review finding).
+
+    Unreadable metadata is FATAL, not a silent None: degrading to the
+    bare id comparison re-opens the exact dropped-batch hole the guard
+    closes (second round-6 finding). In practice this fires for
+    non-local checkpoint URIs — this directory-swap state store is
+    POSIX-local by design (README deployment caveats); at cluster scale
+    the foreachBatch body targets Delta/Iceberg MERGE instead."""
+    path = os.path.join(checkpoint_dir, "metadata")
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+        with open(path) as fh:
             return json.load(fh)["id"]
-    except Exception:
-        return None
+    except Exception as exc:
+        raise RuntimeError(
+            f"cannot read streaming checkpoint lineage from {path}: {exc}. "
+            "The rollup's replay guard requires a LOCAL checkpoint dir "
+            "(this state store is directory-swap parquet — see README "
+            "deployment caveats); for object-store checkpoints use a "
+            "transactional sink (Delta/Iceberg MERGE) instead."
+        ) from exc
 
 
 def read_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
