@@ -2582,3 +2582,145 @@ def test_rolling_active_twins_agree_on_quiet_days(spark, tmp_path):
         assert exact[day]["dau"] == 0 and exact[day]["stickiness"] == 0.0
         assert sk[day]["dau"] == 0 and sk[day]["stickiness"] == 0.0, day
         assert sk[day]["wau"] == exact[day]["wau"] == 2
+
+
+def test_feature_hashing_matches_python_md5_reference(spark, tmp_path):
+    """Seeded random docs: q117's bucket counts must equal a pure-Python
+    md5-prefix reference (int(md5hex[:15], 16) % 64 per token)."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from trafficteach_spark import schemas
+
+    rng = random.Random(41)
+    vocab = ["alpha", "beta", "Gamma", "d1", "e!", "zz"]
+    docs, expect = [], Counter()
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(1, 40))]
+        docs.append((i, " ".join(toks), "en", "web", 0))
+        for t in toks:
+            b = int(hashlib.md5(t.lower().encode()).hexdigest()[:15], 16) % 64
+            expect[(i, b)] += 1
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_id"], r["bucket"]): r["n"]
+        for r in Q["q117_feature_hashing"](spark, str(tmp_path)).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_chunk_dedup_matches_counter_reference(spark, tmp_path):
+    """Seeded random docs with planted shared chunks: q118's per-doc dup
+    stats must equal a Counter-over-chunks reference (chunking exactly
+    as q43: 16-token slices of the raw split)."""
+    import random
+    from collections import Counter
+
+    from trafficteach_spark import schemas
+
+    rng = random.Random(43)
+    boiler = " ".join(f"b{j}" for j in range(16))  # a full shared chunk
+    docs = []
+    texts = {}
+    for i in range(25):
+        toks = [f"w{i}_{j}" for j in range(rng.randrange(1, 50))]
+        if i % 3 == 0:
+            toks = boiler.split(" ") + toks  # planted cross-doc chunk
+        texts[i] = " ".join(toks)
+        docs.append((i, texts[i], "en", "web", 0))
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    chunk_of = {}
+    freq = Counter()
+    for i, t in texts.items():
+        w = t.split(" ")
+        chunks = [
+            " ".join(w[c * 16 : (c + 1) * 16])
+            for c in range((len(w) - 1) // 16 + 1)
+        ]
+        chunk_of[i] = chunks
+        freq.update(chunks)
+    got = {r["doc_id"]: r for r in Q["q118_chunk_dedup"](spark, str(tmp_path)).collect()}
+    assert set(got) == set(texts)
+    for i, chunks in chunk_of.items():
+        dups = sum(1 for c in chunks if freq[c] > 1)
+        assert got[i]["n_chunks"] == len(chunks), i
+        assert got[i]["n_dup_chunks"] == dups, i
+        assert got[i]["dup_frac"] == round(dups / len(chunks), 6), i
+
+
+def test_fk_audit_matches_bruteforce_reference(spark, tmp_path):
+    """Planted-orphan fixture: every relation's orphan count must equal
+    a brute-force per-relation set check over the same tables."""
+    import datetime as dt
+
+    from tests.conftest import (
+        TINY_CUSTOMER,
+        TINY_LINEITEM,
+        TINY_NATION,
+        TINY_ORDERS,
+        TINY_PART,
+        TINY_REGION,
+        TINY_SUPPLIER,
+    )
+    from trafficteach_spark import schemas
+
+    # plant orphans: a lineitem with an unknown order AND part, an order
+    # with an unknown customer, an event user with no customer row
+    lineitem = TINY_LINEITEM + [
+        (999, 777, 0, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1996, 1, 1))
+    ]
+    orders = TINY_ORDERS + [(4, 555, "O", 1.0, dt.datetime(1996, 1, 2), "3-X")]
+    events = [
+        (1, int(dt.datetime(2024, 1, 6, tzinfo=dt.timezone.utc).timestamp() * 1e9),
+         1, "view", 1.0, "{}"),
+        (2, int(dt.datetime(2024, 1, 6, tzinfo=dt.timezone.utc).timestamp() * 1e9),
+         404, "view", 1.0, "{}"),  # orphan user
+    ]
+    frames = {
+        "region": (TINY_REGION, schemas.READ_SCHEMAS["region"]),
+        "nation": (TINY_NATION, schemas.READ_SCHEMAS["nation"]),
+        "customer": (TINY_CUSTOMER, schemas.READ_SCHEMAS["customer"]),
+        "supplier": (TINY_SUPPLIER, schemas.READ_SCHEMAS["supplier"]),
+        "part": (TINY_PART, schemas.READ_SCHEMAS["part"]),
+        "orders": (orders, schemas.READ_SCHEMAS["orders"]),
+        "lineitem": (lineitem, schemas.READ_SCHEMAS["lineitem"]),
+    }
+    for name, (rows_, schema) in frames.items():
+        spark.createDataFrame(rows_, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{name}.parquet"))
+    spark.createDataFrame(events, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    from trafficteach_spark.operators.analytics import _FK_RELATIONS
+
+    data = {n: rows_ for n, (rows_, _s) in frames.items()}
+    data["events"] = events
+    col_idx = {
+        "lineitem": {"l_orderkey": 0, "l_partkey": 1, "l_suppkey": 2},
+        "orders": {"o_custkey": 1},
+        "customer": {"c_nationkey": 2},
+        "supplier": {"s_nationkey": 2},
+        "nation": {"n_regionkey": 2},
+        "events": {"user_id": 2},
+    }
+    pk_idx = {"orders": 0, "part": 0, "supplier": 0, "customer": 0,
+              "nation": 0, "region": 0}
+    got = {
+        (r["child_table"], r["fk_col"]): r
+        for r in Q["q104_fk_audit"](spark, str(tmp_path)).collect()
+    }
+    for child, fk, parent, _pk in _FK_RELATIONS:
+        keys = [row[col_idx[child][fk]] for row in data[child]]
+        parents = {row[pk_idx[parent]] for row in data[parent]}
+        expect_orphans = sum(1 for k in keys if k is not None and k not in parents)
+        r = got[(child, fk)]
+        assert r["n_child"] == len([k for k in keys if k is not None]), (child, fk)
+        assert r["n_orphan"] == expect_orphans, (child, fk, r["n_orphan"], expect_orphans)
