@@ -556,3 +556,16 @@ def test_q116_window_runs_over_grid_not_events(spark):
     # (types x hours, both post-aggregate tiny — q62's documented shape);
     # the classifier in tools/plan_audit.py tags it cross-attach.
     assert "CartesianProduct" not in plan
+
+
+def test_q121_windows_share_user_exchange_then_takeordered(spark):
+    """Session-id and trigram windows are same-prefix partitioned
+    (user; user+session), so ONE user-keyed exchange serves both; the
+    top-N is TakeOrdered, never a global sort."""
+    import re
+
+    plan = formatted_plan(spark, "q121_session_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exchanges: user window + path aggregate = 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan

@@ -722,3 +722,103 @@ def asof_join(
     return out.select(
         *lcols, *[F.col(f"_r.{c}").alias(out_names[c]) for c in rcols]
     )
+
+
+PATH_GAP_MIN = 30
+PATH_TOP_N = 15
+
+
+@register(
+    "q121_session_paths",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '{PATH_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM marked
+    ),
+    tri AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER s AS e2,
+               LEAD(event_type, 2) OVER s AS e3
+        FROM numbered
+        WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '->' || e2 || '->' || e3 AS path,
+           COUNT(*) AS n
+    FROM tri WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT {PATH_TOP_N}
+    """,
+    tags=("sequence", "sessions", "product"),
+)
+def q121_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized path analysis: the top {PATH_TOP_N} three-step journeys
+    (event-type trigrams) WITHIN user sessions ({PATH_GAP_MIN}-minute
+    gap rule, same as q22/q106) — the 'what do users actually do'
+    report between q109's one-step transition matrix and full sequence
+    mining, and the path-prior a recommendation pipeline consumes.
+
+    Plan: one (user) window pass assigns gaps-and-islands session ids,
+    one (user, session) window pass emits trigram leads — Spark shares
+    the user-partitioned exchange between them (same-prefix window
+    specs) — then a path hash-aggregate and TakeOrdered for the top-N
+    with a deterministic (count desc, path asc) tie-break. Trigrams
+    never cross a session boundary because the lead window is
+    partitioned BY session. Row-level session ids use the lag/sum
+    construction (not session_window, which is aggregation-only) — the
+    identical rule, pinned by q22's oracle family.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        # tz-free epoch micros (functions/exprs helper): NTZ has no
+        # direct numeric cast, and the LTZ route would re-open the
+        # session-zone dependence q85's fix closed
+        epoch_us_expr("ts").alias("us"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(wu).isNull()
+            | (
+                F.col("us") - F.lag("us").over(wu)
+                >= PATH_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = numbered.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(ws).alias("e2"),
+        F.lead("event_type", 2).over(ws).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        tri.select(
+            F.concat_ws("->", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATH_TOP_N)
+    )
