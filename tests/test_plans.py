@@ -569,3 +569,13 @@ def test_q121_windows_share_user_exchange_then_takeordered(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # exchanges: user window + path aggregate = 2
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_q122_pit_join_no_interval_explode_no_bnlj(spark):
+    """The PIT lookup must be the as-of union+window per customer plus
+    the fact->orders equi-join — never an interval explode or a
+    nested-loop interval join."""
+    plan = formatted_plan(spark, "q122_pit_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ") Window" in plan  # the as-of carry

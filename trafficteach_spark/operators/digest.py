@@ -109,6 +109,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
     "q120_skew_audit": [("child_table", "string"), ("key_col", "string"), ("n_rows", "bigint"), ("n_keys", "bigint"), ("max_per_key", "bigint"), ("p99_per_key", "double"), ("top_share", "double")],
     "q121_session_paths": [("path", "string"), ("n", "bigint")],
+    "q122_pit_join": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_shipdate", "timestamp_ntz"), ("ck", "bigint"), ("version", "bigint"), ("status_at_ship", "string")],
     # Long-demoted keys (full-hash green in rounds 1-4)
     "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
     "q14_intersect": [("user_id", "bigint")],

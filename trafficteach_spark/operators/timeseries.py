@@ -742,3 +742,121 @@ def range_join(
         else F.col(point_col) < F.col(end_col)
     )
     return pts.join(ivals, [*keys, "_bucket"]).where(cond).drop("_bucket")
+
+@register(
+    "q122_pit_join",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS ck, o_orderkey, o_orderdate, o_orderstatus,
+               CASE WHEN LAG(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    v AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY ck
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS version
+        FROM o
+    ),
+    hist0 AS (
+        SELECT ck, version, MIN(o_orderstatus) AS status,
+               MIN(o_orderdate) AS valid_from
+        FROM v GROUP BY ck, version
+    ),
+    hist AS (
+        -- zero-duration versions: two same-instant runs (a customer's
+        -- status flipping within one order date) share a valid_from;
+        -- the LATEST version is the one actually current at that
+        -- instant, and keeping it restores the as-of uniqueness
+        -- precondition on (ck, valid_from)
+        SELECT ck, version, status, valid_from
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY ck, valid_from ORDER BY version DESC
+            ) AS rn
+            FROM hist0
+        ) WHERE rn = 1
+    ),
+    facts AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+               o.o_custkey AS ck
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.l_shipdate, f.ck,
+           h.version, h.status AS status_at_ship
+    FROM facts f
+    ASOF JOIN hist h
+      ON f.ck = h.ck AND f.l_shipdate >= h.valid_from
+    """,
+    tags=("timeseries", "warehouse", "asof", "scd2"),
+)
+def q122_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension join — THE canonical SCD2 consumer:
+    each fact row (a lineitem shipment) joined to the dimension VERSION
+    valid at the fact's own time (the customer's order-status run
+    current at l_shipdate; q100 is the history BUILDER, this is the
+    lookup every training pipeline runs to avoid feature leakage from
+    future dimension states).
+
+    Composed, not re-derived: the history is the q100 gaps-and-islands
+    construction over orders, and the interval lookup is the library
+    :func:`trafficteach_spark.operators.sequences.asof_join` (backward)
+    — correct against contiguous SCD2 chains because the version valid
+    at t IS the last version starting at or before t (no valid_to probe
+    needed; facts before a customer's first version drop, matching the
+    inner as-of). Scale profile: the fact->orders equi-join for the
+    custkey plus asof_join's single by-key shuffle — no interval
+    explode, no BNLJ; DuckDB's native ASOF JOIN pins the semantics.
+    """
+    from trafficteach_spark.operators.sequences import asof_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("ck").orderBy("o_orderdate", "o_orderkey")
+    chg = F.when(
+        ~F.lag("o_orderstatus").over(wo).eqNullSafe(F.col("o_orderstatus")), 1
+    ).otherwise(0)
+    hist = (
+        orders.select(
+            F.col("o_custkey").alias("ck"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderstatus",
+        )
+        .withColumn("version", F.sum(chg).over(wo))
+        .groupBy("ck", "version")
+        .agg(
+            F.min("o_orderstatus").alias("status_at_ship"),
+            F.min("o_orderdate").alias("t"),
+        )
+        # same-instant version runs (status flip within one order date):
+        # keep the LATEST version per (ck, t) — the one current at that
+        # instant — restoring asof_join's (by, on) uniqueness contract
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ck", "t").orderBy(F.desc("version"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    facts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", F.col("o_custkey").alias("ck")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "ck")
+        .withColumn("t", F.col("l_shipdate"))
+    )
+    return asof_join(facts, hist, on="t", by="ck", direction="backward").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "ck",
+        "version",
+        "status_at_ship",
+    )
