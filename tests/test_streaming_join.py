@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SMOKE_SF_DIR
 from trafficteach_spark.sources.tables import load_table
 from trafficteach_spark.streaming.joinstream import attribution_pairs, start_attribution_stream
@@ -69,3 +71,55 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_outer_attribution_emits_unmatched_views_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: a drained run must emit
+    (a) exactly the batch matched pairs and (b) NULL-purchase rows for
+    precisely the batch-unmatched views the final watermark closed
+    (view_ts + horizon + watermark <= max event time); younger
+    unmatched views may legally stay in state."""
+    import datetime as dt
+
+    from trafficteach_spark.sources.tables import load_table
+    from trafficteach_spark.streaming import demo, joinstream
+
+    src_dir = demo.stage_events_dir(SMOKE_SF_DIR, str(tmp_path / "in"))
+    events = demo.read_event_stream(spark, src_dir)
+    emitted = []
+    q = (
+        joinstream.attribution_pairs_outer(events, streaming=True)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_events = load_table(spark, SMOKE_SF_DIR, "events")
+    batch = joinstream.attribution_pairs_outer(batch_events).collect()
+    batch_matched = {
+        (r["view_id"], r["purchase_id"]) for r in batch if r["purchase_id"] is not None
+    }
+    batch_unmatched = {
+        r["view_id"]: r["view_ts"] for r in batch if r["purchase_id"] is None
+    }
+    got_matched = {
+        (r["view_id"], r["purchase_id"]) for r in emitted if r["purchase_id"] is not None
+    }
+    got_null = {r["view_id"] for r in emitted if r["purchase_id"] is None}
+
+    assert got_matched == batch_matched and batch_matched
+    # no fabricated NULLs: every emitted NULL row is batch-unmatched
+    assert got_null <= set(batch_unmatched)
+    # completeness up to the final watermark: an unmatched view whose
+    # horizon + watermark has fully passed MUST have been emitted
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    closed = {
+        vid
+        for vid, vts in batch_unmatched.items()
+        if vts + dt.timedelta(hours=3) <= max_ts  # horizon 1h + watermark 2h
+    }
+    assert closed <= got_null, (len(closed), len(got_null))
+    assert len(got_null) > 0

@@ -107,3 +107,55 @@ def start_attribution_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribution_pairs_outer(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """LEFT OUTER variant: every view emits — matched views with their
+    purchases (same pairs as :func:`attribution_pairs`), UNMATCHED views
+    with NULL purchase columns once the watermark proves no purchase can
+    still arrive inside the horizon. This is the conversion-vs-bounce
+    stream (the unmatched rows ARE the signal: views that did not
+    convert), and the Structured-Streaming capability inner joins can't
+    express — the engine may only emit the NULL row after `view_ts +
+    horizon` passes BOTH watermarks, which is exactly why both sides
+    must carry one.
+
+    Same shared-expression contract as the inner form: batch
+    (``streaming=False``) is the oracle shape, and a drained
+    availableNow run must produce (a) exactly the batch matched pairs
+    and (b) NULL rows for precisely the batch-unmatched views old
+    enough that the final watermark closed them (the test pins both).
+    State per key stays rate x (watermark + horizon)-bounded.
+    """
+    ts_type = "timestamp" if streaming else "timestamp_ntz"
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast(ts_type).alias("view_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast(ts_type).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if streaming:
+        views = views.withWatermark("view_ts", WATERMARK)
+        purchases = purchases.withWatermark("purchase_ts", WATERMARK)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {HORIZON}")
+        )
+    )
+    joined = views.join(purchases, cond, "left_outer")
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
