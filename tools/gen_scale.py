@@ -172,22 +172,22 @@ def main() -> None:
         ee = _union_all(ecopies)
         ee.repartition(16).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
-        # orders/lineitem: perturbed k-fold replicas for the TPC-H-side
-        # operators (q63/q64/q67/q70). Key offsets keep copies disjoint
-        # (per-customer histories and baskets stay reference-sized — row
-        # counts scale k, not k^2); the SAME per-copy date shift on
-        # o_orderdate and l_shipdate keeps within-copy interval joins
-        # intact. The shift is i * _COPY_SHIFT_DAYS with _COPY_SHIFT_DAYS
-        # exceeding the source's whole date span, so copies are FULLY
-        # time-disjoint — the "k-fold more history" growth model: per-day
-        # interval density stays constant and q63's matched pairs scale ~k.
-        # (The first cut shifted by only i days; copies then overlapped in
-        # time and cross-copy interval matches made q63 pairs scale k^2 —
-        # measured 4.00x at k=2 — which invalidated the probe. The price of
-        # time-disjointness: calendar-window queries like q76's
-        # year-over-year only see copy 0; probe those on the events side.)
-        # customer/part are replicated with the MATCHING key offsets so the
-        # scaled fixture keeps referential integrity for dim joins.
+    # orders/lineitem: perturbed k-fold replicas for the TPC-H-side
+    # operators (q63/q64/q67/q70). Key offsets keep copies disjoint
+    # (per-customer histories and baskets stay reference-sized — row
+    # counts scale k, not k^2); the SAME per-copy date shift on
+    # o_orderdate and l_shipdate keeps within-copy interval joins
+    # intact. The shift is i * _COPY_SHIFT_DAYS with _COPY_SHIFT_DAYS
+    # exceeding the source's whole date span, so copies are FULLY
+    # time-disjoint — the "k-fold more history" growth model: per-day
+    # interval density stays constant and q63's matched pairs scale ~k.
+    # (The first cut shifted by only i days; copies then overlapped in
+    # time and cross-copy interval matches made q63 pairs scale k^2 —
+    # measured 4.00x at k=2 — which invalidated the probe. The price of
+    # time-disjointness: calendar-window queries like q76's
+    # year-over-year only see copy 0; probe those on the events side.)
+    # customer/part are replicated with the MATCHING key offsets so the
+    # scaled fixture keeps referential integrity for dim joins.
     if wanted("orders"):
         orders = spark.read.parquet(f"{src}/orders.parquet")
         ocopies = [

@@ -1764,3 +1764,91 @@ def q120_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_per_key"),
         F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_share"),
     )
+
+
+# MAD outlier gate: the conventional 3-sigma-equivalent cut, with 1.4826
+# the consistency constant making MAD estimate sigma under normality.
+_MAD_K = 3.0 * 1.4826
+
+
+@register(
+    "q124_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events
+        GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, ABS(e.value - m.med) AS abs_dev, m.med
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+        FROM dev
+        GROUP BY 1
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           ROUND(d.med, 6) AS median_value,
+           ROUND(m.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN d.abs_dev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN d.abs_dev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+    tags=("analytics", "robust-stats"),
+)
+def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD: per event type, flag
+    values whose absolute deviation from the median exceeds
+    3 x 1.4826 x MAD — the standard robust 3-sigma gate, immune to the
+    outliers themselves (unlike q66's mean/stddev z-score, which heavy
+    tails inflate until they mask their own anomalies).
+
+    Plan shape: two exact-percentile aggregates on the low-cardinality
+    event_type key (sort-based within each of ~5 groups), each joined
+    back as a broadcast (rows = n_types); the final pass is one hash
+    aggregate. Three shuffles total, all keyed on event_type — AQE
+    coalesces the tiny ones. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (q77's trade) if the per-type sort dominates;
+    the gate constant is then approximate too, which a monitoring use
+    case tolerates. Both engines interpolate the even-n median with the
+    same lo+(hi-lo)/2 formula, and the deviation/threshold arithmetic
+    is identical expression trees over identical doubles, so the
+    boundary comparison agrees bit-for-bit.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("abs_dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.when(F.col("abs_dev") > _MAD_K * F.col("mad"), 1).otherwise(0)
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(is_out).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers") / F.col("n_events").cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+    )

@@ -100,16 +100,26 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
     "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
     "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
-    "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
-    "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
-    "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
-    "q116_gap_fill_locf": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("avg_value", "double"), ("locf_avg", "double"), ("is_gap", "int")],
-    "q117_feature_hashing": [("doc_id", "bigint"), ("bucket", "int"), ("n", "bigint")],
-    "q118_chunk_dedup": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_dup_chunks", "bigint"), ("dup_frac", "double")],
-    "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
-    "q120_skew_audit": [("child_table", "string"), ("key_col", "string"), ("n_rows", "bigint"), ("n_keys", "bigint"), ("max_per_key", "bigint"), ("p99_per_key", "double"), ("top_share", "double")],
-    "q121_session_paths": [("path", "string"), ("n", "bigint")],
-    "q122_pit_join": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_shipdate", "timestamp_ntz"), ("ck", "bigint"), ("version", "bigint"), ("status_at_ship", "string")],
+    # Round-7 demotions: doubly evidenced (full-hash green in r6 AND an
+    # earlier round), except q99 (r6 only) — the one singly-evidenced key
+    # the 50-slot window could not retain after promoting q112-q128.
+    "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
+    "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
+    "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
+    "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],
+    "q52_percentiles": [("event_type", "string"), ("n", "bigint"), ("p50", "double"), ("p90", "double"), ("p99", "double")],
+    "q55_salted_distinct": [("event_type", "string"), ("n_distinct", "bigint")],
+    "q60_histogram": [("event_type", "string"), ("bin_id", "int"), ("n", "bigint"), ("lo_seen", "double"), ("hi_seen", "double")],
+    "q64_cumulative": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("seq", "bigint"), ("running_total", "double"), ("mov_avg3", "double")],
+    "q65_cube": [("o_orderstatus", "string"), ("o_orderpriority", "string"), ("gid", "bigint"), ("n", "bigint"), ("sum_price", "double")],
+    "q71_full_outer": [("d", "date"), ("n_orders", "bigint"), ("n_ships", "bigint"), ("presence", "string")],
+    "q74_rank_distribution": [("event_id", "bigint"), ("event_type", "string"), ("quartile", "int"), ("pct_rank", "double"), ("cume", "double")],
+    "q76_set_ops_bag": [("o_custkey", "bigint"), ("kind", "string"), ("n", "bigint")],
+    "q78_id_gaps": [("event_type", "string"), ("gap_start", "bigint"), ("gap_end", "bigint"), ("n_missing", "bigint")],
+    "q79_weighted_sample": [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("o_orderpriority", "string")],
+    "q09_group_concat": [("event_type", "string"), ("users", "string"), ("n_users", "bigint")],
+    "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
+    "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
     # Long-demoted keys (full-hash green in rounds 1-4)
     "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
     "q14_intersect": [("user_id", "bigint")],

@@ -273,6 +273,9 @@ def shared_word_kgrams(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     dedup.shared_shingle_sets."""
     from pyspark.storagelevel import StorageLevel
 
+    from trafficteach_spark.session import evict_stale_memo
+
+    evict_stale_memo(_KGRAMS_MEMO, spark)
     key = (spark.sparkContext.applicationId, sf_dir, k)
     df = _KGRAMS_MEMO.get(key)
     if df is None:

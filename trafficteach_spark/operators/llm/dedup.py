@@ -102,6 +102,10 @@ _CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from trafficteach_spark.session import evict_stale_memo
+
+    for memo in (_SHINGLE_MEMO, _PAIRS_MEMO, _CLUSTERS_MEMO):
+        evict_stale_memo(memo, spark)
     return (spark.sparkContext.applicationId, sf_dir)
 
 
@@ -851,5 +855,211 @@ def q112_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dups_raw", F.lit(0)).cast("long").alias("n_dups"),
             F.round("best_raw", 6).alias("best_jaccard"),
             F.when(F.col("new_id").isNull(), 1).otherwise(0).cast("int").alias("is_new"),
+        )
+    )
+
+
+# --- q125: LSH recall/precision evaluation harness ------------------------
+#
+# Cross-engine-reproducible MinHash geometry: token hashes are md5-prefix
+# integers (28 bits, < P) and band keys are md5 strings, so DuckDB can
+# replay the exact pipeline (unlike q31_minhash_lsh's xxhash64 path).
+# a < 2^30 keeps a*h + b < 2^58 + 2^32 — no int64 overflow in either
+# engine's ANSI arithmetic.
+_EVAL_SAMPLE_MOD = 10
+_EVAL_JACCARD_T = 0.5
+_EVAL_N_HASHES = 64
+_EVAL_BANDS = 16
+_EVAL_ROWS_PER_BAND = 4
+_eval_rng = random.Random(20260814)
+_EVAL_HASH_AB = [
+    (_eval_rng.randrange(1, 2**30), _eval_rng.randrange(0, _MERSENNE))
+    for _ in range(_EVAL_N_HASHES)
+]
+
+
+def _eval_oracle() -> str:
+    from trafficteach_spark.functions.exprs import md5_prefix_int_duck
+
+    tok_hash = md5_prefix_int_duck("t", 7)
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MERSENNE}))"
+        for a, b in _EVAL_HASH_AB
+    )
+    band_structs = ", ".join(
+        "{'band_id': %d, 'bh': md5(concat_ws(','%s))}"
+        % (
+            b,
+            "".join(
+                f", sig[{b * _EVAL_ROWS_PER_BAND + r + 1}]"
+                for r in range(_EVAL_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_EVAL_BANDS)
+    )
+    return f"""
+    WITH sample AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+        WHERE doc_id % {_EVAL_SAMPLE_MOD} = 0 AND text IS NOT NULL
+          AND len(string_split(text, ' ')) >= 1
+    ),
+    hashed AS (
+        SELECT doc_id, toks, len(toks) AS sz,
+               list_transform(toks, t -> {tok_hash}) AS hs
+        FROM sample
+    ),
+    sigs AS (
+        SELECT doc_id, [{mins}] AS sig FROM hashed
+    ),
+    band_raw AS (
+        SELECT doc_id, unnest([{band_structs}]) AS bb FROM sigs
+    ),
+    bands AS (
+        SELECT doc_id, bb.band_id AS band_id, bb.bh AS bh FROM band_raw
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bh = b.bh
+         AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+              >= {_EVAL_JACCARD_T}
+    ),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM cand) AS n_cand,
+               (SELECT COUNT(*) FROM truth t JOIN cand c
+                 ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits
+    )
+    SELECT n_truth, n_cand, n_hits,
+           ROUND(CASE WHEN n_truth > 0
+                      THEN n_hits / CAST(n_truth AS DOUBLE) ELSE 1.0 END, 6)
+               AS recall,
+           ROUND(CASE WHEN n_cand > 0
+                      THEN n_hits / CAST(n_cand AS DOUBLE) ELSE 1.0 END, 6)
+               AS precision
+    FROM counts
+    """
+
+
+@register("q125_lsh_recall_eval", oracle=_eval_oracle(), tags=("llm", "X2", "eval"))
+def q125_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH quality evaluation: on a deterministic 1-in-{mod}
+    document sample, compare the banded candidate set against exact
+    token-set-Jaccard ground truth and report recall/precision — the
+    harness that justifies (or rejects) an LSH geometry before pointing
+    it at the full corpus. Production tuning loops run exactly this on
+    a sample, then apply the chosen (bands, rows) at scale where exact
+    truth is unaffordable.
+
+    Everything is engine-reproducible: md5-prefix token hashes (28-bit,
+    < P) and md5 band keys replace the JVM-internal xxhash64 of the
+    production path (q31_minhash_lsh), so the DuckDB oracle replays the
+    IDENTICAL pipeline — the reported recall is checked, not trusted.
+    Ground truth on the sample uses the inverted token index (equi-join
+    on token, never all-pairs Spark-side); candidates come from the
+    band-bucket equi-join. The sample is doc_id-modulo so both engines
+    and repeated runs agree on membership. Token-set (not shingle)
+    Jaccard is deliberate: the fixture vocabulary makes token-set
+    similarity dense, giving the eval a populated mid-range where
+    banding probabilistically misses — a realistic recall < 1.
+    """
+    from trafficteach_spark.functions.exprs import md5_prefix_int_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.where(
+            (F.col("doc_id") % _EVAL_SAMPLE_MOD == 0) & F.col("text").isNotNull()
+        )
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+        .where(F.size("toks") >= 1)
+    )
+    tok_hash = md5_prefix_int_spark("t", 7)
+    hashed = sample.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("sz"),
+        F.expr(f"transform(toks, t -> {tok_hash})").alias("hs"),
+    ).persist()
+    sig = hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MERSENNE}))")
+                for a, b in _EVAL_HASH_AB
+            ]
+        ).alias("sig"),
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * _EVAL_ROWS_PER_BAND + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(_EVAL_ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(_EVAL_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_id", "bh")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_id", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tok_a = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"),
+        F.explode("toks").alias("t"),
+    )
+    tok_b = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"),
+        F.explode("toks").alias("t"),
+    )
+    truth = (
+        tok_a.join(tok_b, "t")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_common"))
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            >= _EVAL_JACCARD_T
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    safe_div = (
+        lambda num, den: F.when(
+            F.col(den) > 0, F.col(num) / F.col(den).cast("double")
+        ).otherwise(F.lit(1.0))
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.round(safe_div("n_hits", "n_truth"), 6).alias("recall"),
+            F.round(safe_div("n_hits", "n_cand"), 6).alias("precision"),
         )
     )

@@ -726,3 +726,191 @@ def q118_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.cast("long").alias("n_dup_chunks"),
         F.round(dup / F.count("*").cast("double"), 6).alias("dup_frac"),
     )
+
+
+# Code-detection heuristic: density of code-flavored keywords plus
+# symbol/digit character density. The fixture's word-soup corpus carries
+# the keyword signal (its vocabulary includes SQL-ish terms) but no
+# punctuation — the symbol features still run (and return 0) so the
+# operator shape is the production one.
+_CODE_KEYWORDS = ("join", "filter", "sort", "merge", "hash", "query", "agg")
+_CODE_KW_THRESHOLD = 0.18
+
+
+@register(
+    "q123_code_detect",
+    oracle=f"""
+    SELECT doc_id, n_tokens, kw_ratio, sym_ratio,
+           CASE WHEN kw_ratio >= {_CODE_KW_THRESHOLD} OR sym_ratio >= 0.05
+                THEN 1 ELSE 0 END AS is_code
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({list(_CODE_KEYWORDS)!r}, x)))
+                     AS DOUBLE) / len(string_split(text, ' ')), 6) AS kw_ratio,
+               ROUND(CAST(length(text)
+                          - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                     AS DOUBLE) / length(text), 6) AS sym_ratio
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    )
+    """,
+    tags=("llm", "X4", "filtering"),
+)
+def q123_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection: per-doc density of code-flavored
+    keywords and of non-alphanumeric symbol characters, gated into an
+    is_code flag — the router a training pipeline uses to send
+    documents to the code or prose quality stack before filtering
+    (q39) and dedup.
+
+    Pure per-row expressions (codegen'd, zero shuffle, zero Python);
+    at 100 TB this is a map-only pass whose cost is the scan itself.
+    The keyword list and both thresholds are module constants so the
+    Spark body and the DuckDB oracle derive from the SAME values —
+    classification parity is checked, not just the features.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    w = F.split(F.col("text"), " ")
+    kw_array = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+    n_tokens = F.size(w)
+    kw_ratio = F.round(
+        F.expr(
+            f"size(filter(split(text, ' '), x -> array_contains(array({kw_array}), x)))"
+        ).cast("double")
+        / n_tokens,
+        6,
+    )
+    sym_ratio = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+        ).cast("double")
+        / F.length("text"),
+        6,
+    )
+    feats = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        kw_ratio.alias("kw_ratio"),
+        sym_ratio.alias("sym_ratio"),
+    )
+    is_code = F.when(
+        (F.col("kw_ratio") >= _CODE_KW_THRESHOLD) | (F.col("sym_ratio") >= 0.05),
+        1,
+    ).otherwise(0)
+    return feats.withColumn("is_code", is_code)
+
+
+# Jelinek-Mercer interpolation weight for the bigram LM (q126): standard
+# held-out-tuned range is 0.5-0.9; fixed here so both engines share it.
+_JM_LAMBDA = 0.7
+_BIGRAM_TOPK = 20
+
+
+@register(
+    "q126_bigram_lm_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    big AS (
+        SELECT doc_id, unnest([{{'w1': w[i], 'w2': w[i+1]}}
+                               for i in range(1, len(w))]) AS bg
+        FROM tok
+    ),
+    pairs AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big
+    ),
+    uni AS (
+        SELECT w1 AS t, COUNT(*) AS c1 FROM (
+            SELECT doc_id, unnest(w) AS w1 FROM tok
+        ) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln({_JM_LAMBDA} * (bi.c2 / CAST(u1.c1 AS DOUBLE))
+                        + {1.0 - _JM_LAMBDA} * (u2.c1 / tot.n))), 6)
+               AS avg_logprob
+    FROM pairs
+    JOIN bi USING (w1, w2)
+    JOIN uni u1 ON pairs.w1 = u1.t
+    JOIN uni u2 ON pairs.w2 = u2.t
+    CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY avg_logprob, doc_id
+    LIMIT {_BIGRAM_TOPK}
+    """,
+    tags=("llm", "X4", "language-model"),
+)
+def q126_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring: corpus-trained bigram
+    LM with Jelinek-Mercer unigram smoothing
+    (p(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/N), each document scored
+    by its mean bigram log-probability; output = the {_BIGRAM_TOPK}
+    most surprising documents. This is the statistical-LM perplexity
+    filter of classic data pipelines (CCNet-style) one rung above q93's
+    unigram form — low scorers are boilerplate-breaking or shuffled
+    text.
+
+    Plan shape: ONE bigram explode feeds both the count aggregates and
+    the scoring stream; the unigram and bigram count frames are
+    vocabulary-sized (bounded by vocab and vocab², not corpus rows) so
+    both join back as broadcasts; the total-token count is a 1-row
+    broadcast. Full-data shuffles: the two count aggregates and the
+    per-doc mean — all hash aggs with map-side partials. The per-doc
+    AVG of logs is order-dependent at the ulp level, hence rounded to
+    1e-6, and the top-k orders by the ROUNDED score with doc_id
+    tiebreak (q75's determinism recipe).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    tok = docs.where(F.col("text").isNotNull()).select("doc_id", w.alias("w")).where(
+        F.size("w") >= 2
+    )
+    pairs = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> named_struct('w1', w[i], 'w2', w[i+1]))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        tok.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("double").alias("n"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    p = F.lit(_JM_LAMBDA) * (
+        F.col("c2") / F.col("c1").cast("double")
+    ) + F.lit(1.0 - _JM_LAMBDA) * (F.col("c1_2") / F.col("n"))
+    scored = (
+        pairs.join(F.broadcast(bi), ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("w1"), "c1")), "w1"
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("t").alias("w2"), F.col("c1").alias("c1_2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )
+    return scored.orderBy("avg_logprob", "doc_id").limit(_BIGRAM_TOPK)

@@ -38,6 +38,9 @@ def shared_hourly_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
+    from trafficteach_spark.session import evict_stale_memo
+
+    evict_stale_memo(_HOURLY_MEMO, spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     hourly = _HOURLY_MEMO.get(key)
     if hourly is None:
@@ -727,15 +730,29 @@ def range_join(
     # a badly inverted row, thousands of spurious rows (round-6 review
     # finding). They cannot match anything, so dropping them is exact.
     nonempty = (e_us >= s_us) if end_inclusive else (e_us > s_us)
-    ivals = intervals.where(nonempty).withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                (s_us / width_us).cast("long"), (last_us / width_us).cast("long")
-            )
-        ),
+    # Integer `div` on the long micros, never `/ + cast('long')`: the
+    # double round-trip can truncate one ulp low for values adjacent to
+    # a bucket boundary (the q85/epoch_us_sql guard; round-6 advisory).
+    ivals = (
+        intervals.where(nonempty)
+        .withColumn("_s_us", s_us)
+        .withColumn("_l_us", last_us)
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_s_us div {width_us}"),
+                    F.expr(f"_l_us div {width_us}"),
+                )
+            ),
+        )
+        .drop("_s_us", "_l_us")
     )
-    pts = points.withColumn("_bucket", (p_us / width_us).cast("long"))
+    pts = (
+        points.withColumn("_p_us", p_us)
+        .withColumn("_bucket", F.expr(f"_p_us div {width_us}"))
+        .drop("_p_us")
+    )
     cond = (F.col(point_col) >= F.col(start_col)) & (
         F.col(point_col) <= F.col(end_col)
         if end_inclusive
@@ -859,4 +876,154 @@ def q122_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ck",
         "version",
         "status_at_ship",
+    )
+
+
+@register(
+    "q127_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT event_type, day, n,
+               AVG(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) AS mean_n,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ),
+    cusum AS (
+        SELECT event_type, day, n, mean_n, n_days,
+               SUM(n - mean_n) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS s
+        FROM dev
+    )
+    SELECT event_type, day AS cp_day, n_days,
+           ROUND(mean_n, 6) AS mean_daily,
+           ROUND(s, 6) AS cusum_dev
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY ABS(s) DESC, day
+               ) AS rn
+        FROM cusum
+    )
+    WHERE rn = 1
+    """,
+    tags=("timeseries", "changepoint"),
+)
+def q127_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: per event type, the day where the
+    cumulative deviation of daily counts from the series mean peaks —
+    the standard single-changepoint estimator (argmax_t |S_t|,
+    S_t = sum_{i<=t}(x_i - mean)) behind drift monitors on ingest
+    volume.
+
+    Plan shape: the fact table collapses to a (type, day) rollup FIRST
+    (one hash aggregate — the only full-data shuffle), then mean,
+    cumulative sum, and argmax are windows over the tiny daily frame
+    (days x types rows), partitioned by type. At 100 TB the windows see
+    only ~365 x n_types rows regardless of fact volume — the rollup
+    shrink is the whole design. The cumulative double sum runs in the
+    SAME day order in both engines (ordered window), so the doubles
+    are bit-identical; the argmax tiebreak is (|S| desc, day asc).
+    """
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w_type = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w_type).alias("mean_n"),
+        F.count("*").over(w_type).alias("n_days"),
+    ).withColumn("s", F.sum(F.col("n") - F.col("mean_n")).over(w_cum))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            "n_days",
+            F.round("mean_n", 6).alias("mean_daily"),
+            F.round("s", 6).alias("cusum_dev"),
+        )
+    )
+
+
+@register(
+    "q128_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    by_dow AS (
+        SELECT event_type, isodow(day) AS dow,
+               COUNT(*) AS n_days,
+               AVG(CAST(n AS DOUBLE)) AS avg_count
+        FROM daily
+        GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT event_type, AVG(CAST(n AS DOUBLE)) AS avg_all
+        FROM daily
+        GROUP BY 1
+    )
+    SELECT b.event_type, b.dow, b.n_days,
+           ROUND(b.avg_count, 6) AS avg_count,
+           ROUND(b.avg_count / o.avg_all, 6) AS seasonal_index
+    FROM by_dow b JOIN overall o ON b.event_type = o.event_type
+    """,
+    tags=("timeseries", "seasonality"),
+)
+def q128_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile: per (event type, ISO weekday), the
+    mean daily event count and its ratio to the type's overall daily
+    mean (the multiplicative seasonal index) — the decomposition step
+    behind deseasonalized anomaly thresholds (q66) and capacity
+    forecasts.
+
+    Plan shape mirrors q127: ONE full-data hash aggregate to the
+    (type, day) rollup, then everything downstream — the weekday
+    aggregate (<= 7 x n_types rows) and the per-type overall mean —
+    operates on the tiny frame; the final combine is a broadcast-size
+    join on event_type. ISO weekday (Mon=1..Sun=7) is ``weekday()+1``
+    in Spark and ``isodow()`` in DuckDB, so both engines label strata
+    identically. Averages (not ordered sums) of a handful of doubles
+    round stably at 1e-6.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    by_dow = daily.groupBy(
+        "event_type", (F.weekday("day") + 1).alias("dow")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.avg(F.col("n").cast("double")).alias("avg_count"),
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("avg_all")
+    )
+    return by_dow.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "dow",
+        "n_days",
+        F.round("avg_count", 6).alias("avg_count"),
+        F.round(F.col("avg_count") / F.col("avg_all"), 6).alias("seasonal_index"),
     )

@@ -80,20 +80,32 @@ _OPERATOR_MODULES = (
 # item 2): a key green for 2+ rounds may be demoted into the
 # q80_parity_digest fingerprint (position 50), freeing its slot for a
 # key that so far has only fingerprint + local evidence. Round 6
-# promotes ALL 33 oracle-backed keys that had never been in the driver
-# window (the round-5 analytics/corpus additions q91-q111, the
-# corpus-health family, rollup/pivot/unpivot, EWMA/SCD2/heavy-hitters,
-# q53-q59 et al.) plus the 16 stalest keys (last driver-hashed in
-# rounds 2-4: the multimodal trio q40-q42, the round-3-only analytics
-# keys q52/q55/q60/q64/q65/q71/q74/q76/q78/q79, and q09/q12/q21),
-# demoting the 49 keys that were full-hash green in round 5. After this
-# rotation every oracle-backed key in the registry has at least one
-# round of full row-hash driver evidence. Demoted keys keep their full
-# individual oracles (run by tools/parity.py -> PARITY_LOCAL.md) and
-# are fingerprinted per-round by the digest. OPERATORS.md tracks each
-# key's last driver-hash round.
+# promoted all 33 never-driver-hashed oracle-backed keys plus the 16
+# stalest (r2-r4) keys, closing the pre-round-6 backlog: after that
+# rotation every oracle-backed key registered before round 6 has full
+# row-hash driver evidence from some round. Round 7 closes the tail:
+# the 11 round-6 additions q112-q122 (the only keys never driver-
+# checked; q115 is rows-only by design — HLL sketch, not DuckDB-
+# reproducible — so the driver records its maximum attainable
+# evidence) are promoted into positions 1-11, plus any new round-7
+# keys; demoted to make room are 11+ doubly-evidenced keys (driver
+# full-hash green in r6 AND an earlier round). Demoted keys keep their
+# full individual oracles (run by tools/parity.py -> PARITY_LOCAL.md)
+# and are fingerprinted per-round by the digest. OPERATORS.md tracks
+# each key's last driver-hash round.
 DRIVER_ORDER: tuple[str, ...] = (
-    # Round-6 promotions, group 1: never-driver-hashed analytics
+    # Round-7 promotions: the 11 round-6 additions (never driver-checked)
+    "q112_incremental_dedup", "q113_linear_attribution",
+    "q114_snapshot_diff", "q115_rolling_active_sketch",
+    "q116_gap_fill_locf", "q117_feature_hashing", "q118_chunk_dedup",
+    "q119_python_udtf", "q120_skew_audit", "q121_session_paths",
+    "q122_pit_join",
+    # Round-7 additions (driver-checked the round they land)
+    "q123_code_detect", "q124_mad_outliers", "q125_lsh_recall_eval",
+    "q126_bigram_lm_logprob", "q127_changepoint",
+    "q128_seasonal_decompose",
+    # Retained from the round-6 window (single round of full-hash
+    # evidence so far; keep until doubly evidenced)
     "q53_rollup", "q54_pivot", "q69_unpivot", "q62_time_resample",
     "q66_anomaly", "q86_feature_normalize", "q92_ewma",
     "q96_psi_drift", "q97_data_profile", "q100_scd2_history",
@@ -101,18 +113,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q104_fk_audit", "q105_cohort_retention", "q106_session_concurrency",
     "q107_rolling_active_users", "q108_time_to_convert",
     "q109_transition_matrix", "q110_ab_lift", "q111_fulfillment_lag",
-    # Group 2: never-driver-hashed corpus/text keys
     "q56_vocab_topk", "q58_domain_mix", "q59_label_centroids",
     "q73_regex_extract", "q81_hash_split", "q82_bpe_pairs",
     "q91_corpus_pipeline", "q93_unigram_logprob", "q94_token_entropy",
-    "q95_zipf_slope", "q98_source_overlap", "q99_dup_rate_by_source",
-    # Group 3: stalest re-verifications (last hashed r2/r3/r4)
-    "q40_binary_pipeline", "q41_frame_sample", "q42_resize",
-    "q52_percentiles", "q55_salted_distinct", "q60_histogram",
-    "q64_cumulative", "q65_cube", "q71_full_outer",
-    "q74_rank_distribution", "q76_set_ops_bag", "q78_id_gaps",
-    "q79_weighted_sample", "q09_group_concat", "q12_trajectory",
-    "q21_tumbling_window",
+    "q95_zipf_slope", "q98_source_overlap",
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )

@@ -82,9 +82,15 @@ def read_events_jsonl(
 ) -> DataFrame:
     """Read newline-delimited JSON events (the Kafka value contract as a
     batch file source), normalized to the logical events shape. With
-    ``validate`` (default), required-field NULLs fail the read — pass
-    ``validate=False`` only when composing into a plan that must stay
-    action-free."""
+    ``validate`` (default), required-field NULLs fail the read — an
+    EAGER aggregate action (an extra scan of the input) at construction
+    time. That is the intended ingestion-edge contract: this reader
+    lands external text into the lakehouse, where failing fast beats
+    lazy composability (round-6 advisory weighed an ``observe()``
+    listener instead — rejected because its metrics only materialize
+    after the first downstream action, by which point a corrupt batch
+    may already be half-written). Pass ``validate=False`` when
+    composing into a plan that must stay action-free."""
     raw = _read_raw_jsonl(spark, path)
     if validate:
         raw = validate_event_fields(raw, path)
