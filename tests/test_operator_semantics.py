@@ -2724,3 +2724,58 @@ def test_fk_audit_matches_bruteforce_reference(spark, tmp_path):
         r = got[(child, fk)]
         assert r["n_child"] == len([k for k in keys if k is not None]), (child, fk)
         assert r["n_orphan"] == expect_orphans, (child, fk, r["n_orphan"], expect_orphans)
+
+
+def test_salted_join_shrinks_hot_key_partition_share(spark):
+    """Behavioral proof of the skew remedy (round-6 verdict item 6):
+    with a planted pathological hot key, the plain shuffled equi-join
+    concentrates the hot key's entire output in ONE post-shuffle
+    partition, while salted_join spreads it across the salt space. Row
+    placement is the deterministic proxy for task time (a reducer's
+    wall clock is monotone in its row count), so the assertion is on
+    the max-partition row share — measurable and stable, unlike timing
+    spreads on a busy CI host. Broadcast and AQE are disabled for the
+    measurement: the remedy's contract is exactly the regime where AQE
+    cannot re-key the join (its skew split can subdivide a partition's
+    files, not change what one key hashes to) and the dim cannot be
+    broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    from trafficteach_spark.operators.skew import salted_join
+
+    hot = [(1, i) for i in range(20_000)]
+    cold = [(k, i) for k in range(2, 102) for i in range(10)]
+    skewed = spark.createDataFrame(hot + cold, "k long, payload long")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 102)], "k long, name string")
+
+    def max_share(df):
+        rows = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in rows)
+        return max(r["count"] for r in rows) / total
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        plain_share = max_share(skewed.join(dim, "k"))
+        salted_share = max_share(salted_join(skewed, dim, "k"))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+    # the hot key is ~95% of output rows: plain puts all of it in one
+    # partition; salted must cut the worst partition by >= 4x
+    assert plain_share > 0.9, plain_share
+    assert salted_share < plain_share / 4, (plain_share, salted_share)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import datetime as dt
 import glob
+import os
 import shutil
 
 from pyspark.sql import functions as F
@@ -193,3 +194,65 @@ def test_rollup_rejects_foreign_checkpoint_lineage(spark, tmp_path):
         )
         q2.awaitTermination(120)
     assert _state_dict(spark, state) == committed
+
+
+def test_crash_between_state_write_and_pointer_swap(spark, tmp_path):
+    """Failure injection for the commit protocol's crash window
+    (round-6 verdict item 5): kill the sink AFTER the new version
+    directory is written but BEFORE the _LATEST pointer flips. The
+    committed state must remain the OLD version (never a mix), and a
+    restart from the same checkpoint must replay the batch, overwrite
+    the orphan version dir, and converge to the batch recompute with
+    no double counting."""
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from trafficteach_spark.streaming import rollup as R
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = tmp_path / "state"
+
+    # batch 0 commits normally
+    _drop_file(spark, tmp_path, watch, ROWS_1, "f1")
+    q = start_incremental_rollup(spark, str(watch), str(state), ckpt)
+    q.awaitTermination(120)
+    committed = _state_dict(spark, state)
+    _assert_same(committed, _batch_recompute(spark, ROWS_1))
+
+    # batch 1: crash inside the window — version dir written, pointer
+    # swap never reached
+    real_commit = R._commit
+
+    def crashing_commit(state_dir, batch_id, merged, lineage=None):
+        out = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        raise RuntimeError("injected crash between state write and pointer swap")
+
+    _drop_file(spark, tmp_path, watch, ROWS_2, "f2")
+    R._commit = crashing_commit
+    try:
+        with _pytest.raises(StreamingQueryException, match="injected crash"):
+            q = start_incremental_rollup(spark, str(watch), str(state), ckpt)
+            q.awaitTermination(120)
+    finally:
+        R._commit = real_commit
+
+    # the crash left an orphan v1 AND an untouched pointer: readers see
+    # exactly the old committed state — old or new, never mixed
+    assert (state / "v1").exists()
+    last_id, path, _ = R._latest(str(state))
+    assert last_id == 0 and path.endswith("v0")
+    _assert_same(_state_dict(spark, state), committed)
+
+    # restart from the SAME checkpoint: the failed batch's offsets were
+    # never committed, so it replays; the orphan dir is overwritten and
+    # the state converges to the full recompute exactly once
+    q = start_incremental_rollup(spark, str(watch), str(state), ckpt)
+    q.awaitTermination(120)
+    _assert_same(
+        _state_dict(spark, state), _batch_recompute(spark, ROWS_1 + ROWS_2)
+    )
+    merged = _state_dict(spark, state)[("view", dt.date(2024, 1, 6))]
+    assert merged["n"] == 2 and merged["sum_value"] == 50.0
