@@ -1852,3 +1852,91 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_rate"),
         )
     )
+
+
+@register(
+    "q132_user_lifecycle",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    bounds AS (SELECT MAX(wk) AS max_wk FROM act),
+    seq AS (
+        SELECT user_id, wk,
+               LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        FROM act
+    ),
+    classified AS (
+        SELECT wk,
+               CASE WHEN prev_wk IS NULL THEN 'new'
+                    WHEN prev_wk = wk - 7 THEN 'retained'
+                    ELSE 'resurrected' END AS cls
+        FROM seq
+        UNION ALL
+        SELECT wk + 7 AS wk, 'churned' AS cls
+        FROM seq CROSS JOIN bounds
+        WHERE (next_wk IS NULL OR next_wk > wk + 7) AND wk + 7 <= max_wk
+    )
+    SELECT wk,
+           CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+    FROM classified
+    GROUP BY wk
+    """,
+    tags=("analytics", "growth-accounting"),
+)
+def q132_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) classified as
+    new (first-ever week), retained (also active the prior week), or
+    resurrected (returning after a gap), plus churned counts attributed
+    to the week AFTER a user's last activity in a run (suppressed past
+    the data's horizon so the final week isn't all 'churn'). The
+    standard DAU/WAU lifecycle decomposition (new + retained +
+    resurrected - churned = WAU delta) behind every growth dashboard.
+
+    Plan: the fact table collapses to the DISTINCT (user, week)
+    activity frame first (one shuffle — the only full-data exchange),
+    lag/lead run per-user over that tiny frame, and the churn branch is
+    a second projection of the SAME windowed frame (no extra scan);
+    the horizon bound cross-attaches a 1-row max. At 100 TB the
+    activity frame is |users| x |weeks| — the rollup-shrink-then-window
+    shape of q127/q128.
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    act = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    bounds = act.agg(F.max("wk").alias("max_wk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = act.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    classified = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("prev_wk") == F.date_sub("wk", 7), "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    ).unionByName(
+        seq.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.date_add("wk", 7)))
+            & (F.date_add("wk", 7) <= F.col("max_wk"))
+        )
+        .select(F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("cls"))
+    )
+    def n_cls(c):
+        return F.sum(F.when(F.col("cls") == c, 1).otherwise(0)).cast("long")
+    return classified.groupBy("wk").agg(
+        n_cls("new").alias("n_new"),
+        n_cls("retained").alias("n_retained"),
+        n_cls("resurrected").alias("n_resurrected"),
+        n_cls("churned").alias("n_churned"),
+    )

@@ -101,8 +101,13 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
     "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
     # Round-7 demotions: doubly evidenced (full-hash green in r6 AND an
-    # earlier round), except q99 (r6 only) — the one singly-evidenced key
-    # the 50-slot window could not retain after promoting q112-q128.
+    # earlier round), except q99/q53/q54/q69/q62 (r6 only) — the
+    # singly-evidenced keys the 50-slot window could not retain after
+    # promoting q112-q132.
+    "q53_rollup": [("event_type", "string"), ("hr", "int"), ("gid", "bigint"), ("n", "bigint"), ("sum_value", "double")],
+    "q54_pivot": [("hr", "int"), ("n_click", "bigint"), ("n_error", "bigint"), ("n_purchase", "bigint"), ("n_signup", "bigint"), ("n_view", "bigint")],
+    "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],
+    "q62_time_resample": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("sum_value", "double")],
     "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
     "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
     "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],

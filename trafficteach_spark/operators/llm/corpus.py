@@ -1324,3 +1324,63 @@ def q117_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q130_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct([{_DUCK_GRAM}
+                    for i in range(1, len(w) - {DECON_K - 2})])) AS gram
+        FROM tok
+        WHERE len(w) >= {DECON_K}
+    ),
+    first_seen AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM grams g JOIN first_seen f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+    tags=("llm", "dedup", "novelty"),
+)
+def q130_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: per document, the fraction of its
+    distinct word {DECON_K}-grams whose FIRST corpus occurrence (min
+    doc_id — the deterministic stand-in for ingestion order) is the
+    document itself. Deduplicated-sampling pipelines use exactly this
+    to down-weight documents that mostly restate earlier content
+    (near-dups score ~0, fresh text ~1) — a softer, rankable
+    complement to q31's hard pair threshold.
+
+    Plan: the memoized {DECON_K}-gram frame (shared with q50/q57) feeds
+    ONE hash aggregate to first-seen owners and joins back on the gram
+    — two shuffles on the uniformly-distributed gram key, never a pair
+    join; cost scales with total gram volume, independent of how many
+    documents collide. At 100 TB first_seen is the natural incremental
+    state (a gram->min_doc table maintained per ingest batch, exactly
+    q112's corpus-side role).
+    """
+    grams = shared_word_kgrams(spark, sf_dir, DECON_K)
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    is_novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(is_novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(is_novel) / F.count("*").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -676,3 +676,126 @@ def kmeans_train(
         history.append(cent.select("obj").first()["obj"])
         cent = cent.drop("obj")
     return cent, history
+
+
+@register(
+    "q131_embedding_margin",
+    # Centroid means are ROUNDED to 1e-6 in both engines BEFORE the
+    # cosine: per-dimension AVG is the one order-dependent double sum
+    # here, and pinning it to the 1e-6 grid makes every downstream
+    # cosine/argmax bit-identical across engines.
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, g.i AS pos, v[g.i + 1] AS x
+        FROM v CROSS JOIN (SELECT unnest(range({{dim}})) AS i) g
+    ),
+    cent AS (
+        SELECT label AS c_label,
+               list(ROUND(m, 6) ORDER BY pos) AS c,
+               CAST(MAX(n) AS BIGINT) AS n_vectors
+        FROM (
+            SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+            FROM dims GROUP BY label, pos
+        )
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT vec_id, label, c_label,
+               ROUND(list_dot_product(v.v, cent.c)
+                     / (sqrt(list_dot_product(v.v, v.v))
+                        * sqrt(list_dot_product(cent.c, cent.c))), 6)
+                   AS cosine
+        FROM v CROSS JOIN cent
+    ),
+    margins AS (
+        SELECT vec_id, label,
+               MAX(CASE WHEN c_label = label THEN cosine END) AS own,
+               MAX(CASE WHEN c_label <> label THEN cosine END) AS best_other
+        FROM scored GROUP BY vec_id, label
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(own - best_other), 6) AS avg_margin,
+           CAST(SUM(CASE WHEN own < best_other THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misassigned,
+           ROUND(SUM(CASE WHEN own < best_other THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS misassign_rate
+    FROM margins
+    GROUP BY label
+    """.format(dim=64),
+    tags=("llm", "X3", "quality"),
+)
+def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-margin quality audit (silhouette-lite): each vector's
+    cosine to its OWN label centroid vs its best OTHER centroid; per
+    label, the mean margin and the misassignment rate (margin < 0 —
+    vectors sitting closer to a foreign class prototype). The label-
+    quality gate a training pipeline runs before trusting labels for
+    supervised filtering or per-class sampling.
+
+    Plan: q59's two-level centroid aggregate (posexplode -> (label,
+    pos) means — dims x labels state, corpus never collected), then
+    the n_labels-row centroid frame broadcast cross-attaches onto ONE
+    corpus scan (n x K cosine rows, the same sanctioned grid idiom as
+    q35's blocks), one conditional aggregate per vector, one per
+    label. At 100 TB: two corpus scans, shuffles only on (label, pos)
+    and vec_id.
+    """
+    from trafficteach_spark import schemas as _schemas
+
+    assert _schemas.EMBEDDING_DIM == 64  # oracle literal above
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dims = vecs.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    )
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("c")
+        )
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT.format(a="v", b="c"))
+                / (
+                    F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+                    * F.sqrt(F.expr(_DOT.format(a="c", b="c")))
+                ),
+                6,
+            ),
+        )
+    )
+    margins = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("cosine"))).alias(
+            "own"
+        ),
+        F.max(F.when(F.col("c_label") != F.col("label"), F.col("cosine"))).alias(
+            "best_other"
+        ),
+    )
+    mis = F.when(F.col("own") < F.col("best_other"), 1).otherwise(0)
+    return margins.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(F.col("own") - F.col("best_other")), 6).alias("avg_margin"),
+        F.sum(mis).cast("long").alias("n_misassigned"),
+        F.round(F.sum(mis) / F.count("*").cast("double"), 6).alias(
+            "misassign_rate"
+        ),
+    )

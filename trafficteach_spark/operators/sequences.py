@@ -822,3 +822,125 @@ def q121_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(PATH_TOP_N)
     )
+
+
+# Time-bounded funnel: each next step must land within this many minutes
+# of the PREVIOUSLY MATCHED step (per-hop timeout, ClickHouse
+# windowFunnel-style but hop-relative, which keeps greedy == cascade).
+FUNNEL_WINDOW_MIN = 60
+
+
+def _windowed_depth_expr(chain: tuple[str, ...], window_min: int) -> str:
+    """Greedy time-bounded subsequence matcher: like q19's
+    :func:`_funnel_depth_expr` but the accumulator carries the last
+    matched timestamp and a next-step candidate only advances it when
+    within the per-hop window. Greedy-earliest stays equivalent to the
+    oracle's MIN(ts)-cascade BECAUSE the bound is hop-relative: both
+    take the first step-1 occurrence, then the first in-window next
+    step, with no backtracking on expiry."""
+    steps = ", ".join(f"'{s}'" for s in chain)
+    first = (
+        f"WHEN acc.d = 0 AND x.event_type = element_at(array({steps}), 1)"
+        " THEN named_struct('d', 1, 't', x.ts)"
+    )
+    nexts = " ".join(
+        f"WHEN acc.d = {i} AND x.event_type = element_at(array({steps}), {i + 1})"
+        f" AND x.ts <= acc.t + INTERVAL {window_min} MINUTES"
+        f" THEN named_struct('d', {i + 1}, 't', x.ts)"
+        for i in range(1, len(chain))
+    )
+    return (
+        "aggregate("
+        "array_sort(collect_list(struct(ts, event_id, event_type))), "
+        "named_struct('d', 0, 't', CAST(NULL AS TIMESTAMP_NTZ)), "
+        f"(acc, x) -> CASE {first} {nexts} ELSE acc END, "
+        "acc -> acc.d)"
+    )
+
+
+def _windowed_funnel_oracle(chain: tuple[str, ...], window_min: int) -> str:
+    """Cascade oracle with the hop-relative time bound folded into each
+    step's join predicate."""
+    ctes = [
+        f"""s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM r
+        WHERE event_type = '{chain[0]}' GROUP BY user_id
+    )"""
+    ]
+    for k in range(2, len(chain) + 1):
+        ctes.append(
+            f"""s{k} AS (
+        SELECT r.user_id, MIN(r.ts) AS t
+        FROM r JOIN s{k - 1} ON r.user_id = s{k - 1}.user_id
+         AND r.ts > s{k - 1}.t
+         AND r.ts <= s{k - 1}.t + INTERVAL {window_min} MINUTE
+        WHERE r.event_type = '{chain[k - 1]}' GROUP BY r.user_id
+    )"""
+        )
+    counts = ",\n               ".join(
+        f"(SELECT COUNT(*) FROM s{k}) AS n{k}" for k in range(1, len(chain) + 1)
+    )
+    selects = [
+        f"""SELECT 1 AS step, '{chain[0]}' AS step_type, n1 AS n_users,
+           CAST(NULL AS DOUBLE) AS rate FROM n"""
+    ]
+    for k in range(2, len(chain) + 1):
+        selects.append(
+            f"SELECT {k}, '{chain[k - 1]}', n{k}, "
+            f"ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6) FROM n"
+        )
+    return f"""
+    WITH r AS (
+        SELECT user_id, event_type, ts FROM events WHERE {_ORACLE_RANGE}
+    ),
+    {",".join(ctes)},
+    n AS (
+        SELECT {counts}
+    )
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@register(
+    "q129_window_funnel",
+    oracle=_windowed_funnel_oracle(FUNNEL_CHAIN, FUNNEL_WINDOW_MIN),
+    tags=("sequence", "O34", "windowed"),
+)
+def q129_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: q19's conversion chain with a per-hop
+    timeout — a user converts step k only if it occurs within
+    {FUNNEL_WINDOW_MIN} minutes of their matched step k-1 (the
+    windowFunnel semantics product analytics engines ship natively;
+    unbounded q19 overcounts "conversions" that happen days later).
+
+    Identical plan shape to q19 (one shuffle on user_id for the
+    sequence build, then a 1-row aggregate and a stack); the only
+    change is the accumulator carrying the last matched timestamp, so
+    the 100 TB story is unchanged. The hop-relative bound (not
+    first-step-relative) is what keeps the greedy matcher equivalent
+    to the oracle's MIN-cascade — a whole-chain bound would need
+    backtracking over candidate step-1 anchors.
+    """
+    events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    depths = events.groupBy("user_id").agg(
+        F.expr(_windowed_depth_expr(FUNNEL_CHAIN, FUNNEL_WINDOW_MIN)).alias("depth")
+    )
+    counts = depths.agg(
+        *[
+            F.sum(F.when(F.col("depth") >= k, 1).otherwise(0)).alias(f"n{k}")
+            for k in range(1, len(FUNNEL_CHAIN) + 1)
+        ]
+    )
+    stack_parts = [f"1, '{FUNNEL_CHAIN[0]}', n1, CAST(NULL AS DOUBLE)"]
+    for k in range(2, len(FUNNEL_CHAIN) + 1):
+        stack_parts.append(
+            f"{k}, '{FUNNEL_CHAIN[k - 1]}', n{k},"
+            f" ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6)"
+        )
+    return counts.select(
+        F.expr(
+            f"stack({len(FUNNEL_CHAIN)}, "
+            + ", ".join(stack_parts)
+            + ") AS (step, step_type, n_users, rate)"
+        )
+    )

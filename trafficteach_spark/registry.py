@@ -103,10 +103,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     # Round-7 additions (driver-checked the round they land)
     "q123_code_detect", "q124_mad_outliers", "q125_lsh_recall_eval",
     "q126_bigram_lm_logprob", "q127_changepoint",
-    "q128_seasonal_decompose",
+    "q128_seasonal_decompose", "q129_window_funnel",
+    "q130_ngram_novelty", "q131_embedding_margin", "q132_user_lifecycle",
     # Retained from the round-6 window (single round of full-hash
     # evidence so far; keep until doubly evidenced)
-    "q53_rollup", "q54_pivot", "q69_unpivot", "q62_time_resample",
     "q66_anomaly", "q86_feature_normalize", "q92_ewma",
     "q96_psi_drift", "q97_data_profile", "q100_scd2_history",
     "q101_incremental_rollup", "q102_heavy_hitters", "q103_corr_matrix",
