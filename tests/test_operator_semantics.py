@@ -2779,3 +2779,113 @@ def test_salted_join_shrinks_hot_key_partition_share(spark):
     # partition; salted must cut the worst partition by >= 4x
     assert plain_share > 0.9, plain_share
     assert salted_share < plain_share / 4, (plain_share, salted_share)
+
+
+def test_windowed_funnel_excludes_late_steps(spark):
+    """q129's per-hop time bound: a next step beyond the window must NOT
+    advance the match (and must not backtrack to a later anchor), while
+    the same sequence converts under q19's unbounded matcher."""
+    import datetime as dt
+
+    from trafficteach_spark.operators.sequences import (
+        FUNNEL_CHAIN,
+        _funnel_depth_expr,
+        _windowed_depth_expr,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def row(uid, eid, minutes, etype):
+        return (uid, eid, t0 + dt.timedelta(minutes=minutes), etype)
+
+    rows = [
+        # user 1: view -> click(+30m) -> purchase(+50m): full depth both ways
+        row(1, 1, 0, "view"), row(1, 2, 30, "click"), row(1, 3, 50, "purchase"),
+        # user 2: view -> click(+120m): in-window depth 1, unbounded depth 2
+        row(2, 4, 0, "view"), row(2, 5, 120, "click"),
+        # user 3: view -> click(+30m) -> purchase(+200m): windowed stops at 2
+        row(3, 6, 0, "view"), row(3, 7, 30, "click"), row(3, 8, 200, "purchase"),
+        # user 4: click before any view: depth 0 both ways
+        row(4, 9, 0, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string"
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["w"], r["u"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.expr(_windowed_depth_expr(FUNNEL_CHAIN, 60)).alias("w"),
+            F.expr(_funnel_depth_expr(FUNNEL_CHAIN)).alias("u"),
+        )
+        .collect()
+    }
+    assert got == {1: (3, 3), 2: (1, 2), 3: (2, 3), 4: (0, 0)}
+
+
+def test_mad_outliers_matches_numpy_reference(spark):
+    """q124 against an independent numpy implementation of the
+    median/MAD gate at sf0.001."""
+    import numpy as np
+    import pandas as pd
+
+    from trafficteach_spark.operators.analytics import (
+        _MAD_K,
+        q124_mad_outliers,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("event_type", "value").toPandas()
+    expect = {}
+    for t, g in pdf.groupby("event_type"):
+        v = g["value"].to_numpy()
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        n_out = int((np.abs(v - med) > _MAD_K * mad).sum())
+        expect[t] = (len(v), round(med, 6), round(mad, 6), n_out)
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["median_value"], r["mad"], r["n_outliers"]
+        )
+        for r in q124_mad_outliers(spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_user_lifecycle_matches_pandas_reference(spark):
+    """q132 against an independent pandas implementation of weekly
+    growth accounting at sf0.001."""
+    import pandas as pd
+
+    from trafficteach_spark.operators.analytics import q132_user_lifecycle
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("user_id", "ts").toPandas()
+    pdf["wk"] = pdf["ts"].dt.to_period("W-SUN").dt.start_time.dt.date
+    act = pdf[["user_id", "wk"]].drop_duplicates()
+    max_wk = act["wk"].max()
+    from collections import defaultdict
+
+    classes = defaultdict(lambda: [0, 0, 0, 0])  # new, ret, res, churn
+    for uid, g in act.groupby("user_id"):
+        wks = sorted(g["wk"])
+        for i, w in enumerate(wks):
+            if i == 0:
+                classes[w][0] += 1
+            elif (w - wks[i - 1]).days == 7:
+                classes[w][1] += 1
+            else:
+                classes[w][2] += 1
+            nxt = wks[i + 1] if i + 1 < len(wks) else None
+            churn_wk = w + pd.Timedelta(days=7).to_pytimedelta()
+            if (nxt is None or (nxt - w).days > 7) and churn_wk <= max_wk:
+                classes[churn_wk][3] += 1
+    got = {
+        r["wk"]: (r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"])
+        for r in q132_user_lifecycle(spark, sf).collect()
+    }
+    assert got == {w: tuple(c) for w, c in classes.items()}
