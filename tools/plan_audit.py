@@ -43,6 +43,14 @@ WHITELIST = {
         "corpus size; the data itself moves only through the subsequent "
         "hash join on block id",
     ),
+    "q132_user_lifecycle": (
+        ("conditioned-BNLJ",),
+        "the conditioned BNLJ is the churn horizon bound (wk + 7 <= "
+        "max_wk) against a broadcast ONE-ROW max-week frame — the nested "
+        "loop's inner side is a single row at any data size, so this is "
+        "the scalar-attach idiom with a residual predicate, not an "
+        "all-pairs join",
+    ),
     "q80_parity_digest": (
         ("conditioned-BNLJ",),
         "the digest UNIONS every demoted query's plan; since the round-6 "

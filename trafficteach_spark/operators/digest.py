@@ -104,6 +104,9 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     # earlier round), except q99/q53/q54/q69/q62 (r6 only) — the
     # singly-evidenced keys the 50-slot window could not retain after
     # promoting q112-q132.
+    "q66_anomaly": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("z", "double")],
+    "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
+    "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
     "q53_rollup": [("event_type", "string"), ("hr", "int"), ("gid", "bigint"), ("n", "bigint"), ("sum_value", "double")],
     "q54_pivot": [("hr", "int"), ("n_click", "bigint"), ("n_error", "bigint"), ("n_purchase", "bigint"), ("n_signup", "bigint"), ("n_view", "bigint")],
     "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],

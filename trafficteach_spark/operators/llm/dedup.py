@@ -987,14 +987,27 @@ def q125_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("sz"),
         F.expr(f"transform(toks, t -> {tok_hash})").alias("hs"),
     ).persist()
-    sig = hashed.select(
-        "doc_id",
-        F.array(
-            *[
-                F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MERSENNE}))")
-                for a, b in _EVAL_HASH_AB
+    # Signatures via the numpy matrix worker (the q31_minhash_lsh path:
+    # 64 interpreted HOF transforms measured ~4x slower at sf0.1) —
+    # identical integer math to the oracle's 64 list_min expressions
+    # (a < 2^30, h < 2^28 keeps a*h + b far inside int64).
+    def _eval_signatures(batches):
+        import numpy as np
+        import pandas as pd
+
+        a = np.array([ab[0] for ab in _EVAL_HASH_AB], dtype=np.int64)[:, None]
+        b = np.array([ab[1] for ab in _EVAL_HASH_AB], dtype=np.int64)[:, None]
+        for pdf in batches:
+            sigs = [
+                ((a * np.asarray(hs, dtype=np.int64)[None, :] + b) % _MERSENNE).min(
+                    axis=1
+                )
+                for hs in pdf["hs"]
             ]
-        ).alias("sig"),
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    sig = hashed.select("doc_id", "hs").mapInPandas(
+        _eval_signatures, schema="doc_id long, sig array<long>"
     )
     band_hashes = F.array(
         *[
@@ -1062,4 +1075,77 @@ def q125_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(safe_div("n_hits", "n_truth"), 6).alias("recall"),
             F.round(safe_div("n_hits", "n_cand"), 6).alias("precision"),
         )
+    )
+
+
+@register(
+    "q134_dedup_impact",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NEAR_DUP_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(doc_id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT edges.b, reach.lab
+        FROM reach JOIN edges ON edges.a = reach.doc_id
+    ),
+    clusters AS (
+        SELECT doc_id, MIN(lab) AS canonical_id,
+               CASE WHEN MIN(lab) = doc_id THEN 1 ELSE 0 END AS is_canonical
+        FROM reach GROUP BY doc_id
+    ),
+    sized AS (
+        SELECT d.source, c.is_canonical,
+               len(string_split(d.text, ' ')) AS n_tok
+        FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(is_canonical) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN is_canonical = 1 THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           ROUND(1.0 - SUM(CASE WHEN is_canonical = 1 THEN n_tok ELSE 0 END)
+                       / CAST(SUM(n_tok) AS DOUBLE), 6) AS pct_tokens_dropped
+    FROM sized
+    GROUP BY source
+    """,
+    tags=("llm", "X2", "reporting"),
+)
+def q134_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: what canonicalization costs/saves per
+    source — documents and tokens before vs after keeping one doc per
+    near-dup cluster. This is the accounting table a pipeline publishes
+    alongside a dedup run (the judge of whether a source is
+    boilerplate-ridden enough to renegotiate its ingestion), and the
+    per-source twin of q99's duplicate-rate view.
+
+    Plan: the once-materialized cluster frame (:func:`materialized_
+    clusters` — localCheckpoint'ed, shared with q46/q88/q91) joins the
+    documents table on doc_id (AQE broadcasts the smaller side), token
+    counts are a row-local expression, and ONE hash aggregate on the
+    low-cardinality source key finishes. Zero new heavy stages — the
+    report rides the chain's existing materialization, which is the
+    point: impact accounting must be free or nobody runs it.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    clusters = materialized_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    sized = docs.join(clusters, "doc_id")
+    kept_tok = F.sum(F.when(F.col("is_canonical") == 1, F.col("n_tok")).otherwise(0))
+    return sized.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_canonical").cast("long").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        kept_tok.cast("long").alias("tokens_kept"),
+        F.round(
+            F.lit(1.0) - kept_tok / F.sum("n_tok").cast("double"), 6
+        ).alias("pct_tokens_dropped"),
     )

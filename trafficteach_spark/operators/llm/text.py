@@ -914,3 +914,82 @@ def q126_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy("avg_logprob", "doc_id").limit(_BIGRAM_TOPK)
+
+
+_BOILERPLATE_TOPK = 20
+
+
+@register(
+    "q133_boilerplate_chunks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    fanout AS (
+        SELECT doc_id, source, w,
+               unnest(generate_series(0, (len(w) - 1) // {_CHUNK_TOKENS})) AS c
+        FROM tok
+    ),
+    chunks AS (
+        SELECT doc_id, source,
+               array_to_string(w[c * {_CHUNK_TOKENS} + 1 :
+                                 (c + 1) * {_CHUNK_TOKENS}], ' ') AS chunk_text
+        FROM fanout
+    )
+    SELECT md5(chunk_text) AS h,
+           chunk_text,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ,
+           COUNT(DISTINCT source) AS n_sources
+    FROM chunks
+    GROUP BY chunk_text
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, h
+    LIMIT {_BOILERPLATE_TOPK}
+    """,
+    tags=("llm", "X4", "dedup", "cleaning"),
+)
+def q133_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (the C4 cleaning stage q118 reports the
+    per-doc side of): the top {_BOILERPLATE_TOPK} chunks appearing in
+    the MOST DISTINCT documents, with occurrence and source-spread
+    counts — the offending paragraphs themselves (headers, footers,
+    cookie banners in a web corpus), which a cleaning pass turns into
+    a strip-list. q118 answers "which docs are boilerplate-heavy";
+    this answers "what IS the boilerplate".
+
+    Plan: q43's map-side chunk fan-out, ONE hash aggregate keyed on
+    the chunk text (count + two distincts in the same group — Spark
+    plans the multi-distinct expand without a second scan), then
+    TakeOrdered on (n_docs, md5). The chunk text rides the aggregation
+    key, so at 100 TB the state is one row per distinct chunk —
+    bounded by corpus vocabulary, and the HAVING >= 2 filter drops the
+    unique-chunk long tail before the top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunk_texts = F.expr(
+        f"transform(sequence(0, (size(w) - 1) div {_CHUNK_TOKENS}),"
+        f" c -> array_join(slice(w, c * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' '))"
+    )
+    chunks = docs.select(
+        "doc_id", "source", w.alias("w")
+    ).select("doc_id", "source", F.explode(chunk_texts).alias("chunk_text"))
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.md5("chunk_text").alias("h"),
+            "chunk_text",
+            "n_docs",
+            "n_occ",
+            "n_sources",
+        )
+        .orderBy(F.desc("n_docs"), "h")
+        .limit(_BOILERPLATE_TOPK)
+    )

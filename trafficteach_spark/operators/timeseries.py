@@ -1027,3 +1027,71 @@ def q128_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_count", 6).alias("avg_count"),
         F.round(F.col("avg_count") / F.col("avg_all"), 6).alias("seasonal_index"),
     )
+
+
+@register(
+    "q135_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, value, ts,
+               LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                   AS next_ts
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, value,
+               epoch_us(next_ts) - epoch_us(ts) AS gap_us
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_segments,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE) / 1000000.0, 6) AS span_sec,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * gap_us) AS DOUBLE)
+                 / CAST(SUM(gap_us) AS DOUBLE), 6) AS twa_value,
+           ROUND(AVG(value), 6) AS plain_avg
+    FROM seg
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "twap"),
+)
+def q135_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): per event type, each value holds
+    from its event until the next (step/LOCF semantics) and is weighted
+    by that duration — the correct mean for irregularly-sampled series,
+    where the plain row average over-weights bursty periods (reported
+    alongside for contrast). The financial/metrics-engine primitive
+    Spark lacks natively.
+
+    Plan: ONE window (lead over (event_type) ordered by ts) on the
+    fact scan, then one hash aggregate — the shuffle is the per-type
+    sort, which a 100 TB deployment makes free by partitioning the
+    table on (event_type, time bucket). Determinism: weights are exact
+    integer microseconds; the weighted sum runs in DECIMAL (exact,
+    order-free) and only the final division touches doubles — both
+    engines divide the same two exact operands, so the quotient is
+    bit-identical. The lead tie-break includes event_id for stable
+    ordering under equal timestamps.
+    """
+    from trafficteach_spark.functions.exprs import epoch_us_expr
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.withColumn("next_ts", F.lead("ts").over(w)).where(
+        F.col("next_ts").isNotNull()
+    )
+    gap_us = epoch_us_expr("next_ts") - epoch_us_expr("ts")
+    seg = seq.select("event_type", "value", gap_us.alias("gap_us"))
+    return seg.groupBy("event_type").agg(
+        F.count("*").alias("n_segments"),
+        F.round(F.sum("gap_us").cast("double") / 1_000_000.0, 6).alias("span_sec"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("gap_us")).cast(
+                "double"
+            )
+            / F.sum("gap_us").cast("double"),
+            6,
+        ).alias("twa_value"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )

@@ -105,9 +105,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q126_bigram_lm_logprob", "q127_changepoint",
     "q128_seasonal_decompose", "q129_window_funnel",
     "q130_ngram_novelty", "q131_embedding_margin", "q132_user_lifecycle",
+    "q133_boilerplate_chunks", "q134_dedup_impact",
+    "q135_time_weighted_avg",
     # Retained from the round-6 window (single round of full-hash
     # evidence so far; keep until doubly evidenced)
-    "q66_anomaly", "q86_feature_normalize", "q92_ewma",
     "q96_psi_drift", "q97_data_profile", "q100_scd2_history",
     "q101_incremental_rollup", "q102_heavy_hitters", "q103_corr_matrix",
     "q104_fk_audit", "q105_cohort_retention", "q106_session_concurrency",
