@@ -2889,3 +2889,109 @@ def test_user_lifecycle_matches_pandas_reference(spark):
         for r in q132_user_lifecycle(spark, sf).collect()
     }
     assert got == {w: tuple(c) for w, c in classes.items()}
+
+
+def test_cms_topk_matches_python_reference(spark):
+    """q137 against an independent pure-Python count-min sketch built
+    from the same md5-derived row hashes at sf0.001 — exact cell-level
+    agreement plus the CMS one-sided-error invariant (est >= freq)."""
+    from collections import Counter
+
+    from trafficteach_spark.operators.sketches import (
+        _CMS_D,
+        _CMS_TOPK,
+        _CMS_W,
+        q137_cms_topk,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    uids = [
+        r["user_id"]
+        for r in load_table(spark, sf, "events").select("user_id").collect()
+    ]
+    freq = Counter(uids)
+    sketch = [Counter() for _ in range(_CMS_D)]
+
+    def bucket(j, uid):
+        return int(hashlib.md5(f"{j}:{uid}".encode()).hexdigest()[:7], 16) % _CMS_W
+
+    for uid in uids:
+        for j in range(_CMS_D):
+            sketch[j][bucket(j, uid)] += 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_CMS_TOPK]
+    expect = {
+        uid: (f, min(sketch[j][bucket(j, uid)] for j in range(_CMS_D)))
+        for uid, f in top
+    }
+    got = {
+        r["user_id"]: (r["freq"], r["cms_est"])
+        for r in q137_cms_topk(spark, sf).collect()
+    }
+    assert got == expect
+    assert all(est >= f for f, est in got.values())
+
+
+def test_srm_check_matches_python_reference(spark):
+    """q138 against an independent chi-square computation from the raw
+    md5 variant hash at sf0.001 — and the statistic's sign convention
+    (srm flag fires iff chi2 exceeds the 3.841 critical value)."""
+    from trafficteach_spark.operators.sequences import (
+        _SRM_CHI2_CRIT,
+        q138_srm_check,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    users = {
+        r["user_id"]
+        for r in load_table(spark, sf, "events").select("user_id").distinct().collect()
+    }
+    n_a = sum(
+        1
+        for u in users
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2 == 0
+    )
+    n_b = len(users) - n_a
+    e = (n_a + n_b) / 2.0
+    chi2 = (n_a - e) ** 2 / e + (n_b - e) ** 2 / e
+    [row] = q138_srm_check(spark, sf).collect()
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["chi2"] == round(chi2, 6)
+    assert row["srm"] == (1 if chi2 > _SRM_CHI2_CRIT else 0)
+
+
+def test_knn_recall_eval_matches_python_reference(spark):
+    """q136 against recall computed in plain Python from the collected
+    outputs of the three registered KNN pipelines at sf0.001 — the eval
+    must report exactly the overlap of what the queries return."""
+    from trafficteach_spark.operators.llm.similarity import (
+        q32_knn_cosine,
+        q32_knn_ivf,
+        q32_knn_lsh,
+        q136_knn_recall_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def topk(fn):
+        out = {}
+        for r in fn(spark, sf).collect():
+            out.setdefault(r["qid"], set()).add(r["nid"])
+        return out
+
+    exact = topk(q32_knn_cosine)
+    expect = {}
+    for name, fn in (("lsh", q32_knn_lsh), ("ivf", q32_knn_ivf)):
+        approx = topk(fn)
+        recalls = [
+            len(nids & approx.get(q, set())) / len(nids)
+            for q, nids in exact.items()
+        ]
+        expect[name] = (len(exact), round(sum(recalls) / len(recalls), 6))
+    got = {
+        r["variant"]: (r["n_queries"], r["mean_recall"])
+        for r in q136_knn_recall_eval(spark, sf).collect()
+    }
+    assert got == expect
+    assert all(0.0 <= rec <= 1.0 for _, rec in got.values())

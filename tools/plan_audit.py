@@ -51,6 +51,13 @@ WHITELIST = {
         "the scalar-attach idiom with a residual predicate, not an "
         "all-pairs join",
     ),
+    "q136_knn_recall_eval": (
+        ("conditioned-BNLJ",),
+        "the recall eval composes the registered q32_knn_cosine plan as "
+        "its ground-truth arm, inheriting that query's whitelisted "
+        "brute-force BNLJ (the baseline contract); the eval itself adds "
+        "only (qid, nid) equi-joins on k-row-per-query frames",
+    ),
     "q80_parity_digest": (
         ("conditioned-BNLJ",),
         "the digest UNIONS every demoted query's plan; since the round-6 "

@@ -112,6 +112,10 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],
     "q62_time_resample": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("sum_value", "double")],
     "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
+    # Mid-round-7 demotions (r6-only, freed the slots for q136-q138)
+    "q56_vocab_topk": [("term", "string"), ("n", "bigint"), ("frac", "double"), ("vocab_rank", "int")],
+    "q59_label_centroids": [("label", "int"), ("n_vectors", "bigint"), ("centroid", "string")],
+    "q73_regex_extract": [("token", "string"), ("n", "bigint"), ("n_docs", "bigint")],
     "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
     "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
     "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],

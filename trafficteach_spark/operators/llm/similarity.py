@@ -799,3 +799,89 @@ def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "misassign_rate"
         ),
     )
+
+
+def _knn_recall_oracle() -> str:
+    """Compose the recall evaluation from the ALREADY-REGISTERED q32
+    oracles (the digest's peek_specs pattern): ground truth = the exact
+    brute-force top-k, candidates = each approximate variant's top-k;
+    recall@k per query = |approx ∩ exact| / |exact|. Reusing the oracle
+    TEXTS guarantees the eval judges exactly what the registered
+    queries compute — a drifting copy could silently grade a different
+    pipeline."""
+    from trafficteach_spark.registry import peek_specs
+
+    specs = peek_specs()
+    exact = specs["q32_knn_cosine"].oracle
+    variants = {
+        "lsh": specs["q32_knn_lsh"].oracle,
+        "ivf": specs["q32_knn_ivf"].oracle,
+    }
+    parts = []
+    for name, osql in variants.items():
+        parts.append(
+            f"""
+    SELECT '{name}' AS variant,
+           COUNT(*) AS n_queries,
+           ROUND(AVG(hit / CAST(k AS DOUBLE)), 6) AS mean_recall
+    FROM (
+        SELECT e.qid, COUNT(*) AS k, COUNT(a.nid) AS hit
+        FROM ({exact}) e
+        LEFT JOIN ({osql}) a ON a.qid = e.qid AND a.nid = e.nid
+        GROUP BY e.qid
+    )"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q136_knn_recall_eval",
+    oracle=_knn_recall_oracle(),
+    tags=("llm", "X3", "eval"),
+)
+def q136_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the two approximate KNN
+    variants (sign-LSH multiprobe, IVF) against the exact brute-force
+    top-k — q125's eval-harness discipline applied to the similarity
+    family. Production ANN tuning runs exactly this on a query sample
+    before committing an index geometry; here all three pipelines are
+    registered queries, so the eval composes their outputs (and its
+    oracle composes their ORACLE TEXTS — the reported recall is itself
+    oracle-checked, never trusted).
+
+    Plan: three existing query plans + one (qid, nid) equi-join per
+    variant on k-row-per-query frames + a 2-row rollup; the exact
+    arm's brute-force scan dominates and is already the sanctioned
+    baseline (whitelisted BNLJ). At 100 TB the exact arm runs on a
+    query SAMPLE (as here: qid < N_QUERIES) — ground truth over
+    everything is exactly what ANN exists to avoid.
+    """
+    exact = q32_knn_cosine(spark, sf_dir).select("qid", "nid")
+    out = []
+    for name, fn in (("lsh", q32_knn_lsh), ("ivf", q32_knn_ivf)):
+        approx = fn(spark, sf_dir).select(
+            "qid", F.col("nid").alias("a_nid")
+        )
+        per_q = (
+            exact.join(
+                approx,
+                (exact["qid"] == approx["qid"])
+                & (exact["nid"] == approx["a_nid"]),
+                "left",
+            )
+            .groupBy(exact["qid"])
+            .agg(
+                F.count("*").alias("k"),
+                F.count("a_nid").alias("hit"),
+            )
+        )
+        out.append(
+            per_q.agg(
+                F.lit(name).alias("variant"),
+                F.count("*").alias("n_queries"),
+                F.round(
+                    F.avg(F.col("hit") / F.col("k").cast("double")), 6
+                ).alias("mean_recall"),
+            ).select("variant", "n_queries", "mean_recall")
+        )
+    return out[0].unionByName(out[1])

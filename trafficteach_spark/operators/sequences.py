@@ -944,3 +944,64 @@ def q129_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ") AS (step, step_type, n_users, rate)"
         )
     )
+
+
+# SRM gate: chi-square critical value at alpha = 0.05, 1 degree of
+# freedom. A triggered check means the assignment mechanism is broken
+# and every downstream readout (q110) is invalid.
+_SRM_CHI2_CRIT = 3.841
+
+
+@register(
+    "q138_srm_check",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, {_AB_HASH_DUCK} AS v
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE v = 1) AS BIGINT) AS n_b
+        FROM u
+    )
+    SELECT n_a, n_b,
+           ROUND(POW(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                 + POW(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0), 6)
+               AS chi2,
+           CASE WHEN POW(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                     + POW(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                     > {_SRM_CHI2_CRIT}
+                THEN 1 ELSE 0 END AS srm
+    FROM g
+    """,
+    tags=("sequence", "experiment", "quality"),
+)
+def q138_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for q110's experiment: chi-square
+    goodness-of-fit of the observed variant split against the designed
+    50/50, flagged at the alpha = 0.05 critical value — the guardrail
+    every experimentation platform runs BEFORE reading lift, because a
+    skewed assignment invalidates the comparison no matter how
+    significant the lift looks.
+
+    Plan: the same single corpus-sized user aggregate as q110 (variant
+    per distinct user), then pure arithmetic on a 1-row frame. The
+    chi-square statistic is exact integer arithmetic until the final
+    division, so both engines agree bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.lit(1).alias("_one")).select(
+        F.expr(_AB_HASH_SPARK).alias("v")
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = F.pow(F.col("n_a") - e, 2) / e + F.pow(F.col("n_b") - e, 2) / e
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > _SRM_CHI2_CRIT, 1).otherwise(0).alias("srm"),
+    )

@@ -146,3 +146,112 @@ def misra_gries(df: DataFrame, key_col: str, k: int) -> DataFrame:
         .select("key", (F.col("cnt") - F.col("sub")).alias("estimate"))
         .where(F.col("estimate") > 0)
     )
+
+
+# Count-min geometry: _CMS_D independent md5-derived hash rows x _CMS_W
+# buckets. Estimates are biased HIGH (never low), by at most the
+# colliding mass; with the fixture's ~500 users over 64 buckets each row
+# folds ~8 keys per bucket, so overestimates are visible and the
+# invariant est >= freq is a real check, not a tautology.
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOPK = 10
+
+
+def _cms_bucket_duck(j: int) -> str:
+    from trafficteach_spark.functions.exprs import md5_prefix_int_duck
+
+    return (
+        md5_prefix_int_duck(f"'{j}:' || CAST(user_id AS VARCHAR)", 7)
+        + f" % {_CMS_W}"
+    )
+
+
+def _cms_bucket_spark(j: int) -> str:
+    from trafficteach_spark.functions.exprs import md5_prefix_int_spark
+
+    return (
+        md5_prefix_int_spark(f"concat('{j}:', CAST(user_id AS STRING))", 7)
+        + f" % {_CMS_W}"
+    )
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(
+        f"({j}, {_cms_bucket_duck(j)})" for j in range(_CMS_D)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT user_id, t.j AS j, t.b AS b
+        FROM events, LATERAL (VALUES {rows}) t(j, b)
+    ),
+    sketch AS (
+        SELECT j, b, COUNT(*) AS c FROM hashed GROUP BY j, b
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS freq FROM events GROUP BY user_id
+        ORDER BY freq DESC, user_id LIMIT {_CMS_TOPK}
+    ),
+    est AS (
+        SELECT e.user_id, e.freq, MIN(s.c) AS cms_est
+        FROM exact e, LATERAL (VALUES {rows.replace('user_id', 'e.user_id')}) t(j, b)
+        JOIN sketch s ON s.j = t.j AND s.b = t.b
+        GROUP BY e.user_id, e.freq
+    )
+    SELECT user_id, freq, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - freq AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY freq DESC, user_id
+    """
+
+
+@register("q137_cms_topk", oracle=_cms_oracle(), tags=("sketch", "frequency"))
+def q137_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch calibration: the {_CMS_D}x{_CMS_W} CMS built
+    over the event stream, queried at the exact top-{_CMS_TOPK} heavy
+    keys, reporting estimate vs truth and the (always >= 0)
+    overestimate — the second mergeable frequency sketch beside
+    Misra-Gries, in its standard production role (per-key point
+    estimates from bounded state) and evaluated the q125/q136 way:
+    against exact truth, cross-engine-reproducibly (md5-derived row
+    hashes, so DuckDB builds the IDENTICAL sketch).
+
+    Plan: the sketch is ONE hash aggregate over a {_CMS_D}-way row
+    explode ({_CMS_D * _CMS_W} cells of state — merge-friendly partial
+    aggregation IS the CMS merge rule); the probe side is the exact
+    top-k (one aggregate + TakeOrdered) fanned to its {_CMS_D} cells
+    and broadcast-joined against the tiny sketch. At 100 TB the sketch
+    cost is the scan plus a {_CMS_D}x row multiply collapsing map-side
+    to {_CMS_D * _CMS_W} cells.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.expr(_cms_bucket_spark(j)).alias("b")
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    hashed = ev.select(F.explode(cells).alias("c")).select("c.j", "c.b")
+    sketch = hashed.groupBy("j", "b").agg(F.count("*").alias("c"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "user_id")
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.select(
+        "user_id", "freq", F.explode(cells).alias("c")
+    ).select("user_id", "freq", "c.j", "c.b")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("user_id", "freq")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "freq",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("freq")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("freq"), "user_id")

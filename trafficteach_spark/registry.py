@@ -106,7 +106,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q128_seasonal_decompose", "q129_window_funnel",
     "q130_ngram_novelty", "q131_embedding_margin", "q132_user_lifecycle",
     "q133_boilerplate_chunks", "q134_dedup_impact",
-    "q135_time_weighted_avg",
+    "q135_time_weighted_avg", "q136_knn_recall_eval", "q137_cms_topk",
+    "q138_srm_check",
     # Retained from the round-6 window (single round of full-hash
     # evidence so far; keep until doubly evidenced)
     "q96_psi_drift", "q97_data_profile", "q100_scd2_history",
@@ -114,8 +115,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q104_fk_audit", "q105_cohort_retention", "q106_session_concurrency",
     "q107_rolling_active_users", "q108_time_to_convert",
     "q109_transition_matrix", "q110_ab_lift", "q111_fulfillment_lag",
-    "q56_vocab_topk", "q58_domain_mix", "q59_label_centroids",
-    "q73_regex_extract", "q81_hash_split", "q82_bpe_pairs",
+    "q58_domain_mix", "q81_hash_split", "q82_bpe_pairs",
     "q91_corpus_pipeline", "q93_unigram_logprob", "q94_token_entropy",
     "q95_zipf_slope", "q98_source_overlap",
     # Position 50: fingerprints of everything demoted below.
