@@ -2995,3 +2995,176 @@ def test_knn_recall_eval_matches_python_reference(spark):
     }
     assert got == expect
     assert all(0.0 <= rec <= 1.0 for _, rec in got.values())
+
+
+def test_ols_regression_matches_numpy_lstsq(spark):
+    """q139 against numpy's least-squares solver on the collected
+    sf0.001 lineitem — an entirely different algorithm (QR / SVD vs
+    closed-form Cramer on exact decimal moments), so agreement to 1e-5
+    is real evidence the normal-equations assembly is right."""
+    import numpy as np
+
+    from trafficteach_spark.operators.analytics import q139_ols_regression
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["l_quantity"], pdf["l_discount"]]
+    )
+    y = pdf["l_extendedprice"].to_numpy()
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    r2 = 1.0 - resid @ resid / ((y - y.mean()) @ (y - y.mean()))
+    [row] = q139_ols_regression(spark, sf).collect()
+    assert row["n"] == len(pdf)
+    assert abs(row["beta0"] - beta[0]) < 1e-4 * max(1.0, abs(beta[0]))
+    assert abs(row["beta1"] - beta[1]) < 1e-5 * max(1.0, abs(beta[1]))
+    assert abs(row["beta2"] - beta[2]) < 1e-5 * max(1.0, abs(beta[2]))
+    assert abs(row["r2"] - r2) < 1e-6
+
+
+def test_rfm_segmentation_matches_pandas_reference(spark):
+    """q140 against a pandas implementation of the explicit ceil-rank
+    quartile definition at sf0.001 — scores, segment sizes, and exact
+    spend sums must all agree."""
+    from collections import defaultdict
+
+    from trafficteach_spark.operators.analytics import (
+        _RFM_MONETARY_BIN,
+        q140_rfm_segmentation,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    pdf["day"] = pdf["o_orderdate"].dt.date
+    max_day = pdf["day"].max()
+    per = pdf.groupby("o_custkey").agg(
+        last=("day", "max"), freq=("day", "size"), mon=("o_totalprice", "sum")
+    )
+    per["recency"] = [(max_day - d).days for d in per["last"]]
+    per["m_bin"] = (per["mon"] / _RFM_MONETARY_BIN).apply(
+        lambda v: int(v // 1)
+    )
+
+    def quartiles(vals):
+        s = sorted(vals)
+        n = len(s)
+        return [s[-(-k * n // 4) - 1] for k in (1, 2, 3)]
+
+    def score(v, qs):
+        return 1 + sum(v > q for q in qs)
+
+    rq = quartiles(per["recency"])
+    fq = quartiles(per["freq"])
+    mq = quartiles(per["m_bin"])
+    seg = defaultdict(lambda: [0, 0.0])
+    for _, r in per.iterrows():
+        k = (score(r["recency"], rq), score(r["freq"], fq), score(r["m_bin"], mq))
+        seg[k][0] += 1
+        seg[k][1] += r["mon"]
+    got = {
+        (r["r_q"], r["f_q"], r["m_q"]): (r["n_customers"], r["sum_monetary"])
+        for r in q140_rfm_segmentation(spark, sf).collect()
+    }
+    assert set(got) == set(seg)
+    for k, (n, tot) in seg.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - tot) < 1e-6 * max(1.0, abs(tot))
+
+
+def test_association_rules_matches_pandas_reference(spark):
+    """q141 against a brute-force basket enumeration at sf0.001 —
+    directed pair counts, confidence, and lift."""
+    from collections import Counter
+
+    from trafficteach_spark.operators.analytics import (
+        _RULE_MIN_SUPPORT,
+        q141_association_rules,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    part = (
+        load_table(spark, sf, "part").select("p_partkey", "p_brand").toPandas()
+    )
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    baskets = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(ok, set()).add(brand[pk])
+    n_baskets = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for bs in baskets.values():
+        for a in bs:
+            item[a] += 1
+            for c in bs:
+                if a != c:
+                    pair[(a, c)] += 1
+    expect = {
+        (a, c): (
+            n,
+            round(n / n_baskets, 6),
+            round(n / item[a], 6),
+            round(n * n_baskets / (item[a] * item[c]), 6),
+        )
+        for (a, c), n in pair.items()
+        if n / n_baskets >= _RULE_MIN_SUPPORT
+    }
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_pair"],
+            r["support"],
+            r["confidence"],
+            r["lift"],
+        )
+        for r in q141_association_rules(spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_autocorrelation_matches_numpy_reference(spark):
+    """q142 against numpy's corrcoef on the pandas-built daily revenue
+    series at sf0.001 — a different accumulation order and algorithm,
+    so 1e-6 agreement validates the co-moment assembly."""
+    import numpy as np
+
+    from trafficteach_spark.operators.timeseries import (
+        _ACF_MAX_LAG,
+        q142_autocorrelation,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    pdf["day"] = pdf["o_orderdate"].dt.date
+    daily = (
+        pdf.groupby("day")["o_totalprice"].sum().sort_index().to_numpy()
+    )
+    got = {
+        r["lag"]: (r["n"], r["acf"])
+        for r in q142_autocorrelation(spark, sf).collect()
+    }
+    assert set(got) == set(range(1, _ACF_MAX_LAG + 1))
+    for k in range(1, _ACF_MAX_LAG + 1):
+        x, y = daily[k:], daily[:-k]
+        assert got[k][0] == len(x)
+        assert abs(got[k][1] - np.corrcoef(x, y)[0, 1]) < 1e-6

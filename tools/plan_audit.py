@@ -30,6 +30,14 @@ from trafficteach_spark.session import get_spark  # noqa: E402
 # suppressed — a whitelisted query regressing into a DIFFERENT
 # anti-pattern (e.g. row-Python) is still a violation.
 WHITELIST = {
+    "q141_association_rules": (
+        ("conditioned-BNLJ",),
+        "the support-threshold filter references both the rule frame and "
+        "the 1-ROW basket-total frame, so Catalyst fuses it into the "
+        "broadcast attach as a conditioned BNLJ — identical cost to the "
+        "sanctioned cross-attach + filter it replaces (build side is one "
+        "row; any constant equi-key written to avoid it is folded away)",
+    ),
     "q32_knn_cosine": (
         ("conditioned-BNLJ",),
         "BroadcastNestedLoopJoin of the K query vectors against the corpus "

@@ -1940,3 +1940,351 @@ def q132_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cls("resurrected").alias("n_resurrected"),
         n_cls("churned").alias("n_churned"),
     )
+
+
+# OLS design: y = l_extendedprice regressed on x1 = l_quantity,
+# x2 = l_discount. All three are 2-decimal measures, so every raw
+# moment (sums of x, x^2, x*y, ...) is computed EXACTLY in DECIMAL —
+# decimal(14,2) operands keep every product within precision 38 with
+# no scale truncation — and only the closed-form solve (Cramer on the
+# centered 2x2 normal equations) runs in doubles, written as the SAME
+# expression tree in both engines so the IEEE operations match
+# bit-for-bit.
+_OLS_X1, _OLS_X2, _OLS_Y = "l_quantity", "l_discount", "l_extendedprice"
+
+_OLS_SOLVE_SQL = """
+    SELECT n,
+           ROUND((sy - (sxx2 * sx1y - sx1x2 * sx2y) / (sxx1 * sxx2 - sx1x2 * sx1x2) * sx1
+                     - (sxx1 * sx2y - sx1x2 * sx1y) / (sxx1 * sxx2 - sx1x2 * sx1x2) * sx2) / n,
+                 6) AS beta0,
+           ROUND((sxx2 * sx1y - sx1x2 * sx2y) / (sxx1 * sxx2 - sx1x2 * sx1x2), 6) AS beta1,
+           ROUND((sxx1 * sx2y - sx1x2 * sx1y) / (sxx1 * sxx2 - sx1x2 * sx1x2), 6) AS beta2,
+           ROUND(((sxx2 * sx1y - sx1x2 * sx2y) / (sxx1 * sxx2 - sx1x2 * sx1x2) * sx1y
+                  + (sxx1 * sx2y - sx1x2 * sx1y) / (sxx1 * sxx2 - sx1x2 * sx1x2) * sx2y)
+                 / syy, 6) AS r2
+    FROM centered
+"""
+
+
+@register(
+    "q139_ols_regression",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST({_OLS_X1} AS DECIMAL(14,2))) AS DOUBLE) AS sx1,
+               CAST(SUM(CAST({_OLS_X2} AS DECIMAL(14,2))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST({_OLS_Y} AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST({_OLS_X1} AS DECIMAL(14,2)) * CAST({_OLS_X1} AS DECIMAL(14,2))) AS DOUBLE) AS sx1x1,
+               CAST(SUM(CAST({_OLS_X2} AS DECIMAL(14,2)) * CAST({_OLS_X2} AS DECIMAL(14,2))) AS DOUBLE) AS sx2x2,
+               CAST(SUM(CAST({_OLS_X1} AS DECIMAL(14,2)) * CAST({_OLS_X2} AS DECIMAL(14,2))) AS DOUBLE) AS sx1x2,
+               CAST(SUM(CAST({_OLS_X1} AS DECIMAL(14,2)) * CAST({_OLS_Y} AS DECIMAL(14,2))) AS DOUBLE) AS sx1y,
+               CAST(SUM(CAST({_OLS_X2} AS DECIMAL(14,2)) * CAST({_OLS_Y} AS DECIMAL(14,2))) AS DOUBLE) AS sx2y,
+               CAST(SUM(CAST({_OLS_Y} AS DECIMAL(14,2)) * CAST({_OLS_Y} AS DECIMAL(14,2))) AS DOUBLE) AS syy_raw
+        FROM lineitem
+    ),
+    centered AS (
+        SELECT CAST(n AS BIGINT) AS n, sx1, sx2, sy,
+               sx1x1 - sx1 * sx1 / n AS sxx1,
+               sx2x2 - sx2 * sx2 / n AS sxx2,
+               sx1x2 - sx1 * sx2 / n AS sx1x2,
+               sx1y - sx1 * sy / n AS sx1y,
+               sx2y - sx2 * sy / n AS sx2y,
+               syy_raw - sy * sy / n AS syy
+        FROM m
+    )
+    {_OLS_SOLVE_SQL}
+    """,
+    tags=("analytics", "regression", "ml"),
+)
+def q139_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature OLS: extendedprice regressed on quantity
+    and discount via the normal equations — the distributed "fit a
+    linear model without an ML library" primitive (price-per-unit and
+    discount elasticity in one pass), plus in-sample R^2.
+
+    Plan: ONE hash aggregate computes all nine raw moments in a single
+    partial/final pass over the fact scan (the q103 co-moment shape —
+    map-side combine collapses everything before the 1-row exchange);
+    the 2x2 centered system is solved by Cramer's rule on the 1-row
+    frame, driver-free. Determinism: the measures are 2-decimal, so
+    every raw moment is summed EXACTLY in DECIMAL (order-free,
+    engine-free) and cast once to double; the solve is the identical
+    IEEE expression tree in both engines, so ROUND(6) agrees
+    bit-for-bit. At 100 TB this is a scan plus a 9-state aggregate —
+    the cheapest query shape there is.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col(_OLS_X1).cast("decimal(14,2)").alias("x1"),
+        F.col(_OLS_X2).cast("decimal(14,2)").alias("x2"),
+        F.col(_OLS_Y).cast("decimal(14,2)").alias("y"),
+    )
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy_raw"),
+    )
+    centered = m.select(
+        F.col("n").cast("long").alias("n"),
+        "sx1",
+        "sx2",
+        "sy",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / F.col("n")).alias("sxx1"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / F.col("n")).alias("sxx2"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / F.col("n")).alias("sx1x2"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / F.col("n")).alias("sx1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / F.col("n")).alias("sx2y"),
+        (F.col("syy_raw") - F.col("sy") * F.col("sy") / F.col("n")).alias("syy"),
+    )
+    det = F.col("sxx1") * F.col("sxx2") - F.col("sx1x2") * F.col("sx1x2")
+    b1 = (F.col("sxx2") * F.col("sx1y") - F.col("sx1x2") * F.col("sx2y")) / det
+    b2 = (F.col("sxx1") * F.col("sx2y") - F.col("sx1x2") * F.col("sx1y")) / det
+    b0 = (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) / F.col("n")
+    r2 = (b1 * F.col("sx1y") + b2 * F.col("sx2y")) / F.col("syy")
+    return centered.select(
+        "n",
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+# RFM scoring: monetary is near-continuous, so it is binned to 1000-
+# currency-unit buckets BEFORE the quartile machinery — that bounds the
+# distinct-value frame the cumulative scan runs over (recency and
+# frequency are small integers already). Quartile thresholds are the
+# explicit "smallest value whose cumulative count reaches ceil(k*n/4)"
+# definition, written identically in both engines — no reliance on
+# either engine's percentile_disc tie conventions.
+_RFM_MONETARY_BIN = 1000
+
+
+def _rfm_metric_cte(metric: str) -> str:
+    """DuckDB CTE body: quartile thresholds of ``metric`` over rfm."""
+    return f"""
+        SELECT MIN(CASE WHEN cum >= (n_tot + 3) // 4 THEN v END) AS q1,
+               MIN(CASE WHEN cum >= (2 * n_tot + 3) // 4 THEN v END) AS q2,
+               MIN(CASE WHEN cum >= (3 * n_tot + 3) // 4 THEN v END) AS q3
+        FROM (
+            SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                   SUM(cnt) OVER () AS n_tot
+            FROM (SELECT {metric} AS v, COUNT(*) AS cnt FROM rfm GROUP BY 1)
+        )
+    """
+
+
+@register(
+    "q140_rfm_segmentation",
+    oracle=f"""
+    WITH horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                        (SELECT max_day FROM horizon)) AS recency,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS m_exact,
+               CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,6))) / {_RFM_MONETARY_BIN}) AS BIGINT) AS m_bin
+        FROM orders GROUP BY o_custkey
+    ),
+    rq AS ({_rfm_metric_cte("recency")}),
+    fq AS ({_rfm_metric_cte("frequency")}),
+    mq AS ({_rfm_metric_cte("m_bin")})
+    SELECT CAST(1 + (recency > rq.q1)::INT + (recency > rq.q2)::INT
+                  + (recency > rq.q3)::INT AS INT) AS r_q,
+           CAST(1 + (frequency > fq.q1)::INT + (frequency > fq.q2)::INT
+                  + (frequency > fq.q3)::INT AS INT) AS f_q,
+           CAST(1 + (m_bin > mq.q1)::INT + (m_bin > mq.q2)::INT
+                  + (m_bin > mq.q3)::INT AS INT) AS m_q,
+           COUNT(*) AS n_customers,
+           CAST(SUM(m_exact) AS DOUBLE) AS sum_monetary
+    FROM rfm, rq, fq, mq
+    GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "segmentation"),
+)
+def q140_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into quartiles of
+    recency (days since last order, against the corpus horizon),
+    frequency (order count) and monetary (lifetime spend, binned to
+    {_RFM_MONETARY_BIN}-unit buckets for the quartile cut), then the
+    4x4x4 segment grid reported with sizes and total spend (exact
+    decimal sum — an average would divide a 6-dp-exact decimal by a
+    count and land on round-half ties the two engines break
+    differently) — the classic marketing-segmentation rollup.
+
+    Plan: one hash aggregate to the per-customer frame (the only
+    full-data shuffle). Quartile thresholds are NOT a global sort of
+    that frame: each metric collapses to its distinct-VALUE frequency
+    table first (recency/frequency are small integers; monetary is
+    binned), the cumulative count runs over that bounded frame, and
+    the three 1-row threshold frames broadcast back — the explicit
+    ceil-rank definition, so both engines cut identically with no
+    percentile_disc tie-convention risk. At 100 TB: scan + per-key agg
+    + three tiny-frame windows + broadcast joins.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+    )
+    horizon = orders.agg(F.max("day").alias("max_day"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum("price").alias("m_exact"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("max_day", "last_day").cast("long").alias("recency"),
+            "frequency",
+            "m_exact",
+            F.floor(F.col("m_exact") / _RFM_MONETARY_BIN).cast("long").alias("m_bin"),
+        )
+    )
+
+    def thresholds(metric: str) -> DataFrame:
+        vals = rfm.groupBy(F.col(metric).alias("v")).agg(F.count("*").alias("cnt"))
+        w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vals.select(
+            "v",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n_tot"),
+        )
+        return cum.agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n_tot + 3) div 4"), F.col("v"))).alias(f"{metric}_q1"),
+            F.min(F.when(F.col("cum") >= F.expr("(2 * n_tot + 3) div 4"), F.col("v"))).alias(f"{metric}_q2"),
+            F.min(F.when(F.col("cum") >= F.expr("(3 * n_tot + 3) div 4"), F.col("v"))).alias(f"{metric}_q3"),
+        )
+
+    scored = (
+        rfm.crossJoin(F.broadcast(thresholds("recency")))
+        .crossJoin(F.broadcast(thresholds("frequency")))
+        .crossJoin(F.broadcast(thresholds("m_bin")))
+    )
+
+    def score(metric: str) -> F.Column:
+        return (
+            F.lit(1)
+            + (F.col(metric) > F.col(f"{metric}_q1")).cast("int")
+            + (F.col(metric) > F.col(f"{metric}_q2")).cast("int")
+            + (F.col(metric) > F.col(f"{metric}_q3")).cast("int")
+        ).cast("int")
+
+    return scored.groupBy(
+        score("recency").alias("r_q"),
+        score("frequency").alias("f_q"),
+        score("m_bin").alias("m_q"),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("m_exact").cast("double").alias("sum_monetary"),
+    )
+
+
+# Association-rule mining: brand-level baskets (25 brands -> at most
+# 300 unordered / 600 directed pairs, a constant-size output at any
+# scale). Support threshold is a fraction of total baskets so the
+# mining is scale-invariant.
+_RULE_MIN_SUPPORT = 0.001
+
+
+@register(
+    "q141_association_rules",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+    item AS (SELECT brand, COUNT(*) AS n_item FROM b GROUP BY brand),
+    pair AS (
+        SELECT a.brand AS antecedent, c.brand AS consequent,
+               COUNT(*) AS n_pair
+        FROM b a JOIN b c ON a.ok = c.ok AND a.brand <> c.brand
+        GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent, n_pair,
+           ROUND(CAST(n_pair AS DOUBLE) / n_baskets, 6) AS support,
+           ROUND(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+           ROUND(CAST(n_pair AS DOUBLE) * n_baskets
+                 / (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift
+    FROM pair
+    JOIN item ia ON pair.antecedent = ia.brand
+    JOIN item ic ON pair.consequent = ic.brand
+    CROSS JOIN n
+    WHERE CAST(n_pair AS DOUBLE) / n_baskets >= {_RULE_MIN_SUPPORT}
+    """,
+    tags=("analytics", "basket", "ml"),
+)
+def q141_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets at brand granularity:
+    every directed rule (brand A -> brand B) with support above
+    {_RULE_MIN_SUPPORT}, reporting support, confidence
+    (P(B|A)) and lift (confidence / P(B)) — the co-purchase signal
+    behind recommendation and cross-sell analytics (Apriori's 2-itemset
+    pass, the step that dominates its cost).
+
+    Plan: lineitem joins part on the equi-key to brand-tag each item
+    (shuffle equi-join; at 100 TB part co-partitions with lineitem on
+    partkey via bucketing), collapses to DISTINCT (order, brand) — a
+    basket frame with <= 25 rows per order — then self-joins on the
+    order key to count directed pairs. The self-join is an equi-join on
+    the basket key with bounded per-key fan-out (25 brands max per
+    basket => <= 600 pair rows per order), so the pair frame is a
+    constant multiple of the basket frame, never quadratic in data
+    size. Item counts and the basket total broadcast back onto the
+    <= 600-row rule frame. Counts are exact integers; each metric does
+    one double division, identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n = b.agg(F.countDistinct("ok").alias("n_baskets"))
+    item = b.groupBy("brand").agg(F.count("*").alias("n_item"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.brand") != F.col("c.brand")))
+        .groupBy(
+            F.col("a.brand").alias("antecedent"),
+            F.col("c.brand").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ia = item.select(F.col("brand").alias("antecedent"), F.col("n_item").alias("n_ant"))
+    ic = item.select(F.col("brand").alias("consequent"), F.col("n_item").alias("n_con"))
+    # The 1-row basket total attaches via a literal equi-key (not a bare
+    # crossJoin): the support threshold references both sides, and a
+    # predicate pushed into a condition-free broadcast would re-plan it
+    # as a conditioned nested-loop — the key keeps it a hash join.
+    return (
+        pair.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .withColumn("_k", F.col("n_pair") * 0)
+        .join(F.broadcast(n.withColumn("_k", F.col("n_baskets") * 0)), "_k")
+        .where(F.col("n_pair").cast("double") / F.col("n_baskets") >= _RULE_MIN_SUPPORT)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_ant"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_baskets")
+                / (F.col("n_ant").cast("double") * F.col("n_con")),
+                6,
+            ).alias("lift"),
+        )
+    )

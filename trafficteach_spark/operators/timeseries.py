@@ -1095,3 +1095,91 @@ def q135_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         F.round(F.avg("value"), 6).alias("plain_avg"),
     )
+
+
+# ACF horizon: two weeks of daily lags — enough to expose the weekly
+# cycle q128 decomposes, still a constant-width aggregate.
+_ACF_MAX_LAG = 14
+
+
+def _acf_oracle() -> str:
+    per_lag = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        per_lag.append(f"""
+    SELECT {k} AS lag, COUNT(*) AS n,
+           ROUND((CAST(SUM(x * y) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                 / SQRT((CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                        * (CAST(SUM(y * y) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))),
+                 6) AS acf
+    FROM (
+        SELECT rev AS x,
+               LAG(rev, {k}) OVER (ORDER BY day) AS y
+        FROM daily
+    ) WHERE y IS NOT NULL""")
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1
+    )
+    {" UNION ALL ".join(per_lag)}
+    """
+
+
+@register("q142_autocorrelation", oracle=_acf_oracle(), tags=("timeseries", "acf"))
+def q142_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily order revenue at lags
+    1..{_ACF_MAX_LAG}: Pearson correlation between the series and its
+    k-day-shifted self — the diagnostic that tells a forecasting
+    pipeline which seasonal terms (q128) and AR orders matter.
+
+    Plan: ONE full-data hash aggregate collapses orders to the daily
+    revenue series (a few-thousand-row frame at any scale); all
+    {_ACF_MAX_LAG} lag columns materialize in one window pass over that
+    tiny frame (single ordered partition — fine BECAUSE it is
+    date-cardinality, the q127/q128 rollup-shrink-then-window shape);
+    one aggregate computes all per-lag co-moments. Determinism: daily
+    revenue is an exact DECIMAL(18,2); every co-moment sum is a decimal
+    product summed exactly (decimal(18,2)^2 -> precision 37, no scale
+    truncation), so both engines assemble each correlation from
+    bit-identical doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    daily = orders.groupBy("day").agg(
+        F.sum("price").cast("decimal(18,2)").alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("rev").alias("x"),
+        *[F.lag("rev", k).over(w).alias(f"y{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    aggs = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        y = F.col(f"y{k}")
+        pair_x = F.when(y.isNotNull(), F.col("x"))
+        aggs += [
+            F.count(y).alias(f"n_{k}"),
+            F.sum(pair_x).cast("double").alias(f"sx_{k}"),
+            F.sum(y).cast("double").alias(f"sy_{k}"),
+            F.sum(pair_x * y).cast("double").alias(f"sxy_{k}"),
+            F.sum(pair_x * pair_x).cast("double").alias(f"sxx_{k}"),
+            F.sum(y * y).cast("double").alias(f"syy_{k}"),
+        ]
+    row = lagged.agg(*aggs)
+    entries = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        n = F.col(f"n_{k}").cast("double")
+        cxy = F.col(f"sxy_{k}") - F.col(f"sx_{k}") * F.col(f"sy_{k}") / n
+        cxx = F.col(f"sxx_{k}") - F.col(f"sx_{k}") * F.col(f"sx_{k}") / n
+        cyy = F.col(f"syy_{k}") - F.col(f"sy_{k}") * F.col(f"sy_{k}") / n
+        entries.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"n_{k}").alias("n"),
+                F.round(cxy / F.sqrt(cxx * cyy), 6).alias("acf"),
+            )
+        )
+    return row.select(F.inline(F.array(*entries)))

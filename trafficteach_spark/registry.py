@@ -107,7 +107,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q130_ngram_novelty", "q131_embedding_margin", "q132_user_lifecycle",
     "q133_boilerplate_chunks", "q134_dedup_impact",
     "q135_time_weighted_avg", "q136_knn_recall_eval", "q137_cms_topk",
-    "q138_srm_check",
+    "q138_srm_check", "q139_ols_regression", "q140_rfm_segmentation",
+    "q141_association_rules", "q142_autocorrelation",
     # Retained from the round-6 window (single round of full-hash
     # evidence so far; keep until doubly evidenced)
     "q96_psi_drift", "q97_data_profile", "q100_scd2_history",
@@ -116,8 +117,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q107_rolling_active_users", "q108_time_to_convert",
     "q109_transition_matrix", "q110_ab_lift", "q111_fulfillment_lag",
     "q58_domain_mix", "q81_hash_split", "q82_bpe_pairs",
-    "q91_corpus_pipeline", "q93_unigram_logprob", "q94_token_entropy",
-    "q95_zipf_slope", "q98_source_overlap",
+    "q91_corpus_pipeline",
+    # (q93/q94/q95/q98 demoted to the digest mid-round-7 to make room
+    # for q139-q142: each holds r6 full-hash driver evidence + digest +
+    # local parity, while new keys land with zero driver evidence.)
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )
