@@ -2288,3 +2288,82 @@ def q141_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# Benford expected first-digit shares: log10(1 + 1/d), materialized as
+# full-precision literals so both engines compare against the IDENTICAL
+# constants (neither engine's log10 is invoked at query time).
+_BENFORD_EXPECTED = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def _benford_exp_sql(col: str) -> str:
+    pairs = " ".join(
+        f"WHEN {d} THEN {v!r}" for d, v in _BENFORD_EXPECTED.items()
+    )
+    return f"CASE {col} {pairs} END"
+
+
+@register(
+    "q143_benford_check",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    g AS (
+        SELECT digit, COUNT(*) AS n, CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_tot
+        FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(n / CAST(n_tot AS DOUBLE), 6) AS obs_share,
+           ROUND({_benford_exp_sql("digit")}, 6) AS exp_share,
+           ROUND(n / CAST(n_tot AS DOUBLE) - {_benford_exp_sql("digit")}, 6)
+               AS deviation
+    FROM g
+    """,
+    tags=("analytics", "quality", "profiling"),
+)
+def q143_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts: observed vs
+    expected log10(1 + 1/d) share per leading digit — the classic
+    fabricated-numbers screen an ingestion pipeline runs over monetary
+    and count columns (synthetic uniform-ish fixtures deviate wildly;
+    organic multiplicative data hugs the curve — the DEVIATION is the
+    signal either way).
+
+    Plan: one map-side-collapsed hash aggregate to <= 9 digit rows;
+    totals via a window over that frame. Digit extraction goes through
+    the DECIMAL(18,2) STRING form — both engines print a decimal's
+    digits identically, where floor(x / 10^floor(log10 x)) would hang
+    the digit on each engine's log rounding at exact powers of ten.
+    Expected shares are shared full-precision literals.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = orders.groupBy("digit").agg(F.count("*").alias("n"))
+    g = g.select(
+        "digit", "n", F.sum("n").over(Window.partitionBy()).alias("n_tot")
+    )
+    exp = F.element_at(
+        F.create_map(
+            *[F.lit(x) for dv in _BENFORD_EXPECTED.items() for x in dv]
+        ),
+        F.col("digit"),
+    )
+    obs = F.col("n") / F.col("n_tot").cast("double")
+    return g.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp, 6).alias("exp_share"),
+        F.round(obs - exp, 6).alias("deviation"),
+    )

@@ -1005,3 +1005,112 @@ def q138_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         F.when(chi2 > _SRM_CHI2_CRIT, 1).otherwise(0).alias("srm"),
     )
+
+
+# CUPED pre-period boundary: the experiment "starts" mid-fixture; value
+# mass before this instant is the pre-exposure covariate, mass from it
+# on is the outcome metric.
+_CUPED_SPLIT = "2024-01-15 00:00:00"
+
+
+@register(
+    "q144_cuped_lift",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, {_AB_HASH_DUCK} AS v,
+               SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS pre,
+               SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE v = 1) AS BIGINT) AS n_b,
+               CAST(SUM(pre) AS DOUBLE) AS s_pre,
+               CAST(SUM(post) AS DOUBLE) AS s_post,
+               CAST(SUM(pre * pre) AS DOUBLE) AS s_prepre,
+               CAST(SUM(pre * post) AS DOUBLE) AS s_prepost,
+               CAST(SUM(post * post) AS DOUBLE) AS s_postpost,
+               CAST(SUM(pre) FILTER (WHERE v = 0) AS DOUBLE) AS s_pre_a,
+               CAST(SUM(pre) FILTER (WHERE v = 1) AS DOUBLE) AS s_pre_b,
+               CAST(SUM(post) FILTER (WHERE v = 0) AS DOUBLE) AS s_post_a,
+               CAST(SUM(post) FILTER (WHERE v = 1) AS DOUBLE) AS s_post_b
+        FROM u
+    )
+    SELECT n_a, n_b,
+           ROUND((s_prepost - s_pre * s_post / n)
+                 / (s_prepre - s_pre * s_pre / n), 6) AS theta,
+           ROUND(s_post_b / n_b - s_post_a / n_a, 6) AS lift_raw,
+           ROUND((s_post_b / n_b - ((s_prepost - s_pre * s_post / n) / (s_prepre - s_pre * s_pre / n)) * (s_pre_b / n_b - s_pre / n))
+                 - (s_post_a / n_a - ((s_prepost - s_pre * s_post / n) / (s_prepre - s_pre * s_pre / n)) * (s_pre_a / n_a - s_pre / n)),
+                 6) AS lift_cuped,
+           ROUND(POW(s_prepost - s_pre * s_post / n, 2)
+                 / ((s_prepre - s_pre * s_pre / n)
+                    * (s_postpost - s_post * s_post / n)), 6) AS var_reduction
+    FROM m
+    """,
+    tags=("sequence", "experiment"),
+)
+def q144_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: each user's
+    pre-exposure value mass (before {_CUPED_SPLIT}) is the control
+    covariate; theta = cov(pre, post) / var(pre) regresses it out of
+    the post-period metric, and the variant lift is re-read on the
+    adjusted metric. Reports theta, raw vs adjusted lift, and the
+    variance-reduction fraction (= corr(pre, post)^2 — how much
+    narrower the confidence interval gets). The standard trick for
+    making q110-style readouts significant sooner.
+
+    Plan: ONE corpus-sized user_id aggregate building (variant, pre,
+    post) per user, then ONE 12-state aggregate over the user frame
+    (pooled + per-variant sums ride the same pass); everything after is
+    1-row arithmetic. Determinism: per-user pre/post are exact
+    DECIMAL(18,6) sums; products stay within DECIMAL(38,12), so every
+    co-moment is exact until one cast to double, and the identical IEEE
+    expression tree runs in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")
+    val = F.col("value").cast("decimal(18,6)")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, val).otherwise(F.lit(0))).alias("pre"),
+        F.sum(F.when(F.col("ts") >= split, val).otherwise(F.lit(0))).alias("post"),
+    ).select(F.expr(_AB_HASH_SPARK).alias("v"), "pre", "post")
+    m = u.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum("pre").cast("double").alias("s_pre"),
+        F.sum("post").cast("double").alias("s_post"),
+        F.sum(F.col("pre") * F.col("pre")).cast("double").alias("s_prepre"),
+        F.sum(F.col("pre") * F.col("post")).cast("double").alias("s_prepost"),
+        F.sum(F.col("post") * F.col("post")).cast("double").alias("s_postpost"),
+        F.sum(F.when(F.col("v") == 0, F.col("pre"))).cast("double").alias("s_pre_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("pre"))).cast("double").alias("s_pre_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("post"))).cast("double").alias("s_post_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("post"))).cast("double").alias("s_post_b"),
+    )
+    n = F.col("n")
+    cov = F.col("s_prepost") - F.col("s_pre") * F.col("s_post") / n
+    var_pre = F.col("s_prepre") - F.col("s_pre") * F.col("s_pre") / n
+    var_post = F.col("s_postpost") - F.col("s_post") * F.col("s_post") / n
+    theta = cov / var_pre
+    mean_pre = F.col("s_pre") / n
+    adj_b = F.col("s_post_b") / F.col("n_b") - theta * (
+        F.col("s_pre_b") / F.col("n_b") - mean_pre
+    )
+    adj_a = F.col("s_post_a") / F.col("n_a") - theta * (
+        F.col("s_pre_a") / F.col("n_a") - mean_pre
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(
+            F.col("s_post_b") / F.col("n_b") - F.col("s_post_a") / F.col("n_a"), 6
+        ).alias("lift_raw"),
+        F.round(adj_b - adj_a, 6).alias("lift_cuped"),
+        F.round(F.pow(cov, 2) / (var_pre * var_post), 6).alias("var_reduction"),
+    )
