@@ -3168,3 +3168,34 @@ def test_autocorrelation_matches_numpy_reference(spark):
         x, y = daily[k:], daily[:-k]
         assert got[k][0] == len(x)
         assert abs(got[k][1] - np.corrcoef(x, y)[0, 1]) < 1e-6
+
+
+def test_autocorrelation_degenerate_short_constant_series(spark, tmp_path):
+    """Round-7 verdict item 1: a corpus spanning fewer days than the max
+    lag (zero pairs) and a CONSTANT daily revenue (zero variance) must
+    yield acf=NULL rows, never an ANSI DIVIDE_BY_ZERO. 5 constant days:
+    lags 1-4 have pairs but zero variance; lags 5-14 have zero pairs."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+    from trafficteach_spark.operators.timeseries import (
+        _ACF_MAX_LAG,
+        q142_autocorrelation,
+    )
+
+    rows = [
+        (i, 1, "O", 100.0, dt.datetime(1995, 3, 1 + i), "1-URGENT")
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, schemas.ORDERS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["lag"]: (r["n"], r["acf"])
+        for r in q142_autocorrelation(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(1, _ACF_MAX_LAG + 1))
+    for k in range(1, 5):
+        assert got[k] == (5 - k, None), k  # pairs exist, zero variance
+    for k in range(5, _ACF_MAX_LAG + 1):
+        assert got[k] == (0, None), k  # no pairs at all

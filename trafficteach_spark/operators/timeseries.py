@@ -1107,9 +1107,9 @@ def _acf_oracle() -> str:
     for k in range(1, _ACF_MAX_LAG + 1):
         per_lag.append(f"""
     SELECT {k} AS lag, COUNT(*) AS n,
-           ROUND((CAST(SUM(x * y) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
-                 / SQRT((CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*))
-                        * (CAST(SUM(y * y) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))),
+           ROUND((CAST(SUM(x * y) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / NULLIF(COUNT(*), 0))
+                 / NULLIF(SQRT((CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / NULLIF(COUNT(*), 0))
+                        * (CAST(SUM(y * y) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / NULLIF(COUNT(*), 0))), 0),
                  6) AS acf
     FROM (
         SELECT rev AS x,
@@ -1171,15 +1171,20 @@ def q142_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = lagged.agg(*aggs)
     entries = []
     for k in range(1, _ACF_MAX_LAG + 1):
+        # try_divide throughout: a lag with zero pairs (corpus spans fewer
+        # days than the lag) or zero variance (constant daily revenue)
+        # must yield acf=NULL, not an ANSI DIVIDE_BY_ZERO — the q103
+        # lesson, re-learned on degenerate fixtures (round-7 verdict
+        # item 1). Oracle mirrors with NULLIF on both divisors.
         n = F.col(f"n_{k}").cast("double")
-        cxy = F.col(f"sxy_{k}") - F.col(f"sx_{k}") * F.col(f"sy_{k}") / n
-        cxx = F.col(f"sxx_{k}") - F.col(f"sx_{k}") * F.col(f"sx_{k}") / n
-        cyy = F.col(f"syy_{k}") - F.col(f"sy_{k}") * F.col(f"sy_{k}") / n
+        cxy = F.col(f"sxy_{k}") - F.try_divide(F.col(f"sx_{k}") * F.col(f"sy_{k}"), n)
+        cxx = F.col(f"sxx_{k}") - F.try_divide(F.col(f"sx_{k}") * F.col(f"sx_{k}"), n)
+        cyy = F.col(f"syy_{k}") - F.try_divide(F.col(f"sy_{k}") * F.col(f"sy_{k}"), n)
         entries.append(
             F.struct(
                 F.lit(k).alias("lag"),
                 F.col(f"n_{k}").alias("n"),
-                F.round(cxy / F.sqrt(cxx * cyy), 6).alias("acf"),
+                F.round(F.try_divide(cxy, F.sqrt(cxx * cyy)), 6).alias("acf"),
             )
         )
     return row.select(F.inline(F.array(*entries)))
