@@ -242,6 +242,23 @@ def test_q62_single_fact_scan_via_persist(spark):
     assert len(scan_nodes) == 1, plan
 
 
+def test_q140_single_orders_scan_via_persist(spark):
+    """q140's four consumers of the per-customer RFM frame (three
+    threshold frames + the scored grid) must read the persisted
+    aggregate, not re-derive it — one orders scan + one per-customer
+    shuffle instead of four of each (round-7 verdict item 5)."""
+    import re
+
+    plan = formatted_plan(spark, "q140_rfm_segmentation")
+    nodes = set(re.findall(r"InMemoryTableScan \((\d+)\)", plan))
+    assert len(nodes) == 4, plan
+    # Exactly the two scans INSIDE the cached relation (per-customer agg
+    # + 1-row horizon), computed once at cache fill. Pre-persist this was
+    # eight: four derivations x two scans.
+    scan_nodes = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_nodes) == 2, plan
+
+
 def test_q78_gap_audit_is_partitioned(spark):
     """The per-stream audit must hash-partition by the stream key (one
     exchange, one Window) — not serialize through a single partition."""

@@ -2149,6 +2149,11 @@ def q140_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_exact",
             F.floor(F.col("m_exact") / _RFM_MONETARY_BIN).cast("long").alias("m_bin"),
         )
+        # Four consumers (three threshold frames + the scored grid) read
+        # this per-customer frame; without the persist each re-derives it
+        # from orders — four full scans + four per-customer shuffles
+        # (round-7 verdict item 5; plan-pinned in tests/test_plans.py).
+        .persist()
     )
 
     def thresholds(metric: str) -> DataFrame:

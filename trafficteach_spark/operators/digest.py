@@ -100,22 +100,28 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
     "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
     "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
-    # Round-7 demotions: doubly evidenced (full-hash green in r6 AND an
-    # earlier round), except q99/q53/q54/q69/q62 (r6 only) — the
-    # singly-evidenced keys the 50-slot window could not retain after
-    # promoting q112-q132.
-    "q66_anomaly": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("z", "double")],
-    "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
-    "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
-    "q53_rollup": [("event_type", "string"), ("hr", "int"), ("gid", "bigint"), ("n", "bigint"), ("sum_value", "double")],
-    "q54_pivot": [("hr", "int"), ("n_click", "bigint"), ("n_error", "bigint"), ("n_purchase", "bigint"), ("n_signup", "bigint"), ("n_view", "bigint")],
-    "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],
-    "q62_time_resample": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("sum_value", "double")],
-    "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
-    # Mid-round-7 demotions (r6-only, freed the slots for q136-q138)
-    "q56_vocab_topk": [("term", "string"), ("n", "bigint"), ("frac", "double"), ("vocab_rank", "int")],
-    "q59_label_centroids": [("label", "int"), ("n_vectors", "bigint"), ("centroid", "string")],
-    "q73_regex_extract": [("token", "string"), ("n", "bigint"), ("n_docs", "bigint")],
+    # Round-8 demotions: doubly evidenced (full-hash green in r6 AND r7).
+    # q96_psi_drift stays in the window as the slot-50 placeholder until
+    # the first round-8 addition lands.
+    "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
+    "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
+    "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],
+    "q102_heavy_hitters": [("user_id", "bigint"), ("freq", "bigint"), ("share", "double")],
+    "q103_corr_matrix": [("col_a", "string"), ("col_b", "string"), ("n", "bigint"), ("corr", "double")],
+    "q104_fk_audit": [("child_table", "string"), ("fk_col", "string"), ("parent_table", "string"), ("n_child", "bigint"), ("n_orphan", "bigint"), ("orphan_rate", "double")],
+    "q105_cohort_retention": [("cohort_wk", "date"), ("week_offset", "bigint"), ("n_active", "bigint"), ("cohort_size", "bigint"), ("retention", "double")],
+    "q106_session_concurrency": [("day", "date"), ("max_concurrent", "bigint")],
+    "q107_rolling_active_users": [("day", "date"), ("dau", "bigint"), ("wau", "bigint"), ("stickiness", "double")],
+    "q108_time_to_convert": [("n_converted", "bigint"), ("n_signups", "bigint"), ("conversion_rate", "double"), ("min_sec", "double"), ("p50_sec", "double"), ("p90_sec", "double"), ("max_sec", "double")],
+    "q109_transition_matrix": [("src", "string"), ("dst", "string"), ("n", "bigint"), ("p", "double")],
+    "q110_ab_lift": [("n_a", "bigint"), ("conv_a", "bigint"), ("rate_a", "double"), ("n_b", "bigint"), ("conv_b", "bigint"), ("rate_b", "double"), ("lift", "double"), ("z", "double")],
+    "q111_fulfillment_lag": [("o_orderpriority", "string"), ("n_orders", "bigint"), ("avg_days", "double"), ("p50_days", "double"), ("p90_days", "double")],
+    "q58_domain_mix": [("doc_id", "bigint"), ("source", "string"), ("sample_rank", "int")],
+    "q81_hash_split": [("doc_id", "bigint"), ("split", "string"), ("n_chars", "bigint")],
+    "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
+    "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
+    # (q53/q54/q56/q59/q62/q66/q69/q73/q86/q92/q99 promoted back into
+    # the round-8 window — r6-only evidence, stalest first.)
     "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
     "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
     "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],

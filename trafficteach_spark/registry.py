@@ -94,14 +94,30 @@ _OPERATOR_MODULES = (
 # and are fingerprinted per-round by the digest. OPERATORS.md tracks
 # each key's last driver-hash round.
 DRIVER_ORDER: tuple[str, ...] = (
-    # Round-7 promotions: the 11 round-6 additions (never driver-checked)
+    # Round-8 promotions, tier 1: the two keys with ZERO driver evidence
+    # (added in round 7's final commit, after that round's window ran).
+    "q143_benford_check", "q144_cuped_lift",
+    # Round-8 promotions, tier 2: the 15 stalest singly-evidenced keys
+    # (r6-only full-hash; q93/q94/q95/q98 additionally spent late round
+    # 7 outside both window and digest — the round-7 verdict gap).
+    "q93_unigram_logprob", "q94_token_entropy", "q95_zipf_slope",
+    "q98_source_overlap", "q53_rollup", "q54_pivot", "q69_unpivot",
+    "q62_time_resample", "q66_anomaly", "q86_feature_normalize",
+    "q92_ewma", "q56_vocab_topk", "q59_label_centroids",
+    "q73_regex_extract", "q99_dup_rate_by_source",
+    # Round-8 additions land HERE as they are implemented (driver-checked
+    # the round they land); each addition demotes the oldest retained
+    # key below into the digest, one-for-one (q96 first — it is doubly
+    # evidenced and only holds slot 50 until the first addition).
+    "q96_psi_drift",
+    # Retained from round 7 (single round of full-hash evidence — r7;
+    # keep until doubly evidenced).
     "q112_incremental_dedup", "q113_linear_attribution",
     "q114_snapshot_diff", "q115_rolling_active_sketch",
     "q116_gap_fill_locf", "q117_feature_hashing", "q118_chunk_dedup",
     "q119_python_udtf", "q120_skew_audit", "q121_session_paths",
-    "q122_pit_join",
-    # Round-7 additions (driver-checked the round they land)
-    "q123_code_detect", "q124_mad_outliers", "q125_lsh_recall_eval",
+    "q122_pit_join", "q123_code_detect",
+    "q124_mad_outliers", "q125_lsh_recall_eval",
     "q126_bigram_lm_logprob", "q127_changepoint",
     "q128_seasonal_decompose", "q129_window_funnel",
     "q130_ngram_novelty", "q131_embedding_margin", "q132_user_lifecycle",
@@ -109,18 +125,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q135_time_weighted_avg", "q136_knn_recall_eval", "q137_cms_topk",
     "q138_srm_check", "q139_ols_regression", "q140_rfm_segmentation",
     "q141_association_rules", "q142_autocorrelation",
-    # Retained from the round-6 window (single round of full-hash
-    # evidence so far; keep until doubly evidenced)
-    "q96_psi_drift", "q97_data_profile", "q100_scd2_history",
-    "q101_incremental_rollup", "q102_heavy_hitters", "q103_corr_matrix",
-    "q104_fk_audit", "q105_cohort_retention", "q106_session_concurrency",
-    "q107_rolling_active_users", "q108_time_to_convert",
-    "q109_transition_matrix", "q110_ab_lift", "q111_fulfillment_lag",
-    "q58_domain_mix", "q81_hash_split", "q82_bpe_pairs",
-    "q91_corpus_pipeline",
-    # (q93/q94/q95/q98 demoted to the digest mid-round-7 to make room
-    # for q139-q142: each holds r6 full-hash driver evidence + digest +
-    # local parity, while new keys land with zero driver evidence.)
+    # (q96/q97/q100-q111/q58/q81/q82/q91 demoted: doubly evidenced
+    # r6+r7, digest + local parity keep covering them.)
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )
