@@ -2372,3 +2372,435 @@ def q143_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 6).alias("exp_share"),
         F.round(obs - exp, 6).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: rank/robust statistics (q145, q148, q149, q150)
+# ---------------------------------------------------------------------------
+
+def _rank2_table_sql(col: str) -> str:
+    """Doubled-average-rank table for one low-cardinality column:
+    rank2(v) = 2*cum(v) - cnt(v) + 1 (twice the midrank, an exact
+    BIGINT — Spearman is affine-invariant so the factor 2 cancels)."""
+    return f"""
+        SELECT v, CAST(2 * cum - cnt + 1 AS BIGINT) AS r FROM (
+            SELECT {col} AS v, COUNT(*) AS cnt,
+                   SUM(COUNT(*)) OVER (ORDER BY {col}
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM lineitem GROUP BY {col}
+        )"""
+
+
+@register(
+    "q145_spearman_corr",
+    oracle=f"""
+    WITH qr AS ({_rank2_table_sql("l_quantity")}),
+    dr AS ({_rank2_table_sql("l_discount")}),
+    j AS (
+        SELECT CAST(qr.r AS DECIMAL(18,0)) AS ra,
+               CAST(dr.r AS DECIMAL(18,0)) AS rb
+        FROM lineitem l
+        JOIN qr ON l.l_quantity = qr.v
+        JOIN dr ON l.l_discount = dr.v
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(ra) AS DECIMAL(38,0)) AS sa,
+               CAST(SUM(rb) AS DECIMAL(38,0)) AS sb,
+               CAST(SUM(ra * rb) AS DECIMAL(38,0)) AS sab,
+               CAST(SUM(ra * ra) AS DECIMAL(38,0)) AS saa,
+               CAST(SUM(rb * rb) AS DECIMAL(38,0)) AS sbb
+        FROM j
+    )
+    SELECT n,
+           (SELECT COUNT(*) FROM qr) AS n_qty_values,
+           (SELECT COUNT(*) FROM dr) AS n_disc_values,
+           ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / NULLIF(SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0),
+                 6) AS spearman_rho
+    FROM s
+    """,
+    tags=("analytics", "statistics", "rank"),
+)
+def q145_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line-item quantity and
+    discount — the tie-robust monotonic-association measure a pricing
+    analysis reaches for when Pearson (q72/q103) is distorted by the
+    heavy ties and bounded ranges of both columns.
+
+    Plan: NO global sort of the fact table. Each metric collapses to
+    its distinct-VALUE frequency table (quantity ~50 values, discount
+    ~11 at any scale), midranks come from a cumulative window over that
+    bounded frame, and the two tiny rank tables broadcast back onto the
+    fact rows; one hash aggregate assembles the rank co-moments.
+    Determinism: doubled midranks (2*cum - cnt + 1) are exact BIGINTs
+    (Spearman is invariant to the affine x2), every co-moment sum is an
+    exact DECIMAL(38,0), and both engines assemble the ratio from
+    identical doubles. try_divide: a degenerate corpus where either
+    column is constant has zero rank variance -> rho NULL, not a crash.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
+
+    def rank2(col: str) -> DataFrame:
+        vals = li.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return vals.select(
+            "v",
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1)
+            .cast("decimal(18,0)")
+            .alias("r"),
+        )
+
+    qr, dr = rank2("l_quantity"), rank2("l_discount")
+    j = (
+        li.join(F.broadcast(qr), li.l_quantity == qr.v)
+        .select(F.col("r").alias("ra"), "l_discount")
+        .join(F.broadcast(dr), F.col("l_discount") == dr.v)
+        .select("ra", F.col("r").alias("rb"))
+    )
+    s = j.agg(
+        F.count("*").alias("n"),
+        F.sum("ra").cast("decimal(38,0)").alias("sa"),
+        F.sum("rb").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("decimal(38,0)").alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("decimal(38,0)").alias("sbb"),
+    )
+    nq = qr.agg(F.count("*").alias("n_qty_values"))
+    nd = dr.agg(F.count("*").alias("n_disc_values"))
+    nd_, sd = F.col("n").cast("double"), (lambda c: F.col(c).cast("double"))
+    return (
+        s.crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n",
+            "n_qty_values",
+            "n_disc_values",
+            F.round(
+                F.try_divide(
+                    nd_ * sd("sab") - sd("sa") * sd("sb"),
+                    F.sqrt(
+                        (nd_ * sd("saa") - sd("sa") * sd("sa"))
+                        * (nd_ * sd("sbb") - sd("sb") * sd("sb"))
+                    ),
+                ),
+                6,
+            ).alias("spearman_rho"),
+        )
+    )
+
+
+# Spend-bin width for the decile cut (same binned-threshold trick as
+# q140: deciles over the distinct BIN values, never a global row sort).
+_LIFT_SPEND_BIN = 1000
+
+
+@register(
+    "q148_decile_lift",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                          / {_LIFT_SPEND_BIN}) AS BIGINT) AS spend_bin,
+               MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS is_urgent
+        FROM orders GROUP BY o_custkey
+    ),
+    bins AS (
+        SELECT spend_bin, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER (ORDER BY spend_bin
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(COUNT(*)) OVER () AS n_tot
+        FROM cust GROUP BY spend_bin
+    ),
+    dec AS (
+        SELECT spend_bin,
+               CAST(CEIL(10.0 * cum / n_tot) AS INT) AS decile
+        FROM bins
+    ),
+    scored AS (
+        SELECT d.decile, c.is_urgent FROM cust c
+        JOIN dec d ON c.spend_bin = d.spend_bin
+    ),
+    g AS (
+        SELECT decile, COUNT(*) AS n_customers,
+               CAST(SUM(is_urgent) AS BIGINT) AS n_urgent,
+               SUM(COUNT(*)) OVER () AS g_n,
+               SUM(CAST(SUM(is_urgent) AS BIGINT)) OVER () AS g_urgent,
+               SUM(CAST(SUM(is_urgent) AS BIGINT)) OVER (ORDER BY decile DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum_urgent
+        FROM scored GROUP BY decile
+    )
+    SELECT decile, n_customers, n_urgent,
+           ROUND(CAST(n_urgent AS DOUBLE) / n_customers, 6) AS urgent_rate,
+           ROUND((CAST(n_urgent AS DOUBLE) / n_customers)
+                 / NULLIF(CAST(g_urgent AS DOUBLE) / g_n, 0), 6) AS lift,
+           ROUND(CAST(cum_urgent AS DOUBLE) / NULLIF(g_urgent, 0), 6)
+               AS cum_capture
+    FROM g
+    """,
+    tags=("analytics", "ml", "calibration"),
+)
+def q148_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / calibration table: customers cut into spend
+    deciles, each decile reporting its urgent-order rate, lift over the
+    base rate, and the cumulative capture a top-down targeting campaign
+    would achieve — the standard model-calibration readout, here with
+    lifetime spend as the score.
+
+    Plan: one per-customer hash aggregate (the only full-data shuffle),
+    then the q140 binned-threshold trick: deciles are assigned on the
+    distinct spend-BIN frequency table (bounded rows at any scale) via
+    the explicit ceil(10*cum/n) rule, and the tiny bin->decile map
+    broadcasts back. Capture needs all 10 decile rows -> one cumulative
+    window over the 10-row frame. try_divide on lift/capture: a corpus
+    with zero urgent orders yields NULLs, not a crash.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.floor(F.sum("price") / _LIFT_SPEND_BIN).cast("long").alias("spend_bin"),
+        F.max("urgent").alias("is_urgent"),
+    )
+    bins = cust.groupBy("spend_bin").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("spend_bin").rowsBetween(Window.unboundedPreceding, 0)
+    dec = bins.select(
+        "spend_bin",
+        F.ceil(
+            10.0
+            * F.sum("cnt").over(w_cum)
+            / F.sum("cnt").over(Window.partitionBy())
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    g = (
+        cust.join(F.broadcast(dec), "spend_bin")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("is_urgent").cast("long").alias("n_urgent"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_desc = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g = g.select(
+        "decile",
+        "n_customers",
+        "n_urgent",
+        F.sum("n_customers").over(w_all).alias("g_n"),
+        F.sum("n_urgent").over(w_all).alias("g_urgent"),
+        F.sum("n_urgent").over(w_desc).alias("cum_urgent"),
+    )
+    rate = F.col("n_urgent").cast("double") / F.col("n_customers")
+    return g.select(
+        "decile",
+        "n_customers",
+        "n_urgent",
+        F.round(rate, 6).alias("urgent_rate"),
+        F.round(
+            F.try_divide(rate, F.col("g_urgent").cast("double") / F.col("g_n")), 6
+        ).alias("lift"),
+        F.round(
+            F.try_divide(F.col("cum_urgent").cast("double"), F.col("g_urgent")), 6
+        ).alias("cum_capture"),
+    )
+
+
+# Wilson 95% interval: z pinned as a full-precision literal shared by
+# both engines (neither engine's inverse-normal is invoked).
+_WILSON_Z = 1.959963984540054
+_WILSON_SUCCESS_MIN = 120.0  # value threshold defining a "success" event
+
+
+@register(
+    "q149_wilson_ctr",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN value >= {_WILSON_SUCCESS_MIN}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, s,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS p_hat,
+           ROUND(((CAST(s AS DOUBLE) / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  - {_WILSON_Z} * SQRT((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
+                                       + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+           ROUND(((CAST(s AS DOUBLE) / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  + {_WILSON_Z} * SQRT((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
+                                       + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+    FROM g
+    """,
+    tags=("analytics", "statistics", "experimentation"),
+)
+def q149_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval for the per-event-type
+    high-value rate (value >= {_WILSON_SUCCESS_MIN}) — the
+    small-sample-safe interval a metrics layer should publish instead
+    of the naive Wald CI (which collapses to zero width at p=0/1; on a
+    degenerate single-event fixture Wilson stays a proper interval).
+
+    Plan: ONE map-side-collapsed hash aggregate to 5 rows; the interval
+    is pure arithmetic on (s, n) with z as a shared full-precision
+    literal, so both engines compute identical doubles. n >= 1 by
+    construction (a group only exists with rows), so no guarded
+    division is needed.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") >= _WILSON_SUCCESS_MIN).cast("int"))
+        .cast("long")
+        .alias("s"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n
+    z2 = _WILSON_Z * _WILSON_Z
+    center = p + z2 / (2 * n)
+    half = _WILSON_Z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    denom = 1 + z2 / n
+    return g.select(
+        "event_type",
+        "n",
+        "s",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "q150_higher_moments",
+    oracle="""
+    WITH mins AS (
+        SELECT l_returnflag,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS mn
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l.l_returnflag, m.mn,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) - m.mn
+                    AS DECIMAL(12,2)) AS dv
+        FROM lineitem l JOIN mins m ON l.l_returnflag = m.l_returnflag
+    ),
+    p AS (
+        -- (19,4) not (18,4): precision 19 forces DuckDB onto INT128
+        -- storage so dv2*dv / dv2*dv2 widen instead of overflowing the
+        -- engine's int64 fast path (values are identical to Spark's
+        -- (18,4) column; only the storage width differs).
+        SELECT l_returnflag, mn, dv,
+               CAST(dv * dv AS DECIMAL(19,4)) AS dv2
+        FROM d
+    ),
+    s AS (
+        SELECT l_returnflag, COUNT(*) AS n, MIN(mn) AS mn,
+               CAST(SUM(dv) AS DECIMAL(38,2)) AS s1,
+               CAST(SUM(dv2) AS DECIMAL(38,4)) AS s2,
+               CAST(SUM(CAST(dv2 * dv AS DECIMAL(31,6))) AS DECIMAL(38,6)) AS s3,
+               CAST(SUM(CAST(dv2 * dv2 AS DECIMAL(37,8))) AS DECIMAL(38,8)) AS s4
+        FROM p GROUP BY l_returnflag
+    ),
+    a AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(mn AS DOUBLE) AS mnd,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+        FROM s
+    )
+    SELECT l_returnflag, n,
+           ROUND(mnd + s1d / nd, 6) AS mean_price,
+           ROUND(SQRT(s2d / nd - (s1d / nd) * (s1d / nd)), 6) AS pop_stddev,
+           ROUND((s3d / nd - 3 * (s1d / nd) * (s2d / nd)
+                  + 2 * (s1d / nd) * (s1d / nd) * (s1d / nd))
+                 / NULLIF(SQRT((s2d / nd - (s1d / nd) * (s1d / nd))
+                               * (s2d / nd - (s1d / nd) * (s1d / nd))
+                               * (s2d / nd - (s1d / nd) * (s1d / nd))), 0),
+                 6) AS skewness,
+           ROUND((s4d / nd - 4 * (s1d / nd) * (s3d / nd)
+                  + 6 * (s1d / nd) * (s1d / nd) * (s2d / nd)
+                  - 3 * (s1d / nd) * (s1d / nd) * (s1d / nd) * (s1d / nd))
+                 / NULLIF((s2d / nd - (s1d / nd) * (s1d / nd))
+                          * (s2d / nd - (s1d / nd) * (s1d / nd)), 0)
+                 - 3, 6) AS ex_kurtosis
+    FROM a
+    """,
+    tags=("analytics", "statistics", "moments"),
+)
+def q150_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of extended price per return flag,
+    assembled from EXACT decimal power sums — the distribution-shape
+    profile a feature store publishes next to mean/stddev (q72). The
+    built-in skewness()/kurtosis() are deliberately NOT used: Spark
+    reports population g1/g2 while DuckDB reports sample-corrected
+    G1/G2, and both accumulate doubles in partition order.
+
+    Plan: two passes. Pass 1 per-group MIN (tiny agg) broadcasts back
+    as the shift constant; pass 2 sums the shifted powers d, d^2, d^3,
+    d^4 as exact decimals (d <= price range so d^4 fits DECIMAL(38,8)
+    headroom to ~1e5 x the sf1 row count; beyond that, re-shard the sum
+    or move the anchor per partition-group). Central moments then
+    derive from the shifted sums by the standard binomial identities in
+    double space — identical inputs, identical doubles, both engines.
+    try_divide: a constant-price group has cm2=0 -> NULL shape stats.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    mins = li.groupBy("l_returnflag").agg(F.min("price").alias("mn"))
+    d = li.join(F.broadcast(mins), "l_returnflag").select(
+        "l_returnflag",
+        "mn",
+        (F.col("price") - F.col("mn")).cast("decimal(12,2)").alias("dv"),
+    )
+    p = d.select(
+        "l_returnflag",
+        "mn",
+        "dv",
+        (F.col("dv") * F.col("dv")).cast("decimal(18,4)").alias("dv2"),
+    )
+    s = p.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.min("mn").alias("mn"),
+        F.sum("dv").cast("decimal(38,2)").alias("s1"),
+        F.sum("dv2").cast("decimal(38,4)").alias("s2"),
+        F.sum((F.col("dv2") * F.col("dv")).cast("decimal(31,6)"))
+        .cast("decimal(38,6)")
+        .alias("s3"),
+        F.sum((F.col("dv2") * F.col("dv2")).cast("decimal(37,8)"))
+        .cast("decimal(38,8)")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3d, s4d = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m1 = s1d / nd
+    cm2 = s2d / nd - m1 * m1
+    cm3 = s3d / nd - 3 * m1 * (s2d / nd) + 2 * m1 * m1 * m1
+    cm4 = (
+        s4d / nd
+        - 4 * m1 * (s3d / nd)
+        + 6 * m1 * m1 * (s2d / nd)
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("mn").cast("double") + m1, 6).alias("mean_price"),
+        F.round(F.sqrt(cm2), 6).alias("pop_stddev"),
+        F.round(F.try_divide(cm3, F.sqrt(cm2 * cm2 * cm2)), 6).alias("skewness"),
+        F.round(F.try_divide(cm4, cm2 * cm2) - 3, 6).alias("ex_kurtosis"),
+    )

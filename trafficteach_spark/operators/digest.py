@@ -100,9 +100,14 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
     "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
     "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
-    # Round-8 demotions: doubly evidenced (full-hash green in r6 AND r7).
-    # q96_psi_drift stays in the window as the slot-50 placeholder until
-    # the first round-8 addition lands.
+    # Round-8 demotions: doubly evidenced (full-hash green in r6 AND r7),
+    # plus the r7-evidenced q112+ block demoted one-for-one as round-8
+    # additions landed (q115 is rows-only — no oracle, so no digest row;
+    # its invariant tests in tests/ remain its evidence).
+    "q96_psi_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("n_bins", "bigint"), ("psi", "double")],
+    "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
+    "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
+    "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
     "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
     "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
     "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],

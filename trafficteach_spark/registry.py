@@ -105,15 +105,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q62_time_resample", "q66_anomaly", "q86_feature_normalize",
     "q92_ewma", "q56_vocab_topk", "q59_label_centroids",
     "q73_regex_extract", "q99_dup_rate_by_source",
-    # Round-8 additions land HERE as they are implemented (driver-checked
-    # the round they land); each addition demotes the oldest retained
-    # key below into the digest, one-for-one (q96 first — it is doubly
-    # evidenced and only holds slot 50 until the first addition).
-    "q96_psi_drift",
+    # Round-8 additions (driver-checked the round they land); each
+    # addition demoted the oldest retained key below into the digest,
+    # one-for-one (q96 first, then q112...).
+    "q145_spearman_corr", "q148_decile_lift", "q149_wilson_ctr",
+    "q150_higher_moments",
     # Retained from round 7 (single round of full-hash evidence — r7;
     # keep until doubly evidenced).
-    "q112_incremental_dedup", "q113_linear_attribution",
-    "q114_snapshot_diff", "q115_rolling_active_sketch",
+    "q115_rolling_active_sketch",
     "q116_gap_fill_locf", "q117_feature_hashing", "q118_chunk_dedup",
     "q119_python_udtf", "q120_skew_audit", "q121_session_paths",
     "q122_pit_join", "q123_code_detect",
