@@ -2804,3 +2804,374 @@ def q150_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(cm3, F.sqrt(cm2 * cm2 * cm2)), 6).alias("skewness"),
         F.round(F.try_divide(cm4, cm2 * cm2) - 3, 6).alias("ex_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: weighted quantiles, inequality, Pareto, distribution drift
+# (q151, q152, q155, q156)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q151_weighted_median",
+    oracle="""
+    WITH vw AS (
+        SELECT l_returnflag, l_quantity AS v,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS w
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    c AS (
+        SELECT l_returnflag, v, cnt, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM vw
+    )
+    SELECT l_returnflag,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_values,
+           CAST(MIN(CASE WHEN 2 * cumw >= tot THEN v END) AS DOUBLE)
+               AS w_median,
+           CAST(MIN(CASE WHEN 10 * cumw >= 9 * tot THEN v END) AS DOUBLE)
+               AS w_p90
+    FROM c GROUP BY l_returnflag
+    """,
+    tags=("analytics", "statistics", "quantiles"),
+)
+def q151_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median and p90 of line-item quantity per return
+    flag: the quantity level at which half (resp. 90%) of the MONEY
+    sits, not half the rows — the weighted-quantile primitive behind
+    spend-concentration and inventory analytics.
+
+    Plan: quantity collapses to its distinct-value frame per flag
+    (~50 values x 3 flags at any scale) carrying exact DECIMAL weight
+    sums; one cumulative window over that bounded frame; the quantile
+    pick is an exact integer-scaled decimal comparison (2*cumw >= tot),
+    so there is no float threshold for the engines to disagree on.
+    No global sort, no percentile UDF.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("v"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    vw = li.groupBy("l_returnflag", "v").agg(
+        F.count("*").alias("cnt"),
+        F.sum("price").cast("decimal(38,2)").alias("w"),
+    )
+    wp = Window.partitionBy("l_returnflag")
+    wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = vw.select(
+        "l_returnflag",
+        "v",
+        "cnt",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wp).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").alias("n_values"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("tot"), F.col("v")))
+        .cast("double")
+        .alias("w_median"),
+        F.min(F.when(10 * F.col("cumw") >= 9 * F.col("tot"), F.col("v")))
+        .cast("double")
+        .alias("w_p90"),
+    )
+
+
+@register(
+    "q152_theil_index",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                    AS DECIMAL(38,6)) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS segment, CAST(u.spend AS DOUBLE) AS x
+        FROM cust u JOIN customer c ON u.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT COALESCE(segment, 'ALL') AS segment,
+               COUNT(*) AS n_customers,
+               SUM(x) AS sx, SUM(x * LN(x)) AS sxlx
+        FROM seg GROUP BY ROLLUP(segment)
+    )
+    SELECT segment, n_customers,
+           ROUND(sx / n_customers, 6) AS mean_spend,
+           ROUND(sxlx / NULLIF(sx, 0) - LN(sx / n_customers), 6) AS theil
+    FROM g
+    """,
+    tags=("analytics", "statistics", "inequality"),
+)
+def q152_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of customer lifetime spend, per market
+    segment and overall (ROLLUP row 'ALL') — the additively-decomposable
+    concentration measure (within + between) a marketplace-health
+    dashboard tracks alongside plain totals.
+
+    Plan: one per-customer hash aggregate, a broadcast join to the
+    customer dim for the segment, then ONE rollup aggregate using the
+    identity T = sum(x ln x)/sum(x) - ln(mean): no join-back of a
+    per-group mean, no second pass. Spend is summed as exact decimal;
+    only the x*ln(x) sum is double (ln is irrational — same accepted
+    ulp envelope as q87's PMI). try_divide-equivalent guard: spend > 0
+    by construction, but NULLIF keeps a zero-revenue degenerate corpus
+    from dividing by zero.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(30,6)").alias("price")
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum("price").cast("decimal(38,6)").alias("spend")
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = cust.join(F.broadcast(dim), "o_custkey").select(
+        "segment", F.col("spend").cast("double").alias("x")
+    )
+    g = seg.rollup("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx"),
+    )
+    return g.select(
+        F.coalesce("segment", F.lit("ALL")).alias("segment"),
+        "n_customers",
+        F.round(F.col("sx") / F.col("n_customers"), 6).alias("mean_spend"),
+        F.round(
+            F.try_divide(F.col("sxlx"), F.col("sx"))
+            - F.log(F.col("sx") / F.col("n_customers")),
+            6,
+        ).alias("theil"),
+    )
+
+
+# ABC revenue-bin width ($100): class boundaries are evaluated on the
+# binned cumulative frame, never on a per-part global sort.
+_ABC_BIN = 100
+# KS two-sample 95% coefficient c(alpha)=sqrt(-ln(alpha/2)/2), pinned.
+_KS_COEF = 1.3581015157406195
+_KS_VALUE_BIN = 0.5  # ECDF granularity for the drift comparison
+
+
+@register(
+    "q155_abc_analysis",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    b AS (
+        SELECT CAST(FLOOR(rev / {_ABC_BIN}) AS BIGINT) AS bin,
+               COUNT(*) AS n_parts,
+               CAST(SUM(rev) AS DECIMAL(38,2)) AS brev
+        FROM pr GROUP BY 1
+    ),
+    c AS (
+        SELECT bin, n_parts, brev,
+               SUM(brev) OVER (ORDER BY bin DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(brev) OVER () AS tot
+        FROM b
+    ),
+    k AS (
+        SELECT CASE WHEN 10 * (cum - brev) < 7 * tot THEN 'A'
+                    WHEN 10 * (cum - brev) < 9 * tot THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               n_parts, brev, tot
+        FROM c
+    )
+    SELECT abc_class,
+           CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+           CAST(SUM(brev) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(brev) AS DOUBLE) / CAST(MIN(tot) AS DOUBLE), 6)
+               AS rev_share,
+           COUNT(*) AS n_bins
+    FROM k GROUP BY abc_class
+    """,
+    tags=("analytics", "pareto", "segmentation"),
+)
+def q155_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A carries
+    the first ~70% of revenue walking down from the richest parts, B
+    the next ~20%, C the tail — the inventory-prioritization rollup.
+
+    Plan: per-part revenue (exact decimal, one hash shuffle), then the
+    parts collapse into ${_ABC_BIN}-unit revenue BINS; the cumulative
+    walk and the 70/90 boundary tests run on that bounded bin frame
+    with exact integer-scaled decimal comparisons (10*cum < 7*tot) —
+    no per-part global sort, no float thresholds. A bin is classed by
+    the share BEFORE it (cum - brev), so the bin crossing a boundary
+    belongs to the richer class and A is never empty.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+    )
+    pr = li.groupBy("l_partkey").agg(
+        F.sum("price").cast("decimal(38,2)").alias("rev")
+    )
+    b = pr.groupBy(
+        F.floor(F.col("rev") / _ABC_BIN).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev").cast("decimal(38,2)").alias("brev"),
+    )
+    wdesc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = b.select(
+        "bin",
+        "n_parts",
+        "brev",
+        F.sum("brev").over(wdesc).alias("cum"),
+        F.sum("brev").over(Window.partitionBy()).alias("tot"),
+    )
+    before = 10 * (F.col("cum") - F.col("brev"))
+    k = c.select(
+        F.when(before < 7 * F.col("tot"), "A")
+        .when(before < 9 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "n_parts",
+        "brev",
+        "tot",
+    )
+    return k.groupBy("abc_class").agg(
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        F.sum("brev").cast("double").alias("revenue"),
+        F.round(
+            F.sum("brev").cast("double") / F.min("tot").cast("double"), 6
+        ).alias("rev_share"),
+        F.count("*").alias("n_bins"),
+    )
+
+
+@register(
+    "q156_ks_drift",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS BIGINT)
+            AS mid
+        FROM events
+    ),
+    e AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_KS_VALUE_BIN}) AS BIGINT) AS bin,
+               CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END AS first_half
+        FROM events, bounds
+    ),
+    g AS (
+        SELECT event_type, bin,
+               CAST(SUM(first_half) AS BIGINT) AS c1,
+               CAST(SUM(1 - first_half) AS BIGINT) AS c2
+        FROM e GROUP BY event_type, bin
+    ),
+    c AS (
+        SELECT event_type,
+               SUM(c1) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum1,
+               SUM(c2) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum2,
+               SUM(c1) OVER (PARTITION BY event_type) AS t1,
+               SUM(c2) OVER (PARTITION BY event_type) AS t2
+        FROM g
+    )
+    SELECT event_type,
+           CAST(MIN(t1) AS BIGINT) AS n_first,
+           CAST(MIN(t2) AS BIGINT) AS n_second,
+           ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / NULLIF(t1, 0)
+                         - CAST(cum2 AS DOUBLE) / NULLIF(t2, 0))), 6)
+               AS ks_stat,
+           ROUND({_KS_COEF} * SQRT((CAST(MIN(t1) AS DOUBLE) + MIN(t2))
+                 / NULLIF(CAST(MIN(t1) AS DOUBLE) * MIN(t2), 0)), 6)
+               AS ks_crit,
+           CAST(CASE WHEN MAX(ABS(CAST(cum1 AS DOUBLE) / NULLIF(t1, 0)
+                              - CAST(cum2 AS DOUBLE) / NULLIF(t2, 0)))
+                > {_KS_COEF} * SQRT((CAST(MIN(t1) AS DOUBLE) + MIN(t2))
+                  / NULLIF(CAST(MIN(t1) AS DOUBLE) * MIN(t2), 0))
+                THEN 1 ELSE 0 END AS INT) AS drift_flag
+    FROM c GROUP BY event_type
+    """,
+    tags=("analytics", "drift", "quality"),
+)
+def q156_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type: the
+    value distribution of the corpus's first time-half against its
+    second, with the alpha=0.05 critical value — the nonparametric
+    drift gate that complements q96's binned PSI (KS reads the max
+    ECDF gap; PSI reads re-weighted mass).
+
+    Plan: one 1-row min/max bounds frame broadcasts back (the
+    sanctioned cross-attach); values collapse to {_KS_VALUE_BIN}-wide
+    bins per (type, bin) with side counts in one hash aggregate; ECDFs
+    and the max-gap reduce on that bounded frame. All divisions are
+    exact-integer in / deterministic double out, so both engines
+    compare the SAME doubles against the same pinned critical
+    coefficient. try_divide: a side with zero rows yields NULL ECDF ->
+    NULL ks_stat, drift 0, no crash.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # (min+max)//2 in exact integer microseconds
+    bounds = ev.agg(
+        F.floor(
+            (
+                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                + F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    e = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.floor(F.col("value") / _KS_VALUE_BIN).cast("long").alias("bin"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid"))
+        .cast("int")
+        .alias("first_half"),
+    )
+    g = e.groupBy("event_type", "bin").agg(
+        F.sum("first_half").cast("long").alias("c1"),
+        F.sum(1 - F.col("first_half")).cast("long").alias("c2"),
+    )
+    wp = Window.partitionBy("event_type")
+    wc = wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "event_type",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wp).alias("t1"),
+        F.sum("c2").over(wp).alias("t2"),
+    )
+    gap = F.abs(
+        F.try_divide(F.col("cum1").cast("double"), F.col("t1"))
+        - F.try_divide(F.col("cum2").cast("double"), F.col("t2"))
+    )
+    out = c.groupBy("event_type").agg(
+        F.min("t1").cast("long").alias("n_first"),
+        F.min("t2").cast("long").alias("n_second"),
+        F.max(gap).alias("ks_raw"),
+    )
+    crit = _KS_COEF * F.sqrt(
+        F.try_divide(
+            F.col("n_first").cast("double") + F.col("n_second"),
+            F.col("n_first").cast("double") * F.col("n_second"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.round("ks_raw", 6).alias("ks_stat"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.col("ks_raw") > crit).cast("int").alias("drift_flag"),
+    )

@@ -108,6 +108,10 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
+    "q116_gap_fill_locf": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("avg_value", "double"), ("locf_avg", "double"), ("is_gap", "int")],
+    "q117_feature_hashing": [("doc_id", "bigint"), ("bucket", "int"), ("n", "bigint")],
+    "q118_chunk_dedup": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_dup_chunks", "bigint"), ("dup_frac", "double")],
+    "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
     "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
     "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
     "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],

@@ -109,12 +109,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     # addition demoted the oldest retained key below into the digest,
     # one-for-one (q96 first, then q112...).
     "q145_spearman_corr", "q148_decile_lift", "q149_wilson_ctr",
-    "q150_higher_moments",
+    "q150_higher_moments", "q151_weighted_median", "q152_theil_index",
+    "q155_abc_analysis", "q156_ks_drift",
     # Retained from round 7 (single round of full-hash evidence — r7;
     # keep until doubly evidenced).
     "q115_rolling_active_sketch",
-    "q116_gap_fill_locf", "q117_feature_hashing", "q118_chunk_dedup",
-    "q119_python_udtf", "q120_skew_audit", "q121_session_paths",
+    "q120_skew_audit", "q121_session_paths",
     "q122_pit_join", "q123_code_detect",
     "q124_mad_outliers", "q125_lsh_recall_eval",
     "q126_bigram_lm_logprob", "q127_changepoint",
