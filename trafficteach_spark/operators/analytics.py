@@ -3175,3 +3175,127 @@ def q156_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("ks_crit"),
         (F.col("ks_raw") > crit).cast("int").alias("drift_flag"),
     )
+
+
+@register(
+    "q146_degree_distribution",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l.l_partkey, o.o_custkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+        SELECT l_partkey, COUNT(*) AS degree FROM edges GROUP BY l_partkey
+    )
+    SELECT degree, COUNT(*) AS n_parts,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM deg GROUP BY degree
+    """,
+    tags=("analytics", "graph"),
+)
+def q146_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part-customer co-purchase graph: for
+    each part, how many DISTINCT customers bought it, then the
+    count-of-counts histogram — the graph-shape profile (hubs vs tail)
+    that sizes any downstream graph algorithm before running it.
+
+    Plan: the lineitem-orders equi-join is the one fact-fact shuffle
+    (at cluster scale both sides bucket on l_orderkey/o_orderkey, so it
+    co-locates without a runtime shuffle); DISTINCT edges and the
+    per-part degree both hash-aggregate with map-side partials; the
+    final histogram is degree-cardinality (bounded). Share uses a
+    window over the tiny histogram frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_partkey", "o_custkey")
+        .distinct()
+    )
+    deg = edges.groupBy("l_partkey").agg(F.count("*").alias("degree"))
+    g = deg.groupBy("degree").agg(F.count("*").alias("n_parts"))
+    return g.select(
+        "degree",
+        "n_parts",
+        F.round(
+            F.col("n_parts").cast("double")
+            / F.sum("n_parts").over(Window.partitionBy()),
+            6,
+        ).alias("share"),
+    )
+
+
+@register(
+    "q153_cotype_jaccard",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    tc AS (
+        SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           ta.n_users AS n_a, tb.n_users AS n_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE)
+                 / NULLIF(ta.n_users + tb.n_users - n_both, 0), 6) AS jaccard
+    FROM pairs
+    JOIN tc ta ON pairs.type_a = ta.event_type
+    JOIN tc tb ON pairs.type_b = tb.event_type
+    """,
+    tags=("analytics", "similarity", "sets"),
+)
+def q153_cotype_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity between the USER SETS of every event-type
+    pair — the co-engagement matrix ('users who error also purchase?')
+    behind audience-overlap and cannibalization analyses.
+
+    Plan: one DISTINCT (user, type) aggregate, then a self equi-join on
+    user_id with a strictly-bounded fan-out (<= 5 types per user -> at
+    most 10 pair rows per user — linear in users, never quadratic in
+    rows, the q141 bounded-basket argument); per-type set sizes are a
+    5-row broadcast attached twice. try_divide-equivalent NULLIF guards
+    the degenerate empty-union case.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = ev.distinct()
+    tc = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    j = pairs.join(F.broadcast(ta), "type_a").join(F.broadcast(tb), "type_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.try_divide(
+                F.col("n_both").cast("double"),
+                (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+            ),
+            6,
+        ).alias("jaccard"),
+    )

@@ -112,6 +112,10 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q117_feature_hashing": [("doc_id", "bigint"), ("bucket", "int"), ("n", "bigint")],
     "q118_chunk_dedup": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_dup_chunks", "bigint"), ("dup_frac", "double")],
     "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
+    "q120_skew_audit": [("child_table", "string"), ("key_col", "string"), ("n_rows", "bigint"), ("n_keys", "bigint"), ("max_per_key", "bigint"), ("p99_per_key", "double"), ("top_share", "double")],
+    "q121_session_paths": [("path", "string"), ("n", "bigint")],
+    "q122_pit_join": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_shipdate", "timestamp_ntz"), ("ck", "bigint"), ("version", "bigint"), ("status_at_ship", "string")],
+    "q123_code_detect": [("doc_id", "bigint"), ("n_tokens", "int"), ("kw_ratio", "double"), ("sym_ratio", "double"), ("is_code", "int")],
     "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
     "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
     "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],

@@ -1114,3 +1114,88 @@ def q144_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(adj_b - adj_a, 6).alias("lift_cuped"),
         F.round(F.pow(cov, 2) / (var_pre * var_post), 6).alias("var_reduction"),
     )
+
+
+# Activity-bitmap horizon: 30 days ending at the corpus max date — one
+# BIGINT bit per day, so per-user state is a single integer.
+_BITMAP_DAYS = 30
+
+
+@register(
+    "q147_activity_bitmap",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MAX(ts) AS DATE) AS max_day FROM events
+    ),
+    uo AS (
+        SELECT DISTINCT user_id,
+               CAST(bounds.max_day - CAST(ts AS DATE) AS BIGINT) AS off
+        FROM events, bounds
+        WHERE CAST(bounds.max_day - CAST(ts AS DATE) AS BIGINT)
+              BETWEEN 0 AND {_BITMAP_DAYS - 1}
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(SUM(CAST(1 AS BIGINT) << off) AS BIGINT) AS mask
+        FROM uo GROUP BY user_id
+    ),
+    f AS (
+        SELECT user_id, bit_count(mask) AS n_active_days,
+               CASE WHEN (mask & (mask >> 1) & (mask >> 2)) <> 0
+                    THEN 1 ELSE 0 END AS has_streak3
+        FROM m
+    )
+    SELECT CAST(n_active_days AS INT) AS n_active_days,
+           COUNT(*) AS n_users,
+           CAST(SUM(has_streak3) AS BIGINT) AS n_streak3
+    FROM f GROUP BY 1
+    """,
+    tags=("sequences", "retention", "bitmap"),
+)
+def q147_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-day activity BITMAP retention: each user's last
+    {_BITMAP_DAYS} days collapse to one BIGINT (bit i = active i days
+    before the corpus horizon), then the histogram of active-day counts
+    and how many users had a >=3-consecutive-day streak (mask &
+    mask>>1 & mask>>2) — the bitmap trick that makes arbitrary
+    day-pattern questions (weekday-only? comeback?) single-integer
+    bitwise tests instead of joins, and the state a streaming rollup
+    can carry per user in 8 bytes.
+
+    Plan: 1-row horizon frame broadcasts back (sanctioned
+    cross-attach); DISTINCT (user, day-offset) then one per-user SUM of
+    disjoint powers of two (equivalent to OR since offsets are
+    distinct); bit_count/shift arithmetic is engine-native in both.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    uo = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.datediff("max_day", F.col("ts").cast("date"))
+            .cast("long")
+            .alias("off"),
+        )
+        .where(F.col("off").between(0, _BITMAP_DAYS - 1))
+        .distinct()
+    )
+    m = uo.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))"))
+        .cast("long")
+        .alias("mask")
+    )
+    streak = (
+        F.col("mask")
+        .bitwiseAND(F.expr("shiftright(mask, 1)"))
+        .bitwiseAND(F.expr("shiftright(mask, 2)"))
+        != 0
+    ).cast("int")
+    f = m.select(
+        F.bit_count("mask").cast("int").alias("n_active_days"),
+        streak.alias("has_streak3"),
+    )
+    return f.groupBy("n_active_days").agg(
+        F.count("*").alias("n_users"),
+        F.sum("has_streak3").cast("long").alias("n_streak3"),
+    )

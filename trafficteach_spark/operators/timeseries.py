@@ -1188,3 +1188,82 @@ def q142_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return row.select(F.inline(F.array(*entries)))
+
+
+# Burstiness needs a minimum number of inter-arrival gaps for sigma/mu
+# to mean anything; users below the floor are excluded, not NULLed.
+_BURST_MIN_GAPS = 5
+
+
+@register(
+    "q154_burstiness",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, COUNT(*) AS k,
+               CAST(SUM(CAST(gap AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sg,
+               CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sg2
+        FROM seq WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(*) >= {_BURST_MIN_GAPS}
+    ),
+    b AS (
+        SELECT CAST(FLOOR(10 * (SQRT(CAST(sg2 AS DOUBLE) / k
+                                     - (CAST(sg AS DOUBLE) / k) * (CAST(sg AS DOUBLE) / k))
+                                - CAST(sg AS DOUBLE) / k)
+                         / NULLIF(SQRT(CAST(sg2 AS DOUBLE) / k
+                                       - (CAST(sg AS DOUBLE) / k) * (CAST(sg AS DOUBLE) / k))
+                                  + CAST(sg AS DOUBLE) / k, 0)) AS INT) AS b_bin
+        FROM per_user
+    )
+    SELECT b_bin, COUNT(*) AS n_users
+    FROM b WHERE b_bin IS NOT NULL GROUP BY b_bin
+    """,
+    tags=("timeseries", "behavior", "statistics"),
+)
+def q154_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user, histogrammed: B =
+    (sigma - mu)/(sigma + mu) over each user's event gaps (B -> -1
+    periodic, 0 Poisson, +1 bursty — Goh & Barabasi's coefficient),
+    for users with >= {_BURST_MIN_GAPS} gaps, bucketed to 0.1 bins.
+    The behavioral fingerprint that separates schedulers/bots from
+    organic sessions in traffic quality screens.
+
+    Plan: one user-partitioned ordered window (tie-broken on event_id
+    so both engines difference the SAME neighbor under equal
+    timestamps) produces integer microsecond gaps; per-user moments
+    are EXACT decimal sums (gap^2 via DECIMAL(19,0)^2 -> (38,0)), so
+    mu/sigma/B are identical doubles in both engines; the bin floor is
+    then deterministic. try_divide: an all-equal-gap user has
+    sigma+mu>0 unless every gap is 0 (duplicate timestamps) — that
+    degenerate yields NULL and is filtered, not crashed on.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(19,0)")
+    per_user = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(gd).cast("decimal(38,0)").alias("sg"),
+            F.sum(gd * gd).cast("decimal(38,0)").alias("sg2"),
+        )
+        .where(F.col("k") >= _BURST_MIN_GAPS)
+    )
+    kd = F.col("k").cast("double")
+    mu = F.col("sg").cast("double") / kd
+    sigma = F.sqrt(F.col("sg2").cast("double") / kd - mu * mu)
+    b = per_user.select(
+        F.floor(10 * F.try_divide(sigma - mu, sigma + mu)).cast("int").alias("b_bin")
+    ).where(F.col("b_bin").isNotNull())
+    return b.groupBy("b_bin").agg(F.count("*").alias("n_users"))

@@ -108,14 +108,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     # Round-8 additions (driver-checked the round they land); each
     # addition demoted the oldest retained key below into the digest,
     # one-for-one (q96 first, then q112...).
-    "q145_spearman_corr", "q148_decile_lift", "q149_wilson_ctr",
+    "q145_spearman_corr", "q146_degree_distribution",
+    "q147_activity_bitmap", "q148_decile_lift", "q149_wilson_ctr",
     "q150_higher_moments", "q151_weighted_median", "q152_theil_index",
+    "q153_cotype_jaccard", "q154_burstiness",
     "q155_abc_analysis", "q156_ks_drift",
     # Retained from round 7 (single round of full-hash evidence — r7;
     # keep until doubly evidenced).
     "q115_rolling_active_sketch",
-    "q120_skew_audit", "q121_session_paths",
-    "q122_pit_join", "q123_code_detect",
     "q124_mad_outliers", "q125_lsh_recall_eval",
     "q126_bigram_lm_logprob", "q127_changepoint",
     "q128_seasonal_decompose", "q129_window_funnel",
