@@ -102,6 +102,34 @@ def test_heavy_hitters_accumulate_across_restart(spark, tmp_path):
     assert out2 == {1: 4, 2: 1, 3: 3, 4: 1}
 
 
+def test_heavy_hitters_refuse_bucket_count_change(spark, tmp_path):
+    """The state key IS the bucket id, so resuming a checkpoint with a
+    different ``buckets`` would silently re-route keys while stale
+    summaries keep re-emitting. The update fn must REFUSE loudly the
+    moment a legacy bucket is touched (round-7 verdict item 7)."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (i, _ns(2024, 1, 6, 10, i, 0), i % 7, "view", 1.0, "{}")
+        for i in range(20)
+    ]
+    _drop_file(spark, tmp_path, watch, rows, "f1")
+    out1 = _flat(_drain(spark, read_event_stream(spark, str(watch)), ckpt, buckets=4))
+    assert sum(out1.values()) == 20
+
+    _drop_file(spark, tmp_path, watch, rows[:4], "f2")
+    with pytest.raises(StreamingQueryException) as exc:
+        _drain(spark, read_event_stream(spark, str(watch)), ckpt, buckets=8)
+    assert "buckets=4" in str(exc.value)
+    # Same buckets on the same checkpoint still resumes cleanly.
+    out2 = _flat(_drain(spark, read_event_stream(spark, str(watch)), ckpt, buckets=4))
+    assert sum(out2.values()) == 24
+
+
 def test_heavy_hitters_invariants_vs_exact_counts(spark, tmp_path):
     """Real data, small k so compression actually fires: for every
     bucket, estimate <= true count, undercount <= n_bucket/(k+1), and

@@ -36,6 +36,14 @@ HH_STATE = StructType(
     [
         StructField("keys", ArrayType(LongType())),
         StructField("counts", ArrayType(LongType())),
+        # [bucket_count] pinned at first write: the state key IS the
+        # bucket id, so restarting with a different ``buckets`` would
+        # silently re-route keys across buckets while stale summaries
+        # keep re-emitting — the update fn REFUSES instead (ValueError)
+        # the moment any legacy bucket is touched. ``k`` is deliberately
+        # not pinned: changing it only moves the compression threshold
+        # forward (the MG bound degrades gracefully, never corrupts).
+        StructField("meta", ArrayType(LongType())),
     ]
 )
 
@@ -62,7 +70,7 @@ def _fold_mg(counters: dict[int, int], pdf, key_col: str, k: int) -> dict[int, i
     return counters
 
 
-def _make_hh_update(k: int, key_col: str):
+def _make_hh_update(k: int, key_col: str, buckets: int):
     """Closure (pickled by value — see similarity._make_block_pair_cosine)
     folding one bucket's micro-batch rows into its MG summary."""
 
@@ -71,7 +79,15 @@ def _make_hh_update(k: int, key_col: str):
 
         (bucket,) = key
         if state.exists:
-            keys, counts = state.get
+            keys, counts, meta = state.get
+            if meta and meta[0] != buckets:
+                raise ValueError(
+                    "streaming_heavy_hitters: checkpoint state was built "
+                    f"with buckets={meta[0]} but this run uses "
+                    f"buckets={buckets}; the bucket id IS the state key, "
+                    "so re-bucketing would corrupt counts. Restart with "
+                    f"buckets={meta[0]} or use a fresh checkpoint."
+                )
             counters = dict(zip(keys, counts))
         else:
             counters = {}
@@ -80,7 +96,9 @@ def _make_hh_update(k: int, key_col: str):
         # Deterministic state/emission order: by key — replays after a
         # restart rebuild bit-identical state.
         items = sorted(counters.items())
-        state.update(([key for key, _ in items], [c for _, c in items]))
+        state.update(
+            ([key for key, _ in items], [c for _, c in items], [buckets])
+        )
         yield pd.DataFrame(
             {
                 "bucket": [bucket] * len(items),
@@ -106,7 +124,7 @@ def streaming_heavy_hitters(
         "_bucket", F.pmod(F.hash(F.col(key_col)), F.lit(buckets)).cast("long")
     )
     return bucketed.groupBy("_bucket").applyInPandasWithState(
-        _make_hh_update(k, key_col),
+        _make_hh_update(k, key_col, buckets),
         outputStructType=HH_OUTPUT,
         stateStructType=HH_STATE,
         outputMode="update",
