@@ -3299,3 +3299,220 @@ def q153_cotype_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8, batch D: concentration, forecasting support, cohort economics
+# (q157, q160)
+# ---------------------------------------------------------------------------
+
+_GINI_SPEND_BIN = 1000  # same binned-rank machinery as q140/q148/q155
+
+
+@register(
+    "q157_lorenz_gini",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                    AS DECIMAL(38,6)) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT CAST(FLOOR(spend / {_GINI_SPEND_BIN}) AS BIGINT) AS bin,
+               COUNT(*) AS cnt,
+               CAST(SUM(spend) AS DECIMAL(38,6)) AS bsum
+        FROM cust GROUP BY 1
+    ),
+    c AS (
+        SELECT bin, cnt, bsum,
+               SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumcnt,
+               SUM(bsum) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumsum,
+               SUM(cnt) OVER () AS n_tot,
+               SUM(bsum) OVER () AS tot
+        FROM b
+    ),
+    t AS (
+        SELECT cnt, bsum, n_tot, tot,
+               CAST(CEIL(10.0 * cumcnt / n_tot) AS INT) AS decile,
+               (CAST(cumcnt AS DOUBLE) / n_tot
+                - CAST(LAG(cumcnt, 1, 0) OVER (ORDER BY bin) AS DOUBLE) / n_tot)
+               * (CAST(cumsum AS DOUBLE) / CAST(tot AS DOUBLE)
+                  + CAST(LAG(cumsum, 1, 0) OVER (ORDER BY bin) AS DOUBLE)
+                    / CAST(tot AS DOUBLE)) AS trap
+        FROM c
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_customers,
+           COUNT(*) AS n_bins,
+           ROUND(1 - SUM(trap), 6) AS gini,
+           ROUND(CAST(SUM(CASE WHEN decile = 10 THEN bsum END) AS DOUBLE)
+                 / NULLIF(CAST(MIN(tot) AS DOUBLE), 0), 6) AS top_decile_share,
+           ROUND(CAST(SUM(CASE WHEN decile <= 5 THEN bsum END) AS DOUBLE)
+                 / NULLIF(CAST(MIN(tot) AS DOUBLE), 0), 6) AS bottom_half_share
+    FROM t
+    """,
+    tags=("analytics", "inequality", "pareto"),
+)
+def q157_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + Lorenz summary of customer lifetime spend:
+    trapezoid-integrated Gini over the binned Lorenz curve, top-decile
+    and bottom-half spend shares — the multiplicative complement to
+    q152's Theil (Gini weights the middle; Theil the tails) and the
+    single number concentration dashboards quote.
+
+    Plan: per-customer aggregate, then everything happens on the
+    {_GINI_SPEND_BIN}-unit spend-BIN frame (bounded rows at any scale):
+    cumulative windows, decile assignment via ceil-rank, trapezoid
+    terms, one final 1-row aggregate. Counts and bin sums are exact,
+    so both engines integrate identical doubles. Binned Gini
+    understates the exact statistic by at most the within-bin spread —
+    at the bin width that error is < 1/n_bins, and it is IDENTICAL in
+    both engines by construction.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(30,6)").alias("price")
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum("price").cast("decimal(38,6)").alias("spend")
+    )
+    b = cust.groupBy(
+        F.floor(F.col("spend") / _GINI_SPEND_BIN).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("spend").cast("decimal(38,6)").alias("bsum"),
+    )
+    wall = Window.partitionBy()
+    wasc = Window.orderBy("bin")
+    wcum = wasc.rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select(
+        "bin",
+        "cnt",
+        "bsum",
+        F.sum("cnt").over(wcum).alias("cumcnt"),
+        F.sum("bsum").over(wcum).alias("cumsum"),
+        F.sum("cnt").over(wall).alias("n_tot"),
+        F.sum("bsum").over(wall).alias("tot"),
+    )
+    p = F.col("cumcnt").cast("double") / F.col("n_tot")
+    p_prev = F.lag("cumcnt", 1, 0).over(wasc).cast("double") / F.col("n_tot")
+    ld = F.col("cumsum").cast("double") / F.col("tot").cast("double")
+    l_prev = (
+        F.lag("cumsum", 1, 0).over(wasc).cast("double")
+        / F.col("tot").cast("double")
+    )
+    t = c.select(
+        "cnt",
+        "bsum",
+        "tot",
+        F.ceil(10.0 * F.col("cumcnt") / F.col("n_tot")).cast("int").alias("decile"),
+        ((p - p_prev) * (ld + l_prev)).alias("trap"),
+    )
+    return t.agg(
+        F.sum("cnt").cast("long").alias("n_customers"),
+        F.count("*").alias("n_bins"),
+        F.round(1 - F.sum("trap"), 6).alias("gini"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("decile") == 10, F.col("bsum"))).cast("double"),
+                F.min("tot").cast("double"),
+            ),
+            6,
+        ).alias("top_decile_share"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("decile") <= 5, F.col("bsum"))).cast("double"),
+                F.min("tot").cast("double"),
+            ),
+            6,
+        ).alias("bottom_half_share"),
+    )
+
+
+@register(
+    "q160_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                   AS m,
+               CAST(o_totalprice AS DECIMAL(30,6)) AS price
+        FROM orders
+    ),
+    first_m AS (
+        SELECT o_custkey, MIN(m) AS f FROM o GROUP BY o_custkey
+    ),
+    cohort AS (
+        SELECT f, COUNT(*) AS cohort_size FROM first_m GROUP BY f
+    ),
+    rev AS (
+        SELECT fm.f, o.m - fm.f AS month_offset,
+               CAST(SUM(o.price) AS DECIMAL(38,6)) AS period_rev
+        FROM o JOIN first_m fm ON o.o_custkey = fm.o_custkey
+        GROUP BY fm.f, o.m - fm.f
+    ),
+    cum AS (
+        SELECT f, month_offset, period_rev,
+               SUM(period_rev) OVER (PARTITION BY f ORDER BY month_offset
+                   ROWS UNBOUNDED PRECEDING) AS cum_rev
+        FROM rev
+    )
+    SELECT CAST((c.f // 12) * 100 + (c.f % 12) + 1 AS INT) AS cohort_ym,
+           CAST(c.month_offset AS INT) AS month_offset,
+           k.cohort_size,
+           CAST(c.period_rev AS DOUBLE) AS period_rev,
+           ROUND(CAST(c.cum_rev AS DOUBLE) / k.cohort_size, 6)
+               AS cum_ltv_per_cust
+    FROM cum c JOIN cohort k ON c.f = k.f
+    """,
+    tags=("analytics", "cohort", "economics"),
+)
+def q160_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers cohorted by FIRST-order month, then
+    cumulative revenue per cohort member by month offset — the
+    lifetime-value readout that prices acquisition, where q105's
+    retention matrix only counts the users still around.
+
+    Plan: per-customer first-month aggregate and the revenue
+    aggregation both shuffle on o_custkey (co-partitioned — at cluster
+    scale one bucketed exchange serves both); the cohort-size frame is
+    month-cardinality and broadcasts; the cumulative window runs per
+    cohort over month offsets (bounded by calendar length, not data).
+    Month arithmetic is integer (y*12+m), never months_between — the
+    two engines' fractional-month conventions differ.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+    )
+    first_m = orders.groupBy("o_custkey").agg(F.min("m").alias("f"))
+    cohort = first_m.groupBy("f").agg(F.count("*").alias("cohort_size"))
+    rev = (
+        orders.join(first_m, "o_custkey")
+        .groupBy("f", (F.col("m") - F.col("f")).alias("month_offset"))
+        .agg(F.sum("price").cast("decimal(38,6)").alias("period_rev"))
+    )
+    wcum = (
+        Window.partitionBy("f")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "f",
+        "month_offset",
+        "period_rev",
+        F.sum("period_rev").over(wcum).alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(cohort), "f").select(
+        ((F.col("f") / 12).cast("long") * 100 + F.col("f") % 12 + 1)
+        .cast("int")
+        .alias("cohort_ym"),
+        F.col("month_offset").cast("int").alias("month_offset"),
+        "cohort_size",
+        F.col("period_rev").cast("double").alias("period_rev"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("cohort_size"), 6
+        ).alias("cum_ltv_per_cust"),
+    )

@@ -116,6 +116,10 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q121_session_paths": [("path", "string"), ("n", "bigint")],
     "q122_pit_join": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_shipdate", "timestamp_ntz"), ("ck", "bigint"), ("version", "bigint"), ("status_at_ship", "string")],
     "q123_code_detect": [("doc_id", "bigint"), ("n_tokens", "int"), ("kw_ratio", "double"), ("sym_ratio", "double"), ("is_code", "int")],
+    "q124_mad_outliers": [("event_type", "string"), ("n_events", "bigint"), ("median_value", "double"), ("mad", "double"), ("n_outliers", "bigint"), ("outlier_rate", "double")],
+    "q125_lsh_recall_eval": [("n_truth", "bigint"), ("n_cand", "bigint"), ("n_hits", "bigint"), ("recall", "double"), ("precision", "double")],
+    "q126_bigram_lm_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
+    "q127_changepoint": [("event_type", "string"), ("cp_day", "date"), ("n_days", "bigint"), ("mean_daily", "double"), ("cusum_dev", "double")],
     "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
     "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
     "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],

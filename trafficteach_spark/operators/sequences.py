@@ -1199,3 +1199,95 @@ def q147_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("has_streak3").cast("long").alias("n_streak3"),
     )
+
+
+# Session gap for the entropy profile (matches q22's 30-minute gap).
+_ENT_GAP_US = 1_800_000_000
+_ENT_BIN = 0.25
+
+
+@register(
+    "q159_session_entropy",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    >= {_ENT_GAP_US}
+                    OR LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess,
+               ts, event_id
+        FROM events
+    ),
+    sid AS (
+        SELECT user_id, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS s
+        FROM seq
+    ),
+    tc AS (
+        SELECT user_id, s, event_type, COUNT(*) AS c
+        FROM sid GROUP BY user_id, s, event_type
+    ),
+    sess AS (
+        SELECT user_id, s, CAST(SUM(c) AS BIGINT) AS n,
+               LN(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c) AS ent
+        FROM tc GROUP BY user_id, s
+    )
+    SELECT CAST(FLOOR(ent / {_ENT_BIN}) AS INT) AS ent_bin,
+           COUNT(*) AS n_sessions,
+           ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_events
+    FROM sess GROUP BY 1
+    """,
+    tags=("sequences", "sessions", "behavior"),
+)
+def q159_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session behavioral complexity: Shannon entropy of the event-type
+    mix WITHIN each 30-minute-gap session, histogrammed in
+    {_ENT_BIN}-nat bins — single-action sessions land at 0, diverse
+    browse-buy-error sessions higher; the complexity axis that
+    separates bot-like repetition from organic engagement (complements
+    q154's timing-based burstiness).
+
+    Plan: gaps-and-islands session ids (lag + running sum) share ONE
+    user_id shuffle with deterministic (ts, event_id) tie-breaks; then
+    two hash aggregates — (user, session, type) counts, then per-
+    session entropy via ln(n) - sum(c ln c)/n (counts exact, ln the
+    accepted ulp envelope) — and the bounded histogram. Entropy of a
+    <= 5-type mix is <= ln 5, so the output is <= ~7 bins at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (prev.isNull() | ((us - prev) >= _ENT_GAP_US)).cast("int").alias(
+            "new_sess"
+        ),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sid = seq.select(
+        "user_id", "event_type", F.sum("new_sess").over(wc).alias("s")
+    )
+    tc = sid.groupBy("user_id", "s", "event_type").agg(F.count("*").alias("c"))
+    sess = tc.groupBy("user_id", "s").agg(
+        F.sum("c").cast("long").alias("n"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c")
+        ).alias("ent"),
+    )
+    return sess.groupBy(
+        F.floor(F.col("ent") / _ENT_BIN).cast("int").alias("ent_bin")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 6).alias("avg_events"),
+    )

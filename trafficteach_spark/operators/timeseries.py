@@ -1267,3 +1267,105 @@ def q154_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(10 * F.try_divide(sigma - mu, sigma + mu)).cast("int").alias("b_bin")
     ).where(F.col("b_bin").isNotNull())
     return b.groupBy("b_bin").agg(F.count("*").alias("n_users"))
+
+
+# Holt smoothing constants — written as literals in BOTH engines'
+# expression text so each parses the identical double.
+_HOLT_ALPHA = "0.3"
+_HOLT_BETA = "0.1"
+
+
+@register(
+    "q158_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    rec AS (
+        SELECT rn, day, rev,
+               rev AS l, CAST(0.0 AS DOUBLE) AS b,
+               CAST(NULL AS DOUBLE) AS pred
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.day, s.rev,
+               CAST({_HOLT_ALPHA} AS DOUBLE) * s.rev
+                 + CAST(0.7 AS DOUBLE) * (r.l + r.b) AS l,
+               CAST({_HOLT_BETA} AS DOUBLE)
+                 * ((CAST({_HOLT_ALPHA} AS DOUBLE) * s.rev
+                     + CAST(0.7 AS DOUBLE) * (r.l + r.b)) - r.l)
+                 + CAST(0.9 AS DOUBLE) * r.b AS b,
+               r.l + r.b AS pred
+        FROM seq s JOIN rec r ON s.rn = r.rn + 1
+    )
+    SELECT day, ROUND(rev, 6) AS revenue,
+           ROUND(pred, 6) AS one_step_pred,
+           ROUND(ABS(rev - pred), 6) AS abs_err
+    FROM rec
+    """,
+    tags=("timeseries", "forecast"),
+)
+def q158_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing over daily order
+    revenue: level/trend recurrence l_t = a*y + (1-a)(l+b),
+    b_t = B(l_t - l) + (1-B)b, reporting each day's one-step-ahead
+    prediction and absolute error — the classic short-horizon
+    forecaster (and its in-sample error, the metric that picks a/B).
+
+    Plan: the q142/q127 rollup-shrink shape — one full-data hash
+    aggregate to the date-cardinality daily series, ONE ordered
+    higher-order-function fold over that array (a linear recurrence no
+    window frame expresses; the q92 EWMA argument) — the fold is
+    sequential BY DEFINITION, so both engines chain the identical IEEE
+    doubles; the oracle's recursive CTE replays the same chain. Output
+    is date-cardinality. The array append in the fold is
+    O(days^2) element copies — bounded by calendar length, not data.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    daily = orders.groupBy("day").agg(
+        F.sum("price").cast("decimal(18,2)").cast("double").alias("rev")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "rev"))).alias("s")
+    )
+    a, bta = _HOLT_ALPHA, _HOLT_BETA
+    fold = f"""
+    inline(aggregate(
+      s,
+      named_struct(
+        'l', CAST(NULL AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+        'out', CAST(array() AS ARRAY<STRUCT<day: DATE, revenue: DOUBLE,
+                                            one_step_pred: DOUBLE>>)),
+      (acc, x) -> CASE WHEN acc.l IS NULL THEN named_struct(
+          'l', x.rev, 'b', CAST(0.0 AS DOUBLE),
+          'out', array(named_struct('day', x.day, 'revenue', x.rev,
+                                    'one_step_pred', CAST(NULL AS DOUBLE))))
+        ELSE named_struct(
+          'l', CAST({a} AS DOUBLE) * x.rev
+               + CAST(0.7 AS DOUBLE) * (acc.l + acc.b),
+          'b', CAST({bta} AS DOUBLE)
+               * ((CAST({a} AS DOUBLE) * x.rev
+                   + CAST(0.7 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+               + CAST(0.9 AS DOUBLE) * acc.b,
+          'out', array_append(acc.out, named_struct(
+              'day', x.day, 'revenue', x.rev,
+              'one_step_pred', acc.l + acc.b)))
+        END,
+      acc -> acc.out))
+    """
+    return series.select(F.expr(fold)).select(
+        "day",
+        F.round("revenue", 6).alias("revenue"),
+        F.round("one_step_pred", 6).alias("one_step_pred"),
+        F.round(F.abs(F.col("revenue") - F.col("one_step_pred")), 6).alias(
+            "abs_err"
+        ),
+    )

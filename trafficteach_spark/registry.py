@@ -112,12 +112,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q147_activity_bitmap", "q148_decile_lift", "q149_wilson_ctr",
     "q150_higher_moments", "q151_weighted_median", "q152_theil_index",
     "q153_cotype_jaccard", "q154_burstiness",
-    "q155_abc_analysis", "q156_ks_drift",
+    "q155_abc_analysis", "q156_ks_drift", "q157_lorenz_gini",
+    "q158_holt_forecast", "q159_session_entropy", "q160_cohort_ltv",
     # Retained from round 7 (single round of full-hash evidence — r7;
     # keep until doubly evidenced).
     "q115_rolling_active_sketch",
-    "q124_mad_outliers", "q125_lsh_recall_eval",
-    "q126_bigram_lm_logprob", "q127_changepoint",
     "q128_seasonal_decompose", "q129_window_funnel",
     "q130_ngram_novelty", "q131_embedding_margin", "q132_user_lifecycle",
     "q133_boilerplate_chunks", "q134_dedup_impact",
