@@ -3199,3 +3199,121 @@ def test_autocorrelation_degenerate_short_constant_series(spark, tmp_path):
         assert got[k] == (5 - k, None), k  # pairs exist, zero variance
     for k in range(5, _ACF_MAX_LAG + 1):
         assert got[k] == (0, None), k  # no pairs at all
+
+
+def test_spearman_matches_pandas_rank_reference(spark):
+    """q145 against pandas average-rank + numpy corrcoef at sf0.001 — a
+    completely different rank algorithm (per-row sort vs distinct-value
+    cumulative), so 1e-6 agreement validates the midrank arithmetic."""
+    import numpy as np
+
+    from trafficteach_spark.operators.analytics import q145_spearman_corr
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "lineitem")
+        .select("l_quantity", "l_discount")
+        .toPandas()
+    )
+    ra = pdf["l_quantity"].rank(method="average")
+    rb = pdf["l_discount"].rank(method="average")
+    expect = np.corrcoef(ra, rb)[0, 1]
+    row = q145_spearman_corr(spark, sf).collect()[0]
+    assert row["n"] == len(pdf)
+    assert abs(row["spearman_rho"] - expect) < 1e-6
+
+
+def test_higher_moments_match_numpy_reference(spark):
+    """q150 against numpy population moments at sf0.001: mean, stddev,
+    g1 skewness, g2 excess kurtosis per return flag."""
+    import numpy as np
+
+    from trafficteach_spark.operators.analytics import q150_higher_moments
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    got = {
+        r["l_returnflag"]: r for r in q150_higher_moments(spark, sf).collect()
+    }
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_extendedprice"].to_numpy()
+        mu, sd = x.mean(), x.std()  # population
+        cm3 = ((x - mu) ** 3).mean()
+        cm4 = ((x - mu) ** 4).mean()
+        r = got[flag]
+        assert r["n"] == len(x)
+        assert abs(r["mean_price"] - mu) < 1e-4
+        assert abs(r["pop_stddev"] - sd) < 1e-4
+        assert abs(r["skewness"] - cm3 / sd**3) < 1e-6
+        assert abs(r["ex_kurtosis"] - (cm4 / sd**4 - 3)) < 1e-6
+
+
+def test_holt_forecast_matches_python_loop(spark):
+    """q158 against a plain-Python Holt recurrence at sf0.001 — the HOF
+    fold and the reference loop must chain the same doubles."""
+    from trafficteach_spark.operators.timeseries import q158_holt_forecast
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    pdf["day"] = pdf["o_orderdate"].dt.date
+    daily = sorted(
+        (d, round(float(v), 2))
+        for d, v in pdf.groupby("day")["o_totalprice"].sum().items()
+    )
+    preds = {}
+    l = b = None
+    for day, y in daily:
+        if l is None:
+            l, b, preds[day] = y, 0.0, None
+        else:
+            preds[day] = l + b
+            l_new = 0.3 * y + 0.7 * (l + b)
+            b = 0.1 * (l_new - l) + 0.9 * b
+            l = l_new
+    got = {r["day"]: r["one_step_pred"] for r in q158_holt_forecast(spark, sf).collect()}
+    assert set(got) == set(preds)
+    for day, p in preds.items():
+        if p is None:
+            assert got[day] is None
+        else:
+            assert abs(got[day] - p) < 1e-6, day
+
+
+def test_activity_bitmap_matches_pandas_reference(spark):
+    """q147 against a pandas bitmask recomputation at sf0.001 (histogram
+    of active-day counts and the 3-day-streak flag)."""
+    from collections import Counter
+
+    from trafficteach_spark.operators.sequences import q147_activity_bitmap
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("user_id", "ts").toPandas()
+    pdf["day"] = pdf["ts"].dt.date
+    max_day = pdf["day"].max()
+    masks = {}
+    for (u, d), _ in pdf.groupby(["user_id", "day"]):
+        off = (max_day - d).days
+        if 0 <= off <= 29:
+            masks[u] = masks.get(u, 0) | (1 << off)
+    hist, streaks = Counter(), Counter()
+    for u, m in masks.items():
+        n = bin(m).count("1")
+        hist[n] += 1
+        streaks[n] += 1 if (m & (m >> 1) & (m >> 2)) != 0 else 0
+    got = {
+        r["n_active_days"]: (r["n_users"], r["n_streak3"])
+        for r in q147_activity_bitmap(spark, sf).collect()
+    }
+    assert got == {n: (hist[n], streaks[n]) for n in hist}
