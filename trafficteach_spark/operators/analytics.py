@@ -3516,3 +3516,281 @@ def q160_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_rev").cast("double") / F.col("cohort_size"), 6
         ).alias("cum_ltv_per_cust"),
     )
+
+
+@register(
+    "q161_triple_itemsets",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+    item AS (SELECT brand, COUNT(*) AS n_item FROM b GROUP BY brand),
+    tri AS (
+        SELECT a.brand AS brand_a, c.brand AS brand_b, d.brand AS brand_c,
+               COUNT(*) AS n_triple
+        FROM b a
+        JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+        JOIN b d ON c.ok = d.ok AND c.brand < d.brand
+        GROUP BY 1, 2, 3
+    )
+    SELECT brand_a, brand_b, brand_c, n_triple,
+           ROUND(CAST(n_triple AS DOUBLE) / n_baskets, 6) AS support,
+           ROUND(CAST(n_triple AS DOUBLE) * n_baskets * n_baskets
+                 / (CAST(ia.n_item AS DOUBLE) * ib.n_item * ic.n_item), 6)
+               AS lift
+    FROM tri
+    JOIN item ia ON tri.brand_a = ia.brand
+    JOIN item ib ON tri.brand_b = ib.brand
+    JOIN item ic ON tri.brand_c = ic.brand
+    CROSS JOIN n
+    WHERE CAST(n_triple AS DOUBLE) / n_baskets >= {_RULE_MIN_SUPPORT}
+    """,
+    tags=("analytics", "basket", "ml"),
+)
+def q161_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets at brand granularity with support and
+    independence lift — Apriori one level past q141's pair pass, the
+    depth where bundle recommendations live.
+
+    Plan: the same bounded-fan-out argument as q141, one join deeper:
+    <= 25 brands per order bound the per-basket triple fan-out at
+    C(25,3) (a constant), so the triple frame is linear in baskets and
+    the RESULT frame constant (<= 2300 ordered triples) at any scale.
+    Item counts broadcast; the support gate is scale-invariant.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    n = b.agg(F.count_distinct("ok").alias("n_baskets"))
+    item = b.groupBy("brand").agg(F.count("*").alias("n_item"))
+    a_, c_, d_ = b.alias("a"), b.alias("c"), b.alias("d")
+    tri = (
+        a_.join(
+            c_,
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.brand") < F.col("c.brand")),
+        )
+        .join(
+            d_,
+            (F.col("c.ok") == F.col("d.ok")) & (F.col("c.brand") < F.col("d.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("c.brand").alias("brand_b"),
+            F.col("d.brand").alias("brand_c"),
+        )
+        .agg(F.count("*").alias("n_triple"))
+    )
+    ia = item.select(F.col("brand").alias("brand_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("brand").alias("brand_b"), F.col("n_item").alias("n_b"))
+    ic = item.select(F.col("brand").alias("brand_c"), F.col("n_item").alias("n_c"))
+    j = (
+        tri.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .join(F.broadcast(ic), "brand_c")
+        .join(F.broadcast(n.withColumn("_k", F.lit(1))), F.lit(True))
+    )
+    nb = F.col("n_baskets").cast("double")
+    support = F.col("n_triple").cast("double") / nb
+    return j.where(support >= _RULE_MIN_SUPPORT).select(
+        "brand_a",
+        "brand_b",
+        "brand_c",
+        "n_triple",
+        F.round(support, 6).alias("support"),
+        F.round(
+            F.col("n_triple").cast("double")
+            * nb
+            * nb
+            / (F.col("n_a").cast("double") * F.col("n_b") * F.col("n_c")),
+            6,
+        ).alias("lift"),
+    )
+
+
+@register(
+    "q162_chi2_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               COUNT(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT pri, st, o,
+               SUM(o) OVER (PARTITION BY pri) AS row_tot,
+               SUM(o) OVER (PARTITION BY st) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM obs
+    ),
+    cells AS (
+        SELECT n,
+               CAST(row_tot AS DOUBLE) * col_tot / n AS e,
+               (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+               * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+               / (CAST(row_tot AS DOUBLE) * col_tot / n) AS term
+        FROM m
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n,
+           (SELECT COUNT(DISTINCT pri) FROM obs) AS n_rows,
+           (SELECT COUNT(DISTINCT st) FROM obs) AS n_cols,
+           CAST(((SELECT COUNT(DISTINCT pri) FROM obs) - 1)
+                * ((SELECT COUNT(DISTINCT st) FROM obs) - 1) AS BIGINT) AS dof,
+           ROUND(SUM(term), 6) AS chi2,
+           ROUND(SQRT(SUM(term) / (MIN(n) * LEAST(
+               (SELECT COUNT(DISTINCT pri) FROM obs) - 1,
+               (SELECT COUNT(DISTINCT st) FROM obs) - 1))), 6) AS cramers_v
+    FROM cells
+    """,
+    tags=("analytics", "statistics", "independence"),
+)
+def q162_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    order status, with Cramér's V effect size — the categorical
+    dependence screen a data-quality layer runs between any two
+    dimension columns (neither engine ships a chi2 CDF, so the
+    engine-native deliverable is the statistic + dof + V, compared
+    against external tables).
+
+    Plan: ONE hash aggregate to the r x c contingency frame (15 cells
+    here), marginals via windows over that frame, one 1-row reduce.
+    Counts are exact integers, so expected counts and the chi2 sum are
+    identical doubles in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    )
+    obs = orders.groupBy("pri", "st").agg(F.count("*").alias("o"))
+    m = obs.select(
+        "pri",
+        "st",
+        "o",
+        F.sum("o").over(Window.partitionBy("pri")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("st")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    cells = m.select(
+        "n",
+        "pri",
+        "st",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("term"),
+    )
+    return cells.agg(
+        F.min("n").cast("long").alias("n"),
+        F.count_distinct("pri").alias("n_rows"),
+        F.count_distinct("st").alias("n_cols"),
+        ((F.count_distinct("pri") - 1) * (F.count_distinct("st") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(F.sum("term"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum("term")
+                / (
+                    F.min("n")
+                    * F.least(
+                        F.count_distinct("pri") - 1, F.count_distinct("st") - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q164_interpurchase_intervals",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE)
+                 - LAG(CAST(o_orderdate AS DATE)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS gap_days
+        FROM orders
+    ),
+    g AS (
+        SELECT c.c_mktsegment AS segment, s.gap_days
+        FROM seq s JOIN customer c ON s.o_custkey = c.c_custkey
+        WHERE s.gap_days IS NOT NULL
+    ),
+    vw AS (
+        SELECT segment, gap_days AS v, COUNT(*) AS cnt
+        FROM g GROUP BY segment, gap_days
+    ),
+    c AS (
+        SELECT segment, v, cnt,
+               SUM(cnt) OVER (PARTITION BY segment ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY segment) AS tot,
+               SUM(CAST(v AS DECIMAL(18,0)) * cnt)
+                   OVER (PARTITION BY segment) AS sv
+        FROM c_base
+    ),
+    c_base AS (SELECT * FROM vw)
+    SELECT segment,
+           CAST(MIN(tot) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN v END) AS INT) AS median_days,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN v END) AS INT) AS p90_days,
+           ROUND(CAST(MIN(sv) AS DOUBLE) / MIN(tot), 6) AS avg_days
+    FROM c GROUP BY segment
+    """,
+    tags=("analytics", "behavior", "quantiles"),
+)
+def q164_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval profile per market segment: median, p90
+    and mean days between a customer's consecutive orders — the
+    repurchase-cadence metric that sets reorder-reminder timing and
+    churn thresholds (a customer 3x past their segment median is
+    churning).
+
+    Plan: one customer-partitioned ordered window (tie-broken on
+    orderkey) produces integer day gaps; the segment attaches by
+    broadcast dim join; quantiles use the q151 distinct-value
+    machinery — gaps collapse to (segment, gap_days) frequency rows
+    (bounded by the calendar, not data) and the quantile picks are
+    exact integer comparisons. The mean comes from an exact decimal
+    day sum.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("day")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.datediff("day", F.lag("day").over(w)).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    g = seq.join(F.broadcast(dim), "o_custkey").select("segment", "gap_days")
+    vw = g.groupBy("segment", F.col("gap_days").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    wp = Window.partitionBy("segment")
+    wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = vw.select(
+        "segment",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wp).alias("tot"),
+        F.sum(F.col("v").cast("decimal(18,0)") * F.col("cnt")).over(wp).alias("sv"),
+    )
+    return c.groupBy("segment").agg(
+        F.min("tot").cast("long").alias("n_gaps"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v")))
+        .cast("int")
+        .alias("median_days"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("v")))
+        .cast("int")
+        .alias("p90_days"),
+        F.round(F.min("sv").cast("double") / F.min("tot"), 6).alias("avg_days"),
+    )

@@ -120,6 +120,10 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q125_lsh_recall_eval": [("n_truth", "bigint"), ("n_cand", "bigint"), ("n_hits", "bigint"), ("recall", "double"), ("precision", "double")],
     "q126_bigram_lm_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
     "q127_changepoint": [("event_type", "string"), ("cp_day", "date"), ("n_days", "bigint"), ("mean_daily", "double"), ("cusum_dev", "double")],
+    "q128_seasonal_decompose": [("event_type", "string"), ("dow", "int"), ("n_days", "bigint"), ("avg_count", "double"), ("seasonal_index", "double")],
+    "q129_window_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
+    "q131_embedding_margin": [("label", "int"), ("n_vectors", "bigint"), ("avg_margin", "double"), ("n_misassigned", "bigint"), ("misassign_rate", "double")],
+    "q132_user_lifecycle": [("wk", "date"), ("n_new", "bigint"), ("n_retained", "bigint"), ("n_resurrected", "bigint"), ("n_churned", "bigint")],
     "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
     "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
     "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],

@@ -1384,3 +1384,104 @@ def q130_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# Heaps'-law curve granularity: the corpus is cut into this many
+# doc-id-range prefixes (a fixed grid — no doc-cardinality sort).
+_HEAPS_BUCKETS = 20
+
+
+@register(
+    "q163_heaps_law",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(FLOOR({_HEAPS_BUCKETS} * (doc_id - lo)
+                          / (hi - lo + 1)) AS INT) AS bucket,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents, bounds
+    ),
+    t AS (
+        SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT term, MIN(doc_id) AS first_doc FROM t GROUP BY term
+    ),
+    fb AS (
+        SELECT CAST(FLOOR({_HEAPS_BUCKETS} * (first_doc - lo)
+                          / (hi - lo + 1)) AS INT) AS bucket,
+               COUNT(*) AS new_terms
+        FROM first_seen, bounds GROUP BY 1
+    ),
+    db AS (
+        SELECT bucket, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+        FROM d GROUP BY bucket
+    )
+    SELECT db.bucket, n_docs,
+           CAST(SUM(bucket_tokens) OVER (ORDER BY db.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY db.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab,
+           ROUND(CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY db.bucket
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / SUM(bucket_tokens) OVER (ORDER BY db.bucket
+                      ROWS UNBOUNDED PRECEDING), 6) AS vocab_token_ratio
+    FROM db LEFT JOIN fb ON db.bucket = fb.bucket
+    """,
+    tags=("llm", "corpus", "vocabulary"),
+)
+def q163_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct
+    vocabulary vs cumulative token count over {_HEAPS_BUCKETS} corpus
+    prefixes — the sizing curve that tells a tokenizer-training or
+    vocab-pruning pipeline how fast new types keep arriving (a
+    flattening curve says the vocab is saturating; synthetic remapped
+    corpora stay linear).
+
+    Plan: NO doc-cardinality sort — prefixes are doc-id RANGE buckets
+    from a broadcast 1-row bounds frame. Vocabulary increments come
+    from the term-cardinality first-occurrence aggregate (min doc_id
+    per term, one shuffle on the term key — the q56/q98 vocabulary
+    shape); token counts are map-side per-doc lengths. Cumulative
+    windows run over the fixed {_HEAPS_BUCKETS}-row frame.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    bucket = lambda c: F.floor(
+        _HEAPS_BUCKETS * (F.col(c) - F.col("lo")) / (F.col("hi") - F.col("lo") + 1)
+    ).cast("int")
+    d = docs.crossJoin(F.broadcast(bounds)).select(
+        bucket("doc_id").alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    db = d.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+    )
+    t = docs.select(
+        F.explode(F.split("text", " ")).alias("term"), "doc_id"
+    )
+    first_seen = t.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    fb = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket("first_doc").alias("bucket"))
+        .agg(F.count("*").alias("new_terms"))
+    )
+    j = db.join(fb, "bucket", "left")
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum_tok = F.sum("bucket_tokens").over(wcum)
+    cum_voc = F.sum(F.coalesce("new_terms", F.lit(0))).over(wcum)
+    return j.select(
+        "bucket",
+        "n_docs",
+        cum_tok.cast("long").alias("cum_tokens"),
+        cum_voc.cast("long").alias("cum_vocab"),
+        F.round(cum_voc.cast("double") / cum_tok, 6).alias("vocab_token_ratio"),
+    )

@@ -114,11 +114,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q153_cotype_jaccard", "q154_burstiness",
     "q155_abc_analysis", "q156_ks_drift", "q157_lorenz_gini",
     "q158_holt_forecast", "q159_session_entropy", "q160_cohort_ltv",
+    "q161_triple_itemsets", "q162_chi2_independence", "q163_heaps_law",
+    "q164_interpurchase_intervals",
     # Retained from round 7 (single round of full-hash evidence — r7;
     # keep until doubly evidenced).
     "q115_rolling_active_sketch",
-    "q128_seasonal_decompose", "q129_window_funnel",
-    "q130_ngram_novelty", "q131_embedding_margin", "q132_user_lifecycle",
+    "q130_ngram_novelty",
     "q133_boilerplate_chunks", "q134_dedup_impact",
     "q135_time_weighted_avg", "q136_knn_recall_eval", "q137_cms_topk",
     "q138_srm_check", "q139_ols_regression", "q140_rfm_segmentation",
