@@ -124,6 +124,10 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q129_window_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
     "q131_embedding_margin": [("label", "int"), ("n_vectors", "bigint"), ("avg_margin", "double"), ("n_misassigned", "bigint"), ("misassign_rate", "double")],
     "q132_user_lifecycle": [("wk", "date"), ("n_new", "bigint"), ("n_retained", "bigint"), ("n_resurrected", "bigint"), ("n_churned", "bigint")],
+    "q130_ngram_novelty": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_novel", "bigint"), ("novelty", "double")],
+    "q133_boilerplate_chunks": [("h", "string"), ("chunk_text", "string"), ("n_docs", "bigint"), ("n_occ", "bigint"), ("n_sources", "bigint")],
+    "q134_dedup_impact": [("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("tokens_total", "bigint"), ("tokens_kept", "bigint"), ("pct_tokens_dropped", "double")],
+    "q135_time_weighted_avg": [("event_type", "string"), ("n_segments", "bigint"), ("span_sec", "double"), ("twa_value", "double"), ("plain_avg", "double")],
     "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
     "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
     "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],

@@ -993,3 +993,211 @@ def q133_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "h")
         .limit(_BOILERPLATE_TOPK)
     )
+
+
+# Curriculum grid: quality terciles x length terciles (3x3), assigned
+# by the q140-style ceil-rank rule over binned distinct values.
+_CURRICULUM_CUTS = 3
+
+
+@register(
+    "q167_curriculum_buckets",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(FLOOR(100.0 * len(list_distinct(string_split(text, ' ')))
+                          / len(string_split(text, ' '))) AS BIGINT) AS rbin
+        FROM documents
+    ),
+    lt AS (
+        SELECT v, CAST(CEIL({_CURRICULUM_CUTS}.0 * cum / n) AS INT) AS ter
+        FROM (
+            SELECT n_tokens AS v, COUNT(*) AS cnt,
+                   SUM(COUNT(*)) OVER (ORDER BY n_tokens
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(COUNT(*)) OVER () AS n
+            FROM d GROUP BY n_tokens
+        )
+    ),
+    qt AS (
+        SELECT v, CAST(CEIL({_CURRICULUM_CUTS}.0 * cum / n) AS INT) AS ter
+        FROM (
+            SELECT rbin AS v, COUNT(*) AS cnt,
+                   SUM(COUNT(*)) OVER (ORDER BY rbin
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(COUNT(*)) OVER () AS n
+            FROM d GROUP BY rbin
+        )
+    )
+    SELECT qt.ter AS quality_tercile, lt.ter AS length_tercile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+               AS doc_share
+    FROM d
+    JOIN lt ON d.n_tokens = lt.v
+    JOIN qt ON d.rbin = qt.v
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "curriculum", "quality"),
+)
+def q167_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-curriculum grid: every document placed into a quality
+    tercile (lexical uniqueness) x length tercile cell with doc and
+    token counts — the assignment a curriculum/annealing schedule
+    consumes (short-clean first, long-diverse last), and the mix report
+    that catches a corpus skewed into one cell.
+
+    Plan: one doc-level map pass computes (token count, binned
+    uniqueness); terciles come from the two distinct-VALUE frequency
+    frames via the explicit ceil-rank rule (the q140 machinery — no
+    global sort, no percentile tie risk); the tiny value->tercile maps
+    broadcast back and one hash aggregate fills the 3x3 grid.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    d = docs.select(
+        F.size(toks).alias("n_tokens"),
+        F.floor(
+            100.0 * F.size(F.array_distinct(toks)) / F.size(toks)
+        ).alias("rbin"),
+    )
+
+    def tercile_map(col: str) -> DataFrame:
+        vals = d.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+        wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return vals.select(
+            "v",
+            F.ceil(
+                float(_CURRICULUM_CUTS)
+                * F.sum("cnt").over(wc)
+                / F.sum("cnt").over(Window.partitionBy())
+            )
+            .cast("int")
+            .alias("ter"),
+        )
+
+    lt = tercile_map("n_tokens").withColumnsRenamed({"v": "n_tokens", "ter": "length_tercile"})
+    qt = tercile_map("rbin").withColumnsRenamed({"v": "rbin", "ter": "quality_tercile"})
+    j = d.join(F.broadcast(lt), "n_tokens").join(F.broadcast(qt), "rbin")
+    g = j.groupBy("quality_tercile", "length_tercile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    return g.select(
+        "quality_tercile",
+        "length_tercile",
+        "n_docs",
+        "sum_tokens",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy()),
+            6,
+        ).alias("doc_share"),
+    )
+
+
+# Greedy token budget for the source-selection planner.
+_BUDGET_TOKENS = 2_000_000
+
+
+@register(
+    "q168_source_token_budget",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                               AS DOUBLE)
+                          / len(string_split(text, ' ')), 6)
+                    AS DECIMAL(10,6)) AS uniq
+        FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(uniq) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+        FROM d GROUP BY source
+    ),
+    r AS (
+        SELECT source, n_tokens, avg_quality,
+               ROW_NUMBER() OVER (ORDER BY avg_quality DESC, source)
+                   AS quality_rank,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY avg_quality DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM s
+    )
+    SELECT source, CAST(quality_rank AS INT) AS quality_rank, avg_quality,
+           n_tokens,
+           CAST(LEAST(n_tokens,
+                      GREATEST({_BUDGET_TOKENS} - cum_before, 0)) AS BIGINT)
+               AS take_tokens,
+           CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens_after
+    FROM r
+    """,
+    tags=("llm", "corpus", "planning"),
+)
+def q168_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy source-selection plan for a {_BUDGET_TOKENS}-token
+    training budget: sources ranked by mean lexical quality, budget
+    filled top-down, the crossing source truncated — the data-mixture
+    planning step that precedes q58's quota sampling (q58 enforces a
+    GIVEN mix; this derives one from measured quality and volume).
+
+    Plan: one doc-level map pass -> per-source aggregate (quality sums
+    as exact DECIMAL(10,6) so source RANKS cannot flip on double
+    accumulation order); ranking, the prefix-sum and the greedy take
+    all run on the source-cardinality frame (20 rows). Deterministic
+    tie-break (quality desc, source asc).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = F.split("text", " ")
+    d = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        )
+        .cast("decimal(10,6)")
+        .alias("uniq"),
+    )
+    s = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.sum("uniq").cast("double") / F.count("*"), 6).alias(
+            "avg_quality"
+        ),
+    )
+    wr = Window.orderBy(F.col("avg_quality").desc(), F.col("source"))
+    r = s.select(
+        "source",
+        "n_tokens",
+        "avg_quality",
+        F.row_number().over(wr).cast("int").alias("quality_rank"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                wr.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    return r.select(
+        "source",
+        "quality_rank",
+        "avg_quality",
+        "n_tokens",
+        F.least(
+            F.col("n_tokens"),
+            F.greatest(_BUDGET_TOKENS - F.col("cum_before"), F.lit(0)),
+        )
+        .cast("long")
+        .alias("take_tokens"),
+        (F.col("cum_before") + F.col("n_tokens"))
+        .cast("long")
+        .alias("cum_tokens_after"),
+    )

@@ -157,3 +157,69 @@ def q79_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WSAMPLE_K)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
+
+
+# Neyman total sample budget (a design constant, not data-derived).
+_NEYMAN_BUDGET = 10_000
+
+
+@register(
+    "q165_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s2
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n_rows,
+               SQRT(CAST(s2 AS DOUBLE) / n_rows
+                    - (CAST(s1 AS DOUBLE) / n_rows)
+                      * (CAST(s1 AS DOUBLE) / n_rows)) AS sh
+        FROM s
+    )
+    SELECT event_type, n_rows,
+           ROUND(sh, 6) AS stddev,
+           ROUND(n_rows * sh / SUM(n_rows * sh) OVER (), 6) AS neyman_share,
+           CAST(FLOOR({_NEYMAN_BUDGET} * n_rows * sh
+                      / SUM(n_rows * sh) OVER ()) AS BIGINT) AS allocated_n
+    FROM d
+    """,
+    tags=("sampling", "statistics", "design"),
+)
+def q165_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: each event-type
+    stratum's share of a {_NEYMAN_BUDGET}-row sampling budget
+    proportional to N_h * S_h — the design step that turns q08's
+    equal-rate stratified sampler into a minimum-variance estimator
+    (big noisy strata get more budget, small uniform ones less).
+
+    Plan: ONE map-side-collapsed hash aggregate carrying exact decimal
+    moment sums per stratum; stddev and shares assemble in double space
+    over the 5-row frame (one window for the normalizer). The budget
+    floor is exact (FLOOR of identical doubles).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("v").cast("decimal(38,6)").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,12)").alias("s2"),
+    )
+    nd = F.col("n_rows").cast("double")
+    m = F.col("s1").cast("double") / nd
+    sh = F.sqrt(F.col("s2").cast("double") / nd - m * m)
+    d = s.select("event_type", "n_rows", sh.alias("sh"))
+    norm = F.sum(F.col("n_rows") * F.col("sh")).over(Window.partitionBy())
+    return d.select(
+        "event_type",
+        "n_rows",
+        F.round("sh", 6).alias("stddev"),
+        F.round(F.col("n_rows") * F.col("sh") / norm, 6).alias("neyman_share"),
+        F.floor(_NEYMAN_BUDGET * F.col("n_rows") * F.col("sh") / norm)
+        .cast("long")
+        .alias("allocated_n"),
+    )

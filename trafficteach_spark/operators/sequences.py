@@ -1291,3 +1291,99 @@ def q159_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.round(F.sum("n").cast("double") / F.count("*"), 6).alias("avg_events"),
     )
+
+
+# SPRT design constants: H0 conversion p0 vs H1 p1 = 1.1*p0, alpha =
+# beta = 0.05. Log terms and the Wald boundary ln(19) are pinned as
+# full-precision literals so both engines accumulate identical doubles.
+_SPRT_P0 = 0.20
+_SPRT_P1 = 0.22
+_SPRT_LLR_CONV = 0.09531017980432493  # ln(p1/p0) = ln(1.1)
+_SPRT_LLR_MISS = -0.025317807984289897  # ln((1-p1)/(1-p0)) = ln(0.975)
+_SPRT_BOUND = 2.9444389791664403  # ln((1-beta)/alpha) = ln(19)
+
+
+@register(
+    "q166_sprt_boundary",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, {_AB_HASH_DUCK} AS v,
+               CAST(MIN(ts) AS DATE) AS first_day,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day AS day, COUNT(*) AS trials,
+               CAST(SUM(converted) AS BIGINT) AS convs
+        FROM u WHERE v = 1 GROUP BY first_day
+    ),
+    c AS (
+        SELECT day,
+               SUM(trials) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cum_trials,
+               SUM(convs) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cum_conv
+        FROM daily
+    )
+    SELECT day,
+           CAST(cum_trials AS BIGINT) AS cum_trials,
+           CAST(cum_conv AS BIGINT) AS cum_conv,
+           ROUND(cum_conv * {_SPRT_LLR_CONV}
+                 + (cum_trials - cum_conv) * {_SPRT_LLR_MISS}, 6) AS cum_llr,
+           CASE WHEN cum_conv * {_SPRT_LLR_CONV}
+                     + (cum_trials - cum_conv) * {_SPRT_LLR_MISS}
+                     >= {_SPRT_BOUND} THEN 'accept_h1'
+                WHEN cum_conv * {_SPRT_LLR_CONV}
+                     + (cum_trials - cum_conv) * {_SPRT_LLR_MISS}
+                     <= -{_SPRT_BOUND} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c
+    """,
+    tags=("sequences", "experimentation", "sequential"),
+)
+def q166_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT audit of the B arm: cumulative log-likelihood ratio of
+    H1 (p = {_SPRT_P1}) vs H0 (p = {_SPRT_P0}) over users in arrival
+    order, day by day, with the ln(19) decision boundaries — the
+    'when could this experiment have stopped' retrospective that
+    motivates sequential testing over fixed-horizon readouts (q110).
+
+    Plan: the q110 single corpus-sized user aggregate (variant, first
+    day, converted), then everything runs on the date-cardinality daily
+    frame: one cumulative window and literal-coefficient arithmetic.
+    Exact integer counts x pinned literals -> identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    ).select(F.expr(_AB_HASH_SPARK).alias("v"), "first_day", "converted")
+    daily = (
+        u.where(F.col("v") == 1)
+        .groupBy(F.col("first_day").alias("day"))
+        .agg(
+            F.count("*").alias("trials"),
+            F.sum("converted").cast("long").alias("convs"),
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select(
+        "day",
+        F.sum("trials").over(wcum).alias("cum_trials"),
+        F.sum("convs").over(wcum).alias("cum_conv"),
+    )
+    llr = (
+        F.col("cum_conv") * _SPRT_LLR_CONV
+        + (F.col("cum_trials") - F.col("cum_conv")) * _SPRT_LLR_MISS
+    )
+    return c.select(
+        "day",
+        F.col("cum_trials").cast("long").alias("cum_trials"),
+        F.col("cum_conv").cast("long").alias("cum_conv"),
+        F.round(llr, 6).alias("cum_llr"),
+        F.when(llr >= _SPRT_BOUND, "accept_h1")
+        .when(llr <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

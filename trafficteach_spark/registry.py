@@ -115,13 +115,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q155_abc_analysis", "q156_ks_drift", "q157_lorenz_gini",
     "q158_holt_forecast", "q159_session_entropy", "q160_cohort_ltv",
     "q161_triple_itemsets", "q162_chi2_independence", "q163_heaps_law",
-    "q164_interpurchase_intervals",
+    "q164_interpurchase_intervals", "q165_neyman_allocation",
+    "q166_sprt_boundary", "q167_curriculum_buckets",
+    "q168_source_token_budget",
     # Retained from round 7 (single round of full-hash evidence — r7;
     # keep until doubly evidenced).
     "q115_rolling_active_sketch",
-    "q130_ngram_novelty",
-    "q133_boilerplate_chunks", "q134_dedup_impact",
-    "q135_time_weighted_avg", "q136_knn_recall_eval", "q137_cms_topk",
+    "q136_knn_recall_eval", "q137_cms_topk",
     "q138_srm_check", "q139_ols_regression", "q140_rfm_segmentation",
     "q141_association_rules", "q142_autocorrelation",
     # (q96/q97/q100-q111/q58/q81/q82/q91 demoted: doubly evidenced
