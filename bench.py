@@ -50,9 +50,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
-    # The parity digest re-executes 31 constituent queries that are each
-    # timed individually right here — benching it would double-count.
+    # The parity digest re-executes its constituent queries, which are
+    # each timed individually right here — benching it would double-count.
     qs.pop("q80_parity_digest", None)
+
+    # Optional key filter (comma-separated), used for same-protocol
+    # comparisons against an earlier round's registry subset — e.g. the
+    # round-7 capstone backfill over the 147 r7-era keys.
+    only = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    if only:
+        wanted = {k.strip() for k in only.split(",") if k.strip()}
+        missing = wanted - set(qs)
+        if missing:
+            print(f"unknown bench keys: {sorted(missing)}", file=sys.stderr)
+            sys.exit(2)
+        qs = {k: fn for k, fn in qs.items() if k in wanted}
 
     # Warmup: run everything once untimed (JVM JIT, codegen cache, parquet
     # footer cache) so timed rounds measure the query, not the cold start.
