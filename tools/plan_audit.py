@@ -38,6 +38,13 @@ WHITELIST = {
         "sanctioned cross-attach + filter it replaces (build side is one "
         "row; any constant equi-key written to avoid it is folded away)",
     ),
+    "q161_triple_itemsets": (
+        ("conditioned-BNLJ",),
+        "same idiom as q141 one itemset level up: the support-threshold "
+        "filter references both the triple frame and the 1-ROW "
+        "basket-total frame, so Catalyst fuses it into the broadcast "
+        "attach as a conditioned BNLJ (build side is one row)",
+    ),
     "q32_knn_cosine": (
         ("conditioned-BNLJ",),
         "BroadcastNestedLoopJoin of the K query vectors against the corpus "
@@ -72,6 +79,21 @@ WHITELIST = {
         "rotation that includes q32_knn_cosine and q35_embed_near_dup, "
         "whose conditioned BNLJs are whitelisted above for their own "
         "reasons — no new join is introduced by the digest wrapper itself",
+    ),
+    "q147_activity_bitmap": (
+        ("conditioned-BNLJ",),
+        "the offset window filter (0 <= datediff(max_day, day) <= 29) "
+        "references the broadcast ONE-ROW horizon frame, so Catalyst "
+        "fuses it into the scalar attach as a conditioned BNLJ — the "
+        "q132 scalar-attach-with-residual-predicate idiom; inner side is "
+        "one row at any data size",
+    ),
+    "q163_heaps_law": (
+        ("conditioned-BNLJ",),
+        "the LEFT join key's pushed isnotnull(bucket expr) references "
+        "the broadcast ONE-ROW bounds frame, so the scalar attach "
+        "carries a residual condition — the q132 idiom again; inner "
+        "side is one row at any data size",
     ),
 }
 

@@ -3594,7 +3594,7 @@ def q161_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.join(F.broadcast(ia), "brand_a")
         .join(F.broadcast(ib), "brand_b")
         .join(F.broadcast(ic), "brand_c")
-        .join(F.broadcast(n.withColumn("_k", F.lit(1))), F.lit(True))
+        .crossJoin(F.broadcast(n))
     )
     nb = F.col("n_baskets").cast("double")
     support = F.col("n_triple").cast("double") / nb
