@@ -3317,3 +3317,143 @@ def test_activity_bitmap_matches_pandas_reference(spark):
         for r in q147_activity_bitmap(spark, sf).collect()
     }
     assert got == {n: (hist[n], streaks[n]) for n in hist}
+
+
+# ---------- round-8 batch G: selection / semantic dedup / spans ----------
+
+
+def test_markov_transitions_match_python_reference(spark):
+    """q172 against a plain-Python lag recomputation at sf0.001: same
+    transition counts, and P(next | prev) sums to 1 per prev state."""
+    from collections import Counter, defaultdict
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ref = Counter()
+    for _, g in pdf.groupby("user_id"):
+        types = list(g["event_type"])
+        for a, b in zip(types, types[1:]):
+            ref[(a, b)] += 1
+    rows = Q["q172_markov_transitions"](spark, sf).collect()
+    got = {(r["prev_type"], r["next_type"]): r["n"] for r in rows}
+    assert got == dict(ref)
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r["prev_type"]] += r["p"]
+        assert abs(r["p"] - ref[(r["prev_type"], r["next_type"])] / sum(
+            c for (a, _), c in ref.items() if a == r["prev_type"]
+        )) < 1e-5
+    for s in by_prev.values():
+        assert abs(s - 1.0) < 1e-4  # each row rounds to 6 places
+
+
+def test_length_retention_sweep_monotone_and_exact(spark):
+    """q173: full grid present, counts monotone non-increasing, and the
+    T=200 row equals a pandas recount."""
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["threshold"]: r for r in Q["q173_length_retention_sweep"](spark, sf).collect()}
+    assert sorted(rows) == list(range(50, 501, 50))
+    counts = [rows[t]["n_docs"] for t in sorted(rows)]
+    assert counts == sorted(counts, reverse=True)
+    nc = load_table(spark, sf, "documents").select("n_chars").toPandas()["n_chars"]
+    keep = nc[nc >= 200]
+    assert rows[200]["n_docs"] == len(keep)
+    assert rows[200]["n_chars_kept"] == int(keep.sum())
+    assert abs(rows[200]["doc_frac"] - len(keep) / len(nc)) < 1e-5
+
+
+def test_dsir_weights_cover_raw_docs_with_feature_counts(spark):
+    """q169: exactly the non-target docs are scored, n_feats is the
+    bigram occurrence count (len-1), and weights are finite."""
+    import math
+
+    from trafficteach_spark.operators.llm.corpus import _DSIR_TARGET
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    ).toPandas()
+    raw = pdf[~pdf["source"].isin(_DSIR_TARGET)]
+    expect = {
+        int(r.doc_id): len(str(r.text).lower().split()) - 1
+        for r in raw.itertuples()
+        if len(str(r.text).split()) >= 2
+    }
+    rows = Q["q169_dsir_weights"](spark, sf).collect()
+    got = {r["doc_id"]: r["n_feats"] for r in rows}
+    assert got == expect
+    assert all(math.isfinite(r["weight"]) for r in rows)
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """q170 against a numpy within-cluster recomputation at sf0.001:
+    identical removal set; each cluster's first vector always kept."""
+    import numpy as np
+
+    from trafficteach_spark.operators.llm.similarity import _SEMDEDUP_COS
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "embeddings").toPandas()
+    removed_ref = set()
+    first_ids = set()
+    for _, g in pdf.groupby("label"):
+        g = g.sort_values("vec_id")
+        first_ids.add(int(g["vec_id"].iloc[0]))
+        m = np.array([np.array(v, dtype=np.float64) for v in g["embedding"]])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 6)
+        ids = list(g["vec_id"])
+        for j in range(1, len(ids)):
+            if max(cos[j][:j]) >= _SEMDEDUP_COS:
+                removed_ref.add(int(ids[j]))
+    rows = Q["q170_semdedup"](spark, sf).collect()
+    assert {r["vec_id"] for r in rows if r["removed"]} == removed_ref
+    for r in rows:
+        if r["vec_id"] in first_ids:
+            assert r["max_lower_cos"] is None and not r["removed"]
+
+
+def test_dup_span_fraction_planted_duplicate_covers_fully(spark, tmp_path):
+    """q171 on a hand-built corpus: an exact duplicate pair is covered
+    end-to-end (dup_frac 1.0), a unique doc scores 0, and a partial
+    overlap covers exactly the shared window's span."""
+    import shutil
+
+    from trafficteach_spark.operators.llm.dedup import SPAN_K
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "spans"
+    d.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    shared = " ".join(f"s{i}" for i in range(SPAN_K))  # one shared k-gram
+    docs = [
+        (1, "alpha " * 9 + "omega", "en", "srcA", 0),   # 10 tokens, dup of 2
+        (2, "alpha " * 9 + "omega", "en", "srcA", 0),
+        (3, " ".join(f"u{i}" for i in range(10)), "en", "srcB", 0),
+        (4, shared + " tail1 tail2", "en", "srcC", 0),
+        (5, "head0 head1 " + shared, "en", "srcC", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {r["doc_id"]: r for r in Q["q171_dup_span_fraction"](spark, str(d)).collect()}
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["covered"] == 0 and out[3]["dup_frac"] == 0.0
+    # docs 4/5: only the shared k-gram window is duplicated -> SPAN_K
+    # covered positions out of SPAN_K + 2 tokens.
+    for i in (4, 5):
+        assert out[i]["covered"] == SPAN_K
+        assert abs(out[i]["dup_frac"] - SPAN_K / (SPAN_K + 2)) < 1e-6

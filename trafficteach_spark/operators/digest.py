@@ -105,6 +105,14 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     # additions landed (q115 is rows-only — no oracle, so no digest row;
     # its invariant tests in tests/ remain its evidence).
     "q96_psi_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("n_bins", "bigint"), ("psi", "double")],
+    # Late round-8 demotions: singly evidenced r7, displaced one-for-one
+    # by the q169-q173 batch (the zero-evidence keys outrank them for
+    # window slots; these stay hash-pinned here + in the local sweep).
+    "q136_knn_recall_eval": [("variant", "string"), ("n_queries", "bigint"), ("mean_recall", "double")],
+    "q137_cms_topk": [("user_id", "bigint"), ("freq", "bigint"), ("cms_est", "bigint"), ("overestimate", "bigint")],
+    "q138_srm_check": [("n_a", "bigint"), ("n_b", "bigint"), ("chi2", "double"), ("srm", "int")],
+    "q139_ols_regression": [("n", "bigint"), ("beta0", "double"), ("beta1", "double"), ("beta2", "double"), ("r2", "double")],
+    "q140_rfm_segmentation": [("r_q", "int"), ("f_q", "int"), ("m_q", "int"), ("n_customers", "bigint"), ("sum_monetary", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

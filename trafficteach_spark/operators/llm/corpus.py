@@ -1485,3 +1485,223 @@ def q163_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_voc.cast("long").alias("cum_vocab"),
         F.round(cum_voc.cast("double") / cum_tok, 6).alias("vocab_token_ratio"),
     )
+
+
+# Retention-sweep grid: min-length thresholds in chars. The fixture's
+# n_chars spans ~48-553, so 50..500 step 50 keeps every grid row
+# non-vacuous (the 500 row retains a thin tail, the 50 row nearly all).
+_SWEEP_LO = 50
+_SWEEP_HI = 500
+_SWEEP_STEP = 50
+
+
+@register(
+    "q173_length_retention_sweep",
+    oracle=f"""
+    WITH b AS (
+        SELECT LEAST(n_chars // {_SWEEP_STEP} * {_SWEEP_STEP}, {_SWEEP_HI})
+                   AS t_max,
+               COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS ch
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS tc, CAST(SUM(ch) AS DOUBLE) AS tch
+        FROM b
+    ),
+    hits AS (
+        SELECT unnest(range({_SWEEP_LO}, t_max + 1, {_SWEEP_STEP}))
+                   AS threshold,
+               c, ch
+        FROM b WHERE t_max >= {_SWEEP_LO}
+    )
+    SELECT CAST(threshold AS INT) AS threshold,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(ch) AS BIGINT) AS n_chars_kept,
+           ROUND(SUM(c) / tc, 6) AS doc_frac,
+           ROUND(SUM(ch) / tch, 6) AS char_frac
+    FROM hits CROSS JOIN tot
+    GROUP BY threshold, tc, tch
+    """,
+    tags=("llm", "corpus", "planning"),
+)
+def q173_length_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold sweep for corpus planning: for every min-length
+    cutoff T in {_SWEEP_LO}..{_SWEEP_HI} (step {_SWEEP_STEP}), how many
+    documents and characters survive ``n_chars >= T`` and what corpus
+    fraction that is. THE standard what-if curve run before committing
+    a quality filter — pick T off this frame instead of re-scanning the
+    corpus per candidate threshold.
+
+    Plan: ONE corpus aggregate onto a grid-bounded frame (each doc maps
+    to the highest threshold it passes, floored to the grid — at most
+    {(_SWEEP_HI - _SWEEP_LO) // _SWEEP_STEP + 2} groups), then the
+    sweep explodes each tiny group row into the thresholds it satisfies
+    (a sequence explode on a ~dozen-row frame, not on the corpus) and
+    re-aggregates. The 10-point sweep therefore costs exactly one
+    corpus scan + one bounded shuffle regardless of grid resolution —
+    the 100 TB version changes the grid literals, nothing else.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        docs.groupBy(
+            F.least(
+                (F.col("n_chars") / _SWEEP_STEP).cast("long") * _SWEEP_STEP,
+                F.lit(_SWEEP_HI).cast("long"),
+            ).alias("t_max")
+        )
+        .agg(F.count("*").alias("c"), F.sum("n_chars").cast("long").alias("ch"))
+    )
+    tot = b.agg(
+        F.sum("c").cast("double").alias("tc"),
+        F.sum("ch").cast("double").alias("tch"),
+    )
+    hits = (
+        b.where(F.col("t_max") >= _SWEEP_LO)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(_SWEEP_LO).cast("long"),
+                    F.col("t_max"),
+                    F.lit(_SWEEP_STEP).cast("long"),
+                )
+            ).alias("threshold"),
+            "c",
+            "ch",
+        )
+    )
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("threshold").cast("int").alias("threshold"))
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum("ch").cast("long").alias("n_chars_kept"),
+            F.round(F.sum("c") / F.first("tc"), 6).alias("doc_frac"),
+            F.round(F.sum("ch") / F.first("tch"), 6).alias("char_frac"),
+        )
+    )
+
+
+# DSIR (Xie et al., NeurIPS 2023, "Data Selection for Language Models
+# via Importance Resampling" — public paper): hashed n-gram importance
+# weights. Feature space = hashed bigrams; the smoothing constant is
+# add-one over the bucket space.
+_DSIR_BUCKETS = 256
+_DSIR_TARGET = ("src1", "src2", "src3", "src4")
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+_DSIR_BG_SPARK = md5_prefix_int_spark("bg")
+_DSIR_BG_DUCK = md5_prefix_int_duck("bg")
+
+
+@register(
+    "q169_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source IN ({_DSIR_TARGET_SQL}) AS is_target,
+               string_split(lower(text), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    feats AS (
+        SELECT doc_id, is_target,
+               ({_DSIR_BG_DUCK}) % {_DSIR_BUCKETS} AS bucket
+        FROM (
+            SELECT doc_id, is_target,
+                   unnest([w[i] || ' ' || w[i+1]
+                           for i in range(1, len(w))]) AS bg
+            FROM tok WHERE len(w) >= 2
+        )
+    ),
+    bc AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+        FROM feats GROUP BY bucket
+    ),
+    tots AS (
+        SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr
+        FROM bc
+    ),
+    ratio AS (
+        SELECT bucket,
+               ln(((ct + 1) / (nt + {_DSIR_BUCKETS}))
+                  / ((cr + 1) / (nr + {_DSIR_BUCKETS}))) AS llr
+        FROM bc CROSS JOIN tots
+    )
+    SELECT f.doc_id,
+           COUNT(*) AS n_feats,
+           ROUND(AVG(r.llr), 6) AS weight
+    FROM feats f JOIN ratio r ON f.bucket = r.bucket
+    WHERE NOT f.is_target
+    GROUP BY f.doc_id
+    """,
+    tags=("llm", "corpus", "selection", "dsir"),
+)
+def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, public paper): score
+    every out-of-domain document by how target-domain-like its hashed
+    bigram features are. Target distribution = sources {_DSIR_TARGET};
+    raw = the rest. Each bucket b of the {_DSIR_BUCKETS}-bucket hashed
+    feature space gets an add-one-smoothed log-likelihood ratio
+    ln(p_target(b) / p_raw(b)); a raw document's weight is the MEAN llr
+    over its bigram occurrences (length-normalized, so long documents
+    don't dominate the resampling pool). Downstream selection samples
+    proportionally to exp(weight) — this frame IS the published
+    algorithm's scoring pass.
+
+    Plan: one tokenized scan explodes bigrams and hashes them into a
+    FIXED {_DSIR_BUCKETS}-bucket space (the hashing trick — no vocab
+    build, q117's scale argument); the per-bucket target/raw counts are
+    a bounded {_DSIR_BUCKETS}-row aggregate whose totals ride along as
+    a broadcast single row; the llr table broadcast-joins back onto the
+    feature stream and ONE per-doc hash aggregate finishes. Full-data
+    shuffles: the bucket count and the per-doc mean — both map-side
+    combined. The bucket hash is the cross-engine 60-bit md5, so the
+    oracle checks actual feature assignment, not just shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_target"),
+        F.split(F.lower("text"), " ").alias("w"),
+    )
+    feats = (
+        tok.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.pmod(F.expr(_DSIR_BG_SPARK), F.lit(_DSIR_BUCKETS)).alias("bucket"),
+        )
+    )
+    bc = feats.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("int")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("int")).alias("cr"),
+    )
+    tots = bc.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
+    )
+    ratio = bc.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + 1) / (F.col("nt") + _DSIR_BUCKETS))
+            / ((F.col("cr") + 1) / (F.col("nr") + _DSIR_BUCKETS))
+        ).alias("llr"),
+    )
+    return (
+        feats.where(~F.col("is_target"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.avg("llr"), 6).alias("weight"),
+        )
+    )

@@ -1149,3 +1149,115 @@ def q134_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - kept_tok / F.sum("n_tok").cast("double"), 6
         ).alias("pct_tokens_dropped"),
     )
+
+
+# Duplicated-span accounting (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better", ACL — public paper): the paper
+# removes exact substrings of >= 50 BPE tokens seen twice; this is the
+# word-k-gram accounting pass at k = SPAN_K. Small k keeps the fixture
+# (31-word vocab, ~300-char docs) non-vacuous while the construction is
+# k-agnostic.
+SPAN_K = 6
+
+
+@register(
+    "q171_dup_span_fraction",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL
+    ),
+    pg AS (
+        SELECT doc_id,
+               unnest(range(1, len(w) - {SPAN_K - 2})) AS pos,
+               unnest([{" || ' ' || ".join(f"w[i+{j}]" for j in range(SPAN_K))}
+                       for i in range(1, len(w) - {SPAN_K - 2})]) AS gram
+        FROM tok WHERE len(w) >= {SPAN_K}
+    ),
+    owners AS (
+        SELECT gram FROM pg GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id,
+               unnest(range(pos, pos + {SPAN_K})) AS cp
+        FROM pg JOIN owners USING (gram)
+    ),
+    cnt AS (
+        SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+           ROUND(COALESCE(c.covered, 0) / CAST(len(t.w) AS DOUBLE), 6)
+               AS dup_frac
+    FROM tok t LEFT JOIN cnt c ON t.doc_id = c.doc_id
+    """,
+    tags=("llm", "dedup", "spans"),
+)
+def q171_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage (Lee et al. 2022's exact-substring
+    accounting, at word {SPAN_K}-gram granularity): per document, the
+    fraction of token POSITIONS covered by at least one {SPAN_K}-gram
+    that also appears in some OTHER document. Position coverage — the
+    union of overlapping duplicated windows — is what the span-removal
+    pass actually deletes, which distinguishes this from q130's
+    distinct-gram novelty: a doc whose every window is shared scores
+    dup_frac 1.0 even when each gram is individually rare.
+
+    Plan: one tokenized scan explodes POSITIONAL k-grams; duplicated
+    grams come from one hash aggregate on the gram key (HAVING >= 2
+    distinct docs — vocabulary-of-grams sized); the join back is an
+    equi-join on the gram, the x{SPAN_K} covered-position explode is
+    output-bound, and the DISTINCT + count collapse on doc_id. Never a
+    doc-pair join: cost scales with gram volume + duplicated-span
+    volume, independent of how many documents share a span. At 100 TB
+    the owners frame is the incremental state (gram -> doc count),
+    exactly q112's corpus-side pattern; the deletion pass itself is
+    this frame's covered-position set anti-joined onto token positions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    gram_expr = (
+        "transform(sequence(1, size(w) - "
+        f"{SPAN_K - 1}), i -> struct(i as pos, "
+        + "concat_ws(' ', "
+        + ", ".join(f"element_at(w, i + {j})" for j in range(SPAN_K))
+        + ") as gram))"
+    )
+    pg = (
+        tok.where(F.size("w") >= SPAN_K)
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("pg"))
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    owners = (
+        pg.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        pg.join(owners, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("cp"),
+        )
+        .distinct()
+    )
+    cnt = cov.groupBy("doc_id").agg(F.count("*").alias("covered"))
+    return (
+        tok.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("covered"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -885,3 +885,91 @@ def q136_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("variant", "n_queries", "mean_recall")
         )
     return out[0].unionByName(out[1])
+
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+# semantic dedup inside embedding clusters. Threshold sits above the
+# fixture's within-cluster p95 (~0.21) and below its max (~0.47), so
+# the removal set is non-empty and non-trivial.
+_SEMDEDUP_COS = 0.25
+
+
+@register(
+    "q170_semdedup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    pairs AS (
+        SELECT b.vec_id,
+               ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    mx AS (
+        SELECT vec_id, MAX(cos) AS max_lower_cos FROM pairs GROUP BY vec_id
+    )
+    SELECT n.vec_id, n.label, mx.max_lower_cos,
+           COALESCE(mx.max_lower_cos >= {_SEMDEDUP_COS}, FALSE) AS removed
+    FROM n LEFT JOIN mx ON n.vec_id = mx.vec_id
+    """,
+    tags=("llm", "X3", "dedup", "semdedup"),
+)
+def q170_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): semantic
+    deduplication inside embedding clusters. Every vector is compared
+    only to SAME-CLUSTER vectors with a lower vec_id (the deterministic
+    stand-in for the paper's keep-one-representative choice); a vector
+    is removed when its max cosine to any such earlier neighbor is
+    >= {_SEMDEDUP_COS}. Output: per vector, its cluster, the max
+    lower-id cosine (NULL for each cluster's first vector) and the
+    removal verdict — the frame a curation pipeline anti-joins against
+    the corpus.
+
+    The fixture's cluster id is the label column; at 100 TB the cluster
+    id comes from the SAME in-engine k-means that feeds q32_knn_ivf, so
+    cluster size is controlled by k (the paper uses k ~ sqrt(N)) and
+    the within-cluster pair join stays quadratic only in the BOUNDED
+    cluster size, linear in cluster count. Plan: one equi-join on the
+    cluster key (SortMergeJoin, never a cross product), one per-vector
+    max aggregate, one left join back — all shuffles on cluster or
+    vec_id keys. Cosines round to 6 before MAX so both engines select
+    identically.
+    """
+    n = _vectors(spark, sf_dir)
+    a = n.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = n.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    pairs = (
+        a.join(b, "l")
+        .where(F.col("a_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    mx = pairs.groupBy("vec_id").agg(F.max("cos").alias("max_lower_cos"))
+    return n.select("vec_id", "label").join(mx, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "max_lower_cos",
+        F.coalesce(
+            F.col("max_lower_cos") >= _SEMDEDUP_COS, F.lit(False)
+        ).alias("removed"),
+    )

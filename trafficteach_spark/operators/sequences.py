@@ -1387,3 +1387,64 @@ def q166_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+@register(
+    "q172_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    tc AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type)
+                          AS DOUBLE), 6) AS p
+    FROM tc
+    """,
+    tags=("sequences", "behavior", "markov"),
+)
+def q172_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    ordered pair of consecutive events within a user's timeline
+    (ordered by ts with event_id as the deterministic tie-break),
+    the transition count and the conditional probability
+    P(next | prev) — the behavioral model behind next-action
+    prediction, anomaly scoring (improbable transitions) and the
+    session-complexity entropy q159 reads off a single state.
+
+    Plan: one user-partitioned LAG window (shuffle on user_id — the
+    same partitioning every per-user sequence operator reuses), one
+    hash aggregate onto the event-type x event-type frame (bounded by
+    the TYPE VOCABULARY squared, ~25 rows here, never corpus-sized),
+    and the normalizing window runs on that tiny frame. At 100 TB the
+    only full-data stages are the user shuffle and the map-side-combined
+    pair count; the matrix itself stays broadcastable for downstream
+    scoring joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    tc = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return tc.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wnorm).cast("double"), 6).alias("p"),
+    )

@@ -118,14 +118,17 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q164_interpurchase_intervals", "q165_neyman_allocation",
     "q166_sprt_boundary", "q167_curriculum_buckets",
     "q168_source_token_budget",
+    # Late round-8 additions (zero driver evidence until this window
+    # runs; they displaced q136-q140 into the digest one-for-one).
+    "q169_dsir_weights", "q170_semdedup", "q171_dup_span_fraction",
+    "q172_markov_transitions", "q173_length_retention_sweep",
     # Retained from round 7 (single round of full-hash evidence — r7;
     # keep until doubly evidenced).
     "q115_rolling_active_sketch",
-    "q136_knn_recall_eval", "q137_cms_topk",
-    "q138_srm_check", "q139_ols_regression", "q140_rfm_segmentation",
     "q141_association_rules", "q142_autocorrelation",
     # (q96/q97/q100-q111/q58/q81/q82/q91 demoted: doubly evidenced
-    # r6+r7, digest + local parity keep covering them.)
+    # r6+r7, digest + local parity keep covering them; q136-q140
+    # likewise singly evidenced r7 + digest-pinned since late round 8.)
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )
