@@ -3457,3 +3457,166 @@ def test_dup_span_fraction_planted_duplicate_covers_fully(spark, tmp_path):
     for i in (4, 5):
         assert out[i]["covered"] == SPAN_K
         assert abs(out[i]["dup_frac"] - SPAN_K / (SPAN_K + 2)) < 1e-6
+
+
+# ---------- round-8 batch H: quality gates / planners / survival ----------
+
+
+def test_gopher_rules_match_python_reference(spark):
+    """q174 against a plain-Python rule recomputation at sf0.001."""
+    from trafficteach_spark.operators.llm.text import (
+        _EN_STOPWORDS,
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MIN_WORDS,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "documents").select("doc_id", "text").toPandas()
+    ref = {}
+    for r in pdf.itertuples():
+        w = str(r.text).split(" ")
+        n_stop = sum(1 for x in w if x in _EN_STOPWORDS)
+        alpha = sum(1 for x in w if x.isalpha() and x.islower()) / len(w)
+        ref[int(r.doc_id)] = (
+            int(len(w) >= _GOPHER_MIN_WORDS),
+            int(n_stop >= _GOPHER_MIN_STOP),
+            int(alpha >= _GOPHER_MIN_ALPHA),
+        )
+    rows = Q["q174_gopher_rules"](spark, sf).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        ec, es, ea = ref[r["doc_id"]]
+        assert (r["r_count"], r["r_stop"], r["r_alpha"]) == (ec, es, ea), r
+        assert r["pass_all"] == (r["r_count"] & r["r_wordlen"] & r["r_stop"] & r["r_alpha"])
+    # the battery must actually discriminate on this corpus
+    assert 0 < sum(r["pass_all"] for r in rows) < len(rows)
+
+
+def test_lsh_curve_planner_scurve_shape(spark):
+    """q175: the S-curve formula checked against plain-Python math, and
+    the monotone shape along the budget split (more rows per band ->
+    lower capture probability at fixed J)."""
+    import math
+
+    from trafficteach_spark.operators.llm.dedup import JACCARD_THRESHOLD
+
+    sf = "/root/testdata/sf0.001"
+    rows = {(r["bands"], r["rows_per_band"]): r for r in Q["q175_lsh_curve_planner"](spark, sf).collect()}
+    assert set(rows) == {(64, 1), (32, 2), (16, 4), (8, 8), (4, 16)}
+    for (b, rr), r in rows.items():
+        expect = 1 - (1 - JACCARD_THRESHOLD**rr) ** b
+        assert abs(r["prob_at_threshold"] - expect) < 1e-6
+        assert 0.0 <= r["worst_pair_prob"] <= r["exp_recall"] <= 1.0
+    probs = [rows[k]["prob_at_threshold"] for k in [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16)]]
+    assert probs == sorted(probs, reverse=True)
+    n_pairs = {r["n_true_pairs"] for r in rows.values()}
+    assert len(n_pairs) == 1  # same truth set under every config
+
+
+def test_quantization_error_matches_numpy(spark):
+    """q176 against a numpy int8 round-trip at sf0.001."""
+    import numpy as np
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "embeddings").toPandas()
+    per_label = {}
+    for _, g in pdf.groupby("label"):
+        coss, errs = [], []
+        for v in g["embedding"]:
+            v = np.array(v, dtype=np.float64)
+            scale = np.abs(v).max() / 127.0
+            vq = np.round(v / scale) * scale
+            coss.append(round(float(v @ vq / (np.linalg.norm(v) * np.linalg.norm(vq))), 6))
+            errs.append(np.abs(v - vq).max())
+        per_label[int(g["label"].iloc[0])] = (
+            len(coss), np.mean(coss), min(coss), np.mean(errs),
+        )
+    for r in Q["q176_quantization_error"](spark, sf).collect():
+        n, avg_c, min_c, avg_e = per_label[r["label"]]
+        assert r["n_vectors"] == n
+        assert abs(r["avg_cosine"] - avg_c) < 1e-5
+        assert abs(r["min_cosine"] - min_c) < 1e-6
+        assert abs(r["avg_max_abs_err"] - avg_e) < 1e-5
+        assert r["min_cosine"] > 0.99  # int8 keeps cosine ~1 — the audit's point
+
+
+def test_kaplan_meier_matches_lifelines_style_reference(spark):
+    """q177 against a plain-Python product-limit recomputation (the
+    textbook estimator) at sf0.001."""
+    from collections import Counter
+
+    from trafficteach_spark.operators.analytics import _KM_VALUE
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("user_id", "ts", "event_type", "value").toPandas()
+    pdf["day"] = pdf["ts"].dt.date
+    durs = []
+    for _, g in pdf.groupby("user_id"):
+        f = g["day"].min()
+        hv = g[(g["event_type"] == "purchase") & (g["value"] >= _KM_VALUE)]
+        if len(hv):
+            durs.append(((hv["day"].min() - f).days, 1))
+        else:
+            durs.append(((g["day"].max() - f).days, 0))
+    d_obs = Counter(t for t, o in durs if o)
+    n_all = Counter(t for t, o in durs)
+    s, ref = 1.0, {}
+    for t in sorted(n_all):
+        n_risk = sum(c for tt, c in n_all.items() if tt >= t)
+        if d_obs[t]:
+            s *= 1 - d_obs[t] / n_risk
+            ref[t] = (n_risk, d_obs[t], n_all[t] - d_obs[t], s)
+    got = {r["duration"]: r for r in Q["q177_kaplan_meier"](spark, sf).collect()}
+    assert set(got) == set(ref)
+    for t, (n_risk, d, c, s_ref) in ref.items():
+        r = got[t]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (n_risk, d, c)
+        assert abs(r["survival"] - s_ref) < 1e-5
+    # survival must be non-increasing
+    surv = [got[t]["survival"] for t in sorted(got)]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """q178 against a dict-based KN recomputation at sf0.001: same
+    top-20 doc set and scores."""
+    import math
+    from collections import Counter, defaultdict
+
+    from trafficteach_spark.operators.llm.text import _KN_D, _KN_TOPK
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "documents").select("doc_id", "text").toPandas()
+    bi, fwd_types, back_types, ctx_tot = Counter(), defaultdict(set), defaultdict(set), Counter()
+    doc_pairs = {}
+    for r in pdf.itertuples():
+        w = str(r.text).split(" ")
+        ps = list(zip(w, w[1:]))
+        if ps:
+            doc_pairs[int(r.doc_id)] = ps
+        for a, b in ps:
+            bi[(a, b)] += 1
+            fwd_types[a].add(b)
+            back_types[b].add(a)
+            ctx_tot[a] += 1
+    nbt = len(bi)
+    scores = {}
+    for d, ps in doc_pairs.items():
+        tot = 0.0
+        for a, b in ps:
+            p = (bi[(a, b)] - _KN_D) / ctx_tot[a] + (
+                _KN_D * len(fwd_types[a]) / ctx_tot[a]
+            ) * (len(back_types[b]) / nbt)
+            tot += math.log(p)
+        scores[d] = round(tot / len(ps), 6)
+    expect = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:_KN_TOPK]
+    got = [(r["doc_id"], r["avg_logprob"]) for r in Q["q178_kneser_ney_logprob"](spark, sf).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert abs(gs - es) < 2e-6, (gd, gs, es)

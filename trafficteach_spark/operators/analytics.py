@@ -3794,3 +3794,121 @@ def q164_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_days"),
         F.round(F.min("sv").cast("double") / F.min("tot"), 6).alias("avg_days"),
     )
+
+
+# Kaplan-Meier time-to-event: first "high-value purchase" (value >=
+# _KM_VALUE) after a user's first event; censored at the user's last
+# observed day otherwise. At the fixture this yields ~85% observed /
+# 15% censored with durations spread over the whole month.
+_KM_VALUE = 90
+
+
+@register(
+    "q177_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS f,
+               MIN(CASE WHEN event_type = 'purchase' AND value >= {_KM_VALUE}
+                        THEN CAST(ts AS DATE) END) AS p,
+               MAX(CAST(ts AS DATE)) AS l
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT COALESCE(p, l) - f AS duration,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM u
+    ),
+    g AS (
+        SELECT duration, SUM(observed) AS d_obs, COUNT(*) AS n_all
+        FROM d GROUP BY duration
+    ),
+    r AS (
+        SELECT duration, d_obs, n_all,
+               SUM(n_all) OVER (ORDER BY duration
+                                ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM g
+    ),
+    s AS (
+        SELECT duration, d_obs, n_all, n_risk,
+               SUM(CASE WHEN d_obs < n_risk
+                        THEN ln(1 - d_obs / CAST(n_risk AS DOUBLE)) END)
+                   OVER (ORDER BY duration) AS log_s,
+               MAX(CASE WHEN d_obs >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY duration) AS extinct
+        FROM r
+    )
+    SELECT CAST(duration AS BIGINT) AS duration,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_obs AS BIGINT) AS n_events,
+           CAST(n_all - d_obs AS BIGINT) AS n_censored,
+           CASE WHEN extinct = 1 THEN 0.0
+                ELSE ROUND(exp(log_s), 6) END AS survival
+    FROM s WHERE d_obs >= 1
+    """,
+    tags=("analytics", "survival", "experimentation"),
+)
+def q177_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958 — the
+    standard right-censored time-to-event curve): time from each user's
+    first event to their first high-value purchase (value >=
+    {_KM_VALUE}); users who never get there are CENSORED at their last
+    observed day instead of discarded — the statistical honesty that
+    separates survival analysis from a naive conversion-time average.
+    Output: each event time with the at-risk count, events, censorings
+    and the product-limit survival estimate.
+
+    Plan: ONE corpus-sized per-user aggregate; everything after runs on
+    the duration-cardinality frame (bounded by the observation window in
+    days — ~31 rows here, never user- or event-sized), where the
+    at-risk counts are a descending cumulative window and the product
+    limit is exp of a cumulative ln sum (guarded so an extinct risk set
+    yields exactly 0 instead of ln(0) engine quirks).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.min(day).alias("f"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= _KM_VALUE),
+                day,
+            )
+        ).alias("p"),
+        F.max(day).alias("l"),
+    )
+    d = u.select(
+        F.datediff(F.coalesce("p", "l"), F.col("f")).alias("duration"),
+        F.col("p").isNotNull().cast("int").alias("observed"),
+    )
+    g = d.groupBy("duration").agg(
+        F.sum("observed").alias("d_obs"), F.count("*").alias("n_all")
+    )
+    w_desc = Window.orderBy("duration").rowsBetween(0, Window.unboundedFollowing)
+    w_asc = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.withColumn("n_risk", F.sum("n_all").over(w_desc))
+    s = r.select(
+        "duration",
+        "d_obs",
+        "n_all",
+        "n_risk",
+        F.sum(
+            F.when(
+                F.col("d_obs") < F.col("n_risk"),
+                F.log(1 - F.col("d_obs") / F.col("n_risk").cast("double")),
+            )
+        ).over(w_asc).alias("log_s"),
+        F.max(
+            (F.col("d_obs") >= F.col("n_risk")).cast("int")
+        ).over(w_asc).alias("extinct"),
+    )
+    return s.where(F.col("d_obs") >= 1).select(
+        F.col("duration").cast("long").alias("duration"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_obs").cast("long").alias("n_events"),
+        (F.col("n_all") - F.col("d_obs")).cast("long").alias("n_censored"),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("log_s"), 6))
+        .alias("survival"),
+    )

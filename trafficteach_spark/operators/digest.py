@@ -113,6 +113,14 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q138_srm_check": [("n_a", "bigint"), ("n_b", "bigint"), ("chi2", "double"), ("srm", "int")],
     "q139_ols_regression": [("n", "bigint"), ("beta0", "double"), ("beta1", "double"), ("beta2", "double"), ("r2", "double")],
     "q140_rfm_segmentation": [("r_q", "int"), ("f_q", "int"), ("m_q", "int"), ("n_customers", "bigint"), ("sum_monetary", "double")],
+    # Batch-H additions (q174-q178): born digest-pinned — the round-8
+    # window closed full, so their first driver-level evidence is this
+    # digest + the local sweep; rotate them into the r9 window.
+    "q174_gopher_rules": [("doc_id", "bigint"), ("source", "string"), ("n_words", "bigint"), ("mean_word_len", "double"), ("n_stop", "bigint"), ("alpha_frac", "double"), ("r_count", "int"), ("r_wordlen", "int"), ("r_stop", "int"), ("r_alpha", "int"), ("pass_all", "int")],
+    "q175_lsh_curve_planner": [("bands", "int"), ("rows_per_band", "int"), ("n_true_pairs", "bigint"), ("exp_recall", "double"), ("worst_pair_prob", "double"), ("prob_at_threshold", "double")],
+    "q176_quantization_error": [("label", "int"), ("n_vectors", "bigint"), ("avg_cosine", "double"), ("min_cosine", "double"), ("avg_max_abs_err", "double"), ("avg_scale", "double")],
+    "q177_kaplan_meier": [("duration", "bigint"), ("n_risk", "bigint"), ("n_events", "bigint"), ("n_censored", "bigint"), ("survival", "double")],
+    "q178_kneser_ney_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

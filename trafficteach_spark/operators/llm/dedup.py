@@ -1261,3 +1261,79 @@ def q171_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# Banding configurations sweeping the 64-hash budget: (bands, rows).
+_LSH_CONFIGS = ((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+
+
+@register(
+    "q175_lsh_curve_planner",
+    oracle=f"""
+    WITH truth AS ({_NEAR_DUP_ORACLE}),
+    grid AS (
+        SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)})
+            AS g(bands, rws)
+    )
+    SELECT bands, rws AS rows_per_band,
+           COUNT(*) AS n_true_pairs,
+           ROUND(AVG(1 - pow(1 - pow(jaccard, rws), bands)), 6)
+               AS exp_recall,
+           ROUND(MIN(1 - pow(1 - pow(jaccard, rws), bands)), 6)
+               AS worst_pair_prob,
+           ROUND(1 - pow(1 - pow({JACCARD_THRESHOLD}, rws), bands), 6)
+               AS prob_at_threshold
+    FROM truth CROSS JOIN grid
+    GROUP BY bands, rws
+    """,
+    tags=("llm", "X2", "dedup", "planning"),
+)
+def q175_lsh_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding planner: for every (bands, rows) split of the
+    {_N_HASHES}-hash budget, the EXPECTED recall over the corpus's true
+    near-dup pairs — E[1 - (1 - J^r)^b] evaluated at each true pair's
+    exact Jaccard (Broder's S-curve, Mining of Massive Datasets ch.3) —
+    plus the worst single-pair capture probability and the curve value
+    at the {JACCARD_THRESHOLD} threshold. This is how the q31_minhash_lsh
+    geometry ({_BANDS}x{_ROWS_PER_BAND}) was chosen; registered, the
+    decision is reproducible per-corpus instead of folklore.
+
+    Plan: the exact pair frame (shared persisted shingle index — an
+    equi-join, never all-pairs) is TRUE-PAIR sized; the config grid is a
+    {len(_LSH_CONFIGS)}-row literal frame, so the cross join is a
+    broadcast constant-size fan-out ({len(_LSH_CONFIGS)}x pair rows)
+    followed by one bounded aggregate. At 100 TB the pair frame is the
+    materialized dedup layer already computed for clustering — the
+    planner costs one extra pass over it.
+    """
+    pairs = near_dup_pairs(spark, sf_dir).select(
+        F.round("jaccard", 6).alias("jaccard")
+    )
+    grid = F.broadcast(
+        _spark_session_of(pairs).createDataFrame(
+            list(_LSH_CONFIGS), "bands int, rows_per_band int"
+        )
+    )
+    p = 1 - F.pow(
+        1 - F.pow(F.col("jaccard"), F.col("rows_per_band")), F.col("bands")
+    )
+    p_thr = 1 - F.pow(
+        1 - F.pow(F.lit(float(JACCARD_THRESHOLD)), F.col("rows_per_band")),
+        F.col("bands"),
+    )
+    return (
+        pairs.crossJoin(grid)
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.round(F.avg(p), 6).alias("exp_recall"),
+            F.round(F.min(p), 6).alias("worst_pair_prob"),
+            F.round(F.first(p_thr), 6).alias("prob_at_threshold"),
+        )
+    )
+
+
+def _spark_session_of(df: DataFrame) -> SparkSession:
+    """The active session that owns ``df`` (avoids threading a spark
+    handle through expression-only helpers)."""
+    return df.sparkSession

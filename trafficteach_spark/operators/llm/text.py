@@ -1201,3 +1201,210 @@ def q168_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_tokens_after"),
     )
+
+
+# Gopher rule battery (Rae et al. 2021, arXiv:2112.11446, Table A1 —
+# public paper): the subset of rules non-vacuous on a punctuation-free
+# fixture. Thresholds are the paper's.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_WLEN = 3.0
+_GOPHER_MAX_WLEN = 10.0
+_GOPHER_MIN_STOP = 2
+_GOPHER_MIN_ALPHA = 0.8
+
+
+@register(
+    "q174_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w,
+               length(replace(text, ' ', '')) AS nz
+        FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT doc_id, source,
+               len(w) AS n_words,
+               ROUND(nz / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+               len(list_filter(w, x -> x = '{_EN_STOPWORDS[0]}'
+                                       OR x = '{_EN_STOPWORDS[1]}')) AS n_stop,
+               ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+                     / CAST(len(w) AS DOUBLE), 6) AS alpha_frac
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, CAST(n_stop AS BIGINT) AS n_stop, alpha_frac,
+           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AS INT) AS r_count,
+           CAST(mean_word_len BETWEEN {_GOPHER_MIN_WLEN}
+                AND {_GOPHER_MAX_WLEN} AS INT) AS r_wordlen,
+           CAST(n_stop >= {_GOPHER_MIN_STOP} AS INT) AS r_stop,
+           CAST(alpha_frac >= {_GOPHER_MIN_ALPHA} AS INT) AS r_alpha,
+           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {_GOPHER_MIN_WLEN}
+                    AND {_GOPHER_MAX_WLEN}
+                AND n_stop >= {_GOPHER_MIN_STOP}
+                AND alpha_frac >= {_GOPHER_MIN_ALPHA} AS INT) AS pass_all
+    FROM m
+    """,
+    tags=("llm", "X4", "quality", "gopher"),
+)
+def q174_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021, public paper): the
+    published per-document filter rules, evaluated individually so the
+    pipeline can report WHICH rule kills a document, not just that one
+    did — word count in [{_GOPHER_MIN_WORDS}, {_GOPHER_MAX_WORDS}],
+    mean word length in [{_GOPHER_MIN_WLEN}, {_GOPHER_MAX_WLEN}],
+    >= {_GOPHER_MIN_STOP} stop-word hits, and >= {_GOPHER_MIN_ALPHA}
+    alphabetic-word fraction (the paper's symbol/bullet/ellipsis line
+    rules are vacuous on this punctuation-free fixture and omitted
+    rather than trivially passed). Complements q39's graded score with
+    the industry-standard hard gate; per-source pass rates are one
+    groupBy over this frame.
+
+    Plan: pure per-row column expressions — one scan, ZERO shuffles,
+    embarrassingly parallel at any scale; the regex runs inside a
+    codegen'd HOF filter, no Python anywhere.
+    """
+    stop_pred = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", ""))
+            / F.size(F.split("text", " ")).cast("double"),
+            6,
+        ).alias("mean_word_len"),
+        F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))").alias("n_stop"),
+        F.round(
+            F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))")
+            / F.size(F.split("text", " ")).cast("double"),
+            6,
+        ).alias("alpha_frac"),
+    )
+    r_count = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_wordlen = F.col("mean_word_len").between(_GOPHER_MIN_WLEN, _GOPHER_MAX_WLEN)
+    r_stop = F.col("n_stop") >= _GOPHER_MIN_STOP
+    r_alpha = F.col("alpha_frac") >= _GOPHER_MIN_ALPHA
+    return m.select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        F.col("n_stop").cast("long").alias("n_stop"),
+        "alpha_frac",
+        r_count.cast("int").alias("r_count"),
+        r_wordlen.cast("int").alias("r_wordlen"),
+        r_stop.cast("int").alias("r_stop"),
+        r_alpha.cast("int").alias("r_alpha"),
+        (r_count & r_wordlen & r_stop & r_alpha).cast("int").alias("pass_all"),
+    )
+
+
+# Kneser-Ney absolute-discount mass (Kneser & Ney 1995; Chen & Goodman
+# 1998's fixed-discount variant — public papers).
+_KN_D = 0.75
+_KN_TOPK = 20
+
+
+@register(
+    "q178_kneser_ney_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+            SELECT doc_id, unnest([{{'w1': w[i], 'w2': w[i+1]}}
+                                   for i in range(1, len(w))]) AS bg
+            FROM tok
+        )
+    ),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2
+    ),
+    fwd AS (
+        SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd FROM bi GROUP BY 1
+    ),
+    back AS (
+        SELECT w2, COUNT(*) AS n1p_back FROM bi GROUP BY 1
+    ),
+    types AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS nbt FROM bi
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln((bi.c2 - {_KN_D}) / CAST(f.c1 AS DOUBLE)
+                        + ({_KN_D} * f.n1p_fwd / CAST(f.c1 AS DOUBLE))
+                          * (b.n1p_back / t.nbt))), 6) AS avg_logprob
+    FROM pairs
+    JOIN bi USING (w1, w2)
+    JOIN fwd f ON pairs.w1 = f.w1
+    JOIN back b ON pairs.w2 = b.w2
+    CROSS JOIN types t
+    GROUP BY doc_id
+    ORDER BY avg_logprob, doc_id
+    LIMIT {_KN_TOPK}
+    """,
+    tags=("llm", "X4", "language-model"),
+)
+def q178_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995, with
+    Chen & Goodman's fixed absolute discount D = {_KN_D}): p(w2|w1) =
+    (c(w1w2) - D)/c(w1.) + D·N1+(w1,·)/c(w1.) · N1+(·,w2)/|bigram
+    types|. Where q126's Jelinek-Mercer backoff interpolates with raw
+    unigram FREQUENCY, KN backs off to CONTINUATION probability — how
+    many distinct contexts a word follows — the smoothing that won the
+    n-gram-LM era and still powers the perplexity filters of modern
+    corpus pipelines (KenLM is a KN model). Output: the {_KN_TOPK} most
+    surprising documents by mean bigram log-probability.
+
+    Plan: identical shuffle shape to q126 — ONE bigram explode feeds the
+    bigram-count, forward (context-total + distinct-successor) and
+    backward (distinct-predecessor) aggregates, all vocabulary-bounded
+    so they broadcast back onto the scoring stream; the type count is a
+    1-row broadcast; one per-doc mean ends it. The discount arithmetic
+    is exact-count x literal, so both engines produce identical doubles
+    into ROUND(6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(
+        F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 2)
+    ).select("doc_id", F.split("text", " ").alias("w"))
+    pairs = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) as w1,"
+                " element_at(w, i + 1) as w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    fwd = bi.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1p_fwd")
+    )
+    back = bi.groupBy("w2").agg(F.count("*").alias("n1p_back"))
+    types = bi.agg(F.count("*").cast("double").alias("nbt"))
+    p_kn = F.log(
+        (F.col("c2") - _KN_D) / F.col("c1").cast("double")
+        + (_KN_D * F.col("n1p_fwd") / F.col("c1").cast("double"))
+        * (F.col("n1p_back") / F.col("nbt"))
+    )
+    return (
+        pairs.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(fwd), "w1")
+        .join(F.broadcast(back), "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(p_kn), 6).alias("avg_logprob"),
+        )
+        .orderBy("avg_logprob", "doc_id")
+        .limit(_KN_TOPK)
+    )
