@@ -3620,3 +3620,100 @@ def test_kneser_ney_matches_python_reference(spark):
     assert [d for d, _ in got] == [d for d, _ in expect]
     for (gd, gs), (ed, es) in zip(got, expect):
         assert abs(gs - es) < 2e-6, (gd, gs, es)
+
+
+# ---------- round-8 batch I: mixing / uncertainty / design ----------
+
+
+def test_jsd_source_divergence_matches_scipy_style_reference(spark):
+    """q179 against a dict-based JSD recomputation at sf0.001 (full
+    closed form including the missing-mass term)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "documents").select("source", "text").toPandas()
+    per_src, corpus = defaultdict(Counter), Counter()
+    for r in pdf.itertuples():
+        ws = str(r.text).lower().split(" ")
+        per_src[r.source].update(ws)
+        corpus.update(ws)
+    ct = sum(corpus.values())
+    ref = {}
+    for s, cnt in per_src.items():
+        st = sum(cnt.values())
+        jsd = 0.0
+        for w, cw in corpus.items():
+            p = cnt.get(w, 0) / st
+            q = cw / ct
+            m = (p + q) / 2
+            if p:
+                jsd += 0.5 * p * math.log(p / m)
+            if q:
+                jsd += 0.5 * q * math.log(q / m)
+        ref[s] = jsd
+    got = {r["source"]: r for r in Q["q179_jsd_source_divergence"](spark, sf).collect()}
+    assert set(got) == set(ref)
+    for s, v in ref.items():
+        assert abs(got[s]["jsd"] - v) < 1e-5, s
+        assert abs(got[s]["jsd_distance"] - math.sqrt(v / math.log(2))) < 1e-5
+        assert 0.0 <= got[s]["jsd_distance"] <= 1.0
+
+
+def test_jackknife_ci_matches_python_reference(spark):
+    """q180 against a plain-Python leave-one-group-out recomputation."""
+    import hashlib
+    import math
+
+    from trafficteach_spark.operators.sequences import _JK_GROUPS, _JK_VALUE
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("user_id", "event_type", "value").toPandas()
+    conv = {}
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        hit = r.event_type == "purchase" and r.value >= _JK_VALUE
+        conv[uid] = conv.get(uid, False) or hit
+    def grp(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % _JK_GROUPS
+    g = {}
+    for uid, c in conv.items():
+        n, k = g.get(grp(uid), (0, 0))
+        g[grp(uid)] = (n + 1, k + int(c))
+    nn = sum(n for n, _ in g.values())
+    cc = sum(k for _, k in g.values())
+    thetas = [(cc - k) / (nn - n) for n, k in g.values()]
+    tb = sum(thetas) / len(thetas)
+    var = (len(g) - 1) / len(g) * sum((t - tb) ** 2 for t in thetas)
+    [r] = Q["q180_jackknife_ci"](spark, sf).collect()
+    assert r["n_users"] == nn and r["n_groups"] == len(g)
+    assert abs(r["conv_rate"] - cc / nn) < 1e-6
+    assert abs(r["jk_se"] - math.sqrt(var)) < 1e-5
+    assert r["ci_lo"] < r["conv_rate"] < r["ci_hi"]
+    assert r["jk_se"] > 0  # the high-value metric keeps it non-degenerate
+
+
+def test_power_analysis_matches_closed_form(spark):
+    """q181 against the textbook two-proportion formula, and the
+    monotone shape (bigger lift -> smaller n)."""
+    import math
+
+    rows = {r["mde_rel"]: r for r in Q["q181_power_analysis"](spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {0.01, 0.02, 0.05, 0.10, 0.20}
+    za, zb = 1.959963984540054, 0.8416212335729143
+    for mde, r in rows.items():
+        p1, p2 = r["p1"], r["p2"]
+        assert abs(p2 - p1 * (1 + mde)) < 1e-5
+        pbar = (p1 + p2) / 2
+        n = math.ceil(
+            (za * math.sqrt(2 * pbar * (1 - pbar))
+             + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
+            / (p2 - p1) ** 2
+        )
+        assert r["n_per_arm"] == n, mde
+        assert r["days_to_run"] >= 1
+    ns = [rows[m]["n_per_arm"] for m in sorted(rows)]
+    assert ns == sorted(ns, reverse=True)

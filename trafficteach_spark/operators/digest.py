@@ -121,6 +121,9 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q176_quantization_error": [("label", "int"), ("n_vectors", "bigint"), ("avg_cosine", "double"), ("min_cosine", "double"), ("avg_max_abs_err", "double"), ("avg_scale", "double")],
     "q177_kaplan_meier": [("duration", "bigint"), ("n_risk", "bigint"), ("n_events", "bigint"), ("n_censored", "bigint"), ("survival", "double")],
     "q178_kneser_ney_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
+    "q179_jsd_source_divergence": [("source", "string"), ("jsd", "double"), ("jsd_distance", "double")],
+    "q180_jackknife_ci": [("n_users", "bigint"), ("n_groups", "bigint"), ("conv_rate", "double"), ("jk_se", "double"), ("ci_lo", "double"), ("ci_hi", "double")],
+    "q181_power_analysis": [("mde_rel", "double"), ("p1", "double"), ("p2", "double"), ("n_per_arm", "bigint"), ("days_to_run", "bigint")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

@@ -1705,3 +1705,99 @@ def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("llr"), 6).alias("weight"),
         )
     )
+
+
+@register(
+    "q179_jsd_source_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sc AS (
+        SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    stot AS (
+        SELECT source, CAST(SUM(c) AS DOUBLE) AS st FROM sc GROUP BY 1
+    ),
+    cc AS (
+        SELECT w, CAST(SUM(c) AS DOUBLE) AS cw FROM sc GROUP BY 1
+    ),
+    ctot AS (SELECT SUM(cw) AS ct FROM cc),
+    terms AS (
+        SELECT sc.source,
+               sc.c / st.st AS p,
+               cc.cw / ctot.ct AS q
+        FROM sc
+        JOIN stot st ON sc.source = st.source
+        JOIN cc ON sc.w = cc.w
+        CROSS JOIN ctot
+    ),
+    kl AS (
+        -- JSD(P, Q) with M = (P+Q)/2; vocabulary terms absent from a
+        -- source contribute only through the Q-side KL, handled by the
+        -- closed form over the source's support plus the Q-only mass.
+        SELECT source,
+               SUM(p * ln(p / ((p + q) / 2))) AS kl_pm,
+               SUM(q * ln(q / ((p + q) / 2))) AS kl_qm_support,
+               1 - SUM(q) AS q_missing
+        FROM terms GROUP BY source
+    )
+    SELECT source,
+           ROUND((kl_pm
+                  + kl_qm_support + q_missing * ln(2.0)) / 2, 6) AS jsd,
+           ROUND(sqrt((kl_pm
+                  + kl_qm_support + q_missing * ln(2.0)) / 2 / ln(2.0)), 6)
+               AS jsd_distance
+    FROM kl
+    """,
+    tags=("llm", "corpus", "mixing"),
+)
+def q179_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the overall corpus distribution — the mixture-weighting signal
+    data-mixing work optimizes (DoReMi et al. use exactly this family
+    of distributional distances). jsd is in nats against the M=(P+Q)/2
+    mixture; jsd_distance is the [0,1] metric form sqrt(JSD/ln 2).
+    Tokens the source NEVER emits still carry corpus mass q: their KL
+    contribution q·ln(q/(q/2)) = q·ln2 enters via the closed-form
+    missing-mass term, so the estimate is exact, not support-truncated.
+
+    Plan: ONE tokenized scan -> (source, word) counts (vocab x sources
+    bounded); per-source totals and corpus word mass are vocab-bounded
+    aggregates joined back on the word key; the KL reduction is one
+    bounded hash aggregate. No corpus-sized join anywhere; at 100 TB
+    everything after the first count is vocabulary-scaled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    sc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").cast("double").alias("st"))
+    cc = sc.groupBy("w").agg(F.sum("c").cast("double").alias("cw"))
+    ctot = cc.agg(F.sum("cw").alias("ct"))
+    terms = (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(cc), "w")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            (F.col("c") / F.col("st")).alias("p"),
+            (F.col("cw") / F.col("ct")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    kl = terms.groupBy("source").agg(
+        F.sum(F.col("p") * F.log(F.col("p") / m)).alias("kl_pm"),
+        F.sum(F.col("q") * F.log(F.col("q") / m)).alias("kl_qm_support"),
+        (1 - F.sum("q")).alias("q_missing"),
+    )
+    jsd = (
+        F.col("kl_pm") + F.col("kl_qm_support") + F.col("q_missing") * F.log(F.lit(2.0))
+    ) / 2
+    return kl.select(
+        "source",
+        F.round(jsd, 6).alias("jsd"),
+        F.round(F.sqrt(jsd / F.log(F.lit(2.0))), 6).alias("jsd_distance"),
+    )

@@ -1448,3 +1448,248 @@ def q172_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wnorm).cast("double"), 6).alias("p"),
     )
+
+
+# Delete-a-group jackknife geometry: users hash into this many groups.
+_JK_GROUPS = 20
+_JK_HASH_SPARK = (
+    f"pmod({md5_prefix_int_spark('CAST(user_id AS STRING)')}, {_JK_GROUPS})"
+)
+_JK_HASH_DUCK = (
+    f"({md5_prefix_int_duck('CAST(user_id AS VARCHAR)')} % {_JK_GROUPS})"
+)
+_JK_Z = 1.959963984540054  # two-sided 95%
+# Conversion metric: HIGH-VALUE purchase. Plain purchase converts 100%
+# of fixture users (degenerate CI of width 0); value >= 90 converts
+# ~85%, giving the estimator real between-group variance.
+_JK_VALUE = 90
+
+
+@register(
+    "q180_jackknife_ci",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= {_JK_VALUE}
+                        THEN 1 ELSE 0 END) AS converted,
+               {_JK_HASH_DUCK} AS grp
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT grp, COUNT(*) AS n_u, SUM(converted) AS n_c FROM u GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_u) AS DOUBLE) AS nn, CAST(SUM(n_c) AS DOUBLE) AS cc,
+               COUNT(*) AS n_grp
+        FROM g
+    ),
+    loo AS (
+        SELECT (cc - n_c) / NULLIF(nn - n_u, 0) AS theta_i, nn, cc, n_grp
+        FROM g CROSS JOIN tot
+    ),
+    jk AS (
+        SELECT MAX(nn) AS nn, MAX(cc) AS cc, MAX(n_grp) AS n_grp,
+               AVG(theta_i) AS theta_bar,
+               SUM(theta_i * theta_i) AS ss
+        FROM loo
+    )
+    SELECT CAST(nn AS BIGINT) AS n_users,
+           CAST(n_grp AS BIGINT) AS n_groups,
+           ROUND(cc / nn, 6) AS conv_rate,
+           ROUND(sqrt((n_grp - 1.0) / n_grp
+                      * (ss - n_grp * theta_bar * theta_bar)), 6) AS jk_se,
+           ROUND(cc / nn - {_JK_Z} * sqrt((n_grp - 1.0) / n_grp
+                      * (ss - n_grp * theta_bar * theta_bar)), 6) AS ci_lo,
+           ROUND(cc / nn + {_JK_Z} * sqrt((n_grp - 1.0) / n_grp
+                      * (ss - n_grp * theta_bar * theta_bar)), 6) AS ci_hi
+    FROM jk
+    """,
+    tags=("sequences", "experimentation", "uncertainty"),
+)
+def q180_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife confidence interval for the user
+    high-value-conversion rate (any purchase with value >=
+    {_JK_VALUE}) — the standard error machinery large-scale
+    experimentation platforms use for RATIO metrics, where the
+    user-level bootstrap is too expensive and the iid-per-row normal
+    approximation is wrong (conversion is per-user, events are not
+    independent). Users hash into {_JK_GROUPS} deterministic md5
+    groups; each leave-one-group-out replicate recomputes the rate,
+    and the jackknife variance (G-1)/G · Σ(θᵢ-θ̄)² yields the 95% CI.
+
+    Plan: one corpus-sized per-user aggregate, then a {_JK_GROUPS}-row
+    group frame with a broadcast 1-row total attached — the replicates
+    are ARITHMETIC on the group margins (cc - n_c)/(nn - n_u), never a
+    G-fold re-scan. The Σθᵢ² - G·θ̄² form keeps the variance a single
+    aggregate. At 100 TB: same two shuffles as any per-user metric.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _JK_VALUE)
+            ).cast("int")
+        ).alias("converted")
+    ).select(F.expr(_JK_HASH_SPARK).alias("grp"), "converted")
+    g = u.groupBy("grp").agg(
+        F.count("*").alias("n_u"), F.sum("converted").alias("n_c")
+    )
+    tot = g.agg(
+        F.sum("n_u").cast("double").alias("nn"),
+        F.sum("n_c").cast("double").alias("cc"),
+        F.count("*").alias("n_grp"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        # try_divide: a single-group corpus (degenerate fixture) has
+        # nn - n_u = 0 for its only replicate; the jackknife SE is then
+        # undefined and must surface as NULL, not DIVIDE_BY_ZERO.
+        F.try_divide(F.col("cc") - F.col("n_c"), F.col("nn") - F.col("n_u")).alias(
+            "theta_i"
+        ),
+        "nn",
+        "cc",
+        "n_grp",
+    )
+    jk = loo.agg(
+        F.max("nn").alias("nn"),
+        F.max("cc").alias("cc"),
+        F.max("n_grp").alias("n_grp"),
+        F.avg("theta_i").alias("theta_bar"),
+        F.sum(F.col("theta_i") * F.col("theta_i")).alias("ss"),
+    )
+    var = (
+        (F.col("n_grp") - 1.0)
+        / F.col("n_grp")
+        * (F.col("ss") - F.col("n_grp") * F.col("theta_bar") * F.col("theta_bar"))
+    )
+    se = F.sqrt(var)
+    rate = F.try_divide(F.col("cc"), F.col("nn"))
+    return jk.select(
+        F.col("nn").cast("long").alias("n_users"),
+        F.col("n_grp").cast("long").alias("n_groups"),
+        F.round(rate, 6).alias("conv_rate"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(rate - _JK_Z * se, 6).alias("ci_lo"),
+        F.round(rate + _JK_Z * se, 6).alias("ci_hi"),
+    )
+
+
+_PWR_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+_PWR_Z_BETA = 0.8416212335729143  # power = 0.80
+_PWR_MDES = (0.01, 0.02, 0.05, 0.10, 0.20)  # relative lifts
+
+
+@register(
+    "q181_power_analysis",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS first_day,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= {_JK_VALUE}
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_users,
+               AVG(CAST(converted AS DOUBLE)) AS p1,
+               CAST(COUNT(DISTINCT first_day) AS DOUBLE) AS n_days
+        FROM u
+    ),
+    grid AS (
+        SELECT * FROM (VALUES {", ".join(f"({m})" for m in _PWR_MDES)})
+            AS g(mde_rel)
+    ),
+    calc AS (
+        SELECT mde_rel, p1, p1 * (1 + mde_rel) AS p2, n_users, n_days
+        FROM grid CROSS JOIN base
+    )
+    SELECT mde_rel,
+           ROUND(p1, 6) AS p1,
+           ROUND(p2, 6) AS p2,
+           CAST(ceil(
+               pow({_PWR_Z_ALPHA} * sqrt(2 * ((p1 + p2) / 2)
+                                           * (1 - (p1 + p2) / 2))
+                   + {_PWR_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+               / NULLIF(pow(p2 - p1, 2), 0)) AS BIGINT) AS n_per_arm,
+           CAST(ceil(2 * ceil(
+               pow({_PWR_Z_ALPHA} * sqrt(2 * ((p1 + p2) / 2)
+                                           * (1 - (p1 + p2) / 2))
+                   + {_PWR_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+               / NULLIF(pow(p2 - p1, 2), 0)) / NULLIF(n_users / n_days, 0)) AS BIGINT)
+               AS days_to_run
+    FROM calc
+    """,
+    tags=("sequences", "experimentation", "design"),
+)
+def q181_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power analysis: for each candidate relative lift in
+    {_PWR_MDES}, the per-arm sample size needed to detect it at
+    alpha = 0.05 (two-sided) with power 0.80 — the classic
+    two-proportion formula n = (z_a·sqrt(2·p̄(1-p̄)) +
+    z_b·sqrt(p1(1-p1)+p2(1-p2)))² / (p2-p1)² seeded with the
+    corpus's OBSERVED baseline rate — plus the runway estimate in days
+    at the corpus's observed user-arrival rate. The design-stage
+    complement to q110 (readout), q138 (SRM), q144 (CUPED), q166
+    (sequential stopping) and q180 (uncertainty): together the full
+    experimentation lifecycle.
+
+    Plan: one per-user aggregate collapses the corpus to a 1-row
+    baseline (rate, user count, distinct arrival days); the MDE grid is
+    a {len(_PWR_MDES)}-row literal frame cross-joined against that
+    broadcast single row — pure closed-form arithmetic after the one
+    corpus-sized shuffle every user metric pays.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _JK_VALUE)
+            ).cast("int")
+        ).alias("converted"),
+    )
+    base = u.agg(
+        F.count("*").cast("double").alias("n_users"),
+        F.avg(F.col("converted").cast("double")).alias("p1"),
+        F.countDistinct("first_day").cast("double").alias("n_days"),
+    )
+    grid = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(m,) for m in _PWR_MDES], "mde_rel double"
+        )
+    )
+    calc = grid.crossJoin(F.broadcast(base)).withColumn(
+        "p2", F.col("p1") * (1 + F.col("mde_rel"))
+    )
+    pbar = (F.col("p1") + F.col("p2")) / 2
+    # try_divide: a zero-conversion corpus (degenerate fixture) has
+    # p2 - p1 = 0 — the MDE is undetectable and n_per_arm is NULL,
+    # not a DIVIDE_BY_ZERO crash. Same for a zero-user arrival rate.
+    n_arm = F.ceil(
+        F.try_divide(
+            F.pow(
+                _PWR_Z_ALPHA * F.sqrt(2 * pbar * (1 - pbar))
+                + _PWR_Z_BETA
+                * F.sqrt(
+                    F.col("p1") * (1 - F.col("p1")) + F.col("p2") * (1 - F.col("p2"))
+                ),
+                F.lit(2),
+            ),
+            F.pow(F.col("p2") - F.col("p1"), F.lit(2)),
+        )
+    )
+    return calc.select(
+        "mde_rel",
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        n_arm.cast("long").alias("n_per_arm"),
+        F.ceil(
+            F.try_divide(
+                2 * n_arm, F.try_divide(F.col("n_users"), F.col("n_days"))
+            )
+        )
+        .cast("long")
+        .alias("days_to_run"),
+    )
