@@ -3717,3 +3717,173 @@ def test_power_analysis_matches_closed_form(spark):
         assert r["days_to_run"] >= 1
     ns = [rows[m]["n_per_arm"] for m in sorted(rows)]
     assert ns == sorted(ns, reverse=True)
+
+
+# ---------- round-8 batch J: embedding audits / nonparametrics / fusion ----------
+
+
+def test_embedding_dim_profile_matches_numpy(spark):
+    """q182 against a numpy recomputation at sf0.001."""
+    import numpy as np
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "embeddings").select("embedding").toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    mean, var = X.mean(axis=0), X.var(axis=0)
+    got = {r["dim"]: r for r in Q["q182_embedding_dim_profile"](spark, sf).collect()}
+    assert set(got) == set(range(X.shape[1]))
+    for d in range(X.shape[1]):
+        assert got[d]["n_vectors"] == X.shape[0]
+        assert abs(got[d]["mean_val"] - mean[d]) < 1e-5
+        assert abs(got[d]["var_val"] - var[d]) < 1e-5
+        assert abs(got[d]["var_share"] - var[d] / var.sum()) < 1e-5
+    assert abs(sum(r["var_share"] for r in got.values()) - 1.0) < 1e-3
+
+
+def test_embedding_corr_pairs_matches_numpy(spark):
+    """q183 against numpy corrcoef, including the |r| ranking cut."""
+    import numpy as np
+
+    from trafficteach_spark.operators.llm.similarity import _CORR_DIMS, _CORR_TOPK
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "embeddings").select("embedding").toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64)[:_CORR_DIMS] for v in pdf.embedding])
+    R = np.corrcoef(X, rowvar=False)
+    ref = sorted(
+        ((round(abs(R[i, j]), 6), i, j, R[i, j])
+         for i in range(_CORR_DIMS) for j in range(i + 1, _CORR_DIMS)),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:_CORR_TOPK]
+    got = Q["q183_embedding_corr_pairs"](spark, sf).collect()
+    assert len(got) == _CORR_TOPK
+    for row, (_, i, j, r) in zip(got, ref):
+        assert (row["dim_a"], row["dim_b"]) == (i, j)
+        assert abs(row["corr"] - r) < 1e-5
+        assert row["n_vectors"] == X.shape[0]
+
+
+def test_mann_whitney_matches_python_reference(spark):
+    """q184 against a per-user rank assignment in plain Python (the
+    operator never ranks per user — tie-group machinery only)."""
+    import hashlib as _h
+    import math
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    rev = {}
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        rev[uid] = rev.get(uid, 0.0) + (r.value if r.event_type == "purchase" else 0.0)
+    arm = {
+        uid: int(_h.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+        for uid in rev
+    }
+    vals = sorted((round(v, 6), uid) for uid, v in rev.items())
+    # average ranks for ties, assigned per user
+    ranks, i = {}, 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        for k in range(i, j):
+            ranks[vals[k][1]] = avg
+        i = j
+    a_users = [u for u in rev if arm[u] == 0]
+    na, nb = len(a_users), len(rev) - len(a_users)
+    n = na + nb
+    ra = sum(ranks[u] for u in a_users)
+    ua = ra - na * (na + 1) / 2
+    # tie correction over group sizes
+    from collections import Counter
+
+    tie = sum(c**3 - c for c in Counter(v for v, _ in vals).values())
+    var = na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (ua - na * nb / 2) / math.sqrt(var)
+    [row] = Q["q184_mann_whitney"](spark, sf).collect()
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert abs(row["u_a"] - ua) < 1e-4
+    assert abs(row["z"] - z) < 1e-5
+    assert abs(row["rank_biserial"] - (2 * ua / (na * nb) - 1)) < 1e-5
+
+
+def test_rrf_fusion_matches_python_reference(spark):
+    """q185 against a plain-Python recomputation of BOTH rankers and
+    the fusion at sf0.001."""
+    import math
+
+    from trafficteach_spark.operators.llm.similarity import (
+        _RRF_K,
+        _RRF_POOL,
+        _RRF_QVEC,
+        _RRF_TOPK,
+    )
+    from trafficteach_spark.operators.llm.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERY,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").toPandas()
+    docs = docs[docs.text.notna()]
+    dls = {int(r.doc_id): len(str(r.text).split(" ")) for r in docs.itertuples()}
+    tfs = {
+        int(r.doc_id): [str(r.text).split(" ").count(t) for t in _BM25_QUERY]
+        for r in docs.itertuples()
+    }
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    dfs = [sum(1 for v in tfs.values() if v[i] > 0) for i in range(len(_BM25_QUERY))]
+    bm = []
+    for d, tf in tfs.items():
+        if sum(tf) == 0:
+            continue
+        s = sum(
+            math.log((n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0)
+            * (tf[i] * (_BM25_K1 + 1.0))
+            / (tf[i] + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dls[d] / avgdl))
+            for i in range(len(_BM25_QUERY))
+        )
+        bm.append((round(s, 6), d))
+    bm.sort(key=lambda t: (-t[0], t[1]))
+    bm_rank = {d: i + 1 for i, (_, d) in enumerate(bm[:_RRF_POOL])}
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding").toPandas()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    qv = vecs[_RRF_QVEC]
+    qn = math.sqrt(sum(x * x for x in qv))
+    cos = []
+    for vid, v in vecs.items():
+        if vid == _RRF_QVEC:
+            continue
+        dot = sum(a * b for a, b in zip(qv, v))
+        nrm = math.sqrt(sum(x * x for x in v))
+        cos.append((round(dot / (qn * nrm), 6), vid))
+    cos.sort(key=lambda t: (-t[0], t[1]))
+    cos_rank = {d: i + 1 for i, (_, d) in enumerate(cos[:_RRF_POOL])}
+
+    fused = []
+    for d in set(bm_rank) | set(cos_rank):
+        s = (1.0 / (_RRF_K + bm_rank[d]) if d in bm_rank else 0.0) + (
+            1.0 / (_RRF_K + cos_rank[d]) if d in cos_rank else 0.0
+        )
+        fused.append((round(s, 6), d))
+    fused.sort(key=lambda t: (-t[0], t[1]))
+    ref = fused[:_RRF_TOPK]
+    got = Q["q185_rrf_fusion"](spark, sf).collect()
+    assert len(got) == len(ref)
+    for row, (s, d) in zip(got, ref):
+        assert row["doc_id"] == d, (row, d)
+        assert abs(row["rrf_score"] - s) < 2e-6
+        assert row["bm25_rank"] == bm_rank.get(d, 0)
+        assert row["cosine_rank"] == cos_rank.get(d, 0)

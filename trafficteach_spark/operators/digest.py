@@ -124,6 +124,10 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q179_jsd_source_divergence": [("source", "string"), ("jsd", "double"), ("jsd_distance", "double")],
     "q180_jackknife_ci": [("n_users", "bigint"), ("n_groups", "bigint"), ("conv_rate", "double"), ("jk_se", "double"), ("ci_lo", "double"), ("ci_hi", "double")],
     "q181_power_analysis": [("mde_rel", "double"), ("p1", "double"), ("p2", "double"), ("n_per_arm", "bigint"), ("days_to_run", "bigint")],
+    "q182_embedding_dim_profile": [("dim", "int"), ("n_vectors", "bigint"), ("mean_val", "double"), ("var_val", "double"), ("var_share", "double")],
+    "q183_embedding_corr_pairs": [("dim_a", "int"), ("dim_b", "int"), ("n_vectors", "bigint"), ("corr", "double")],
+    "q184_mann_whitney": [("n_a", "bigint"), ("n_b", "bigint"), ("u_a", "double"), ("z", "double"), ("rank_biserial", "double")],
+    "q185_rrf_fusion": [("doc_id", "bigint"), ("bm25_rank", "int"), ("cosine_rank", "int"), ("rrf_score", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

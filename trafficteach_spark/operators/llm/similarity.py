@@ -1058,3 +1058,344 @@ def q176_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("max_err"), 6).alias("avg_max_abs_err"),
         F.round(F.avg("scale"), 6).alias("avg_scale"),
     )
+
+
+@register(
+    "q182_embedding_dim_profile",
+    # DuckDB 1.0 has no WITH ORDINALITY; expand positions explicitly
+    # (lists are 1-indexed there; pos stays 0-based to match posexplode).
+    oracle="""
+    WITH dims AS (
+        SELECT g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range({dim})) AS i) g
+    ),
+    prof AS (
+        SELECT pos, COUNT(*) AS n, AVG(x) AS m, var_pop(x) AS v
+        FROM dims GROUP BY pos
+    ),
+    tot AS (SELECT SUM(v) AS tv FROM prof)
+    SELECT pos AS dim,
+           CAST(n AS BIGINT) AS n_vectors,
+           ROUND(m, 6) AS mean_val,
+           ROUND(v, 6) AS var_val,
+           ROUND(v / NULLIF(tv, 0), 6) AS var_share
+    FROM prof CROSS JOIN tot
+    """.format(dim=schemas.EMBEDDING_DIM),
+    tags=("llm", "X3", "audit"),
+)
+def q182_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health profile of the embedding space: mean,
+    population variance, and each dimension's share of the total
+    variance (the trace). The first thing to look at before whitening,
+    PCA-style compression, or int8 quantization (q176): near-zero
+    var_share dimensions are dead weight in every cosine (q32) and
+    every byte of the vector store; a heavily skewed profile says an
+    anisotropic index (IVF with PQ) will beat a uniform one.
+
+    Plan: ONE posexplode to (pos, x) — a fixed {dim}-fold fan-out, not
+    data-dependent — then ONE hash aggregate on the {dim}-key pos
+    column (partial aggregation collapses map-side, so the shuffle
+    carries {dim} rows per task). The trace is a broadcast 1-row
+    cross-attach. At 100 TB: exactly one corpus scan, shuffle volume =
+    tasks x {dim} rows. try_divide/NULLIF guard the empty-table case.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("pos", "x")
+    )
+    prof = dims.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_pop("x").alias("v"),
+    )
+    tot = prof.agg(F.sum("v").alias("tv"))
+    return prof.crossJoin(F.broadcast(tot)).select(
+        F.col("pos").alias("dim"),
+        F.col("n").alias("n_vectors"),
+        F.round("m", 6).alias("mean_val"),
+        F.round("v", 6).alias("var_val"),
+        F.round(F.try_divide(F.col("v"), F.col("tv")), 6).alias("var_share"),
+    )
+
+
+_CORR_DIMS = 16  # pairwise audit over the first 16 dims (120 pairs)
+_CORR_TOPK = 10
+
+
+@register(
+    "q183_embedding_corr_pairs",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range({_CORR_DIMS})) AS i) g
+    ),
+    pairs AS (
+        SELECT a.pos AS dim_a, b.pos AS dim_b, a.x AS x, b.x AS y
+        FROM dims a JOIN dims b
+          ON a.vec_id = b.vec_id AND a.pos < b.pos
+    ),
+    -- explicit co-moment algebra rather than corr(): mirrors the Spark
+    -- side, which cannot use corr() under ANSI mode (DIVIDE_BY_ZERO on
+    -- zero-variance dims; cf. q103's try_divide rationale)
+    c AS (
+        SELECT dim_a, dim_b, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY dim_a, dim_b
+    ),
+    cc AS (
+        SELECT dim_a, dim_b, n,
+               (n * sxy - sx * sy)
+               / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)
+                   AS r
+        FROM c
+    )
+    SELECT dim_a, dim_b, CAST(n AS BIGINT) AS n_vectors,
+           ROUND(r, 6) AS corr
+    FROM cc
+    ORDER BY ROUND(abs(r), 6) DESC, dim_a, dim_b
+    LIMIT {_CORR_TOPK}
+    """,
+    tags=("llm", "X3", "audit"),
+)
+def q183_embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_CORR_TOPK} most-correlated dimension pairs among the first
+    {_CORR_DIMS} embedding dimensions — the redundancy audit that says
+    whether a decorrelating rotation (PCA/whitening) would buy real
+    compression before quantization (q176) or indexing (q32_ivf).
+    Pearson r per pair, ranked by |r| with a (dim_a, dim_b) tie-break
+    on the ROUNDED value so both engines cut the same top-k.
+
+    Plan: NO self-join — the {_CORR_DIMS * (_CORR_DIMS - 1) // 2}
+    (i, j, x_i, x_j) pairs are generated ROW-LOCALLY by a nested
+    sequence/transform expression and exploded once, then ONE hash
+    aggregate on the 120-key (dim_a, dim_b) column computes corr()
+    with map-side partial aggregation. The shuffle carries 120 rows
+    per task regardless of corpus size; a join-based phrasing would
+    shuffle the corpus on vec_id instead. At 100 TB: one scan, one
+    bounded aggregate, TakeOrdered top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo = _CORR_DIMS - 2
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, {lo}), i ->
+                    transform(sequence(i + 1, {_CORR_DIMS - 1}), j ->
+                        struct(i AS dim_a, j AS dim_b,
+                               cast(embedding[i] AS double) AS x,
+                               cast(embedding[j] AS double) AS y))))"""
+            )
+        ).alias("p")
+    ).select("p.dim_a", "p.dim_b", "p.x", "p.y")
+    # co-moment sums + try_divide instead of F.corr: ANSI mode raises
+    # DIVIDE_BY_ZERO inside corr() on a zero-variance dimension
+    # (constant embeddings in the degenerate fixture); the explicit
+    # form yields NULL there, matching the oracle's NULLIF.
+    c = pairs.groupBy("dim_a", "dim_b").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).select(
+        "dim_a",
+        "dim_b",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.try_divide(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+        ).alias("r"),
+    )
+    return (
+        c.select(
+            "dim_a",
+            "dim_b",
+            "n_vectors",
+            F.round("r", 6).alias("corr"),
+        )
+        .orderBy(F.desc(F.round(F.abs(F.col("corr")), 6)), "dim_a", "dim_b")
+        .limit(_CORR_TOPK)
+    )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_POOL = 100  # per-ranker candidate pool
+_RRF_TOPK = 20
+_RRF_QVEC = 0  # query = embedding of vec_id 0 (doc_id and vec_id align)
+
+
+def _bm25_oracle_cte() -> str:
+    """The q75 scoring CTEs (scored, stats) — shared with q185's oracle
+    so the lexical arm cannot drift from q75_bm25."""
+    from trafficteach_spark.operators.llm.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERY,
+    )
+
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        f" AS tf_{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_QUERY))
+    )
+    term_score = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_QUERY))
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(_BM25_QUERY)))
+    return f"""
+    scored AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+        FROM documents WHERE text IS NOT NULL
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl,
+               {df_cols}
+        FROM scored
+    ),
+    bm AS (
+        SELECT doc_id, ROUND({term_score}, 6) AS score
+        FROM scored, stats
+        WHERE {any_tf} > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {_RRF_POOL}
+    )"""
+
+
+_RRF_ORACLE = f"""
+    WITH {_bm25_oracle_cte()},
+    bmr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+        FROM bm
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = {_RRF_QVEC}),
+    cos AS (
+        SELECT n.vec_id AS doc_id,
+               ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cosine
+        FROM n CROSS JOIN q
+        WHERE n.vec_id <> {_RRF_QVEC}
+        ORDER BY cosine DESC, doc_id
+        LIMIT {_RRF_POOL}
+    ),
+    cr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS cosine_rank
+        FROM cos
+    ),
+    fused AS (
+        SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id,
+               COALESCE(bmr.bm25_rank, 0) AS bm25_rank,
+               COALESCE(cr.cosine_rank, 0) AS cosine_rank,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + bmr.bm25_rank), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + cr.cosine_rank), 0), 6)
+                   AS rrf_score
+        FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id
+    )
+    SELECT doc_id, bm25_rank, cosine_rank, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_TOPK}
+"""
+
+
+@register(
+    "q185_rrf_fusion",
+    oracle=_RRF_ORACLE,
+    tags=("llm", "X3", "X4", "retrieval"),
+)
+def q185_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    SIGIR'09): the BM25 lexical ranking (q75's exact scoring body,
+    shared code) and a dense cosine ranking against the pinned query
+    vector (vec_id {_RRF_QVEC}; doc_id and vec_id align 1:1) each
+    nominate a top-{_RRF_POOL} pool; candidates are fused with
+    score = sum over rankers of 1/({_RRF_K} + rank) and the top
+    {_RRF_TOPK} returned. Rank 0 means "absent from that ranker's
+    pool" (contributes nothing). The standard RAG-corpus retrieval
+    stack — lexical + dense with no score calibration needed.
+
+    Plan: each arm is a TakeOrdered top-{_RRF_POOL} (the BM25 arm is
+    q75's broadcast-stats scan; the dense arm is a broadcast 1-row
+    query-vector attach onto one corpus scan — never an all-pairs
+    join); ranking then happens on {_RRF_POOL}-row frames, and the
+    fusion is a full-outer join of two {_RRF_POOL}-row frames. At
+    100 TB the only corpus-sized work is the two scans.
+    """
+    from trafficteach_spark.operators.llm.text import bm25_scores
+
+    bm = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(w_bm).alias("bm25_rank")
+    )
+    vecs = _vectors(spark, sf_dir)
+    qv = vecs.where(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = (
+        vecs.where(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(_DOT.format(a="qv", b="v"))
+                / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    w_cos = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    cr = cos.select(
+        "doc_id", F.row_number().over(w_cos).alias("cosine_rank")
+    )
+
+    def contrib(col: str):
+        return F.when(
+            F.col(col) > 0, F.lit(1.0) / (F.lit(_RRF_K) + F.col(col))
+        ).otherwise(F.lit(0.0))
+
+    return (
+        bmr.join(cr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("cosine_rank", F.lit(0)).alias("cosine_rank"),
+        )
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cosine_rank",
+            F.round(contrib("bm25_rank") + contrib("cosine_rank"), 6).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(_RRF_TOPK)
+    )

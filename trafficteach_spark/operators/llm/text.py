@@ -402,6 +402,41 @@ def _bm25_tf(term: str) -> str:
     return f"size(filter(split(text, ' '), x -> x = '{term}'))"
 
 
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 frame for the fixed query, pre-top-k — the
+    shared scoring body of q75_bm25 and the lexical arm of
+    q185_rrf_fusion. See q75_bm25 for the plan-shape rationale."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        *[
+            F.expr(_bm25_tf(t)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_QUERY)
+        ],
+    )
+    stats = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_QUERY))
+        ],
+    )
+    term_score = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_QUERY))
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(_BM25_QUERY)))
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .where(F.expr(any_tf) > 0)
+        .select("doc_id", F.round(F.expr(term_score), 6).alias("score"))
+    )
+
+
 @register(
     "q75_bm25",
     oracle=f"""
@@ -448,34 +483,8 @@ def q75_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly positive, so scores are monotone in tf and the
     (score, doc_id) ordering is deterministic in both engines.
     """
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    scored = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("dl"),
-        *[
-            F.expr(_bm25_tf(t)).alias(f"tf_{i}")
-            for i, t in enumerate(_BM25_QUERY)
-        ],
-    )
-    stats = scored.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
-            for i in range(len(_BM25_QUERY))
-        ],
-    )
-    term_score = " + ".join(
-        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
-        f" * (tf_{i} * ({_BM25_K1} + 1.0))"
-        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
-        for i in range(len(_BM25_QUERY))
-    )
-    any_tf = " + ".join(f"tf_{i}" for i in range(len(_BM25_QUERY)))
     return (
-        scored.crossJoin(F.broadcast(stats))
-        .where(F.expr(any_tf) > 0)
-        .select("doc_id", F.round(F.expr(term_score), 6).alias("score"))
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOPK)
     )

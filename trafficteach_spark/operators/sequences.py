@@ -1693,3 +1693,106 @@ def q181_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_run"),
     )
+
+
+@register(
+    "q184_mann_whitney",
+    oracle=f"""
+    WITH u AS (
+        SELECT {_AB_HASH_DUCK} AS arm,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0 END), 6) AS metric
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT metric, COUNT(*) AS c,
+               SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS a
+        FROM u GROUP BY metric
+    ),
+    r AS (
+        SELECT *,
+               COALESCE(SUM(c) OVER (ORDER BY metric
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n,
+               CAST(SUM(a) AS DOUBLE) AS na,
+               SUM(a * (cum + (c + 1) / 2.0)) AS ra,
+               SUM(CAST(c AS DOUBLE) * c * c - c) AS tie
+        FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(n - na AS BIGINT) AS n_b,
+           ROUND(ra - na * (na + 1) / 2, 6) AS u_a,
+           ROUND((ra - na * (na + 1) / 2 - na * (n - na) / 2)
+                 / NULLIF(sqrt(na * (n - na) / 12.0
+                     * ((n + 1) - tie / NULLIF(n * (n - 1), 0))), 0), 6)
+               AS z,
+           ROUND(2 * (ra - na * (na + 1) / 2)
+                 / NULLIF(na * (n - na), 0) - 1, 6) AS rank_biserial
+    FROM s
+    """,
+    tags=("sequences", "experimentation", "nonparametric"),
+)
+def q184_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test of per-user purchase
+    revenue between the two md5 hash arms — the NONPARAMETRIC readout
+    beside q110's difference-in-means: revenue is heavy-tailed, so the
+    t-style z on means is whale-dominated while the rank test is not.
+    Average ranks for ties, tie-corrected variance
+    n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1))), z via normal approximation
+    (no continuity correction — documented, mirrored in the oracle),
+    and the rank-biserial effect size 2U_A/(n_a·n_b) − 1.
+
+    Plan: ranks are NEVER assigned per user — the per-user frame
+    collapses to one row per DISTINCT metric value (tie group), the
+    cumulative window runs over that value-cardinality frame (the
+    repo's distinct-value quantile machinery, cf. q151), and the test
+    statistic is one aggregate over it. At 100 TB: the one per-user
+    shuffle every user metric pays, then value-cardinality work.
+    try_divide guards the all-values-tied corpus (variance 0 -> NULL z).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("metric")
+        )
+        .select(F.expr(_AB_HASH_SPARK).alias("arm"), "metric")
+    )
+    g = u.groupBy("metric").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("a"),
+    )
+    w = Window.orderBy("metric").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("cum", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    s = r.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum("a").cast("double").alias("na"),
+        F.sum(F.col("a") * (F.col("cum") + (F.col("c") + 1) / 2.0)).alias("ra"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie"),
+    )
+    n, na = F.col("n"), F.col("na")
+    nb = n - na
+    u_a = F.col("ra") - na * (na + 1) / 2
+    var = na * nb / 12.0 * (
+        (n + 1) - F.try_divide(F.col("tie"), n * (n - 1))
+    )
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(F.try_divide(u_a - na * nb / 2, F.sqrt(var)), 6).alias("z"),
+        F.round(F.try_divide(2 * u_a, na * nb) - 1, 6).alias("rank_biserial"),
+    )
