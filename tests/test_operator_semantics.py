@@ -3887,3 +3887,122 @@ def test_rrf_fusion_matches_python_reference(spark):
         assert abs(row["rrf_score"] - s) < 2e-6
         assert row["bm25_rank"] == bm_rank.get(d, 0)
         assert row["cosine_rank"] == cos_rank.get(d, 0)
+
+
+# ---------- round-8 batch K: iterative fixed points / hashing audit ----------
+
+
+def test_pagerank_types_matches_python_reference(spark):
+    """q186 against a plain-Python power iteration at sf0.001."""
+    from collections import Counter, defaultdict
+
+    from trafficteach_spark.operators.sequences import _PR_D, _PR_ITERS
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    edges = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        types = list(grp.event_type)
+        for a, b in zip(types, types[1:]):
+            edges[(a, b)] += 1
+    out_w = defaultdict(int)
+    for (a, _), w in edges.items():
+        out_w[a] += w
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        nxt = {v: (1 - _PR_D) / n for v in nodes}
+        for (a, b), w in edges.items():
+            nxt[b] += _PR_D * pr[a] * (w / out_w[a])
+        pr = nxt
+    got = {r["event_type"]: r for r in Q["q186_pagerank_types"](spark, sf).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v]["pagerank"] - pr[v]) < 1e-5, v
+        assert got[v]["n_out"] == out_w.get(v, 0)
+    assert abs(sum(r["pagerank"] for r in got.values()) - 1.0) < 1e-3
+
+
+def test_raking_weights_matches_python_reference(spark):
+    """q187 against a plain-Python IPF, and the calibration property:
+    weighted source/lang marginals move toward uniform."""
+    from collections import Counter
+
+    from trafficteach_spark.operators.llm.corpus import _IPF_ITERS
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "documents").select("source", "lang").toPandas()
+    pdf = pdf[pdf.source.notna() & pdf.lang.notna()]
+    cells = Counter(zip(pdf.source, pdf.lang))
+    t = sum(cells.values())
+    srcs = {s for s, _ in cells}
+    langs = {l for _, l in cells}
+    w = {k: 1.0 for k in cells}
+    for _ in range(_IPF_ITERS):
+        rs = Counter()
+        for (s, l), n in cells.items():
+            rs[s] += n * w[(s, l)]
+        for k in w:
+            w[k] *= (t / len(srcs)) / rs[k[0]]
+        cs = Counter()
+        for (s, l), n in cells.items():
+            cs[l] += n * w[(s, l)]
+        for k in w:
+            w[k] *= (t / len(langs)) / cs[k[1]]
+    got = {(r["source"], r["lang"]): r for r in Q["q187_raking_weights"](spark, sf).collect()}
+    assert set(got) == set(cells)
+    for k, n in cells.items():
+        assert got[k]["n_docs"] == n
+        assert abs(got[k]["weight"] - w[k]) < 1e-4, k
+    # calibration: the LAST sweep was the lang sweep, so weighted lang
+    # marginals are exactly uniform; source marginals near-uniform
+    lm = Counter()
+    for (s, l), n in cells.items():
+        lm[l] += n * got[(s, l)]["weight"]
+    for l, m in lm.items():
+        assert abs(m - t / len(langs)) < t * 5e-4, l
+
+
+def test_hash_collision_audit_matches_python_reference(spark):
+    """q188 against hashlib md5 bucketing in plain Python."""
+    import hashlib as _h
+    from collections import Counter
+
+    from trafficteach_spark.operators.llm.corpus import _COLLISION_WIDTHS
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "documents").select("text").toPandas()
+    vocab = Counter()
+    for txt in pdf.text.dropna():
+        for tkn in str(txt).lower().split(" "):
+            if tkn:
+                vocab[tkn] += 1
+    hv = {tkn: int(_h.md5(tkn.encode()).hexdigest()[:15], 16) for tkn in vocab}
+    got = {r["width"]: r for r in Q["q188_hash_collision_audit"](spark, sf).collect()}
+    assert set(got) == set(_COLLISION_WIDTHS)
+    for width in _COLLISION_WIDTHS:
+        buckets = Counter()
+        mass = Counter()
+        for tkn, c in vocab.items():
+            b = hv[tkn] % width
+            buckets[b] += 1
+            mass[b] += c
+        collided = {b for b, k in buckets.items() if k >= 2}
+        r = got[width]
+        assert r["n_terms"] == len(vocab)
+        assert r["n_buckets_used"] == len(buckets)
+        assert r["collided_buckets"] == len(collided)
+        share = sum(mass[b] for b in collided) / sum(mass.values())
+        assert abs(r["collision_mass_share"] - share) < 1e-6
+    # more buckets -> fewer collisions, monotone
+    cb = [got[w]["collided_buckets"] / w for w in sorted(_COLLISION_WIDTHS)]
+    assert cb == sorted(cb, reverse=True)

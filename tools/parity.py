@@ -95,6 +95,33 @@ def check(spark, con, key: str, sf_dir: str) -> Result:
 
     if sorted(s_cols) != sorted(d_cols):
         return Result(key, False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+
+    # Dtype-kind guard: DuckDB fetchall() returns SUM(BIGINT) (HUGEINT)
+    # as plain Python int, so the value hash below would pass even
+    # though a pandas-based harness sees float64 vs int64 and records a
+    # mismatch (caught live on q186/q188: COALESCE/SUM of BIGINT needs
+    # CAST ... AS BIGINT in the oracle). Flag any column where Spark
+    # declares an integer type but a null-free DuckDB column converts
+    # to float in pandas (NULL-bearing int columns float-ify on BOTH
+    # sides — q53's rollup total row — so those are exempt).
+    s_int_cols = {
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    }
+    d_pdf = con.execute(spec.oracle).df()
+    for c in d_pdf.columns:
+        if (
+            c in s_int_cols
+            and str(d_pdf[c].dtype).startswith("float")
+            and not d_pdf[c].isna().any()
+        ):
+            return Result(
+                key,
+                False,
+                f"dtype-kind mismatch on {c!r}: spark int vs duckdb "
+                "float-in-pandas (HUGEINT? add CAST(... AS BIGINT) to the oracle)",
+            )
     if len(s_rows) != len(d_rows):
         return Result(key, False, f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
     hs, hd = _hash_rows(s_cols, s_rows), _hash_rows(d_cols, d_rows)

@@ -128,6 +128,9 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q183_embedding_corr_pairs": [("dim_a", "int"), ("dim_b", "int"), ("n_vectors", "bigint"), ("corr", "double")],
     "q184_mann_whitney": [("n_a", "bigint"), ("n_b", "bigint"), ("u_a", "double"), ("z", "double"), ("rank_biserial", "double")],
     "q185_rrf_fusion": [("doc_id", "bigint"), ("bm25_rank", "int"), ("cosine_rank", "int"), ("rrf_score", "double")],
+    "q186_pagerank_types": [("event_type", "string"), ("n_out", "bigint"), ("pagerank", "double")],
+    "q187_raking_weights": [("source", "string"), ("lang", "string"), ("n_docs", "bigint"), ("weight", "double")],
+    "q188_hash_collision_audit": [("width", "int"), ("n_terms", "bigint"), ("n_buckets_used", "bigint"), ("collided_buckets", "bigint"), ("collision_mass_share", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

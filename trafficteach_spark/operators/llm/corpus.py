@@ -1801,3 +1801,214 @@ def q179_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jsd, 6).alias("jsd"),
         F.round(F.sqrt(jsd / F.log(F.lit(2.0))), 6).alias("jsd_distance"),
     )
+
+
+_IPF_ITERS = 3  # row/column sweep pairs; enough to near-converge a
+# well-conditioned grid, few enough that cross-engine FP drift stays
+# far below the 6-decimal hash precision
+
+
+def _raking_oracle() -> str:
+    """Unrolled IPF CTE chain: target marginals are UNIFORM over
+    sources and UNIFORM over langs (the balanced-mixing target)."""
+    ctes = [
+        """cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT SUM(n) AS t,
+               CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns,
+               CAST(COUNT(DISTINCT lang) AS DOUBLE) AS nl
+        FROM cells
+    ),
+    w0 AS (SELECT source, lang, n, 1.0 AS w FROM cells)"""
+    ]
+    for i in range(1, _IPF_ITERS + 1):
+        p = f"w{i - 1}" if i == 1 else f"wc{i - 1}"
+        ctes.append(f"""rs{i} AS (
+        SELECT source, SUM(n * w) AS s FROM {p} GROUP BY source
+    ),
+    wr{i} AS (
+        SELECT {p}.source, {p}.lang, {p}.n,
+               {p}.w * (tot.t / tot.ns) / NULLIF(rs{i}.s, 0) AS w
+        FROM {p} JOIN rs{i} USING (source) CROSS JOIN tot
+    ),
+    cs{i} AS (
+        SELECT lang, SUM(n * w) AS s FROM wr{i} GROUP BY lang
+    ),
+    wc{i} AS (
+        SELECT wr{i}.source, wr{i}.lang, wr{i}.n,
+               wr{i}.w * (tot.t / tot.nl) / NULLIF(cs{i}.s, 0) AS w
+        FROM wr{i} JOIN cs{i} USING (lang) CROSS JOIN tot
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
+           ROUND(w, 6) AS weight
+    FROM wc{_IPF_ITERS}
+    """
+
+
+@register(
+    "q187_raking_weights",
+    oracle=_raking_oracle(),
+    tags=("llm", "corpus", "mixing", "iterative"),
+)
+def q187_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of per-(source, lang)
+    sampling weights so the WEIGHTED corpus hits uniform source
+    marginals AND uniform lang marginals simultaneously — the survey-
+    statistics workhorse applied to training-data mixing: q58 enforces
+    a single-axis mix, this calibrates two axes at once. {_IPF_ITERS}
+    row/column sweep pairs, unrolled identically in both engines
+    (Deming & Stephan 1940; converges geometrically on a strictly
+    positive grid).
+
+    Plan: ONE corpus-sized aggregate collapses documents to the
+    (source x lang) cell grid (vocabulary-bounded, hundreds of rows);
+    every sweep is an aggregate + equi-join on that persisted tiny
+    frame with the 1-row totals cross-attached. At 100 TB: one scan,
+    one shuffle, then grid-sized arithmetic. try_divide/NULLIF guard
+    empty rows/columns (weight NULL = unreachable marginal).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.where(F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("double").alias("n"))
+        .persist()
+    )
+    tot = cells.agg(
+        F.sum("n").alias("t"),
+        F.countDistinct("source").cast("double").alias("ns"),
+        F.countDistinct("lang").cast("double").alias("nl"),
+    )
+    w = cells.withColumn("w", F.lit(1.0))
+    for _ in range(_IPF_ITERS):
+        rs = w.groupBy("source").agg(F.sum(F.col("n") * F.col("w")).alias("s"))
+        w = (
+            w.join(rs, "source")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                "lang",
+                "n",
+                (
+                    F.col("w")
+                    * F.try_divide(F.col("t") / F.col("ns"), F.col("s"))
+                ).alias("w"),
+            )
+        )
+        cs = w.groupBy("lang").agg(F.sum(F.col("n") * F.col("w")).alias("s"))
+        w = (
+            w.join(cs, "lang")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                "lang",
+                "n",
+                (
+                    F.col("w")
+                    * F.try_divide(F.col("t") / F.col("nl"), F.col("s"))
+                ).alias("w"),
+            )
+        )
+        # localCheckpoint per sweep pair: each sweep consumes w TWICE
+        # (marginal aggregate + join back), so without truncation the
+        # lineage — and the physical plan — doubles every sweep
+        # (measured: 197 exchanges for 3 sweeps). Materializing the
+        # grid-sized frame keeps the plan constant per sweep.
+        w = w.localCheckpoint(eager=True)
+    return w.select(
+        "source",
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("w", 6).alias("weight"),
+    )
+
+
+_COLLISION_WIDTHS = (64, 256, 1024, 4096)
+
+
+@register(
+    "q188_hash_collision_audit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT t, COUNT(*) AS c FROM tok WHERE length(t) > 0 GROUP BY t
+    ),
+    h AS (
+        SELECT t, c, ({_DUCK_MD5_60}) AS hv FROM vocab
+    ),
+    grid AS (SELECT unnest([{", ".join(map(str, _COLLISION_WIDTHS))}]) AS width),
+    bucketed AS (
+        SELECT grid.width, hv % grid.width AS bucket,
+               COUNT(*) AS n_terms, SUM(c) AS mass
+        FROM h CROSS JOIN grid
+        GROUP BY 1, 2
+    )
+    SELECT CAST(width AS INT) AS width,
+           CAST(SUM(n_terms) AS BIGINT) AS n_terms,
+           COUNT(*) AS n_buckets_used,
+           CAST(SUM(CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS collided_buckets,
+           ROUND(SUM(CASE WHEN n_terms >= 2 THEN mass ELSE 0 END)
+                 / CAST(SUM(mass) AS DOUBLE), 6) AS collision_mass_share
+    FROM bucketed GROUP BY width
+    """,
+    tags=("llm", "features", "audit"),
+)
+def q188_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit for the feature-hashing trick (q117): at each
+    candidate bucket width, how many vocabulary terms share a bucket
+    and what share of the TOKEN MASS sits in collided buckets — the
+    sizing study that says which width keeps hashing-trick features
+    honest. Uses the exact md5-60 hash q117 ships, so the audit
+    measures the production hash, not a proxy.
+
+    Plan: one tokenized scan -> vocabulary count frame (the md5 is
+    computed ONCE per term, not per width); the {len(_COLLISION_WIDTHS)}-row
+    width grid cross-attaches onto the vocab frame (vocab x 4, still
+    vocabulary-bounded); two hash aggregates end at a 4-row result.
+    At 100 TB everything after the first count is vocabulary-scaled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    vocab = (
+        tok.where(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .withColumn("hv", F.expr(_SPARK_MD5_60))
+    )
+    grid = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(w,) for w in _COLLISION_WIDTHS], "width int"
+        )
+    )
+    bucketed = (
+        vocab.crossJoin(grid)
+        .groupBy("width", F.pmod(F.col("hv"), F.col("width")).alias("bucket"))
+        .agg(F.count("*").alias("n_terms"), F.sum("c").alias("mass"))
+    )
+    return bucketed.groupBy("width").agg(
+        F.sum("n_terms").alias("n_terms"),
+        F.count("*").alias("n_buckets_used"),
+        F.sum(F.when(F.col("n_terms") >= 2, 1).otherwise(0)).alias(
+            "collided_buckets"
+        ),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("n_terms") >= 2, F.col("mass")).otherwise(0)),
+                F.sum("mass").cast("double"),
+            ),
+            6,
+        ).alias("collision_mass_share"),
+    )

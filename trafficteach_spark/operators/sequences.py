@@ -1796,3 +1796,141 @@ def q184_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(u_a - na * nb / 2, F.sqrt(var)), 6).alias("z"),
         F.round(F.try_divide(2 * u_a, na * nb) - 1, 6).alias("rank_biserial"),
     )
+
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 10
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled {_PR_ITERS}-iteration PageRank CTE chain (DuckDB has
+    no mutual recursion; the bounded node set makes unrolling exact)."""
+    ctes = [
+        """seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    edges AS (
+        SELECT prev AS src, event_type AS dst, COUNT(*) AS w
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    oute AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS ow FROM edges GROUP BY 1),
+    e AS (SELECT edges.src, edges.dst, w / ow AS p
+          FROM edges JOIN oute USING (src)),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""contrib{i} AS (
+        SELECT e.dst AS node, SUM(e.p * pr{i - 1}.pr) AS c
+        FROM e JOIN pr{i - 1} ON e.src = pr{i - 1}.node
+        GROUP BY e.dst
+    ),
+    pr{i} AS (
+        SELECT nodes.node,
+               (1 - {_PR_D}) / nn.n + {_PR_D} * COALESCE(contrib{i}.c, 0)
+                   AS pr
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN contrib{i} ON contrib{i}.node = nodes.node
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT pr{_PR_ITERS}.node AS event_type,
+           CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out,
+           ROUND(pr{_PR_ITERS}.pr, 6) AS pagerank
+    FROM pr{_PR_ITERS}
+    LEFT JOIN (SELECT src, SUM(w) AS n_out FROM edges GROUP BY 1) o
+      ON o.src = pr{_PR_ITERS}.node
+    """
+
+
+@register(
+    "q186_pagerank_types",
+    oracle=_pagerank_oracle(),
+    tags=("sequences", "graph", "iterative"),
+)
+def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (the
+    bounded graph q172's Markov matrix lives on): {_PR_ITERS} unrolled
+    power iterations with damping {_PR_D}, edge weights = transition
+    counts, uniform teleport. Dangling mass is NOT redistributed
+    (documented; mirrored exactly in the oracle) — with the type
+    vocabulary every node has out-edges on real data. The iterative-
+    fixed-point capability class: the corpus-sized work is ONE edge
+    count; the iteration runs on the type-vocabulary frame.
+
+    Plan: one user-partitioned LAG window (the shared per-user-sequence
+    shuffle) + one hash aggregate collapse the corpus to a <=|types|^2
+    edge frame, persisted so the ten iterations replay a MEMORY-SIZED
+    frame, not the corpus lineage. Each iteration is an equi-join +
+    aggregate on <=|types| rows (AQE broadcasts them). At 100 TB: the
+    same two corpus stages as q172, then driver-negligible iteration.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    edges = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    out = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
+    e = (
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(
+                pr.select(F.col("node").alias("src"), F.col("pr").alias("pr_src")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("p") * F.col("pr_src")).alias("c"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "n",
+                (
+                    (1 - _PR_D) / F.col("n")
+                    + _PR_D * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    n_out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("n_out")
+    )
+    return (
+        pr.join(n_out, "node", "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.round("pr", 6).alias("pagerank"),
+        )
+    )
