@@ -1879,6 +1879,9 @@ def q187_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source").isNotNull() & F.col("lang").isNotNull())
         .groupBy("source", "lang")
         .agg(F.count("*").cast("double").alias("n"))
+        # coalesce(1): grid-sized frame; single-partition sweeps avoid
+        # full-width scheduling in each unrolled IPF stage.
+        .coalesce(1)
         .persist()
     )
     tot = cells.agg(

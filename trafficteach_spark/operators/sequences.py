@@ -1884,19 +1884,25 @@ def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.where(F.col("prev").isNotNull())
         .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
         .agg(F.count("*").alias("w"))
+        # coalesce(1): the edge frame is <=|types|^2 rows; the ten
+        # iteration stages should run single-partition, not pay
+        # full-width task scheduling for a handful of rows.
+        .coalesce(1)
         .persist()
     )
     out = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
     e = (
         edges.join(out, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .persist()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     pr = nodes.crossJoin(F.broadcast(nn)).select(
@@ -1905,7 +1911,11 @@ def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ITERS):
         contrib = (
             e.join(
-                pr.select(F.col("node").alias("src"), F.col("pr").alias("pr_src")),
+                F.broadcast(
+                    pr.select(
+                        F.col("node").alias("src"), F.col("pr").alias("pr_src")
+                    )
+                ),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
@@ -1913,7 +1923,7 @@ def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, "node", "left")
+            .join(F.broadcast(contrib), "node", "left")
             .select(
                 "node",
                 "n",
@@ -1922,6 +1932,11 @@ def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + _PR_D * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("pr"),
             )
+            # localCheckpoint per iteration: keeps every iteration's
+            # plan flat (join + agg over two materialized node-sized
+            # frames) instead of a 10-deep lineage of exchanges — the
+            # same plan-pinning fix the q187 IPF sweeps use.
+            .localCheckpoint(eager=True)
         )
     n_out = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("n_out")
