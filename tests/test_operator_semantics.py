@@ -4006,3 +4006,152 @@ def test_hash_collision_audit_matches_python_reference(spark):
     # more buckets -> fewer collisions, monotone
     cb = [got[w]["collided_buckets"] / w for w in sorted(_COLLISION_WIDTHS)]
     assert cb == sorted(cb, reverse=True)
+
+
+# ---------- round-8 batch L: attribution / robust moments ----------
+
+
+def test_shapley_attribution_matches_python_reference(spark):
+    """q189 against an exact plain-Python Shapley computation, plus the
+    efficiency axiom Sum(phi) = v(grand coalition) - v(empty)."""
+    from collections import defaultdict
+    from math import factorial
+
+    from trafficteach_spark.operators.sequences import _SHAP_CHANNELS
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("user_id", "event_type").toPandas()
+    seen, conv = defaultdict(set), defaultdict(bool)
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        if r.event_type == "purchase":
+            conv[uid] = True
+            seen[uid]  # ensure key
+        elif r.event_type in _SHAP_CHANNELS:
+            seen[uid].add(r.event_type)
+        else:
+            seen[uid]
+    nch = len(_SHAP_CHANNELS)
+    stats = defaultdict(lambda: [0, 0])
+    for uid in seen:
+        m = sum(1 << i for i, c in enumerate(_SHAP_CHANNELS) if c in seen[uid])
+        stats[m][0] += 1
+        stats[m][1] += int(conv[uid])
+    def v(m):
+        n, k = stats.get(m, (0, 0))
+        return k / n if n else 0.0
+    phi = {}
+    for i, c in enumerate(_SHAP_CHANNELS):
+        tot = 0.0
+        for s in range(1 << nch):
+            if s & (1 << i):
+                continue
+            size = bin(s).count("1")
+            w = factorial(size) * factorial(nch - 1 - size) / factorial(nch)
+            tot += w * (v(s | (1 << i)) - v(s))
+        phi[c] = tot
+    got = {r["channel"]: r for r in Q["q189_shapley_attribution"](spark, sf).collect()}
+    assert set(got) == set(_SHAP_CHANNELS)
+    for c in _SHAP_CHANNELS:
+        assert abs(got[c]["shapley"] - phi[c]) < 1e-5, c
+        exposed = sum(n for m, (n, _) in stats.items()
+                      if m & (1 << _SHAP_CHANNELS.index(c)))
+        assert got[c]["n_exposed"] == exposed
+    # efficiency: telescoping over any chain gives v(full) - v(empty)
+    assert abs(sum(phi.values()) - (v((1 << nch) - 1) - v(0))) < 1e-9
+
+
+def test_markov_attribution_matches_python_reference(spark):
+    """q190 against a plain-Python journey builder + value iteration."""
+    from collections import Counter, defaultdict
+
+    from trafficteach_spark.operators.sequences import _MK_ITERS, _MK_REMOVALS
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    edges = Counter()
+    for uid, grp in pdf.groupby("user_id"):
+        types = list(grp.event_type)
+        try:
+            pidx = types.index("purchase")
+            touches, converted = types[:pidx], True
+        except ValueError:
+            touches, converted = types, False
+        if not touches:
+            edges[("START", "CONV" if converted else "NULL")] += 1
+            continue
+        edges[("START", touches[0])] += 1
+        for a, b in zip(touches, touches[1:]):
+            edges[(a, b)] += 1
+        edges[(touches[-1], "CONV" if converted else "NULL")] += 1
+    out = defaultdict(float)
+    for (a, _), w in edges.items():
+        out[a] += w
+
+    def reach(removed):
+        e = defaultdict(float)
+        for (a, b), w in edges.items():
+            if a == removed:
+                continue
+            e[(a, "NULL" if b == removed else b)] += w / out[a]
+        states = {s for ab in e for s in ab}
+        v = {s: 1.0 if s == "CONV" else 0.0 for s in states}
+        for _ in range(_MK_ITERS):
+            nv = {}
+            for s in states:
+                if s == "CONV":
+                    nv[s] = 1.0
+                elif s == "NULL":
+                    nv[s] = 0.0
+                else:
+                    nv[s] = sum(p * v[b] for (a, b), p in e.items() if a == s)
+            v = nv
+        return v.get("START", 0.0)
+
+    base = reach(None)
+    res = {c: 1 - reach(c) / base for c in _MK_REMOVALS}
+    tot = sum(res.values())
+    got = {r["channel"]: r for r in Q["q190_markov_attribution"](spark, sf).collect()}
+    assert set(got) == set(_MK_REMOVALS)
+    for c in _MK_REMOVALS:
+        assert abs(got[c]["removal_effect"] - res[c]) < 1e-5, c
+        assert abs(got[c]["attribution"] - res[c] / tot) < 1e-5, c
+    assert abs(sum(r["attribution"] for r in got.values()) - 1.0) < 1e-4
+
+
+def test_winsorized_stats_matches_numpy(spark):
+    """q191 against a numpy recomputation with interpolated quantiles."""
+    import numpy as np
+
+    from trafficteach_spark.operators.analytics import _WINSOR_HI, _WINSOR_LO
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    rev = {}
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        rev[uid] = rev.get(uid, 0.0) + (r.value if r.event_type == "purchase" else 0.0)
+    x = np.array([round(v, 6) for v in rev.values()])
+    lo, hi = np.quantile(x, _WINSOR_LO), np.quantile(x, _WINSOR_HI)
+    wx = np.clip(x, lo, hi)
+    tx = x[(x >= lo) & (x <= hi)]
+    [r] = Q["q191_winsorized_stats"](spark, sf).collect()
+    assert r["n_users"] == len(x)
+    assert abs(r["mean_raw"] - x.mean()) < 1e-5
+    assert abs(r["std_raw"] - x.std(ddof=1)) < 1e-5
+    assert abs(r["mean_winsor"] - wx.mean()) < 1e-5
+    assert abs(r["std_winsor"] - wx.std(ddof=1)) < 1e-5
+    assert abs(r["mean_trim"] - tx.mean()) < 1e-5
+    assert r["n_trim"] == len(tx)
+    # robustness direction: clamping cannot increase the spread
+    assert r["std_winsor"] <= r["std_raw"] + 1e-9

@@ -3912,3 +3912,93 @@ def q177_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("log_s"), 6))
         .alias("survival"),
     )
+
+
+_WINSOR_LO, _WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "q191_winsorized_stats",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0 END), 6) AS metric
+        FROM events GROUP BY user_id
+    ),
+    q AS (
+        SELECT quantile_cont(metric, {_WINSOR_LO}) AS lo,
+               quantile_cont(metric, {_WINSOR_HI}) AS hi
+        FROM u
+    ),
+    wz AS (
+        SELECT metric,
+               LEAST(GREATEST(metric, lo), hi) AS wmetric,
+               CASE WHEN metric >= lo AND metric <= hi THEN 1 ELSE 0 END
+                   AS in_band
+        FROM u CROSS JOIN q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(metric), 6) AS mean_raw,
+           ROUND(stddev_samp(metric), 6) AS std_raw,
+           ROUND(AVG(wmetric), 6) AS mean_winsor,
+           ROUND(stddev_samp(wmetric), 6) AS std_winsor,
+           ROUND(AVG(CASE WHEN in_band = 1 THEN metric END), 6)
+               AS mean_trim,
+           CAST(SUM(in_band) AS BIGINT) AS n_trim
+    FROM wz
+    """,
+    tags=("analytics", "robust", "experimentation"),
+)
+def q191_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed moments of per-user purchase revenue at
+    the [{_WINSOR_LO}, {_WINSOR_HI}] interpolated quantiles — the
+    whale-robust metric treatment experimentation platforms apply
+    before t-style readouts (q110/q184's motivation made operational:
+    clamp or drop the tails, report how much the moments move).
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    continuous-interpolation definition, so the cutpoints are exact
+    cross-engine (the q52 precedent); the per-user metric is rounded
+    to 6 before quantiling so tie GROUPS agree.
+
+    Plan: one per-user aggregate, ONE 1-row quantile aggregate
+    broadcast back (cross-attach), one final 1-row aggregate — three
+    corpus-free stages after the per-user shuffle every user metric
+    pays. At 100 TB swap the exact percentile for approx_percentile
+    (same call shape) if the per-user frame outgrows a sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("metric")
+    )
+    q = u.agg(
+        F.expr(f"percentile(metric, {_WINSOR_LO}D)").alias("lo"),
+        F.expr(f"percentile(metric, {_WINSOR_HI}D)").alias("hi"),
+    )
+    wz = u.crossJoin(F.broadcast(q)).select(
+        "metric",
+        F.least(F.greatest(F.col("metric"), F.col("lo")), F.col("hi")).alias(
+            "wmetric"
+        ),
+        (
+            (F.col("metric") >= F.col("lo")) & (F.col("metric") <= F.col("hi"))
+        ).cast("int").alias("in_band"),
+    )
+    return wz.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("metric"), 6).alias("mean_raw"),
+        F.round(F.stddev_samp("metric"), 6).alias("std_raw"),
+        F.round(F.avg("wmetric"), 6).alias("mean_winsor"),
+        F.round(F.stddev_samp("wmetric"), 6).alias("std_winsor"),
+        F.round(
+            F.avg(F.when(F.col("in_band") == 1, F.col("metric"))), 6
+        ).alias("mean_trim"),
+        F.sum("in_band").cast("long").alias("n_trim"),
+    )

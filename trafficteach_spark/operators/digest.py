@@ -131,6 +131,9 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q186_pagerank_types": [("event_type", "string"), ("n_out", "bigint"), ("pagerank", "double")],
     "q187_raking_weights": [("source", "string"), ("lang", "string"), ("n_docs", "bigint"), ("weight", "double")],
     "q188_hash_collision_audit": [("width", "int"), ("n_terms", "bigint"), ("n_buckets_used", "bigint"), ("collided_buckets", "bigint"), ("collision_mass_share", "double")],
+    "q189_shapley_attribution": [("channel", "string"), ("n_exposed", "bigint"), ("shapley", "double")],
+    "q190_markov_attribution": [("channel", "string"), ("removal_effect", "double"), ("attribution", "double")],
+    "q191_winsorized_stats": [("n_users", "bigint"), ("mean_raw", "double"), ("std_raw", "double"), ("mean_winsor", "double"), ("std_winsor", "double"), ("mean_trim", "double"), ("n_trim", "bigint")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

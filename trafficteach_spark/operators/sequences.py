@@ -1949,3 +1949,419 @@ def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pr", 6).alias("pagerank"),
         )
     )
+
+
+_SHAP_CHANNELS = ("view", "click", "signup", "error")
+# Shapley coalition weights |S|!(n-1-|S|)!/n! for n = 4 channels.
+_SHAP_W = {0: 6.0 / 24, 1: 2.0 / 24, 2: 2.0 / 24, 3: 6.0 / 24}
+
+
+def _shapley_oracle() -> str:
+    n_ch = len(_SHAP_CHANNELS)
+    masks = 1 << n_ch
+    touch_cols = ", ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, c in enumerate(_SHAP_CHANNELS)
+    )
+    mask_expr = " + ".join(f"{1 << i} * c{i}" for i in range(n_ch))
+    w_case = "CASE bit_count(s) " + " ".join(
+        f"WHEN {k} THEN {v!r}" for k, v in _SHAP_W.items()
+    ) + " ELSE 0 END"
+    ch_case = "CASE ch " + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(_SHAP_CHANNELS)
+    ) + " END"
+    return f"""
+    WITH u AS (
+        SELECT user_id, {touch_cols},
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    co AS (
+        SELECT {mask_expr} AS mask,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(conv) AS DOUBLE) AS k
+        FROM u GROUP BY 1
+    ),
+    grid AS (
+        SELECT s, ch
+        FROM (SELECT unnest(range({masks})) AS s)
+        CROSS JOIN (SELECT unnest(range({n_ch})) AS ch)
+        WHERE (s & (1 << ch)) = 0
+    ),
+    terms AS (
+        SELECT grid.ch,
+               ({w_case})
+               * (COALESCE(b.k / NULLIF(b.n, 0), 0)
+                  - COALESCE(a.k / NULLIF(a.n, 0), 0)) AS term
+        FROM grid
+        LEFT JOIN co a ON a.mask = grid.s
+        LEFT JOIN co b ON b.mask = (grid.s | (1 << grid.ch))
+    ),
+    phi AS (SELECT ch, SUM(term) AS phi FROM terms GROUP BY ch),
+    expo AS (
+        SELECT g.ch, CAST(COALESCE(SUM(co.n), 0) AS BIGINT) AS n_exposed
+        FROM (SELECT unnest(range({n_ch})) AS ch) g
+        LEFT JOIN co ON (co.mask & (1 << g.ch)) <> 0
+        GROUP BY g.ch
+    )
+    SELECT {ch_case} AS channel,
+           expo.n_exposed,
+           ROUND(phi.phi, 6) AS shapley
+    FROM phi JOIN expo USING (ch)
+    """
+
+
+@register(
+    "q189_shapley_attribution",
+    oracle=_shapley_oracle(),
+    tags=("sequences", "attribution", "experimentation"),
+)
+def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact data-driven Shapley attribution over the {len(_SHAP_CHANNELS)}
+    touch channels {_SHAP_CHANNELS}: each user contributes their exact
+    exposure coalition (set of channel types ever seen) and a
+    conversion flag (any purchase); v(S) = conversion rate of users
+    whose coalition is EXACTLY S (unobserved coalitions contribute
+    v = 0 — the standard data-driven caveat, mirrored in the oracle);
+    phi_i = sum over S not containing i of |S|!(n-1-|S|)!/n! *
+    (v(S+i) - v(S)). The game-theoretic complement to q113 (linear)
+    and q68 (last-touch): the only attribution satisfying
+    efficiency/symmetry/dummy axioms.
+
+    Plan: ONE per-user aggregate collapses the corpus to a
+    {1 << len(_SHAP_CHANNELS)}-row coalition frame; the (S, i) grid is a
+    32-row literal cross-attach double-joined back onto it. At 100 TB:
+    the per-user shuffle every user metric pays, then constant-size
+    arithmetic. Exact with a channel vocabulary this small — the
+    2^n coalition frame is the scalability boundary, documented.
+    """
+    n_ch = len(_SHAP_CHANNELS)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.max((F.col("event_type") == c).cast("int")).alias(f"c{i}")
+            for i, c in enumerate(_SHAP_CHANNELS)
+        ],
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    mask = sum((F.col(f"c{i}") * (1 << i) for i in range(1, n_ch)), F.col("c0"))
+    co = (
+        u.select(mask.alias("mask"), "conv")
+        .groupBy("mask")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("conv").cast("double").alias("k"),
+        )
+    )
+    grid = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [
+                (s, i)
+                for s in range(1 << n_ch)
+                for i in range(n_ch)
+                if not s & (1 << i)
+            ],
+            "s int, ch int",
+        )
+    )
+    a = co.select(F.col("mask").alias("s"), F.col("n").alias("na"), F.col("k").alias("ka"))
+    b = co.select(F.col("mask").alias("sb"), F.col("n").alias("nb"), F.col("k").alias("kb"))
+    w_col = F.element_at(
+        F.create_map(
+            *[x for k, v in _SHAP_W.items() for x in (F.lit(k), F.lit(v))]
+        ),
+        F.bit_count(F.col("s").cast("long")).cast("int"),
+    )
+    terms = (
+        grid.join(a, "s", "left")
+        .withColumn("sb", F.expr("s | shiftleft(1, ch)"))
+        .join(b, "sb", "left")
+        .select(
+            "ch",
+            (
+                w_col
+                * (
+                    F.coalesce(F.try_divide(F.col("kb"), F.col("nb")), F.lit(0.0))
+                    - F.coalesce(F.try_divide(F.col("ka"), F.col("na")), F.lit(0.0))
+                )
+            ).alias("term"),
+        )
+    )
+    phi = terms.groupBy("ch").agg(F.sum("term").alias("phi"))
+    chgrid = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(_SHAP_CHANNELS)], "ch int, channel string"
+        )
+    )
+    # exposure per channel: explode each coalition's SET BITS and
+    # equi-join — not a bitmask theta-join (which plans as a BNLJ even
+    # on these bounded frames).
+    expo_bits = co.select(
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(0, {n_ch - 1}),"
+                " i -> IF((mask & shiftleft(1, i)) <> 0, i, -1)),"
+                " x -> x >= 0)"
+            )
+        ).alias("ch"),
+        "n",
+    ).groupBy("ch").agg(F.sum("n").alias("ne"))
+    expo = chgrid.join(expo_bits, "ch", "left").select(
+        "ch",
+        "channel",
+        F.coalesce(F.col("ne"), F.lit(0.0)).cast("long").alias("n_exposed"),
+    )
+    return phi.join(expo, "ch").select(
+        "channel", "n_exposed", F.round("phi", 6).alias("shapley")
+    )
+
+
+_MK_REMOVALS = ("view", "click", "signup", "error")
+_MK_ITERS = 15
+
+
+def _markov_attribution_oracle() -> str:
+    var_list = ", ".join(f"'{c}'" for c in ("none",) + _MK_REMOVALS)
+    ctes = [
+        """r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, MIN(rn) AS prn
+        FROM r WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    t AS (
+        SELECT r.user_id, r.event_type, r.rn, p.prn
+        FROM r LEFT JOIN p USING (user_id)
+        WHERE p.prn IS NULL OR r.rn < p.prn
+    ),
+    tt AS (
+        SELECT *,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY rn) AS prev,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY rn) AS nxt
+        FROM t
+    ),
+    edges_raw AS (
+        SELECT COALESCE(prev, 'START') AS src, event_type AS dst FROM tt
+        UNION ALL
+        SELECT event_type AS src,
+               CASE WHEN prn IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS dst
+        FROM tt WHERE nxt IS NULL
+        UNION ALL
+        SELECT 'START' AS src, 'CONV' AS dst FROM p WHERE prn = 1
+    ),
+    ec AS (
+        SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM edges_raw GROUP BY 1, 2
+    ),
+    eo AS (SELECT src, SUM(w) AS ow FROM ec GROUP BY 1),
+    e AS (SELECT ec.src, ec.dst, w / ow AS pr FROM ec JOIN eo USING (src)),
+    var AS (SELECT unnest([""" + var_list + """]) AS removed),
+    -- MATERIALIZED: ev_ and states are referenced by every unrolled
+    -- iteration CTE; DuckDB would otherwise inline the whole window
+    -- pipeline 15x over and the optimizer never returns.
+    ev_ AS MATERIALIZED (
+        SELECT var.removed, e.src,
+               CASE WHEN e.dst = var.removed THEN 'NULL' ELSE e.dst END AS dst,
+               SUM(e.pr) AS pr
+        FROM e CROSS JOIN var
+        WHERE e.src <> var.removed
+        GROUP BY 1, 2, 3
+    ),
+    states AS MATERIALIZED (
+        SELECT DISTINCT removed, src AS st FROM ev_
+        UNION SELECT DISTINCT removed, dst AS st FROM ev_
+    ),
+    p0 AS (
+        SELECT removed, st,
+               CASE WHEN st = 'CONV' THEN 1.0 ELSE 0.0 END AS v
+        FROM states
+    )"""
+    ]
+    for i in range(1, _MK_ITERS + 1):
+        ctes.append(f"""c{i} AS (
+        SELECT ev_.removed, ev_.src AS st, SUM(ev_.pr * p{i - 1}.v) AS nv
+        FROM ev_ JOIN p{i - 1}
+          ON p{i - 1}.removed = ev_.removed AND p{i - 1}.st = ev_.dst
+        GROUP BY 1, 2
+    ),
+    p{i} AS MATERIALIZED (
+        SELECT states.removed, states.st,
+               CASE WHEN states.st = 'CONV' THEN 1.0
+                    WHEN states.st = 'NULL' THEN 0.0
+                    ELSE COALESCE(c{i}.nv, 0) END AS v
+        FROM states LEFT JOIN c{i}
+          ON c{i}.removed = states.removed AND c{i}.st = states.st
+    )""")
+    return f"""
+    WITH {", ".join(ctes)},
+    reach AS (SELECT removed, v FROM p{_MK_ITERS} WHERE st = 'START'),
+    base AS (SELECT v AS v0 FROM reach WHERE removed = 'none'),
+    re AS (
+        SELECT removed AS channel, 1 - v / NULLIF(v0, 0) AS re
+        FROM reach CROSS JOIN base WHERE removed <> 'none'
+    ),
+    tot AS (SELECT SUM(re) AS tre FROM re)
+    SELECT channel, ROUND(re, 6) AS removal_effect,
+           ROUND(re / NULLIF(tre, 0), 6) AS attribution
+    FROM re CROSS JOIN tot
+    """
+
+
+@register(
+    "q190_markov_attribution",
+    oracle=_markov_attribution_oracle(),
+    tags=("sequences", "attribution", "iterative"),
+)
+def q190_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution: user journeys become
+    a first-order chain START -> touches -> CONV/NULL (touches = events
+    strictly before the first purchase, ordered by (ts, event_id));
+    each channel's removal effect is 1 - P(reach CONV with transitions
+    INTO that channel redirected to NULL) / P(reach CONV), and the
+    attribution is the normalized removal effect — the chain-based
+    counterfactual beside q189's Shapley and q113's linear credit.
+    Absorption probabilities use {_MK_ITERS} truncated value-iteration
+    steps, unrolled IDENTICALLY in both engines (journeys longer than
+    {_MK_ITERS} touches contribute the same residual to both).
+
+    Plan: the corpus-sized work is one per-user window pass + one edge
+    count (the q172 shape plus START/terminal edges); the 5-variant x
+    state transition frame is localCheckpoint-materialized at <=
+    5*|types|^2 rows and each value-iteration step is one join +
+    aggregate on it (the q186/q187 plan-pinning pattern). At 100 TB:
+    two corpus stages, then constant-size iteration.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    p = (
+        r.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    t = r.join(p, "user_id", "left").where(
+        F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
+    )
+    wt = Window.partitionBy("user_id").orderBy("rn")
+    tt = t.select(
+        "user_id",
+        "event_type",
+        "prn",
+        F.lag("event_type").over(wt).alias("prev"),
+        F.lead("event_type").over(wt).alias("nxt"),
+    )
+    edges_raw = (
+        tt.select(
+            F.coalesce("prev", F.lit("START")).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .unionAll(
+            tt.where(F.col("nxt").isNull()).select(
+                F.col("event_type").alias("src"),
+                F.when(F.col("prn").isNotNull(), F.lit("CONV"))
+                .otherwise(F.lit("NULL"))
+                .alias("dst"),
+            )
+        )
+        .unionAll(
+            p.where(F.col("prn") == 1).select(
+                F.lit("START").alias("src"), F.lit("CONV").alias("dst")
+            )
+        )
+    )
+    ec = edges_raw.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("w")
+    )
+    eo = ec.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = (
+        ec.join(eo, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("pr"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    var = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(c,) for c in ("none",) + _MK_REMOVALS], "removed string"
+        )
+    )
+    e_var = (
+        e.crossJoin(var)
+        .where(F.col("src") != F.col("removed"))
+        .select(
+            "removed",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), F.lit("NULL"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "pr",
+        )
+        .groupBy("removed", "src", "dst")
+        .agg(F.sum("pr").alias("pr"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        e_var.select("removed", F.col("src").alias("st"))
+        .union(e_var.select("removed", F.col("dst").alias("st")))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    pv = states.withColumn(
+        "v", F.when(F.col("st") == "CONV", F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    for _ in range(_MK_ITERS):
+        c = (
+            e_var.join(
+                F.broadcast(
+                    pv.select(
+                        F.col("removed").alias("removed_p"),
+                        F.col("st").alias("dst_p"),
+                        F.col("v").alias("v_dst"),
+                    )
+                ),
+                (F.col("removed") == F.col("removed_p"))
+                & (F.col("dst") == F.col("dst_p")),
+            )
+            .groupBy("removed", F.col("src").alias("st"))
+            .agg(F.sum(F.col("pr") * F.col("v_dst")).alias("nv"))
+        )
+        pv = (
+            states.join(F.broadcast(c), ["removed", "st"], "left")
+            .select(
+                "removed",
+                "st",
+                F.when(F.col("st") == "CONV", F.lit(1.0))
+                .when(F.col("st") == "NULL", F.lit(0.0))
+                .otherwise(F.coalesce(F.col("nv"), F.lit(0.0)))
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    reach = pv.where(F.col("st") == "START").select("removed", "v")
+    base = reach.where(F.col("removed") == "none").select(
+        F.col("v").alias("v0")
+    )
+    re = (
+        reach.where(F.col("removed") != "none")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            (1 - F.try_divide(F.col("v"), F.col("v0"))).alias("re"),
+        )
+    )
+    tot = re.agg(F.sum("re").alias("tre"))
+    return re.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round("re", 6).alias("removal_effect"),
+        F.round(F.try_divide(F.col("re"), F.col("tre")), 6).alias("attribution"),
+    )
