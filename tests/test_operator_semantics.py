@@ -4155,3 +4155,102 @@ def test_winsorized_stats_matches_numpy(spark):
     assert r["n_trim"] == len(tx)
     # robustness direction: clamping cannot increase the spread
     assert r["std_winsor"] <= r["std_raw"] + 1e-9
+
+
+# ---------- round-8 batch M: bootstrap / join sizing / backtest ----------
+
+
+def test_poisson_bootstrap_matches_python_reference(spark):
+    """q192 against a plain-Python replay of the deterministic Poisson
+    weights, plus cross-estimator agreement with the q180 jackknife."""
+    import hashlib as _h
+    import statistics
+
+    from trafficteach_spark.operators.sequences import _BOOT_B, _POIS_CDF
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    rev = {}
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        rev[uid] = rev.get(uid, 0.0) + (r.value if r.event_type == "purchase" else 0.0)
+    rev = {u: round(v, 6) for u, v in rev.items()}
+
+    def pois(u):
+        for k, t in enumerate(_POIS_CDF):
+            if u < t:
+                return k
+        return 5
+
+    means = []
+    for b in range(_BOOT_B):
+        num = den = 0.0
+        for uid, m in rev.items():
+            h = int(_h.md5(f"{uid}_{b}".encode()).hexdigest()[:15], 16)
+            w = pois(h / 1152921504606846976.0)
+            num += w * m
+            den += w
+        means.append(num / den)
+    se = statistics.stdev(means)
+    [r] = Q["q192_poisson_bootstrap"](spark, sf).collect()
+    assert r["n_users"] == len(rev)
+    assert r["n_replicas"] == _BOOT_B
+    assert abs(r["mean_raw"] - sum(rev.values()) / len(rev)) < 1e-5
+    assert abs(r["boot_se"] - se) < 1e-5
+    # order-of-magnitude sanity vs the iid SE of the mean
+    iid = statistics.stdev(rev.values()) / len(rev) ** 0.5
+    assert 0.3 * iid < r["boot_se"] < 3 * iid
+
+
+def test_join_cardinality_audit_matches_python_reference(spark):
+    """q193 against a Counter-based recomputation, and the prediction
+    property: total_pairs equals the ACTUAL self-join output size."""
+    from collections import Counter
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    keys = load_table(spark, sf, "lineitem").select("l_partkey").toPandas()
+    c = Counter(keys.l_partkey)
+    [r] = Q["q193_join_cardinality_audit"](spark, sf).collect()
+    assert r["n_keys"] == len(c)
+    assert r["total_rows"] == sum(c.values())
+    assert r["total_pairs"] == sum(v * v for v in c.values())
+    assert r["max_key_pairs"] == max(v * v for v in c.values())
+    # the audit PREDICTS the join: check against an actual self-join
+    li = load_table(spark, sf, "lineitem").select("l_partkey")
+    actual = li.alias("a").join(li.alias("b"), "l_partkey").count()
+    assert actual == r["total_pairs"]
+
+
+def test_forecast_baselines_matches_python_reference(spark):
+    """q194 against a pandas recomputation of both lag baselines."""
+    from trafficteach_spark.operators.timeseries import _FB_HORIZON
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "ts", "event_type", "value"
+    ).toPandas()
+    pdf = pdf[pdf.event_type == "purchase"]
+    daily = (
+        pdf.assign(day=pdf.ts.dt.date)
+        .groupby("day").value.sum().round(6).sort_index()
+    )
+    y = daily.tolist()
+    rows = []
+    for i in range(len(y)):
+        if i - 7 < 0:
+            continue
+        rows.append((y[i], y[i - 1], y[i - 7]))
+    rows = rows[-_FB_HORIZON:]
+    mae_n = sum(abs(a - b) for a, b, _ in rows) / len(rows)
+    mae_s = sum(abs(a - c) for a, _, c in rows) / len(rows)
+    [r] = Q["q194_forecast_baselines"](spark, sf).collect()
+    assert r["n_days"] == len(rows)
+    assert abs(r["mae_naive"] - mae_n) < 1e-5
+    assert abs(r["mae_snaive"] - mae_s) < 1e-5
+    assert abs(r["snaive_vs_naive"] - mae_s / mae_n) < 1e-5

@@ -4002,3 +4002,60 @@ def q191_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_trim"),
         F.sum("in_band").cast("long").alias("n_trim"),
     )
+
+
+@register(
+    "q193_join_cardinality_audit",
+    oracle="""
+    WITH k AS (
+        SELECT l_partkey AS key, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS total_rows,
+               CAST(SUM(c * c) AS BIGINT) AS total_pairs,
+               CAST(MAX(c * c) AS BIGINT) AS max_key_pairs,
+               SUM(c * c) AS tp,
+               MAX(c * c) AS mp,
+               COUNT(*) AS nk
+        FROM k
+    )
+    SELECT n_keys, total_rows, total_pairs, max_key_pairs,
+           ROUND(mp / tp, 6) AS top1_share,
+           ROUND(mp / (tp / nk), 6) AS skew_ratio
+    FROM s
+    """,
+    tags=("analytics", "planning", "skew"),
+)
+def q193_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-flight sizing of the self-equi-join on l_partkey (the
+    q67 basket-pair shape): output cardinality Sum c(k)^2 from the key
+    histogram ALONE — the number you compute BEFORE submitting a
+    100 TB N:M join, because it predicts both shuffle output volume
+    and the worst single-task fan-out. max_key_pairs vs the mean
+    (skew_ratio) is the decision signal between a plain shuffle join,
+    AQE skew splitting, and the q18-style salting remedy.
+
+    Plan: ONE hash aggregate to the key histogram, ONE 1-row moment
+    aggregate over it — strictly cheaper than the join it sizes, by
+    construction. At 100 TB: a single map-side-combined count shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(F.count("*").cast("double").alias("c"))
+    s = k.agg(
+        F.count("*").alias("nk"),
+        F.sum("c").alias("tr"),
+        F.sum(F.col("c") * F.col("c")).alias("tp"),
+        F.max(F.col("c") * F.col("c")).alias("mp"),
+    )
+    return s.select(
+        F.col("nk").cast("long").alias("n_keys"),
+        F.col("tr").cast("long").alias("total_rows"),
+        F.col("tp").cast("long").alias("total_pairs"),
+        F.col("mp").cast("long").alias("max_key_pairs"),
+        F.round(F.try_divide(F.col("mp"), F.col("tp")), 6).alias("top1_share"),
+        F.round(
+            F.try_divide(F.col("mp"), F.try_divide(F.col("tp"), F.col("nk"))), 6
+        ).alias("skew_ratio"),
+    )

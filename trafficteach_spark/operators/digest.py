@@ -134,6 +134,9 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q189_shapley_attribution": [("channel", "string"), ("n_exposed", "bigint"), ("shapley", "double")],
     "q190_markov_attribution": [("channel", "string"), ("removal_effect", "double"), ("attribution", "double")],
     "q191_winsorized_stats": [("n_users", "bigint"), ("mean_raw", "double"), ("std_raw", "double"), ("mean_winsor", "double"), ("std_winsor", "double"), ("mean_trim", "double"), ("n_trim", "bigint")],
+    "q192_poisson_bootstrap": [("n_users", "bigint"), ("n_replicas", "int"), ("mean_raw", "double"), ("boot_se", "double")],
+    "q193_join_cardinality_audit": [("n_keys", "bigint"), ("total_rows", "bigint"), ("total_pairs", "bigint"), ("max_key_pairs", "bigint"), ("top1_share", "double"), ("skew_ratio", "double")],
+    "q194_forecast_baselines": [("n_days", "bigint"), ("mae_naive", "double"), ("mae_snaive", "double"), ("mape_naive", "double"), ("mape_snaive", "double"), ("snaive_vs_naive", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

@@ -2365,3 +2365,117 @@ def q190_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("re", 6).alias("removal_effect"),
         F.round(F.try_divide(F.col("re"), F.col("tre")), 6).alias("attribution"),
     )
+
+
+_BOOT_B = 50  # Poisson bootstrap replicates
+# Inverse-CDF thresholds for Poisson(1), cumulative: P(X<=k).
+_POIS_CDF = (
+    0.36787944117144233,  # 0
+    0.7357588823428847,   # 1
+    0.9196986029286058,   # 2
+    0.9810118431238462,   # 3
+    0.9963401531726563,   # 4
+)  # else 5 (tail clamp; both engines identical)
+
+
+def _pois_case(u: str) -> str:
+    """SQL CASE ladder: uniform-[0,1) expression -> Poisson(1) draw."""
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+@register(
+    "q192_poisson_bootstrap",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0 END), 6) AS metric
+        FROM events GROUP BY user_id
+    ),
+    rep AS (
+        SELECT u.user_id, u.metric, g.b,
+               {_pois_case(
+                   "(" + md5_prefix_int_duck(
+                       "CAST(user_id AS VARCHAR) || '_' || CAST(g.b AS VARCHAR)"
+                   ) + " / 1152921504606846976.0)"
+               )} AS w
+        FROM u CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) g
+    ),
+    means AS (
+        SELECT b, SUM(w * metric) / NULLIF(SUM(w), 0) AS m
+        FROM rep GROUP BY b
+    ),
+    raw AS (SELECT AVG(metric) AS mean_raw, COUNT(*) AS n FROM u)
+    SELECT CAST(raw.n AS BIGINT) AS n_users,
+           {_BOOT_B} AS n_replicas,
+           ROUND(raw.mean_raw, 6) AS mean_raw,
+           ROUND(stddev_samp(means.m), 6) AS boot_se
+    FROM means CROSS JOIN raw
+    GROUP BY raw.n, raw.mean_raw
+    """,
+    tags=("sequences", "experimentation", "uncertainty"),
+)
+def q192_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error of mean per-user revenue: each
+    (user, replicate) pair draws a DETERMINISTIC Poisson(1) weight via
+    inverse-CDF on an md5-derived uniform (so both engines — and every
+    rerun — draw identical resamples), and the SE is the stddev of the
+    {_BOOT_B} weighted replicate means. THE scalable bootstrap (Poisson
+    counts need no coordinated n-out-of-n sampling, so replicas stream
+    in one pass — the q180 jackknife's resampling-based cross-check;
+    the two estimators should roughly agree, which the reference test
+    asserts). Tail clamped at 5 (P = {1 - _POIS_CDF[-1]:.4f}),
+    identically in both engines.
+
+    Plan: one per-user aggregate, then ONE {_BOOT_B}-way grid
+    cross-attach and ONE {_BOOT_B}-key hash aggregate (map-side
+    combine collapses the fan-out; the shuffle carries B rows per
+    task). At 100 TB: the per-user shuffle plus a constant-factor
+    pass — no per-replicate scans.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("metric")
+    )
+    grid = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(b,) for b in range(_BOOT_B)], "b int"
+        )
+    )
+    u_expr = (
+        "("
+        + md5_prefix_int_spark(
+            "CONCAT(CAST(user_id AS STRING), '_', CAST(b AS STRING))"
+        )
+        + " / 1152921504606846976.0)"
+    )
+    rep = u.crossJoin(grid).withColumn("w", F.expr(_pois_case(u_expr)))
+    means = rep.groupBy("b").agg(
+        F.try_divide(
+            F.sum(F.col("w") * F.col("metric")), F.sum("w")
+        ).alias("m")
+    )
+    raw = u.agg(
+        F.count("*").alias("n"), F.avg("metric").alias("mean_raw")
+    )
+    return (
+        means.crossJoin(F.broadcast(raw))
+        .groupBy("n", "mean_raw")
+        .agg(F.stddev_samp("m").alias("se"))
+        .select(
+            F.col("n").cast("long").alias("n_users"),
+            F.lit(_BOOT_B).alias("n_replicas"),
+            F.round("mean_raw", 6).alias("mean_raw"),
+            F.round("se", 6).alias("boot_se"),
+        )
+    )

@@ -1376,3 +1376,90 @@ def q158_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+_FB_HORIZON = 30  # backtest window: the last N days with both forecasts
+
+
+@register(
+    "q194_forecast_baselines",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 6) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, y,
+               LAG(y, 1) OVER (ORDER BY day) AS f_naive,
+               LAG(y, 7) OVER (ORDER BY day) AS f_snaive,
+               ROW_NUMBER() OVER (ORDER BY day DESC) AS rdesc
+        FROM d
+    ),
+    bt AS (
+        SELECT * FROM lagged
+        WHERE rdesc <= {_FB_HORIZON}
+          AND f_naive IS NOT NULL AND f_snaive IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(abs(y - f_naive)), 6) AS mae_naive,
+           ROUND(AVG(abs(y - f_snaive)), 6) AS mae_snaive,
+           ROUND(AVG(abs(y - f_naive) / NULLIF(abs(y), 0)), 6)
+               AS mape_naive,
+           ROUND(AVG(abs(y - f_snaive) / NULLIF(abs(y), 0)), 6)
+               AS mape_snaive,
+           ROUND(AVG(abs(y - f_snaive)) / NULLIF(AVG(abs(y - f_naive)), 0), 6)
+               AS snaive_vs_naive
+    FROM bt
+    """,
+    tags=("timeseries", "forecasting", "evaluation"),
+)
+def q194_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two forecasting baselines every
+    model must beat — naive (yesterday's revenue) and seasonal-naive
+    (same weekday last week) — over the last {_FB_HORIZON} fully-lagged
+    days of daily purchase revenue: MAE, MAPE, and their ratio. The
+    evaluation harness for q158's Holt forecast: if snaive_vs_naive
+    < 1 the series has real weekly seasonality and a seasonal model is
+    justified; a learned forecast that can't beat BOTH numbers is
+    noise. One-step-ahead by construction, so no leakage.
+
+    Plan: the corpus collapses to ONE day-cardinality frame (a daily
+    hash aggregate, the cheapest possible shuffle); both baselines are
+    LAG windows over that bounded frame and the scores one final 1-row
+    aggregate. At 100 TB: one map-side-combined shuffle, then
+    calendar-sized work.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+    )
+    w = Window.orderBy("day")
+    wd = Window.orderBy(F.desc("day"))
+    lagged = d.select(
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 7).over(w).alias("f_snaive"),
+        F.row_number().over(wd).alias("rdesc"),
+    )
+    bt = lagged.where(
+        (F.col("rdesc") <= _FB_HORIZON)
+        & F.col("f_naive").isNotNull()
+        & F.col("f_snaive").isNotNull()
+    )
+    ae_n = F.abs(F.col("y") - F.col("f_naive"))
+    ae_s = F.abs(F.col("y") - F.col("f_snaive"))
+    return bt.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg(ae_n), 6).alias("mae_naive"),
+        F.round(F.avg(ae_s), 6).alias("mae_snaive"),
+        F.round(F.avg(F.try_divide(ae_n, F.abs("y"))), 6).alias("mape_naive"),
+        F.round(F.avg(F.try_divide(ae_s, F.abs("y"))), 6).alias("mape_snaive"),
+        F.round(F.try_divide(F.avg(ae_s), F.avg(ae_n)), 6).alias(
+            "snaive_vs_naive"
+        ),
+    )
