@@ -4254,3 +4254,118 @@ def test_forecast_baselines_matches_python_reference(spark):
     assert abs(r["mae_naive"] - mae_n) < 1e-5
     assert abs(r["mae_snaive"] - mae_s) < 1e-5
     assert abs(r["snaive_vs_naive"] - mae_s / mae_n) < 1e-5
+
+
+# ---------- round-8 batch N: causal readout / ML evaluation ----------
+
+
+def test_did_lift_matches_python_reference(spark):
+    """q195 against a plain-Python DiD recomputation, plus the placebo
+    property: the pre-period arm difference is small under a valid
+    md5 split."""
+    import hashlib as _h
+    import math
+    import statistics
+    from collections import defaultdict
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).toPandas()
+    d0, d1 = pdf.ts.dt.date.min(), pdf.ts.dt.date.max()
+    mid = d0 + __import__("datetime").timedelta(days=(d1 - d0).days // 2)
+    cells = defaultdict(list)
+    rev = defaultdict(float)
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        arm = int(_h.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+        period = 0 if r.ts.date() <= mid else 1
+        rev[(uid, arm, period)] += r.value if r.event_type == "purchase" else 0.0
+    for (uid, arm, period), v in rev.items():
+        cells[(arm, period)].append(v)
+    m = {k: statistics.mean(v) for k, v in cells.items()}
+    var_sum = sum(statistics.variance(v) / len(v) for v in cells.values())
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    [r] = Q["q195_did_lift"](spark, sf).collect()
+    assert r["n_obs"] == sum(len(v) for v in cells.values())
+    assert abs(r["treat_pre"] - m[(1, 0)]) < 1e-5
+    assert abs(r["treat_post"] - m[(1, 1)]) < 1e-5
+    assert abs(r["ctrl_pre"] - m[(0, 0)]) < 1e-5
+    assert abs(r["ctrl_post"] - m[(0, 1)]) < 1e-5
+    assert abs(r["did"] - did) < 1e-5
+    assert abs(r["se"] - math.sqrt(var_sum)) < 1e-5
+    # placebo: pre-period arm gap within ~3 pooled-SE-scale units
+    assert abs(m[(1, 0)] - m[(0, 0)]) < 3 * r["se"] * 2
+
+
+def test_auc_score_matches_pairwise_reference(spark):
+    """q196 against the O(n^2) pairwise definition of AUC at sf0.001."""
+    import hashlib as _h
+
+    from trafficteach_spark.operators.sequences import _JK_VALUE
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    score, label = {}, {}
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        score[uid] = score.get(uid, 0) + 1
+        hit = r.event_type == "purchase" and r.value >= _JK_VALUE
+        label[uid] = label.get(uid, False) or hit
+    pos = [score[u] for u in score if label[u]]
+    neg = [score[u] for u in score if not label[u]]
+    wins = sum(1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg)
+    auc = wins / (len(pos) * len(neg))
+    [r] = Q["q196_auc_score"](spark, sf).collect()
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert abs(r["auc"] - auc) < 1e-5
+    assert abs(r["gini"] - (2 * auc - 1)) < 1e-5
+    assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_calibration_bins_matches_python_reference(spark):
+    """q197 against a plain-Python replay of the tie-safe ceil-rank
+    decile binning."""
+    import hashlib as _h
+    import math
+    from collections import Counter, defaultdict
+
+    from trafficteach_spark.operators.sequences import _CAL_BINS, _JK_VALUE
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    score, label = {}, {}
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        score[uid] = score.get(uid, 0) + 1
+        hit = r.event_type == "purchase" and r.value >= _JK_VALUE
+        label[uid] = label.get(uid, False) or hit
+    groups = defaultdict(lambda: [0, 0])
+    for u, s in score.items():
+        groups[s][0] += 1
+        groups[s][1] += int(label[u])
+    n = len(score)
+    cum = 0
+    agg = defaultdict(lambda: [0, 0.0, 0])
+    for s in sorted(groups):
+        c, pos = groups[s]
+        b = min(math.ceil((cum + (c + 1) / 2.0) * _CAL_BINS / n), _CAL_BINS)
+        agg[b][0] += c
+        agg[b][1] += s * c
+        agg[b][2] += pos
+        cum += c
+    got = {r["bin"]: r for r in Q["q197_calibration_bins"](spark, sf).collect()}
+    assert set(got) == set(agg)
+    for b, (c, sc, pos) in agg.items():
+        assert got[b]["n_users"] == c
+        assert abs(got[b]["avg_score"] - sc / c) < 1e-5
+        assert abs(got[b]["conv_rate"] - pos / c) < 1e-5
+    assert sum(r["n_users"] for r in got.values()) == n

@@ -137,6 +137,9 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q192_poisson_bootstrap": [("n_users", "bigint"), ("n_replicas", "int"), ("mean_raw", "double"), ("boot_se", "double")],
     "q193_join_cardinality_audit": [("n_keys", "bigint"), ("total_rows", "bigint"), ("total_pairs", "bigint"), ("max_key_pairs", "bigint"), ("top1_share", "double"), ("skew_ratio", "double")],
     "q194_forecast_baselines": [("n_days", "bigint"), ("mae_naive", "double"), ("mae_snaive", "double"), ("mape_naive", "double"), ("mape_snaive", "double"), ("snaive_vs_naive", "double")],
+    "q195_did_lift": [("n_obs", "bigint"), ("treat_pre", "double"), ("treat_post", "double"), ("ctrl_pre", "double"), ("ctrl_post", "double"), ("did", "double"), ("se", "double"), ("z", "double")],
+    "q196_auc_score": [("n_pos", "bigint"), ("n_neg", "bigint"), ("auc", "double"), ("gini", "double")],
+    "q197_calibration_bins": [("bin", "int"), ("n_users", "bigint"), ("avg_score", "double"), ("conv_rate", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

@@ -2479,3 +2479,300 @@ def q192_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("se", 6).alias("boot_se"),
         )
     )
+
+
+@register(
+    "q195_did_lift",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               {_AB_HASH_DUCK} AS arm,
+               CASE WHEN CAST(ts AS DATE) <= d0 + CAST(floor(date_diff('day', d0, d1) / 2) AS INTEGER)
+                    THEN 0 ELSE 1 END AS period,
+               SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                   AS rev
+        FROM events CROSS JOIN bounds
+        GROUP BY user_id, arm, period
+    ),
+    cells AS (
+        SELECT arm, period,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               AVG(rev) AS m,
+               var_samp(rev) AS v
+        FROM u GROUP BY arm, period
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 1 AND period = 1 THEN m END) AS t2,
+            MAX(CASE WHEN arm = 1 AND period = 0 THEN m END) AS t1,
+            MAX(CASE WHEN arm = 0 AND period = 1 THEN m END) AS c2,
+            MAX(CASE WHEN arm = 0 AND period = 0 THEN m END) AS c1,
+            SUM(v / NULLIF(n, 0)) AS var_sum,
+            CAST(SUM(n) AS BIGINT) AS n_obs
+        FROM cells
+    )
+    SELECT n_obs,
+           ROUND(t1, 6) AS treat_pre, ROUND(t2, 6) AS treat_post,
+           ROUND(c1, 6) AS ctrl_pre, ROUND(c2, 6) AS ctrl_post,
+           ROUND((t2 - t1) - (c2 - c1), 6) AS did,
+           ROUND(sqrt(var_sum), 6) AS se,
+           ROUND(((t2 - t1) - (c2 - c1)) / NULLIF(sqrt(var_sum), 0), 6)
+               AS z
+    FROM wide
+    """,
+    tags=("sequences", "experimentation", "causal"),
+)
+def q195_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per-(user, period) purchase
+    revenue for the two md5 arms across the calendar's first/second
+    half (split at the midpoint of [min_day, max_day], deterministic in
+    both engines); DiD = (treat_post - treat_pre) - (ctrl_post -
+    ctrl_pre) with the four-cell pooled SE sqrt(Sum s_g^2/n_g) and z.
+    The quasi-experimental complement to q110 (plain lift), q144
+    (CUPED) and q180/q192 (uncertainty): when randomization is
+    suspect, the pre-period difference is the placebo check (it should
+    be ~0 under a valid md5 split — the reference test asserts it).
+
+    Plan: one 1-row min/max cross-attach, ONE per-(user, period)
+    aggregate (the same user shuffle every user metric pays), a 4-row
+    cell frame, 1-row arithmetic. try_divide/NULLIF guard empty cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    half = F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int")
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.expr(_AB_HASH_SPARK).alias("arm"),
+            F.when(
+                F.col("ts").cast("date") <= F.date_add(F.col("d0"), half),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("period"),
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .alias("rev"),
+        )
+        .groupBy("user_id", "arm", "period")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    cells = u.groupBy("arm", "period").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("rev").alias("m"),
+        F.var_samp("rev").alias("v"),
+    )
+    def cell(a, p):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("period") == p), F.col("m"))
+        )
+    wide = cells.agg(
+        cell(1, 1).alias("t2"),
+        cell(1, 0).alias("t1"),
+        cell(0, 1).alias("c2"),
+        cell(0, 0).alias("c1"),
+        F.sum(F.try_divide(F.col("v"), F.col("n"))).alias("var_sum"),
+        F.sum("n").cast("long").alias("n_obs"),
+    )
+    did = (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
+    return wide.select(
+        "n_obs",
+        F.round("t1", 6).alias("treat_pre"),
+        F.round("t2", 6).alias("treat_post"),
+        F.round("c1", 6).alias("ctrl_pre"),
+        F.round("c2", 6).alias("ctrl_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt(F.col("var_sum")), 6).alias("se"),
+        F.round(F.try_divide(did, F.sqrt(F.col("var_sum"))), 6).alias("z"),
+    )
+
+
+@register(
+    "q196_auc_score",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS score,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= {_JK_VALUE}
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS c, SUM(label) AS pos
+        FROM u GROUP BY score
+    ),
+    r AS (
+        SELECT *,
+               COALESCE(SUM(c) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n,
+               CAST(SUM(pos) AS DOUBLE) AS np,
+               SUM(pos * (cum + (c + 1) / 2.0)) AS rp
+        FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(n - np AS BIGINT) AS n_neg,
+           ROUND((rp - np * (np + 1) / 2) / NULLIF(np * (n - np), 0), 6)
+               AS auc,
+           ROUND(2 * (rp - np * (np + 1) / 2) / NULLIF(np * (n - np), 0) - 1,
+                 6) AS gini
+    FROM s
+    """,
+    tags=("sequences", "ml-eval", "nonparametric"),
+)
+def q196_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a scoring rule — here "user activity count
+    predicts high-value conversion" — computed distributively via the
+    rank-sum identity AUC = (R_pos - n_pos(n_pos+1)/2)/(n_pos*n_neg)
+    with average ranks for ties (the Mann-Whitney machinery of q184
+    re-aimed at model evaluation: AUC IS U/(n1*n0)). Gini = 2*AUC - 1.
+    The exact evaluation primitive for any ranking model over corpus-
+    scale predictions — no sampled ROC needed.
+
+    Plan: one per-user aggregate, one DISTINCT-SCORE tie-group frame
+    (never a per-user rank), a cumulative window over that bounded
+    frame, one 1-row reduction. At 100 TB: the per-user shuffle, then
+    score-cardinality work. try_divide guards the single-class corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("score"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _JK_VALUE)
+            ).cast("int")
+        ).alias("label"),
+    )
+    g = u.groupBy("score").agg(
+        F.count("*").alias("c"), F.sum("label").alias("pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("cum", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    s = r.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum("pos").cast("double").alias("np"),
+        F.sum(F.col("pos") * (F.col("cum") + (F.col("c") + 1) / 2.0)).alias(
+            "rp"
+        ),
+    )
+    auc = F.try_divide(
+        F.col("rp") - F.col("np") * (F.col("np") + 1) / 2,
+        F.col("np") * (F.col("n") - F.col("np")),
+    )
+    return s.select(
+        F.col("np").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )
+
+
+_CAL_BINS = 10
+
+
+@register(
+    "q197_calibration_bins",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS score,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= {_JK_VALUE}
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS c, SUM(label) AS pos
+        FROM u GROUP BY score
+    ),
+    r AS (
+        SELECT *,
+               COALESCE(SUM(c) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum,
+               SUM(c) OVER () AS n
+        FROM g
+    ),
+    binned AS (
+        -- ceil-rank decile of the score's MIDPOINT rank: every user
+        -- with the same score lands in the same bin (tie-safe), bins
+        -- are equal-mass up to tie granularity
+        SELECT LEAST(CAST(ceil((cum + (c + 1) / 2.0) * {_CAL_BINS} / n)
+                          AS INTEGER), {_CAL_BINS}) AS bin,
+               c, pos, score
+        FROM r
+    )
+    SELECT bin,
+           CAST(SUM(c) AS BIGINT) AS n_users,
+           ROUND(SUM(score * c) / SUM(c), 6) AS avg_score,
+           ROUND(CAST(SUM(pos) AS DOUBLE) / SUM(c), 6) AS conv_rate
+    FROM binned GROUP BY bin
+    """,
+    tags=("sequences", "ml-eval", "calibration"),
+)
+def q197_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data for the q196 scoring rule: users bin
+    into {_CAL_BINS} equal-mass score deciles (ceil-rank on the tie
+    group's midpoint rank, so equal scores can never straddle a bin
+    boundary — the q140 machinery) and each bin reports its average
+    score and observed high-value-conversion rate. Monotone conv_rate
+    across bins = the score ranks well (AUC says the same globally);
+    the bin-level gap between score and rate is the calibration error
+    a downstream consumer must correct for.
+
+    Plan: per-user aggregate -> distinct-score tie-group frame ->
+    cumulative window on that bounded frame -> {_CAL_BINS}-row
+    aggregate. Same scale shape as q184/q196.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("score"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _JK_VALUE)
+            ).cast("int")
+        ).alias("label"),
+    )
+    g = u.groupBy("score").agg(
+        F.count("*").alias("c"), F.sum("label").alias("pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = g.withColumn(
+        "cum", F.coalesce(F.sum("c").over(w), F.lit(0))
+    ).withColumn("n", F.sum("c").over(wall))
+    binned = r.withColumn(
+        "bin",
+        F.least(
+            F.ceil(
+                (F.col("cum") + (F.col("c") + 1) / 2.0)
+                * _CAL_BINS
+                / F.col("n")
+            ).cast("int"),
+            F.lit(_CAL_BINS),
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.sum("c").cast("long").alias("n_users"),
+        F.round(
+            F.sum(F.col("score") * F.col("c")) / F.sum("c"), 6
+        ).alias("avg_score"),
+        F.round(
+            F.sum("pos").cast("double") / F.sum("c"), 6
+        ).alias("conv_rate"),
+    )
