@@ -4369,3 +4369,107 @@ def test_calibration_bins_matches_python_reference(spark):
         assert abs(got[b]["avg_score"] - sc / c) < 1e-5
         assert abs(got[b]["conv_rate"] - pos / c) < 1e-5
     assert sum(r["n_users"] for r in got.values()) == n
+
+
+# ---------- round-8 batch O: multiplicity control / variance reduction ----------
+
+
+def test_metric_family_readout_matches_python_reference(spark):
+    """q198 against a plain-Python two-sample z per metric plus an
+    explicit Holm step-down replay."""
+    import hashlib as _h
+    import math
+    import statistics
+    from collections import defaultdict
+
+    from trafficteach_spark.operators.sequences import _HOLM_CRIT
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).toPandas()
+    per = defaultdict(lambda: {"conv": 0, "revenue": 0.0, "events": 0, "days": set()})
+    for r in pdf.itertuples():
+        u = per[int(r.user_id)]
+        u["events"] += 1
+        u["days"].add(r.ts.date())
+        if r.event_type == "purchase":
+            u["conv"] = 1
+            u["revenue"] += r.value
+    vals = defaultdict(lambda: defaultdict(list))
+    for uid, u in per.items():
+        arm = int(_h.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+        vals["conv"][arm].append(float(u["conv"]))
+        vals["revenue"][arm].append(u["revenue"])
+        vals["events"][arm].append(float(u["events"]))
+        vals["active_days"][arm].append(float(len(u["days"])))
+    zs = {}
+    for m, d in vals.items():
+        a, b = d[0], d[1]
+        den = math.sqrt(
+            statistics.variance(a) / len(a) + statistics.variance(b) / len(b)
+        )
+        # zero-variance metric (every fixture user converts): the
+        # operator's try_divide yields NULL; mirror with None
+        zs[m] = (statistics.mean(b) - statistics.mean(a)) / den if den else None
+    # Spark's desc ordering puts NULLs last; mirror with -inf abs
+    order = sorted(
+        zs, key=lambda m: (-(abs(zs[m]) if zs[m] is not None else float("-inf")), m)
+    )
+    sig, ok = {}, True
+    for k, m in enumerate(order):
+        ok = ok and zs[m] is not None and abs(zs[m]) > _HOLM_CRIT[k]
+        sig[m] = int(ok)
+    got = {r["metric"]: r for r in Q["q198_metric_family_readout"](spark, sf).collect()}
+    assert set(got) == set(zs)
+    for m in zs:
+        if zs[m] is None:
+            assert got[m]["z"] is None, m
+        else:
+            assert abs(got[m]["z"] - zs[m]) < 1e-4, m
+        assert got[m]["holm_rank"] == order.index(m) + 1
+        assert got[m]["significant"] == sig[m], m
+        assert abs(got[m]["z_crit"] - _HOLM_CRIT[order.index(m)]) < 1e-6
+
+
+def test_variance_reduction_report_matches_python_reference(spark):
+    """q199 against a numpy recomputation of the three SEs."""
+    import datetime
+    import numpy as np
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).toPandas()
+    d0, d1 = pdf.ts.dt.date.min(), pdf.ts.dt.date.max()
+    mid = d0 + datetime.timedelta(days=(d1 - d0).days // 2)
+    ys, xs = {}, {}
+    for r in pdf.itertuples():
+        uid = int(r.user_id)
+        ys.setdefault(uid, 0.0)
+        xs.setdefault(uid, 0.0)
+        if r.event_type == "purchase":
+            if r.ts.date() > mid:
+                ys[uid] += r.value
+            else:
+                xs[uid] += r.value
+    y = np.array([ys[u] for u in sorted(ys)])
+    x = np.array([xs[u] for u in sorted(xs)])
+    n = len(y)
+    theta = np.cov(y, x, ddof=1)[0, 1] / np.var(x, ddof=1)
+    yc = y - theta * (x - x.mean())
+    lo, hi = np.quantile(y, 0.05), np.quantile(y, 0.95)
+    yw = np.clip(y, lo, hi)
+    [r] = Q["q199_variance_reduction_report"](spark, sf).collect()
+    assert r["n_users"] == n
+    assert abs(r["theta"] - theta) < 1e-4
+    assert abs(r["se_raw"] - np.sqrt(np.var(y, ddof=1) / n)) < 1e-5
+    assert abs(r["se_cuped"] - np.sqrt(np.var(yc, ddof=1) / n)) < 1e-5
+    assert abs(r["se_winsor"] - np.sqrt(np.var(yw, ddof=1) / n)) < 1e-5
+    # CUPED can never help less than zero by construction on its own
+    # training data; winsorized spread can't exceed raw
+    assert r["vr_cuped"] >= -1e-9
+    assert r["se_winsor"] <= r["se_raw"] + 1e-9

@@ -2776,3 +2776,292 @@ def q197_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("double") / F.sum("c"), 6
         ).alias("conv_rate"),
     )
+
+
+# Holm step-down critical z values for K = 4 two-sided tests at
+# alpha = 0.05: rank k (1 = largest |z|) tests against
+# Phi^-1(1 - alpha / (2 * (K - k + 1))) (stdlib NormalDist, pinned as
+# literals so both engines compare against identical constants).
+_HOLM_K = 4
+_HOLM_CRIT = (
+    2.4977054744123737,
+    2.3939797998185104,
+    2.2414027276049464,
+    1.9599639845400536,
+)
+
+
+@register(
+    "q198_metric_family_readout",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               {_AB_HASH_DUCK} AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS m_conv,
+               SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                   AS m_rev,
+               COUNT(*) AS m_events,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS m_days
+        FROM events GROUP BY user_id
+    ),
+    longf AS (
+        SELECT arm, 'conv' AS metric, CAST(m_conv AS DOUBLE) AS y FROM u
+        UNION ALL
+        SELECT arm, 'revenue', CAST(m_rev AS DOUBLE) FROM u
+        UNION ALL
+        SELECT arm, 'events', CAST(m_events AS DOUBLE) FROM u
+        UNION ALL
+        SELECT arm, 'active_days', CAST(m_days AS DOUBLE) FROM u
+    ),
+    cells AS (
+        SELECT metric, arm, CAST(COUNT(*) AS DOUBLE) AS n,
+               AVG(y) AS m, var_samp(y) AS v
+        FROM longf GROUP BY metric, arm
+    ),
+    zt AS (
+        SELECT a.metric,
+               ROUND(a.m, 6) AS mean_a, ROUND(b.m, 6) AS mean_b,
+               (b.m - a.m) / NULLIF(sqrt(a.v / a.n + b.v / b.n), 0) AS z
+        FROM cells a JOIN cells b ON a.metric = b.metric
+        WHERE a.arm = 0 AND b.arm = 1
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY abs(z) DESC, metric) AS k
+        FROM zt
+    ),
+    crit AS (
+        SELECT k, c FROM (VALUES {", ".join(
+            f"({k + 1}, {c!r})" for k, c in enumerate(_HOLM_CRIT))})
+            AS t(k, c)
+    ),
+    stepped AS (
+        SELECT ranked.*, crit.c AS z_crit,
+               MIN(CASE WHEN abs(z) > c THEN 1 ELSE 0 END)
+                   OVER (ORDER BY ranked.k
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sig
+        FROM ranked JOIN crit USING (k)
+    )
+    SELECT metric, mean_a, mean_b, ROUND(z, 6) AS z, k AS holm_rank,
+           ROUND(z_crit, 6) AS z_crit, CAST(sig AS INT) AS significant
+    FROM stepped
+    """,
+    tags=("sequences", "experimentation", "multiplicity"),
+)
+def q198_metric_family_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-family A/B readout with Holm step-down multiplicity
+    control: four per-user metrics (conversion, revenue, events,
+    active days) each get a two-sample z between the md5 arms, and
+    significance is declared ONLY while every stronger-ranked metric
+    also cleared its Holm threshold alpha/(K-k+1) — the guardrail
+    against the K-metrics-one-will-pop fallacy that a single-metric
+    readout (q110) cannot provide. Critical z values are stdlib-
+    NormalDist literals pinned in both engines.
+
+    Plan: ONE per-user aggregate computes all four metrics in one
+    pass; the metric family is an explode to a 4xN long frame
+    aggregated to 8 cells; ranking and the step-down cumulative-AND
+    run on a 4-row frame. At 100 TB: one user shuffle + one 4-way
+    fan-out aggregate. try_divide/NULLIF guard degenerate variances.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("m_conv"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("m_rev"),
+        F.count("*").alias("m_events"),
+        F.countDistinct(F.col("ts").cast("date")).alias("m_days"),
+    ).select(
+        F.expr(_AB_HASH_SPARK).alias("arm"),
+        "m_conv",
+        "m_rev",
+        "m_events",
+        "m_days",
+    )
+    longf = u.select(
+        "arm",
+        F.explode(
+            F.create_map(
+                F.lit("conv"), F.col("m_conv").cast("double"),
+                F.lit("revenue"), F.col("m_rev").cast("double"),
+                F.lit("events"), F.col("m_events").cast("double"),
+                F.lit("active_days"), F.col("m_days").cast("double"),
+            )
+        ).alias("metric", "y"),
+    )
+    cells = longf.groupBy("metric", "arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+    a = cells.where(F.col("arm") == 0).select(
+        "metric", F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
+    )
+    b = cells.where(F.col("arm") == 1).select(
+        "metric", F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    )
+    zt = a.join(b, "metric").select(
+        "metric",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.try_divide(
+            F.col("mb") - F.col("ma"),
+            F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+        ).alias("z"),
+    )
+    wr = Window.orderBy(F.desc(F.abs(F.col("z"))), "metric")
+    crit = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(k + 1, c) for k, c in enumerate(_HOLM_CRIT)], "k int, c double"
+        )
+    )
+    ranked = zt.withColumn("k", F.row_number().over(wr)).join(crit, "k")
+    wstep = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.withColumn(
+        "sig",
+        F.min(
+            F.when(F.abs(F.col("z")) > F.col("c"), 1).otherwise(0)
+        ).over(wstep),
+    ).select(
+        "metric",
+        "mean_a",
+        "mean_b",
+        F.round("z", 6).alias("z"),
+        F.col("k").alias("holm_rank"),
+        F.round("c", 6).alias("z_crit"),
+        F.col("sig").cast("int").alias("significant"),
+    )
+
+
+@register(
+    "q199_variance_reduction_report",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase'
+                         AND CAST(ts AS DATE) > d0 + CAST(floor(
+                             date_diff('day', d0, d1) / 2) AS INTEGER)
+                        THEN value ELSE 0 END) AS y,
+               SUM(CASE WHEN event_type = 'purchase'
+                         AND CAST(ts AS DATE) <= d0 + CAST(floor(
+                             date_diff('day', d0, d1) / 2) AS INTEGER)
+                        THEN value ELSE 0 END) AS x
+        FROM events CROSS JOIN bounds
+        GROUP BY user_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               AVG(y) AS ybar, AVG(x) AS xbar,
+               covar_samp(y, x) AS cyx, var_samp(x) AS vx,
+               var_samp(y) AS vy,
+               quantile_cont(y, 0.05) AS lo, quantile_cont(y, 0.95) AS hi
+        FROM u
+    ),
+    adj AS (
+        SELECT u.y, u.x, stats.n, stats.vy,
+               u.y - (stats.cyx / NULLIF(stats.vx, 0)) * (u.x - stats.xbar)
+                   AS y_cuped,
+               LEAST(GREATEST(u.y, stats.lo), stats.hi) AS y_winsor,
+               stats.cyx / NULLIF(stats.vx, 0) AS theta
+        FROM u CROSS JOIN stats
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           ROUND(MAX(theta), 6) AS theta,
+           ROUND(sqrt(MAX(vy) / MAX(n)), 6) AS se_raw,
+           ROUND(sqrt(var_samp(y_cuped) / MAX(n)), 6) AS se_cuped,
+           ROUND(sqrt(var_samp(y_winsor) / MAX(n)), 6) AS se_winsor,
+           ROUND(1 - var_samp(y_cuped) / NULLIF(MAX(vy), 0), 6)
+               AS vr_cuped,
+           ROUND(1 - var_samp(y_winsor) / NULLIF(MAX(vy), 0), 6)
+               AS vr_winsor
+    FROM adj
+    """,
+    tags=("sequences", "experimentation", "variance-reduction"),
+)
+def q199_variance_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head variance-reduction report for the post-period
+    revenue metric: the SE of its mean under (a) raw, (b) CUPED
+    adjustment on pre-period revenue (theta = cov/var, the q144
+    machinery), and (c) p05/p95 winsorization (the q191 machinery),
+    plus each method's variance-reduction fraction vs raw — the
+    sizing-decision artifact an experimentation platform publishes so
+    teams pick the cheapest adequate metric treatment (CUPED helps
+    when pre/post correlate; winsorizing helps when whales dominate).
+
+    Plan: one 1-row calendar-bounds attach, ONE per-user aggregate
+    building pre and post in the same pass, one 1-row stats attach
+    (moments + interpolated quantiles), one final 1-row aggregate over
+    the adjusted frame. At 100 TB: the per-user shuffle, then 1-row
+    arithmetic; the exact quantile swaps for approx_percentile at
+    scale (q52-class tradeoff).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    half = F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int")
+    mid = F.date_add(F.col("d0"), half)
+    is_purch = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    is_purch & (F.col("ts").cast("date") > mid), F.col("value")
+                ).otherwise(F.lit(0.0))
+            ).alias("y"),
+            F.sum(
+                F.when(
+                    is_purch & (F.col("ts").cast("date") <= mid), F.col("value")
+                ).otherwise(F.lit(0.0))
+            ).alias("x"),
+        )
+    )
+    stats = u.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("y").alias("ybar"),
+        F.avg("x").alias("xbar"),
+        F.covar_samp("y", "x").alias("cyx"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.expr("percentile(y, 0.05D)").alias("lo"),
+        F.expr("percentile(y, 0.95D)").alias("hi"),
+    )
+    theta = F.try_divide(F.col("cyx"), F.col("vx"))
+    adj = u.crossJoin(F.broadcast(stats)).select(
+        "n",
+        "vy",
+        theta.alias("theta"),
+        (F.col("y") - theta * (F.col("x") - F.col("xbar"))).alias("y_cuped"),
+        F.least(F.greatest(F.col("y"), F.col("lo")), F.col("hi")).alias(
+            "y_winsor"
+        ),
+    )
+    return adj.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.round(F.max("theta"), 6).alias("theta"),
+        F.round(F.sqrt(F.max("vy") / F.max("n")), 6).alias("se_raw"),
+        F.round(F.sqrt(F.var_samp("y_cuped") / F.max("n")), 6).alias(
+            "se_cuped"
+        ),
+        F.round(F.sqrt(F.var_samp("y_winsor") / F.max("n")), 6).alias(
+            "se_winsor"
+        ),
+        F.round(
+            1 - F.try_divide(F.var_samp("y_cuped"), F.max("vy")), 6
+        ).alias("vr_cuped"),
+        F.round(
+            1 - F.try_divide(F.var_samp("y_winsor"), F.max("vy")), 6
+        ).alias("vr_winsor"),
+    )
