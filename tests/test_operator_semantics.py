@@ -4473,3 +4473,78 @@ def test_variance_reduction_report_matches_python_reference(spark):
     # training data; winsorized spread can't exceed raw
     assert r["vr_cuped"] >= -1e-9
     assert r["se_winsor"] <= r["se_raw"] + 1e-9
+
+
+# ---------- round-8 batch P: grouped regression / time travel ----------
+
+
+def test_discount_elasticity_matches_numpy(spark):
+    """q200 against per-brand numpy polyfit slopes at sf0.001."""
+    import numpy as np
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).toPandas()
+    pt = load_table(spark, sf, "part").select("p_partkey", "p_brand").toPandas()
+    df = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    df = df[(df.l_quantity > 0) & (df.l_extendedprice > 0) & (df.l_discount < 1)]
+    df["lq"] = np.log(df.l_quantity.astype(float))
+    df["lp"] = np.log(df.l_extendedprice / df.l_quantity * (1 - df.l_discount))
+    got = {r["brand"]: r for r in Q["q200_discount_elasticity"](spark, sf).collect()}
+    assert set(got) == set(df.p_brand.unique())
+    for brand, grp in df.groupby("p_brand"):
+        slope, _ = np.polyfit(grp.lp, grp.lq, 1)
+        r = np.corrcoef(grp.lp, grp.lq)[0, 1]
+        assert got[brand]["n_items"] == len(grp)
+        assert abs(got[brand]["elasticity"] - slope) < 1e-4, brand
+        assert abs(got[brand]["r2"] - r * r) < 1e-4, brand
+
+
+def test_asof_snapshot_matches_history_replay(spark):
+    """q201 against a pandas replay of 'state as of the midpoint' from
+    the raw events — NOT via the q100 operator, so the snapshot
+    semantics are independently pinned."""
+    import datetime
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    d0, d1 = pdf.ts.dt.date.min(), pdf.ts.dt.date.max()
+    at = datetime.datetime.combine(
+        d0 + datetime.timedelta(days=(d1 - d0).days // 2),
+        datetime.time.min,
+    )
+    expect = {}
+    for uid, grp in pdf.groupby("user_id"):
+        # rebuild the 1-based version runs (q100: the first row counts
+        # as a change, so versions start at 1)
+        runs = []
+        version = 0
+        prev = None
+        for r in grp.itertuples():
+            if prev is None or r.event_type != prev:
+                version += 1
+                runs.append([version, r.event_type, r.ts, 0])
+            prev = r.event_type
+            runs[-1][3] += 1
+        for i, run in enumerate(runs):
+            vto = runs[i + 1][2] if i + 1 < len(runs) else None
+            if run[2] <= at and (vto is None or vto > at):
+                expect[int(uid)] = (run[0], run[1], run[2], run[3])
+    got = {r["user_id"]: r for r in Q["q201_asof_snapshot"](spark, sf).collect()}
+    assert set(got) == set(expect)
+    for uid, (ver, et, vfrom, nev) in expect.items():
+        r = got[uid]
+        assert (r["version"], r["event_type"], r["n_events"]) == (ver, et, nev), uid
+        assert r["valid_from"] == vfrom
+    # exactly one state per user in the snapshot
+    assert len(got) == len(set(got))

@@ -58,6 +58,14 @@ WHITELIST = {
         "corpus size; the data itself moves only through the subsequent "
         "hash join on block id",
     ),
+    "q201_asof_snapshot": (
+        ("conditioned-BNLJ",),
+        "the validity-interval filter (valid_from <= at_ts < valid_to) "
+        "references both the history frame and the broadcast ONE-ROW "
+        "as-of timestamp, so Catalyst fuses it into the scalar attach "
+        "as a conditioned BNLJ — the inner side is a single row at any "
+        "data size (q132's idiom)",
+    ),
     "q132_user_lifecycle": (
         ("conditioned-BNLJ",),
         "the conditioned BNLJ is the churn horizon bound (wk + 7 <= "

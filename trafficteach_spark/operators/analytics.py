@@ -4059,3 +4059,84 @@ def q193_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("mp"), F.try_divide(F.col("tp"), F.col("nk"))), 6
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "q200_discount_elasticity",
+    oracle="""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               ln(CAST(l.l_quantity AS DOUBLE)) AS lq,
+               ln(l.l_extendedprice / l.l_quantity * (1 - l.l_discount))
+                   AS lp
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+          AND l.l_discount < 1
+    ),
+    m AS (
+        SELECT brand, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(lp) AS sx, SUM(lq) AS sy, SUM(lp * lq) AS sxy,
+               SUM(lp * lp) AS sxx, SUM(lq * lq) AS syy
+        FROM x GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_items,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS elasticity,
+           ROUND(pow(n * sxy - sx * sy, 2)
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+               AS r2
+    FROM m
+    """,
+    tags=("analytics", "ml", "grouped-regression"),
+)
+def q200_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log OLS slope of
+    quantity on effective unit price (extendedprice/quantity scaled by
+    1-discount), one tiny regression PER GROUP — the "many small
+    models" pattern (q139 fits one global OLS; real pipelines fit
+    thousands of per-segment models in one aggregate pass). r2 from
+    the same co-moments says which brands the fit means anything for.
+
+    Plan: broadcast part dim onto one lineitem scan, ONE hash
+    aggregate carrying 6 co-moment sums per brand (bounded key space),
+    closed-form slope/r2 arithmetic on the bounded frame. At 100 TB:
+    one scan + one map-side-combined shuffle; the regression count
+    scales with BRANDS, not rows. try_divide/NULLIF guard degenerate
+    (constant-price) brands.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = (
+        li.where(
+            (F.col("l_quantity") > 0)
+            & (F.col("l_extendedprice") > 0)
+            & (F.col("l_discount") < 1)
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_quantity").cast("double")).alias("lq"),
+            F.log(
+                F.col("l_extendedprice")
+                / F.col("l_quantity")
+                * (1 - F.col("l_discount"))
+            ).alias("lp"),
+        )
+    )
+    m = x.groupBy("brand").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("lp").alias("sx"),
+        F.sum("lq").alias("sy"),
+        F.sum(F.col("lp") * F.col("lq")).alias("sxy"),
+        F.sum(F.col("lp") * F.col("lp")).alias("sxx"),
+        F.sum(F.col("lq") * F.col("lq")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "brand",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(F.try_divide(num, dxx), 6).alias("elasticity"),
+        F.round(F.try_divide(num * num, dxx * dyy), 6).alias("r2"),
+    )

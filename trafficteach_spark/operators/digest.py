@@ -142,6 +142,8 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q197_calibration_bins": [("bin", "int"), ("n_users", "bigint"), ("avg_score", "double"), ("conv_rate", "double")],
     "q198_metric_family_readout": [("metric", "string"), ("mean_a", "double"), ("mean_b", "double"), ("z", "double"), ("holm_rank", "int"), ("z_crit", "double"), ("significant", "int")],
     "q199_variance_reduction_report": [("n_users", "bigint"), ("theta", "double"), ("se_raw", "double"), ("se_cuped", "double"), ("se_winsor", "double"), ("vr_cuped", "double"), ("vr_winsor", "double")],
+    "q200_discount_elasticity": [("brand", "string"), ("n_items", "bigint"), ("elasticity", "double"), ("r2", "double")],
+    "q201_asof_snapshot": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("n_events", "bigint")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

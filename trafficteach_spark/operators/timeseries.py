@@ -1463,3 +1463,73 @@ def q194_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snaive_vs_naive"
         ),
     )
+
+
+def _q201_oracle() -> str:
+    """Wrap q100's registered oracle verbatim as a CTE so the snapshot
+    semantics can never drift from the history build."""
+    from trafficteach_spark.registry import peek_specs
+
+    hist = peek_specs()["q100_scd2_history"].oracle
+    return f"""
+    WITH hist AS ({hist}),
+    bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    t AS (
+        SELECT CAST(d0 + CAST(floor(date_diff('day', d0, d1) / 2)
+                              AS INTEGER) AS TIMESTAMP) AS at_ts
+        FROM bounds
+    )
+    SELECT hist.user_id, hist.version, hist.event_type,
+           hist.valid_from, hist.n_events
+    FROM hist CROSS JOIN t
+    WHERE hist.valid_from <= t.at_ts
+      AND (hist.valid_to IS NULL OR hist.valid_to > t.at_ts)
+    """
+
+
+@register(
+    "q201_asof_snapshot",
+    oracle=_q201_oracle(),
+    tags=("timeseries", "warehouse", "time-travel"),
+)
+def q201_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read of the q100 SCD2 dimension
+    history: the state of every user AS OF the calendar midpoint
+    (midnight of min_day + span/2, deterministic in both engines) —
+    exactly one row per user active by then, selected by
+    valid_from <= T < valid_to (open-ended current rows qualify via
+    NULL valid_to). The read-side half of the warehouse temporal
+    pattern whose write side is q100/q61; the oracle WRAPS q100's
+    registered oracle verbatim, so snapshot and history can never
+    drift.
+
+    Plan: the history build's single user-partitioned shuffle, one
+    broadcast 1-row timestamp attach, one filter. At 100 TB a stored
+    history table makes this a metadata-pruned scan (valid_from/
+    valid_to min-max pruning); here it runs end-to-end in one pass.
+    """
+    hist = q100_scd2_history(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    t = bounds.select(
+        F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        )
+        .cast("timestamp")
+        .alias("at_ts")
+    )
+    return (
+        hist.crossJoin(F.broadcast(t))
+        .where(
+            (F.col("valid_from") <= F.col("at_ts"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("at_ts")))
+        )
+        .select("user_id", "version", "event_type", "valid_from", "n_events")
+    )
