@@ -4548,3 +4548,63 @@ def test_asof_snapshot_matches_history_replay(spark):
         assert r["valid_from"] == vfrom
     # exactly one state per user in the snapshot
     assert len(got) == len(set(got))
+
+
+# ---------- round-8 batch Q: governance audits ----------
+
+
+def test_dedup_method_agreement_matches_constituents(spark):
+    """q202 against direct set arithmetic on its two constituent
+    registered pipelines at sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    lex = {
+        r["doc_id"]
+        for r in Q["q46_dedup_clusters"](spark, sf).collect()
+        if r["is_canonical"] == 0
+    }
+    sem = {
+        r["vec_id"]
+        for r in Q["q170_semdedup"](spark, sf).collect()
+        if r["removed"]
+    }
+    all_ids = {r["doc_id"] for r in Q["q46_dedup_clusters"](spark, sf).collect()}
+    [r] = Q["q202_dedup_method_agreement"](spark, sf).collect()
+    assert r["n_docs"] == len(all_ids)
+    assert r["n_lexical_dropped"] == len(lex)
+    assert r["n_semantic_dropped"] == len(sem)
+    assert r["n_both"] == len(lex & sem)
+    union = len(lex | sem)
+    if union:
+        assert abs(r["jaccard"] - len(lex & sem) / union) < 1e-6
+    agree = sum(1 for d in all_ids if (d in lex) == (d in sem)) / len(all_ids)
+    assert abs(r["pct_agree"] - agree) < 1e-6
+
+
+def test_sample_representativeness_matches_python_reference(spark):
+    """q203 against direct recomputation from the q08 sample and the
+    raw events; a deterministic hash sample must not skew event_type
+    (|z| small for sampled types)."""
+    import statistics
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("event_type", "value").toPandas()
+    smp = Q["q08_stratified_sample"](spark, sf).select(
+        "event_type", "value"
+    ).toPandas()
+    got = {r["event_type"]: r for r in Q["q203_sample_representativeness"](spark, sf).collect()}
+    assert set(got) == set(pdf.event_type.unique())
+    for et, grp in pdf.groupby("event_type"):
+        r = got[et]
+        assert r["n_pop"] == len(grp)
+        sg = smp[smp.event_type == et]
+        assert r["n_sample"] == len(sg)
+        assert abs(r["mean_pop"] - grp.value.mean()) < 1e-5
+        if len(sg) > 0:
+            assert abs(r["mean_sample"] - sg.value.mean()) < 1e-5
+            z = (sg.value.mean() - grp.value.mean()) / (
+                statistics.stdev(grp.value) / len(sg) ** 0.5
+            )
+            assert abs(r["z"] - z) < 1e-4
+            assert abs(r["z"]) < 4  # unbiased hash sample

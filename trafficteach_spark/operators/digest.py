@@ -144,6 +144,8 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q199_variance_reduction_report": [("n_users", "bigint"), ("theta", "double"), ("se_raw", "double"), ("se_cuped", "double"), ("se_winsor", "double"), ("vr_cuped", "double"), ("vr_winsor", "double")],
     "q200_discount_elasticity": [("brand", "string"), ("n_items", "bigint"), ("elasticity", "double"), ("r2", "double")],
     "q201_asof_snapshot": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("n_events", "bigint")],
+    "q202_dedup_method_agreement": [("n_docs", "bigint"), ("n_lexical_dropped", "bigint"), ("n_semantic_dropped", "bigint"), ("n_both", "bigint"), ("jaccard", "double"), ("pct_agree", "double")],
+    "q203_sample_representativeness": [("event_type", "string"), ("n_pop", "bigint"), ("n_sample", "bigint"), ("sampling_frac", "double"), ("mean_pop", "double"), ("mean_sample", "double"), ("z", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],

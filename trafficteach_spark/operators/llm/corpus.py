@@ -2015,3 +2015,91 @@ def q188_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("collision_mass_share"),
     )
+
+
+def _q202_oracle() -> str:
+    """Wrap the two registered dedup oracles verbatim so the agreement
+    audit can never drift from the methods it audits."""
+    from trafficteach_spark.registry import peek_specs
+
+    lex = peek_specs()["q46_dedup_clusters"].oracle
+    sem = peek_specs()["q170_semdedup"].oracle
+    return f"""
+    WITH lex AS ({lex}),
+    sem AS ({sem}),
+    j AS (
+        SELECT lex.doc_id,
+               CASE WHEN lex.is_canonical = 0 THEN 1 ELSE 0 END AS lex_drop,
+               CASE WHEN sem.removed THEN 1 ELSE 0 END AS sem_drop
+        FROM lex JOIN sem ON lex.doc_id = sem.vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(lex_drop) AS BIGINT) AS n_lexical_dropped,
+           CAST(SUM(sem_drop) AS BIGINT) AS n_semantic_dropped,
+           CAST(SUM(lex_drop * sem_drop) AS BIGINT) AS n_both,
+           ROUND(CAST(SUM(lex_drop * sem_drop) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN lex_drop = 1 OR sem_drop = 1
+                                   THEN 1 ELSE 0 END), 0), 6) AS jaccard,
+           ROUND(AVG(CASE WHEN lex_drop = sem_drop THEN 1.0 ELSE 0.0 END),
+                 6) AS pct_agree
+    FROM j
+    """
+
+
+@register(
+    "q202_dedup_method_agreement",
+    oracle=_q202_oracle(),
+    tags=("llm", "dedup", "governance"),
+)
+def q202_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit between the LEXICAL dedup decision
+    (q46's connected-component clusters over shingle-Jaccard pairs:
+    dropped = non-canonical) and the SEMANTIC one (q170 SemDeDup:
+    dropped = removed): drop-set Jaccard and per-doc agreement rate —
+    the governance number that says whether the two families are
+    finding the SAME duplicates (run one) or complementary ones (run
+    both), before anyone deletes data. Composes the two REGISTERED
+    pipelines and wraps their registered oracles verbatim, so the
+    audit can never drift from the methods it audits.
+
+    Plan: both constituent pipelines' own plans (each audited
+    separately), then one id equi-join of two per-doc frames and a
+    1-row aggregate. try_divide/NULLIF guard the nothing-dropped case.
+    """
+    from trafficteach_spark.registry import all_specs
+
+    specs = all_specs()
+    lex = specs["q46_dedup_clusters"].fn(spark, sf_dir).select(
+        "doc_id",
+        (F.col("is_canonical") == 0).cast("int").alias("lex_drop"),
+    )
+    sem = specs["q170_semdedup"].fn(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("removed").cast("int").alias("sem_drop"),
+    )
+    j = lex.join(sem, "doc_id")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("lex_drop").alias("n_lexical_dropped"),
+        F.sum("sem_drop").alias("n_semantic_dropped"),
+        F.sum(F.col("lex_drop") * F.col("sem_drop")).alias("n_both"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("lex_drop") * F.col("sem_drop")).cast("double"),
+                F.sum(
+                    F.when(
+                        (F.col("lex_drop") == 1) | (F.col("sem_drop") == 1), 1
+                    ).otherwise(0)
+                ),
+            ),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.avg(
+                F.when(F.col("lex_drop") == F.col("sem_drop"), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("pct_agree"),
+    )

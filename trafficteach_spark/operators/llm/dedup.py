@@ -1337,3 +1337,4 @@ def _spark_session_of(df: DataFrame) -> SparkSession:
     """The active session that owns ``df`` (avoids threading a spark
     handle through expression-only helpers)."""
     return df.sparkSession
+

@@ -223,3 +223,86 @@ def q165_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocated_n"),
     )
+
+
+def _q203_oracle() -> str:
+    """Wrap q08's registered oracle verbatim so the audit measures the
+    exact sample the engine ships."""
+    from trafficteach_spark.registry import peek_specs
+
+    sample = peek_specs()["q08_stratified_sample"].oracle
+    return f"""
+    WITH sample AS ({sample}),
+    pop AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n_pop,
+               AVG(value) AS mean_pop, var_samp(value) AS var_pop
+        FROM events GROUP BY event_type
+    ),
+    smp AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n_smp,
+               AVG(value) AS mean_smp
+        FROM sample GROUP BY event_type
+    )
+    SELECT pop.event_type,
+           CAST(pop.n_pop AS BIGINT) AS n_pop,
+           CAST(COALESCE(smp.n_smp, 0) AS BIGINT) AS n_sample,
+           ROUND(COALESCE(smp.n_smp, 0) / pop.n_pop, 6) AS sampling_frac,
+           ROUND(pop.mean_pop, 6) AS mean_pop,
+           ROUND(smp.mean_smp, 6) AS mean_sample,
+           ROUND((smp.mean_smp - pop.mean_pop)
+                 / NULLIF(sqrt(pop.var_pop / NULLIF(smp.n_smp, 0)), 0), 6)
+               AS z
+    FROM pop LEFT JOIN smp USING (event_type)
+    """
+
+
+@register(
+    "q203_sample_representativeness",
+    oracle=_q203_oracle(),
+    tags=("sampling", "governance", "audit"),
+)
+def q203_sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representativeness audit of the q08 stratified sample along a
+    dimension the stratification did NOT use (event_type; the strata
+    are hours): per type, the sampling fraction and a z-score of the
+    sample mean against the population mean under the population
+    variance — the governance check that a deterministic hash sample
+    hasn't silently skewed a downstream consumer's dimension. Wraps
+    q08's REGISTERED oracle verbatim, so it audits the exact sample
+    the engine ships.
+
+    Plan: the sample pipeline's own (audited) plan plus one population
+    aggregate and one sample aggregate, joined on the type vocabulary.
+    At 100 TB: two map-side-combined aggregates over scans that were
+    being paid anyway. try_divide/NULLIF guard empty strata.
+    """
+    from trafficteach_spark.registry import all_specs
+
+    sample = all_specs()["q08_stratified_sample"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    pop = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_pop"),
+        F.avg("value").alias("mean_pop"),
+        F.var_samp("value").alias("var_pop"),
+    )
+    smp = sample.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_smp"),
+        F.avg("value").alias("mean_smp"),
+    )
+    return pop.join(smp, "event_type", "left").select(
+        "event_type",
+        F.col("n_pop").cast("long").alias("n_pop"),
+        F.coalesce(F.col("n_smp"), F.lit(0.0)).cast("long").alias("n_sample"),
+        F.round(
+            F.coalesce(F.col("n_smp"), F.lit(0.0)) / F.col("n_pop"), 6
+        ).alias("sampling_frac"),
+        F.round("mean_pop", 6).alias("mean_pop"),
+        F.round("mean_smp", 6).alias("mean_sample"),
+        F.round(
+            F.try_divide(
+                F.col("mean_smp") - F.col("mean_pop"),
+                F.sqrt(F.try_divide(F.col("var_pop"), F.col("n_smp"))),
+            ),
+            6,
+        ).alias("z"),
+    )
