@@ -243,15 +243,17 @@ def test_q62_single_fact_scan_via_persist(spark):
 
 
 def test_q140_single_orders_scan_via_persist(spark):
-    """q140's four consumers of the per-customer RFM frame (three
-    threshold frames + the scored grid) must read the persisted
+    """q140's two consumers of the per-customer RFM frame (the ONE
+    unpivoted threshold pass + the scored grid) must read the persisted
     aggregate, not re-derive it — one orders scan + one per-customer
-    shuffle instead of four of each (round-7 verdict item 5)."""
+    shuffle (round-7 verdict item 5), and the thresholds collapsed from
+    three per-metric jobs to a single long-frame pass (round-8 verdict
+    item 6)."""
     import re
 
     plan = formatted_plan(spark, "q140_rfm_segmentation")
     nodes = set(re.findall(r"InMemoryTableScan \((\d+)\)", plan))
-    assert len(nodes) == 4, plan
+    assert len(nodes) == 2, plan
     # Exactly the two scans INSIDE the cached relation (per-customer agg
     # + 1-row horizon), computed once at cache fill. Pre-persist this was
     # eight: four derivations x two scans.
