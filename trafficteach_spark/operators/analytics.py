@@ -4168,3 +4168,274 @@ def q200_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(num, dxx), 6).alias("elasticity"),
         F.round(F.try_divide(num * num, dxx * dyy), 6).alias("r2"),
     )
+
+
+# Two-sample Cramér–von Mises asymptotic 5% critical value (Anderson &
+# Darling 1952 table for the omega^2 limit distribution; the classic
+# 0.461 threshold) — pinned identically in both engines.
+_CVM_CRIT = 0.461435
+
+
+@register(
+    "q209_cvm_drift",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS BIGINT)
+            AS mid
+        FROM events
+    ),
+    e AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_KS_VALUE_BIN}) AS BIGINT) AS bin,
+               CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END AS first_half
+        FROM events, bounds
+    ),
+    g AS (
+        SELECT event_type, bin,
+               CAST(SUM(first_half) AS BIGINT) AS c1,
+               CAST(SUM(1 - first_half) AS BIGINT) AS c2
+        FROM e GROUP BY event_type, bin
+    ),
+    c AS (
+        SELECT event_type, c1 + c2 AS ct,
+               SUM(c1) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum1,
+               SUM(c2) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum2,
+               SUM(c1) OVER (PARTITION BY event_type) AS t1,
+               SUM(c2) OVER (PARTITION BY event_type) AS t2
+        FROM g
+    )
+    SELECT event_type,
+           CAST(MIN(t1) AS BIGINT) AS n_first,
+           CAST(MIN(t2) AS BIGINT) AS n_second,
+           ROUND(CAST(MIN(t1) AS DOUBLE) * MIN(t2)
+                 / (CAST(MIN(t1) + MIN(t2) AS DOUBLE)
+                    * CAST(MIN(t1) + MIN(t2) AS DOUBLE))
+                 * SUM(ct * (CAST(cum1 AS DOUBLE) / NULLIF(t1, 0)
+                             - CAST(cum2 AS DOUBLE) / NULLIF(t2, 0))
+                          * (CAST(cum1 AS DOUBLE) / NULLIF(t1, 0)
+                             - CAST(cum2 AS DOUBLE) / NULLIF(t2, 0))), 6)
+               AS cvm_stat,
+           CAST(CASE WHEN CAST(MIN(t1) AS DOUBLE) * MIN(t2)
+                 / (CAST(MIN(t1) + MIN(t2) AS DOUBLE)
+                    * CAST(MIN(t1) + MIN(t2) AS DOUBLE))
+                 * SUM(ct * (CAST(cum1 AS DOUBLE) / NULLIF(t1, 0)
+                             - CAST(cum2 AS DOUBLE) / NULLIF(t2, 0))
+                          * (CAST(cum1 AS DOUBLE) / NULLIF(t1, 0)
+                             - CAST(cum2 AS DOUBLE) / NULLIF(t2, 0)))
+                 > {_CVM_CRIT} THEN 1 ELSE 0 END AS INT) AS drift_flag
+    FROM c GROUP BY event_type
+    """,
+    tags=("analytics", "drift", "quality"),
+)
+def q209_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift test per event type (first
+    time-half vs second, same split and value bins as q156): the
+    statistic integrates the SQUARED ECDF gap over the pooled sample
+    instead of taking its max, so it reads whole-distribution drift
+    where KS reads the single worst point — the standard companion
+    test (q156 KS = supremum norm; this = L2 norm; q96 PSI = binned
+    re-weighting). T = n1*n2/N^2 * sum over pooled points of
+    (E1-E2)^2, computed on the binned ECDFs with each bin weighted by
+    its pooled count; flagged against the asymptotic 5% critical value
+    {_CVM_CRIT}.
+
+    Plan: identical shape to q156 — one 1-row bounds broadcast, one
+    (type, bin) hash aggregate, ECDFs + the weighted quadratic reduce
+    on that bounded frame. try_divide guards an empty half.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = ev.agg(
+        F.floor(
+            (
+                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                + F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    e = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.floor(F.col("value") / _KS_VALUE_BIN).cast("long").alias("bin"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid"))
+        .cast("int")
+        .alias("first_half"),
+    )
+    g = e.groupBy("event_type", "bin").agg(
+        F.sum("first_half").cast("long").alias("c1"),
+        F.sum(1 - F.col("first_half")).cast("long").alias("c2"),
+    )
+    wp = Window.partitionBy("event_type")
+    wc = wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "event_type",
+        (F.col("c1") + F.col("c2")).alias("ct"),
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wp).alias("t1"),
+        F.sum("c2").over(wp).alias("t2"),
+    )
+    gap = F.try_divide(F.col("cum1").cast("double"), F.col("t1")) - F.try_divide(
+        F.col("cum2").cast("double"), F.col("t2")
+    )
+    out = c.groupBy("event_type").agg(
+        F.min("t1").cast("long").alias("n_first"),
+        F.min("t2").cast("long").alias("n_second"),
+        (
+            F.min("t1").cast("double")
+            * F.min("t2")
+            / (
+                (F.min("t1") + F.min("t2")).cast("double")
+                * (F.min("t1") + F.min("t2")).cast("double")
+            )
+            * F.sum(F.col("ct") * gap * gap)
+        ).alias("t_raw"),
+    )
+    return out.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.round("t_raw", 6).alias("cvm_stat"),
+        (F.col("t_raw") > _CVM_CRIT).cast("int").alias("drift_flag"),
+    )
+
+
+_IG_VALUE_BIN = 2.0  # value-bin width for the info-gain discretization
+
+
+@register(
+    "q210_info_gain",
+    oracle=f"""
+    WITH e AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST(hour(ts) AS BIGINT) AS f_hour,
+               CAST(dayofweek(ts) AS BIGINT) AS f_dow,
+               CAST(FLOOR(value / {_IG_VALUE_BIN}) AS BIGINT) AS f_vbin
+        FROM events
+    ),
+    longf AS (
+        SELECT 'hour' AS feature, f_hour AS bin, y FROM e
+        UNION ALL
+        SELECT 'dow', f_dow, y FROM e
+        UNION ALL
+        SELECT 'value_bin', f_vbin, y FROM e
+    ),
+    g AS (
+        SELECT feature, bin,
+               CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(y) AS BIGINT) AS n1
+        FROM longf GROUP BY feature, bin
+    ),
+    h AS (
+        SELECT feature, nv, n1, nv - n1 AS n0,
+               SUM(nv) OVER (PARTITION BY feature) AS n,
+               SUM(n1) OVER (PARTITION BY feature) AS p1
+        FROM g
+    ),
+    f AS (
+        SELECT feature,
+               CAST(MIN(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               -(CASE WHEN MIN(p1) = 0 THEN 0 ELSE
+                   CAST(MIN(p1) AS DOUBLE) / MIN(n)
+                   * ln(CAST(MIN(p1) AS DOUBLE) / MIN(n)) END
+                 + CASE WHEN MIN(n) - MIN(p1) = 0 THEN 0 ELSE
+                   CAST(MIN(n) - MIN(p1) AS DOUBLE) / MIN(n)
+                   * ln(CAST(MIN(n) - MIN(p1) AS DOUBLE) / MIN(n)) END)
+                   AS h_label,
+               SUM(CAST(nv AS DOUBLE) / n
+                   * -(CASE WHEN n1 = 0 THEN 0 ELSE
+                        CAST(n1 AS DOUBLE) / nv * ln(CAST(n1 AS DOUBLE) / nv) END
+                      + CASE WHEN n0 = 0 THEN 0 ELSE
+                        CAST(n0 AS DOUBLE) / nv * ln(CAST(n0 AS DOUBLE) / nv) END))
+                   AS h_cond
+        FROM h GROUP BY feature
+    )
+    SELECT feature, n_rows, n_bins,
+           ROUND(h_label, 6) AS h_label,
+           ROUND(h_cond, 6) AS h_cond,
+           ROUND(h_label - h_cond, 6) AS info_gain
+    FROM f
+    """,
+    tags=("analytics", "features", "selection"),
+)
+def q210_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of three discretized event features (hour of
+    day, day of week, {_IG_VALUE_BIN}-wide value bin) against the
+    is-purchase label: IG = H(label) - H(label | feature), the
+    decision-tree split criterion and the standard feature-usefulness
+    screen a training pipeline runs before committing featurization
+    budget. Entropies in nats with the 0·ln0 = 0 convention.
+
+    Plan: one scan unpivots the three features to a (feature, bin, y)
+    long frame (explode of a 3-entry map — rows 3x, but map-side
+    partial agg collapses immediately); one hash aggregate to
+    per-(feature, bin) label counts; per-feature totals as windows
+    over that bounded frame (bins = 24 + 7 + value range); the entropy
+    arithmetic reduces on it. At 100 TB: one fact shuffle on uniformly
+    distributed (feature, bin) keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.hour("ts").cast("long").alias("f_hour"),
+        F.dayofweek("ts").cast("long").alias("f_dow"),
+        F.floor(F.col("value") / _IG_VALUE_BIN).cast("long").alias("f_vbin"),
+    )
+    longf = e.select(
+        "y",
+        F.explode(
+            F.create_map(
+                F.lit("hour"), F.col("f_hour"),
+                F.lit("dow"), F.col("f_dow"),
+                F.lit("value_bin"), F.col("f_vbin"),
+            )
+        ).alias("feature", "bin"),
+    )
+    g = longf.groupBy("feature", "bin").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("y").cast("long").alias("n1"),
+    )
+    wf = Window.partitionBy("feature")
+    h = g.select(
+        "feature",
+        "nv",
+        "n1",
+        (F.col("nv") - F.col("n1")).alias("n0"),
+        F.sum("nv").over(wf).alias("n"),
+        F.sum("n1").over(wf).alias("p1"),
+    )
+
+    def _plogp(num: F.Column, den: F.Column) -> F.Column:
+        p = num.cast("double") / den
+        return F.when(num == 0, F.lit(0.0)).otherwise(p * F.log(p))
+
+    f = h.groupBy("feature").agg(
+        F.min("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_bins"),
+        (
+            -(
+                _plogp(F.min("p1"), F.min("n"))
+                + _plogp(F.min("n") - F.min("p1"), F.min("n"))
+            )
+        ).alias("h_label_raw"),
+        F.sum(
+            F.col("nv").cast("double")
+            / F.col("n")
+            * -(
+                _plogp(F.col("n1"), F.col("nv"))
+                + _plogp(F.col("n0"), F.col("nv"))
+            )
+        ).alias("h_cond_raw"),
+    )
+    return f.select(
+        "feature",
+        "n_rows",
+        "n_bins",
+        F.round("h_label_raw", 6).alias("h_label"),
+        F.round("h_cond_raw", 6).alias("h_cond"),
+        F.round(F.col("h_label_raw") - F.col("h_cond_raw"), 6).alias("info_gain"),
+    )

@@ -2103,3 +2103,83 @@ def q202_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_agree"),
     )
+
+
+# Vocabulary size for the coverage audit: the top-K corpus tokens by
+# frequency (deterministic token-string tie-break) stand in for a
+# trained tokenizer's vocab; coverage = share of token OCCURRENCES the
+# vocab explains, the go/no-go stat before committing a tokenizer to a
+# source mix.
+_COVERAGE_VOCAB_K = 500
+
+
+@register(
+    "q211_tokenizer_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    st AS (
+        SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t
+    ),
+    cnt AS (
+        SELECT t, SUM(c) AS c FROM st GROUP BY t
+    ),
+    vocab AS (
+        SELECT t, 1 AS in_vocab FROM cnt ORDER BY c DESC, t LIMIT {_COVERAGE_VOCAB_K}
+    )
+    SELECT st.source,
+           CAST(SUM(st.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.in_vocab = 1 THEN st.c ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           ROUND(SUM(CASE WHEN vocab.in_vocab = 1 THEN st.c ELSE 0 END)
+                 / CAST(SUM(st.c) AS DOUBLE), 6) AS coverage,
+           CAST(SUM(CASE WHEN vocab.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov_types
+    FROM st LEFT JOIN vocab USING (t)
+    GROUP BY st.source
+    """,
+    tags=("llm", "corpus", "tokenizer"),
+)
+def q211_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit per source: with the top
+    {_COVERAGE_VOCAB_K} corpus tokens as the vocab, what share of each
+    source's token occurrences the vocab covers and how many distinct
+    out-of-vocab types remain — the audit that catches a source whose
+    text a shared tokenizer would shatter into bytes (low coverage =
+    high fertility = wasted context window) before training commits to
+    the mix. Completes the vocabulary family (q56 top-k, q82 BPE merge
+    pairs, q163 Heaps growth, q188 hashing collisions).
+
+    Plan: one (source, token) hash aggregate is the ONLY corpus-sized
+    shuffle; the global vocabulary reduces that frame again (token key)
+    and its top-K is a TakeOrdered ({_COVERAGE_VOCAB_K} rows) that
+    BROADCASTS back onto the per-source frame; the readout is a
+    source-count-sized aggregate. At 100 TB: one fact shuffle on
+    (source, token) — the vocab side is constant-sized by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    cnt = st.groupBy("t").agg(F.sum("c").alias("c"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), F.asc("t"))
+        .limit(_COVERAGE_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    j = st.join(F.broadcast(vocab), "t", "left")
+    return j.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab") == 1, F.col("c")).otherwise(0))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("coverage"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov_types"),
+    )

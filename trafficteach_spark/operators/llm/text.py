@@ -1417,3 +1417,134 @@ def q178_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("avg_logprob", "doc_id")
         .limit(_KN_TOPK)
     )
+
+
+# Sparse-cosine similarity join: posting-list df cap (drop terms in more
+# than 1/10 of the corpus — near-zero idf weight AND unbounded posting
+# length) and the minimum cosine that makes a pair a near-duplicate
+# candidate.
+_SPARSE_COS_MIN = 0.6
+# TF-IDF weights quantize to 1e6-scaled integers so dots and norms are
+# EXACT integer sums in both engines (no FP-accumulation-order risk);
+# the one sqrt+divide at the end is correctly-rounded IEEE in both.
+_SPARSE_W_SCALE = 1_000_000
+
+
+@register(
+    "q206_sparse_cosine",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    n AS (
+        SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    tfdf AS (
+        SELECT doc_id, term, tf,
+               COUNT(*) OVER (PARTITION BY term) AS df
+        FROM tf
+    ),
+    post AS (
+        SELECT doc_id, term,
+               CAST(ROUND(tf * ln((n_docs + 1.0) / (df + 1.0))
+                    * {_SPARSE_W_SCALE}) AS HUGEINT) AS w
+        FROM tfdf CROSS JOIN n
+        WHERE df * 10 <= n_docs
+    ),
+    norms AS (
+        SELECT doc_id, SUM(w * w) AS nsq FROM post GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.w * b.w) AS dot
+        FROM post a JOIN post b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6)
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.doc_a
+    JOIN norms nb ON nb.doc_id = dots.doc_b
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          >= {_SPARSE_COS_MIN}
+    """,
+    tags=("llm", "X2", "similarity"),
+)
+def q206_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: document pairs whose
+    bag-of-words TF-IDF vectors have cosine >= {_SPARSE_COS_MIN},
+    candidates generated through the inverted index (postings self-join
+    on term) — the WEIGHTED lexical near-dup detector completing the
+    similarity family (q31 = set Jaccard, q90 = containment, q35/q32 =
+    dense embeddings). Weights quantize to {_SPARSE_W_SCALE}-scaled
+    integers so dot products and norms are exact integer sums in both
+    engines; the single sqrt + divide at the end is correctly-rounded
+    IEEE, so the cosine doubles are bit-identical cross-engine.
+
+    Plan: (doc, term) tf aggregate -> df as a COUNT window over the
+    term partition (the q48 form — tf shuffles ONCE on term) -> the
+    df-cap filter (df > corpus/10 dropped: near-zero idf AND the
+    posting-length bound that keeps the self-join linear in corpus
+    size, the same cap every production similarity join ships) ->
+    postings persist -> norms as one per-doc aggregate -> postings
+    self-join on term (equi-join, never all-pairs) -> per-pair exact
+    integer dot -> two dim-sized norm joins. At 100 TB the join cost
+    is sum over terms of posting^2 with posting <= N/10 enforced, and
+    AQE's skew split handles the residual heavy terms.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from pyspark.sql import Window as W
+
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    post = (
+        tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * 10 <= F.col("n_docs"))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                * _SPARSE_W_SCALE,
+                0,
+            )
+            .cast("decimal(38,0)")
+            .alias("w"),
+        )
+        .persist()
+    )
+    norms = post.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
+    a = post.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nsq").alias("nsq_b"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nsq_a").cast("double")) * F.sqrt(F.col("nsq_b").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= _SPARSE_COS_MIN)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -2790,11 +2790,19 @@ _HOLM_CRIT = (
     1.9599639845400536,
 )
 
+# Benjamini-Hochberg step-UP critical z values for the same family:
+# rank k tests against Phi^-1(1 - alpha * k / (2 * K)) — the FDR
+# companion to Holm's FWER control (q207 vs q198).
+_BH_CRIT = (
+    2.4977054744123737,
+    2.2414027276049464,
+    2.080278452525274,
+    1.9599639845400536,
+)
 
-@register(
-    "q198_metric_family_readout",
-    oracle=f"""
-    WITH u AS (
+# Shared q198/q207 oracle fragment: per-user 4-metric family -> 8 cells
+# -> per-metric two-sample z (the SQL twin of _metric_family_z).
+_METRIC_Z_SQL = f"""u AS (
         SELECT user_id,
                {_AB_HASH_DUCK} AS arm,
                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -2825,7 +2833,13 @@ _HOLM_CRIT = (
                (b.m - a.m) / NULLIF(sqrt(a.v / a.n + b.v / b.n), 0) AS z
         FROM cells a JOIN cells b ON a.metric = b.metric
         WHERE a.arm = 0 AND b.arm = 1
-    ),
+    )"""
+
+
+@register(
+    "q198_metric_family_readout",
+    oracle=f"""
+    WITH {_METRIC_Z_SQL},
     ranked AS (
         SELECT *,
                ROW_NUMBER() OVER (ORDER BY abs(z) DESC, metric) AS k
@@ -2867,6 +2881,36 @@ def q198_metric_family_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out aggregate. try_divide/NULLIF guard degenerate variances.
     """
     ev = load_table(spark, sf_dir, "events")
+    zt = _metric_family_z(ev)
+    wr = Window.orderBy(F.desc(F.abs(F.col("z"))), "metric")
+    crit = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(k + 1, c) for k, c in enumerate(_HOLM_CRIT)], "k int, c double"
+        )
+    )
+    ranked = zt.withColumn("k", F.row_number().over(wr)).join(crit, "k")
+    wstep = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.withColumn(
+        "sig",
+        F.min(
+            F.when(F.abs(F.col("z")) > F.col("c"), 1).otherwise(0)
+        ).over(wstep),
+    ).select(
+        "metric",
+        "mean_a",
+        "mean_b",
+        F.round("z", 6).alias("z"),
+        F.col("k").alias("holm_rank"),
+        F.round("c", 6).alias("z_crit"),
+        F.col("sig").cast("int").alias("significant"),
+    )
+
+
+def _metric_family_z(ev: DataFrame) -> DataFrame:
+    """Shared q198/q207 body: the 4-metric per-user family (conversion,
+    revenue, events, active days) rolled to per-(metric, arm) cells and
+    the two-sample z per metric — one user shuffle + one 4-way fan-out
+    aggregate. Returns (metric, mean_a, mean_b, z) with z unrounded."""
     u = ev.groupBy("user_id").agg(
         F.max((F.col("event_type") == "purchase").cast("int")).alias("m_conv"),
         F.sum(
@@ -2905,7 +2949,7 @@ def q198_metric_family_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cells.where(F.col("arm") == 1).select(
         "metric", F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
     )
-    zt = a.join(b, "metric").select(
+    return a.join(b, "metric").select(
         "metric",
         F.round("ma", 6).alias("mean_a"),
         F.round("mb", 6).alias("mean_b"),
@@ -2913,28 +2957,6 @@ def q198_metric_family_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mb") - F.col("ma"),
             F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
         ).alias("z"),
-    )
-    wr = Window.orderBy(F.desc(F.abs(F.col("z"))), "metric")
-    crit = F.broadcast(
-        ev.sparkSession.createDataFrame(
-            [(k + 1, c) for k, c in enumerate(_HOLM_CRIT)], "k int, c double"
-        )
-    )
-    ranked = zt.withColumn("k", F.row_number().over(wr)).join(crit, "k")
-    wstep = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
-    return ranked.withColumn(
-        "sig",
-        F.min(
-            F.when(F.abs(F.col("z")) > F.col("c"), 1).otherwise(0)
-        ).over(wstep),
-    ).select(
-        "metric",
-        "mean_a",
-        "mean_b",
-        F.round("z", 6).alias("z"),
-        F.col("k").alias("holm_rank"),
-        F.round("c", 6).alias("z_crit"),
-        F.col("sig").cast("int").alias("significant"),
     )
 
 
@@ -3064,4 +3086,74 @@ def q199_variance_reduction_report(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(
             1 - F.try_divide(F.var_samp("y_winsor"), F.max("vy")), 6
         ).alias("vr_winsor"),
+    )
+
+
+@register(
+    "q207_bh_fdr",
+    oracle=f"""
+    WITH {_METRIC_Z_SQL},
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY abs(z) DESC, metric) AS k
+        FROM zt
+    ),
+    crit AS (
+        SELECT k, c FROM (VALUES {", ".join(
+            f"({k + 1}, {c!r})" for k, c in enumerate(_BH_CRIT))})
+            AS t(k, c)
+    ),
+    stepped AS (
+        SELECT ranked.*, crit.c AS z_crit,
+               MAX(CASE WHEN abs(z) > c THEN 1 ELSE 0 END)
+                   OVER (ORDER BY ranked.k
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS sig
+        FROM ranked JOIN crit USING (k)
+    )
+    SELECT metric, mean_a, mean_b, ROUND(z, 6) AS z, k AS bh_rank,
+           ROUND(z_crit, 6) AS z_crit, CAST(sig AS INT) AS significant
+    FROM stepped
+    """,
+    tags=("sequences", "experimentation", "multiplicity"),
+)
+def q207_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-UP readout of the same 4-metric family
+    as q198: rank k's threshold is Phi^-1(1 - alpha*k/(2K)) and a
+    metric is significant if ANY rank at or below it (weaker |z|)
+    clears its own threshold — FDR control, which admits strictly more
+    discoveries than Holm's FWER step-down on the same z values. The
+    q198/q207 pair is the standard readout duo (guardrail metrics get
+    Holm, exploratory families get BH). Critical z values are pinned
+    stdlib-NormalDist literals; the family z frame is the literally
+    shared ``_metric_family_z`` body, so the two procedures can never
+    drift on inputs.
+
+    Plan: identical to q198 — one user shuffle + one 4-way fan-out
+    aggregate; the step-up reverse cumulative-MAX runs on the 4-row
+    frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    zt = _metric_family_z(ev)
+    wr = Window.orderBy(F.desc(F.abs(F.col("z"))), "metric")
+    crit = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(k + 1, c) for k, c in enumerate(_BH_CRIT)], "k int, c double"
+        )
+    )
+    ranked = zt.withColumn("k", F.row_number().over(wr)).join(crit, "k")
+    wstep = Window.orderBy("k").rowsBetween(0, Window.unboundedFollowing)
+    return ranked.withColumn(
+        "sig",
+        F.max(
+            F.when(F.abs(F.col("z")) > F.col("c"), 1).otherwise(0)
+        ).over(wstep),
+    ).select(
+        "metric",
+        "mean_a",
+        "mean_b",
+        F.round("z", 6).alias("z"),
+        F.col("k").alias("bh_rank"),
+        F.round("c", 6).alias("z_crit"),
+        F.col("sig").cast("int").alias("significant"),
     )

@@ -1533,3 +1533,162 @@ def q201_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "version", "event_type", "valid_from", "n_events")
     )
+
+
+@register(
+    "q204_attribution_outer",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    tags=("timeseries", "streaming", "attribution"),
+)
+def q204_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-vs-bounce attribution: every view emits — matched
+    views with each purchase inside the 1-hour horizon, UNMATCHED views
+    as a NULL-purchase row. This is the BATCH form of the stream-stream
+    LEFT OUTER interval join (`streaming/joinstream.py:
+    attribution_pairs_outer` runs the literally shared expression as a
+    two-watermark append-mode stream; tests/test_streaming_join.py pins
+    stream == batch for both the matched pairs and the watermark-closed
+    NULL rows). Registering the batch frame puts the outer-join
+    semantics themselves under the DuckDB oracle (round-8 verdict item
+    8), not just under the streaming test.
+
+    Plan: equi-join on user_id with the time range as a residual
+    post-condition — one shuffle per side, no nested loop. The
+    streaming twin's state stays rate x (watermark + horizon)-bounded.
+    """
+    from trafficteach_spark.streaming.joinstream import attribution_pairs_outer
+
+    events = load_table(spark, sf_dir, "events")
+    return attribution_pairs_outer(events)
+
+
+@register(
+    "q205_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           c.c_name AS user_name,
+           c.c_nationkey AS nationkey,
+           e.event_type, e.value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("timeseries", "streaming", "enrich"),
+)
+def q205_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment of the event stream: events x customer on
+    user_id = c_custkey — the BATCH form of the stream-static join
+    (`streaming/enrich.py: enrich_events` is the literally shared
+    body; its streaming run re-plans the static side every micro-batch,
+    so a slowly-changing dim refreshes without restarting the query).
+    Registering the batch frame puts the enrichment join semantics
+    under the DuckDB oracle (round-8 verdict item 8).
+
+    Plan: the dim side is broadcast (customer is dim-sized), so the
+    fact/stream side never shuffles — the same property that makes the
+    streaming form viable per micro-batch. At 100 TB the fact side
+    stays shuffle-free; a fact-sized right side would move this to a
+    bucketed co-located join instead.
+    """
+    from trafficteach_spark.streaming.enrich import enrich_events
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return enrich_events(events, customer)
+
+
+@register(
+    "q208_position_attribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+               p.event_id AS purchase_id, p.value AS purchase_value
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts > v.ts
+         AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT user_id, view_id, purchase_id, purchase_value,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                  ORDER BY view_ts, view_id) AS pos,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch
+        FROM pairs
+    ),
+    shares AS (
+        SELECT user_id, view_id,
+               purchase_value * CASE
+                   WHEN n_touch = 1 THEN 1.0
+                   WHEN n_touch = 2 THEN 0.5
+                   WHEN pos = 1 OR pos = n_touch THEN 0.4
+                   ELSE 0.2 / (n_touch - 2)
+               END AS share
+        FROM ranked
+    )
+    SELECT user_id, view_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(share), 6) AS credit
+    FROM shares
+    GROUP BY user_id, view_id
+    """,
+    tags=("timeseries", "attribution"),
+)
+def q208_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch POSITION-BASED (U-shaped) attribution: for each
+    purchase, its in-horizon views split the value 40% to the first
+    touch, 40% to the last, 20% evenly across the middles (100% / 50-50
+    for 1- and 2-touch paths) — the industry-standard position model
+    completing the attribution family (last-touch q68, linear q113,
+    Shapley q189, Markov removal-effect q190).
+
+    Plan: the SAME interval equi-join as q68 (attribution_pairs — the
+    stream-tested body), then ONE window pass on purchase_id yields
+    both position and touch count (two functions, one partition — a
+    single shuffle), the share is a pure row expression, and one hash
+    aggregate per view sums credit. Ordering is deterministic via the
+    (view_ts, view_id) tie-break. Same rate x horizon bound as q113 at
+    any scale.
+    """
+    from trafficteach_spark.streaming.joinstream import attribution_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    pairs = attribution_pairs(events).select(
+        "user_id", "view_id", "view_ts", "purchase_id", "purchase_value"
+    )
+    w = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "user_id",
+        "view_id",
+        "purchase_value",
+        F.row_number().over(w.orderBy("view_ts", "view_id")).alias("pos"),
+        F.count("*").over(w).alias("n_touch"),
+    )
+    share = F.col("purchase_value") * (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when(F.col("n_touch") == 2, F.lit(0.5))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")), F.lit(0.4)
+        )
+        .otherwise(F.lit(0.2) / (F.col("n_touch") - 2))
+    )
+    return (
+        ranked.select("user_id", "view_id", share.alias("share"))
+        .groupBy("user_id", "view_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("share"), 6).alias("credit"),
+        )
+    )
