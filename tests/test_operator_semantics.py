@@ -4608,3 +4608,277 @@ def test_sample_representativeness_matches_python_reference(spark):
             )
             assert abs(r["z"] - z) < 1e-4
             assert abs(r["z"]) < 4  # unbiased hash sample
+
+
+# ---------- round 9 additions (q204-q211) ----------
+
+
+def test_attribution_outer_extends_inner_with_null_bounces(spark):
+    """q204 = q68's matched pairs PLUS one NULL-purchase row per
+    unconverted view — verified against a plain-pandas replay."""
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").toPandas()
+    views = pdf[pdf.event_type == "view"]
+    purchases = pdf[pdf.event_type == "purchase"]
+    inner = set()
+    matched_views = set()
+    for v in views.itertuples():
+        for p in purchases[purchases.user_id == v.user_id].itertuples():
+            dt_s = (p.ts - v.ts).total_seconds()
+            if 0 < dt_s <= 3600:
+                inner.add((int(v.event_id), int(p.event_id)))
+                matched_views.add(int(v.event_id))
+    out = Q["q204_attribution_outer"](spark, sf).collect()
+    got_inner = {
+        (r["view_id"], r["purchase_id"]) for r in out if r["purchase_id"] is not None
+    }
+    got_null_views = {r["view_id"] for r in out if r["purchase_id"] is None}
+    assert got_inner == inner
+    assert got_null_views == set(views.event_id.astype(int)) - matched_views
+    # every NULL row nulls ALL purchase columns
+    for r in out:
+        if r["purchase_id"] is None:
+            assert r["purchase_ts"] is None and r["purchase_value"] is None
+
+
+def test_stream_enrich_matches_pandas_join(spark):
+    """q205 against a pandas merge on user_id = c_custkey."""
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").toPandas()
+    cust = load_table(spark, sf, "customer").toPandas()
+    merged = ev.merge(cust, left_on="user_id", right_on="c_custkey")
+    out = Q["q205_stream_enrich"](spark, sf).collect()
+    assert len(out) == len(merged)
+    want_names = dict(zip(cust.c_custkey.astype(int), cust.c_name))
+    for r in out[:50]:
+        assert r["user_name"] == want_names[r["user_id"]]
+
+
+def test_sparse_cosine_matches_numpy_reference(spark):
+    """q206 against a dense numpy TF-IDF cosine over all pairs at
+    sf0.001 (the brute-force the inverted index must reproduce above
+    the threshold, given the same df cap)."""
+    import math as _m
+
+    import numpy as np
+
+    from trafficteach_spark.operators.llm.text import (
+        _SPARSE_COS_MIN,
+        _SPARSE_W_SCALE,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").toPandas()
+    docs = docs[docs.text.notna()]
+    n_docs = len(docs)
+    tf = {}
+    df = {}
+    for r in docs.itertuples():
+        counts = {}
+        for t in r.text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+        tf[int(r.doc_id)] = counts
+        for t in counts:
+            df[t] = df.get(t, 0) + 1
+    kept = {t for t, d in df.items() if d * 10 <= n_docs}
+    vecs = {
+        d: {
+            t: round(c * _m.log((n_docs + 1.0) / (df[t] + 1.0)) * _SPARSE_W_SCALE)
+            for t, c in counts.items()
+            if t in kept
+        }
+        for d, counts in tf.items()
+    }
+    want = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            dot = sum(vecs[a][t] * vecs[b][t] for t in shared)
+            na = _m.sqrt(sum(w * w for w in vecs[a].values()))
+            nb = _m.sqrt(sum(w * w for w in vecs[b].values()))
+            if na > 0 and nb > 0 and dot / (na * nb) >= _SPARSE_COS_MIN:
+                want[(a, b)] = dot / (na * nb)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in Q["q206_sparse_cosine"](spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    assert want, "fixture must contain at least one near-dup pair"
+    for k, c in got.items():
+        assert abs(c - want[k]) < 1e-5
+        assert _SPARSE_COS_MIN <= c <= 1.0 + 1e-9
+
+
+def test_bh_fdr_admits_at_least_holm_discoveries(spark):
+    """BH (FDR, step-up) must declare significant a SUPERSET of Holm's
+    (FWER, step-down) discoveries on the same z values, and the step-up
+    rule must replay in Python from the reported z and thresholds."""
+    sf = "/root/testdata/sf0.001"
+    holm = {r["metric"]: r for r in Q["q198_metric_family_readout"](spark, sf).collect()}
+    bh = {r["metric"]: r for r in Q["q207_bh_fdr"](spark, sf).collect()}
+    assert set(holm) == set(bh) == {"conv", "revenue", "events", "active_days"}
+    for m in holm:
+        if holm[m]["z"] is None:  # degenerate variance -> NULL z, never sig
+            assert bh[m]["z"] is None
+            assert holm[m]["significant"] == 0
+        else:
+            assert abs(holm[m]["z"] - bh[m]["z"]) < 1e-9  # same family body
+        if holm[m]["significant"]:
+            assert bh[m]["significant"] == 1
+    ranked = sorted(bh.values(), key=lambda r: r["bh_rank"])
+    passing = [
+        r["bh_rank"] for r in ranked if r["z"] is not None and abs(r["z"]) > r["z_crit"]
+    ]
+    k_star = max(passing, default=0)
+    for r in ranked:
+        assert r["significant"] == (1 if r["bh_rank"] <= k_star else 0)
+
+
+def test_position_attribution_conserves_value_and_shapes_u(spark):
+    """q208: per-purchase credit sums to the purchase value (every
+    purchase with >=1 in-horizon view distributes exactly 100%), and
+    the 40/20/40 split replays in Python."""
+    from collections import defaultdict
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").toPandas()
+    views = pdf[pdf.event_type == "view"]
+    purchases = pdf[pdf.event_type == "purchase"]
+    touches = defaultdict(list)  # purchase_id -> [(view_ts, view_id, value)]
+    for v in views.itertuples():
+        for p in purchases[purchases.user_id == v.user_id].itertuples():
+            dt_s = (p.ts - v.ts).total_seconds()
+            if 0 < dt_s <= 3600:
+                touches[int(p.event_id)].append((v.ts, int(v.event_id), p.value))
+    want = defaultdict(float)
+    n_touched = defaultdict(int)
+    for _pid, tl in touches.items():
+        tl.sort()
+        n = len(tl)
+        for pos, (_ts, vid, val) in enumerate(tl, start=1):
+            share = (
+                1.0 if n == 1 else 0.5 if n == 2
+                else 0.4 if pos in (1, n) else 0.2 / (n - 2)
+            )
+            want[vid] += val * share
+            n_touched[vid] += 1
+    got = {r["view_id"]: r for r in Q["q208_position_attribution"](spark, sf).collect()}
+    assert set(got) == set(want)
+    for vid, r in got.items():
+        assert abs(r["credit"] - want[vid]) < 1e-4
+        assert r["n_purchases"] == n_touched[vid]
+    total_value = sum(tl[0][2] for tl in touches.values())
+    assert abs(sum(r["credit"] for r in got.values()) - total_value) < 1e-3
+
+
+def test_cvm_drift_matches_python_reference(spark):
+    """q209 against a Python replay of the binned two-sample CvM."""
+    import math as _m
+
+    from trafficteach_spark.operators.analytics import _KS_VALUE_BIN
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").toPandas()
+    us = pdf.ts.astype("int64") // 1000  # epoch micros
+    mid = (us.min() + us.max()) // 2
+    pdf = pdf.assign(bin=(pdf.value / _KS_VALUE_BIN).apply(_m.floor), first=us < mid)
+    out = {r["event_type"]: r for r in Q["q209_cvm_drift"](spark, sf).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        c1 = grp[grp["first"]].groupby("bin").size()
+        c2 = grp[~grp["first"]].groupby("bin").size()
+        bins = sorted(set(c1.index) | set(c2.index))
+        t1, t2 = int(c1.sum()), int(c2.sum())
+        cum1 = cum2 = 0
+        t = 0.0
+        for b in bins:
+            cum1 += int(c1.get(b, 0))
+            cum2 += int(c2.get(b, 0))
+            ct = int(c1.get(b, 0)) + int(c2.get(b, 0))
+            gap = cum1 / t1 - cum2 / t2
+            t += ct * gap * gap
+        stat = t1 * t2 / ((t1 + t2) ** 2) * t
+        r = out[et]
+        assert (r["n_first"], r["n_second"]) == (t1, t2)
+        assert abs(r["cvm_stat"] - stat) < 1e-5
+        assert r["cvm_stat"] >= 0
+
+
+def test_info_gain_matches_python_entropy(spark):
+    """q210 against a Python entropy replay; IG must be >= 0 (within
+    rounding) for every feature."""
+    import math as _m
+    from collections import Counter
+
+    from trafficteach_spark.operators.analytics import _IG_VALUE_BIN
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").toPandas()
+    y = (pdf.event_type == "purchase").astype(int)
+
+    def h(counts):
+        n = sum(counts)
+        return -sum(c / n * _m.log(c / n) for c in counts if c)
+
+    feats = {
+        "hour": pdf.ts.dt.hour,
+        "value_bin": (pdf.value / _IG_VALUE_BIN).apply(_m.floor),
+    }
+    out = {r["feature"]: r for r in Q["q210_info_gain"](spark, sf).collect()}
+    assert set(out) == {"hour", "dow", "value_bin"}
+    h_label = h([int((y == 0).sum()), int((y == 1).sum())])
+    for name, f in feats.items():
+        cond = 0.0
+        n = len(f)
+        for _v, idx in pdf.groupby(f).groups.items():
+            sub = y.loc[idx]
+            cond += len(sub) / n * h([int((sub == 0).sum()), int((sub == 1).sum())])
+        r = out[name]
+        assert abs(r["h_label"] - h_label) < 1e-5
+        assert abs(r["h_cond"] - cond) < 1e-5
+        assert abs(r["info_gain"] - (h_label - cond)) < 1e-5
+        assert r["info_gain"] >= -1e-6
+        assert Counter(f).total() == r["n_rows"]
+
+
+def test_tokenizer_coverage_matches_python_reference(spark):
+    """q211 against a Python vocab-coverage replay."""
+    from collections import Counter
+
+    from trafficteach_spark.operators.llm.corpus import _COVERAGE_VOCAB_K
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("source", "text").toPandas()
+    docs = docs[docs.text.notna()]
+    cnt = Counter()
+    per_src = {}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        cnt.update(toks)
+        per_src.setdefault(r.source, Counter()).update(toks)
+    vocab = {
+        t for t, _c in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_COVERAGE_VOCAB_K]
+    }
+    out = {r["source"]: r for r in Q["q211_tokenizer_coverage"](spark, sf).collect()}
+    assert set(out) == set(per_src)
+    for src, c in per_src.items():
+        n_tok = sum(c.values())
+        n_cov = sum(v for t, v in c.items() if t in vocab)
+        r = out[src]
+        assert r["n_tokens"] == n_tok
+        assert r["n_covered"] == n_cov
+        assert abs(r["coverage"] - n_cov / n_tok) < 1e-5
+        assert r["n_oov_types"] == sum(1 for t in c if t not in vocab)
+        assert 0.0 <= r["coverage"] <= 1.0

@@ -598,3 +598,38 @@ def test_q122_pit_join_no_interval_explode_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ") Window" in plan  # the as-of carry
+
+
+def test_q206_sparse_cosine_is_equi_join_not_all_pairs(spark):
+    """The candidate generator must be the postings equi-join on term —
+    never a nested-loop over document pairs — and the persisted postings
+    frame must feed both the norms pass and both self-join sides. The
+    only nested loop allowed is the sanctioned condition-free 1-row
+    n_docs cross-attach INSIDE the cached postings relation."""
+    import re
+
+    plan = formatted_plan(spark, "q206_sparse_cosine")
+    for line in plan.splitlines():
+        # tree lines carry the build side + join type; node-detail
+        # header lines ("(19) BroadcastNestedLoopJoin") carry neither
+        if "BroadcastNestedLoopJoin" in line and "Build" in line:
+            assert "Cross BuildRight" in line, line  # condition-free attach
+    assert "CartesianProduct" not in plan, plan
+    nodes = set(re.findall(r"InMemoryTableScan \((\d+)\)", plan))
+    assert len(nodes) >= 3, plan
+
+
+def test_q204_outer_attribution_is_hash_join(spark):
+    """The LEFT OUTER interval join must ride the user_id equi-key with
+    the time range as a residual — no nested loop."""
+    plan = formatted_plan(spark, "q204_attribution_outer")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q205_enrich_broadcasts_the_dim_side(spark):
+    """The customer dim must broadcast; the events side must not
+    shuffle for the join."""
+    plan = formatted_plan(spark, "q205_stream_enrich")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan

@@ -1,0 +1,218 @@
+"""One-command round-closing sweep (round-8 verdict item 4).
+
+Regenerates every end-of-round artifact from the CURRENT head, verifies
+all of it, and only then (with ``--commit``) writes the snapshot commit
+— so a stale ledger or a red test can never ship as "final" again
+(rounds 6 and 7 shipped stale ledgers; round 8 got it right by hand;
+this makes it mechanical):
+
+  1. PLAN_AUDIT.md       — tools/plan_audit.py over sf0.001; FAIL on any
+                           non-whitelisted violation.
+  2. PARITY_LOCAL.md     — full tools/parity.py sweep over every
+                           registered key at sf0.01; FAIL on any
+                           unexpected non-hash-match (the deliberate
+                           rows-only sketch keys are the only allowed
+                           exceptions, and they must still EXECUTE).
+  3. OPERATORS.md ledger — staleness check: the "In rNN window" column
+                           must agree with registry.DRIVER_ORDER, every
+                           registered key must have a ledger row, and N
+                           must equal --round.
+  4. pytest tests/       — FAIL on any red test.
+
+Usage:
+  python -m tools.close_round --round 9 [--commit] [--skip-pytest]
+                              [--sf-dir /root/testdata/sf0.01]
+
+``--skip-pytest`` exists for iterating on the artifact stages; the
+snapshot commit REQUIRES the full suite, so --commit ignores it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from trafficteach_spark import registry  # noqa: E402
+from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
+
+# Deliberate rows-only keys: no DuckDB-expressible oracle (engine-internal
+# sketches); the sweep still runs them and requires successful execution.
+ROWS_ONLY_OK = {
+    "q10_distinct_users_approx",
+    "q31_simhash",
+    "q77_approx_percentiles",
+    "q84_feature_bins_sketch",
+    "q115_rolling_active_sketch",
+}
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=_REPO, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def run_plan_audit() -> list[str]:
+    from tools import plan_audit
+
+    errors: list[str] = []
+    argv, sys.argv = sys.argv, ["plan_audit.py"]
+    try:
+        rc = plan_audit.main()
+    finally:
+        sys.argv = argv
+    if rc != 0:
+        errors.append("PLAN_AUDIT: violations present (see PLAN_AUDIT.md)")
+    return errors
+
+
+def run_parity(sf_dir: str, round_no: int) -> list[str]:
+    from tools import parity
+
+    specs = registry.all_specs()
+    spark = get_spark("close-round-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = parity.duckdb_conn(sf_dir)
+    lines: list[str] = []
+    errors: list[str] = []
+    n_hash = n_rows_only = 0
+    for key in specs:
+        try:
+            with cache_scope(spark):
+                res = parity.check(spark, con, key, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - sweep must list, not die
+            res = parity.Result(key, False, f"EXCEPTION: {type(exc).__name__}: {exc}")
+        if res.ok and res.detail.startswith("rows-only"):
+            if key in ROWS_ONLY_OK:
+                n_rows_only += 1
+                lines.append(f"OK {key}: {res.detail} — rows-only by design")
+            else:
+                # A key silently losing its oracle must fail the sweep.
+                errors.append(f"PARITY: {key}: unexpected rows-only ({res.detail})")
+                lines.append(f"FAIL {key}: unexpected rows-only")
+        elif res.ok:
+            n_hash += 1
+            lines.append(f"OK {key}: {res.detail}")
+        else:
+            errors.append(f"PARITY: {key}: {res.detail}")
+            lines.append(f"FAIL {key}: {res.detail}")
+    head = _git("rev-parse", "--short", "HEAD")
+    stamp = time.strftime("%Y-%m-%d")
+    with open(os.path.join(_REPO, "PARITY_LOCAL.md"), "w") as f:
+        f.write(
+            f"# PARITY_LOCAL — round {round_no} ({len(specs)} keys)\n\n"
+            "Full local oracle sweep (tools/parity.py via tools/close_round.py:\n"
+            "strict canonicalization + the int-vs-HUGEINT dtype-kind guard,\n"
+            f"sf0.01, {stamp}, HEAD {head}+sweep). "
+            f"{n_hash + n_rows_only}/{len(specs)} passed ({n_hash} full-hash,\n"
+            f"{n_rows_only} deliberate rows-only sketch keys:\n"
+            f"{', '.join(sorted(ROWS_ONLY_OK))}).\n\n"
+            "```\n" + "\n".join(lines) + "\n```\n"
+        )
+    return errors
+
+
+def check_ledger(round_no: int) -> list[str]:
+    errors: list[str] = []
+    src = open(os.path.join(_REPO, "OPERATORS.md")).read()
+    m = re.search(r"\| Key \| Driver-hash rounds \| In r(\d+) window \|", src)
+    if not m:
+        return ["LEDGER: evidence-ledger table header not found in OPERATORS.md"]
+    if int(m.group(1)) != round_no:
+        errors.append(
+            f"LEDGER: header says round {m.group(1)}, closing round {round_no}"
+        )
+    in_window = set()
+    rows = set()
+    for key, _rounds, flag in re.findall(
+        r"^\| (q\S+) \| (.*?) \| (yes|no) \|$", src, re.M
+    ):
+        rows.add(key)
+        if flag == "yes":
+            in_window.add(key)
+    expected = set(registry.DRIVER_ORDER)
+    if in_window != expected:
+        errors.append(
+            f"LEDGER: window mismatch — ledger-only: {sorted(in_window - expected)}, "
+            f"registry-only: {sorted(expected - in_window)}"
+        )
+    missing = {k for k in registry.all_specs() if k not in rows}
+    if missing:
+        errors.append(f"LEDGER: registered keys without a ledger row: {sorted(missing)}")
+    return errors
+
+
+def run_pytest() -> list[str]:
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
+        cwd=_REPO,
+        capture_output=True,
+        text=True,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-5:])
+    print(tail)
+    if proc.returncode != 0:
+        return [f"PYTEST: red — {tail}"]
+    return []
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--commit", action="store_true")
+    ap.add_argument("--skip-pytest", action="store_true")
+    args = ap.parse_args()
+
+    errors: list[str] = []
+    print("== 1/4 plan audit ==", flush=True)
+    errors += run_plan_audit()
+    print("== 2/4 parity sweep ==", flush=True)
+    errors += run_parity(args.sf_dir, args.round)
+    print("== 3/4 ledger staleness ==", flush=True)
+    errors += check_ledger(args.round)
+    if args.skip_pytest and not args.commit:
+        print("== 4/4 pytest SKIPPED (--skip-pytest) ==", flush=True)
+    else:
+        print("== 4/4 pytest ==", flush=True)
+        errors += run_pytest()
+
+    if errors:
+        print(f"\nCLOSE-ROUND: {len(errors)} problem(s); NOT writing snapshot:")
+        for e in errors:
+            print("  -", e)
+        return 1
+
+    print("\nCLOSE-ROUND: all green.")
+    if args.commit:
+        subprocess.run(["git", "add", "-A"], cwd=_REPO, check=True)
+        staged = _git("status", "--porcelain")
+        if staged:
+            subprocess.run(
+                [
+                    "git",
+                    "commit",
+                    "-q",
+                    "-m",
+                    f"Round-{args.round} closing sweep via tools/close_round.py: "
+                    "full parity + plan audit + ledger check + pytest all green",
+                ],
+                cwd=_REPO,
+                check=True,
+            )
+            print("snapshot commit written:", _git("log", "--oneline", "-1"))
+        else:
+            print("nothing to commit (tree clean)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,39 +113,59 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q138_srm_check": [("n_a", "bigint"), ("n_b", "bigint"), ("chi2", "double"), ("srm", "int")],
     "q139_ols_regression": [("n", "bigint"), ("beta0", "double"), ("beta1", "double"), ("beta2", "double"), ("r2", "double")],
     "q140_rfm_segmentation": [("r_q", "int"), ("f_q", "int"), ("m_q", "int"), ("n_customers", "bigint"), ("sum_monetary", "double")],
-    # Batch-H additions (q174-q178): born digest-pinned — the round-8
-    # window closed full, so their first driver-level evidence is this
-    # digest + the local sweep; rotate them into the r9 window.
-    "q174_gopher_rules": [("doc_id", "bigint"), ("source", "string"), ("n_words", "bigint"), ("mean_word_len", "double"), ("n_stop", "bigint"), ("alpha_frac", "double"), ("r_count", "int"), ("r_wordlen", "int"), ("r_stop", "int"), ("r_alpha", "int"), ("pass_all", "int")],
-    "q175_lsh_curve_planner": [("bands", "int"), ("rows_per_band", "int"), ("n_true_pairs", "bigint"), ("exp_recall", "double"), ("worst_pair_prob", "double"), ("prob_at_threshold", "double")],
-    "q176_quantization_error": [("label", "int"), ("n_vectors", "bigint"), ("avg_cosine", "double"), ("min_cosine", "double"), ("avg_max_abs_err", "double"), ("avg_scale", "double")],
-    "q177_kaplan_meier": [("duration", "bigint"), ("n_risk", "bigint"), ("n_events", "bigint"), ("n_censored", "bigint"), ("survival", "double")],
-    "q178_kneser_ney_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
-    "q179_jsd_source_divergence": [("source", "string"), ("jsd", "double"), ("jsd_distance", "double")],
-    "q180_jackknife_ci": [("n_users", "bigint"), ("n_groups", "bigint"), ("conv_rate", "double"), ("jk_se", "double"), ("ci_lo", "double"), ("ci_hi", "double")],
-    "q181_power_analysis": [("mde_rel", "double"), ("p1", "double"), ("p2", "double"), ("n_per_arm", "bigint"), ("days_to_run", "bigint")],
-    "q182_embedding_dim_profile": [("dim", "int"), ("n_vectors", "bigint"), ("mean_val", "double"), ("var_val", "double"), ("var_share", "double")],
-    "q183_embedding_corr_pairs": [("dim_a", "int"), ("dim_b", "int"), ("n_vectors", "bigint"), ("corr", "double")],
-    "q184_mann_whitney": [("n_a", "bigint"), ("n_b", "bigint"), ("u_a", "double"), ("z", "double"), ("rank_biserial", "double")],
-    "q185_rrf_fusion": [("doc_id", "bigint"), ("bm25_rank", "int"), ("cosine_rank", "int"), ("rrf_score", "double")],
-    "q186_pagerank_types": [("event_type", "string"), ("n_out", "bigint"), ("pagerank", "double")],
-    "q187_raking_weights": [("source", "string"), ("lang", "string"), ("n_docs", "bigint"), ("weight", "double")],
-    "q188_hash_collision_audit": [("width", "int"), ("n_terms", "bigint"), ("n_buckets_used", "bigint"), ("collided_buckets", "bigint"), ("collision_mass_share", "double")],
-    "q189_shapley_attribution": [("channel", "string"), ("n_exposed", "bigint"), ("shapley", "double")],
-    "q190_markov_attribution": [("channel", "string"), ("removal_effect", "double"), ("attribution", "double")],
-    "q191_winsorized_stats": [("n_users", "bigint"), ("mean_raw", "double"), ("std_raw", "double"), ("mean_winsor", "double"), ("std_winsor", "double"), ("mean_trim", "double"), ("n_trim", "bigint")],
-    "q192_poisson_bootstrap": [("n_users", "bigint"), ("n_replicas", "int"), ("mean_raw", "double"), ("boot_se", "double")],
-    "q193_join_cardinality_audit": [("n_keys", "bigint"), ("total_rows", "bigint"), ("total_pairs", "bigint"), ("max_key_pairs", "bigint"), ("top1_share", "double"), ("skew_ratio", "double")],
-    "q194_forecast_baselines": [("n_days", "bigint"), ("mae_naive", "double"), ("mae_snaive", "double"), ("mape_naive", "double"), ("mape_snaive", "double"), ("snaive_vs_naive", "double")],
-    "q195_did_lift": [("n_obs", "bigint"), ("treat_pre", "double"), ("treat_post", "double"), ("ctrl_pre", "double"), ("ctrl_post", "double"), ("did", "double"), ("se", "double"), ("z", "double")],
-    "q196_auc_score": [("n_pos", "bigint"), ("n_neg", "bigint"), ("auc", "double"), ("gini", "double")],
-    "q197_calibration_bins": [("bin", "int"), ("n_users", "bigint"), ("avg_score", "double"), ("conv_rate", "double")],
-    "q198_metric_family_readout": [("metric", "string"), ("mean_a", "double"), ("mean_b", "double"), ("z", "double"), ("holm_rank", "int"), ("z_crit", "double"), ("significant", "int")],
-    "q199_variance_reduction_report": [("n_users", "bigint"), ("theta", "double"), ("se_raw", "double"), ("se_cuped", "double"), ("se_winsor", "double"), ("vr_cuped", "double"), ("vr_winsor", "double")],
-    "q200_discount_elasticity": [("brand", "string"), ("n_items", "bigint"), ("elasticity", "double"), ("r2", "double")],
-    "q201_asof_snapshot": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("n_events", "bigint")],
-    "q202_dedup_method_agreement": [("n_docs", "bigint"), ("n_lexical_dropped", "bigint"), ("n_semantic_dropped", "bigint"), ("n_both", "bigint"), ("jaccard", "double"), ("pct_agree", "double")],
-    "q203_sample_representativeness": [("event_type", "string"), ("n_pop", "bigint"), ("n_sample", "bigint"), ("sampling_frac", "double"), ("mean_pop", "double"), ("mean_sample", "double"), ("z", "double")],
+    # Round-9 demotions: the whole round-8 window (q143/q144, the r6
+    # rotation block q53-q99, q145-q173, q141/q142) — all full-hash
+    # green in CORRECTNESS_r08; demoted to clear the window for the 30
+    # zero-evidence keys q174-q203 + the 8 round-9 additions + the 11
+    # stalest rotations (q115 has no oracle, so no digest row).
+    "q143_benford_check": [("digit", "int"), ("n", "bigint"), ("obs_share", "double"), ("exp_share", "double"), ("deviation", "double")],
+    "q144_cuped_lift": [("n_a", "bigint"), ("n_b", "bigint"), ("theta", "double"), ("lift_raw", "double"), ("lift_cuped", "double"), ("var_reduction", "double")],
+    "q93_unigram_logprob": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("avg_logprob", "double")],
+    "q94_token_entropy": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("n_distinct", "bigint"), ("entropy", "double")],
+    "q95_zipf_slope": [("n_terms", "bigint"), ("zipf_slope", "double"), ("zipf_r2", "double")],
+    "q98_source_overlap": [("src_a", "string"), ("src_b", "string"), ("n_common", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"), ("jaccard", "double")],
+    "q53_rollup": [("event_type", "string"), ("hr", "int"), ("gid", "bigint"), ("n", "bigint"), ("sum_value", "double")],
+    "q54_pivot": [("hr", "int"), ("n_click", "bigint"), ("n_error", "bigint"), ("n_purchase", "bigint"), ("n_signup", "bigint"), ("n_view", "bigint")],
+    "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],
+    "q62_time_resample": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("sum_value", "double")],
+    "q66_anomaly": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("z", "double")],
+    "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
+    "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
+    "q56_vocab_topk": [("term", "string"), ("n", "bigint"), ("frac", "double"), ("vocab_rank", "int")],
+    "q59_label_centroids": [("label", "int"), ("n_vectors", "bigint"), ("centroid", "string")],
+    "q73_regex_extract": [("token", "string"), ("n", "bigint"), ("n_docs", "bigint")],
+    "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
+    "q145_spearman_corr": [("n", "bigint"), ("n_qty_values", "bigint"), ("n_disc_values", "bigint"), ("spearman_rho", "double")],
+    "q146_degree_distribution": [("degree", "bigint"), ("n_parts", "bigint"), ("share", "double")],
+    "q147_activity_bitmap": [("n_active_days", "int"), ("n_users", "bigint"), ("n_streak3", "bigint")],
+    "q148_decile_lift": [("decile", "int"), ("n_customers", "bigint"), ("n_urgent", "bigint"), ("urgent_rate", "double"), ("lift", "double"), ("cum_capture", "double")],
+    "q149_wilson_ctr": [("event_type", "string"), ("n", "bigint"), ("s", "bigint"), ("p_hat", "double"), ("wilson_lo", "double"), ("wilson_hi", "double")],
+    "q150_higher_moments": [("l_returnflag", "string"), ("n", "bigint"), ("mean_price", "double"), ("pop_stddev", "double"), ("skewness", "double"), ("ex_kurtosis", "double")],
+    "q151_weighted_median": [("l_returnflag", "string"), ("n_rows", "bigint"), ("n_values", "bigint"), ("w_median", "double"), ("w_p90", "double")],
+    "q152_theil_index": [("segment", "string"), ("n_customers", "bigint"), ("mean_spend", "double"), ("theil", "double")],
+    "q153_cotype_jaccard": [("type_a", "string"), ("type_b", "string"), ("n_a", "bigint"), ("n_b", "bigint"), ("n_both", "bigint"), ("jaccard", "double")],
+    "q154_burstiness": [("b_bin", "int"), ("n_users", "bigint")],
+    "q155_abc_analysis": [("abc_class", "string"), ("n_parts", "bigint"), ("revenue", "double"), ("rev_share", "double"), ("n_bins", "bigint")],
+    "q156_ks_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("ks_stat", "double"), ("ks_crit", "double"), ("drift_flag", "int")],
+    "q157_lorenz_gini": [("n_customers", "bigint"), ("n_bins", "bigint"), ("gini", "double"), ("top_decile_share", "double"), ("bottom_half_share", "double")],
+    "q158_holt_forecast": [("day", "date"), ("revenue", "double"), ("one_step_pred", "double"), ("abs_err", "double")],
+    "q159_session_entropy": [("ent_bin", "int"), ("n_sessions", "bigint"), ("avg_events", "double")],
+    "q160_cohort_ltv": [("cohort_ym", "int"), ("month_offset", "int"), ("cohort_size", "bigint"), ("period_rev", "double"), ("cum_ltv_per_cust", "double")],
+    "q161_triple_itemsets": [("brand_a", "string"), ("brand_b", "string"), ("brand_c", "string"), ("n_triple", "bigint"), ("support", "double"), ("lift", "double")],
+    "q162_chi2_independence": [("n", "bigint"), ("n_rows", "bigint"), ("n_cols", "bigint"), ("dof", "bigint"), ("chi2", "double"), ("cramers_v", "double")],
+    "q163_heaps_law": [("bucket", "int"), ("n_docs", "bigint"), ("cum_tokens", "bigint"), ("cum_vocab", "bigint"), ("vocab_token_ratio", "double")],
+    "q164_interpurchase_intervals": [("segment", "string"), ("n_gaps", "bigint"), ("median_days", "int"), ("p90_days", "int"), ("avg_days", "double")],
+    "q165_neyman_allocation": [("event_type", "string"), ("n_rows", "bigint"), ("stddev", "double"), ("neyman_share", "double"), ("allocated_n", "bigint")],
+    "q166_sprt_boundary": [("day", "date"), ("cum_trials", "bigint"), ("cum_conv", "bigint"), ("cum_llr", "double"), ("decision", "string")],
+    "q167_curriculum_buckets": [("quality_tercile", "int"), ("length_tercile", "int"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("doc_share", "double")],
+    "q168_source_token_budget": [("source", "string"), ("quality_rank", "int"), ("avg_quality", "double"), ("n_tokens", "bigint"), ("take_tokens", "bigint"), ("cum_tokens_after", "bigint")],
+    "q169_dsir_weights": [("doc_id", "bigint"), ("n_feats", "bigint"), ("weight", "double")],
+    "q170_semdedup": [("vec_id", "bigint"), ("label", "int"), ("max_lower_cos", "double"), ("removed", "boolean")],
+    "q171_dup_span_fraction": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("covered", "bigint"), ("dup_frac", "double")],
+    "q172_markov_transitions": [("prev_type", "string"), ("next_type", "string"), ("n", "bigint"), ("p", "double")],
+    "q173_length_retention_sweep": [("threshold", "int"), ("n_docs", "bigint"), ("n_chars_kept", "bigint"), ("doc_frac", "double"), ("char_frac", "double")],
+    "q141_association_rules": [("antecedent", "string"), ("consequent", "string"), ("n_pair", "bigint"), ("support", "double"), ("confidence", "double"), ("lift", "double")],
+    "q142_autocorrelation": [("lag", "int"), ("n", "bigint"), ("acf", "double")],
     "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
     "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
@@ -205,18 +225,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
     "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
     # Long-demoted keys (full-hash green in rounds 1-4)
-    "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
-    "q14_intersect": [("user_id", "bigint")],
     "q15_union": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
-    "q16_string_funcs": [("doc_id", "bigint"), ("n_tokens", "int"), ("first_word", "string"), ("last_word", "string"), ("head_upper", "string"), ("lang_src", "string"), ("text_len", "int")],
-    "q17_date_funcs": [("event_date", "date"), ("hr", "int"), ("day_name", "string"), ("n_events", "bigint"), ("n_users", "bigint")],
-    "q18_json_funcs": [("event_type", "string"), ("n_events", "bigint"), ("max_k", "bigint"), ("sum_k", "bigint"), ("avg_k", "double"), ("n_high", "bigint")],
-    "q23_pandas_udf": [("event_type", "string"), ("speed_decile", "bigint"), ("n_events", "bigint")],
-    "q23_pandas_udaf": [("event_type", "string"), ("value_spread", "double")],
-    "q24_explode": [("label", "int"), ("pos", "int"), ("n_vals", "bigint"), ("min_val", "double"), ("max_val", "double"), ("avg_val", "double")],
-    "q33_text_stats": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("avg_tokens", "double"), ("avg_chars", "double"), ("min_chars", "bigint"), ("max_chars", "bigint")],
-    "q37_token_count": [("lang", "string"), ("n_docs", "bigint"), ("ws_tokens", "bigint"), ("alpha_tokens", "bigint"), ("num_tokens", "bigint"), ("punct_tokens", "bigint")],
-    "q38_fingerprint": [("doc_id", "bigint"), ("fingerprint", "string"), ("n_uniq_tokens", "int")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
@@ -253,6 +262,9 @@ def _canon_token(c: str, dtype: str, spark: bool) -> str:
     to_str = "STRING" if spark else "VARCHAR"
     if dtype in _INT_TYPES:
         val = f"CAST({c} AS {to_str})"
+    elif dtype == "boolean":
+        # Render as 0/1, not engine-specific true/True text.
+        val = f"CASE WHEN {c} THEN '1' ELSE '0' END"
     elif dtype in ("double", "float"):
         rounded = (
             f"CAST(ROUND({c} * 1000, 0) AS BIGINT)"
@@ -303,6 +315,10 @@ def _terms(cols: list[tuple[str, str]], engine: str) -> dict[str, list[str]]:
         c = q(name)
         if dtype in _INT_TYPES:
             out["fp_int"].append(f"CAST(COALESCE({c}, 0) AS BIGINT)")
+        elif dtype == "boolean":
+            out["fp_int"].append(
+                f"CAST(COALESCE(CASE WHEN {c} THEN 1 ELSE 0 END, 0) AS BIGINT)"
+            )
         elif dtype in ("double", "float"):
             # ROUND first (integral double), CAST second: DuckDB's
             # double->bigint cast rounds while Spark's truncates, so the

@@ -103,41 +103,41 @@ _OPERATOR_MODULES = (
 # and are fingerprinted per-round by the digest. OPERATORS.md tracks
 # each key's last driver-hash round.
 DRIVER_ORDER: tuple[str, ...] = (
-    # Round-8 promotions, tier 1: the two keys with ZERO driver evidence
-    # (added in round 7's final commit, after that round's window ran).
-    "q143_benford_check", "q144_cuped_lift",
-    # Round-8 promotions, tier 2: the 15 stalest singly-evidenced keys
-    # (r6-only full-hash; q93/q94/q95/q98 additionally spent late round
-    # 7 outside both window and digest — the round-7 verdict gap).
-    "q93_unigram_logprob", "q94_token_entropy", "q95_zipf_slope",
-    "q98_source_overlap", "q53_rollup", "q54_pivot", "q69_unpivot",
-    "q62_time_resample", "q66_anomaly", "q86_feature_normalize",
-    "q92_ewma", "q56_vocab_topk", "q59_label_centroids",
-    "q73_regex_extract", "q99_dup_rate_by_source",
-    # Round-8 additions (driver-checked the round they land); each
-    # addition demoted the oldest retained key below into the digest,
-    # one-for-one (q96 first, then q112...).
-    "q145_spearman_corr", "q146_degree_distribution",
-    "q147_activity_bitmap", "q148_decile_lift", "q149_wilson_ctr",
-    "q150_higher_moments", "q151_weighted_median", "q152_theil_index",
-    "q153_cotype_jaccard", "q154_burstiness",
-    "q155_abc_analysis", "q156_ks_drift", "q157_lorenz_gini",
-    "q158_holt_forecast", "q159_session_entropy", "q160_cohort_ltv",
-    "q161_triple_itemsets", "q162_chi2_independence", "q163_heaps_law",
-    "q164_interpurchase_intervals", "q165_neyman_allocation",
-    "q166_sprt_boundary", "q167_curriculum_buckets",
-    "q168_source_token_budget",
-    # Late round-8 additions (zero driver evidence until this window
-    # runs; they displaced q136-q140 into the digest one-for-one).
-    "q169_dsir_weights", "q170_semdedup", "q171_dup_span_fraction",
-    "q172_markov_transitions", "q173_length_retention_sweep",
-    # Retained from round 7 (single round of full-hash evidence — r7;
-    # keep until doubly evidenced).
-    "q115_rolling_active_sketch",
-    "q141_association_rules", "q142_autocorrelation",
-    # (q96/q97/q100-q111/q58/q81/q82/q91 demoted: doubly evidenced
-    # r6+r7, digest + local parity keep covering them; q136-q140
-    # likewise singly evidenced r7 + digest-pinned since late round 8.)
+    # Round-9 promotions, tier 1 (round-8 verdict item 1): the 30 keys
+    # with ZERO driver evidence — registered after the round-8 window
+    # was drawn, digest-pinned + local-parity-only since.
+    "q174_gopher_rules", "q175_lsh_curve_planner",
+    "q176_quantization_error", "q177_kaplan_meier",
+    "q178_kneser_ney_logprob", "q179_jsd_source_divergence",
+    "q180_jackknife_ci", "q181_power_analysis",
+    "q182_embedding_dim_profile", "q183_embedding_corr_pairs",
+    "q184_mann_whitney", "q185_rrf_fusion", "q186_pagerank_types",
+    "q187_raking_weights", "q188_hash_collision_audit",
+    "q189_shapley_attribution", "q190_markov_attribution",
+    "q191_winsorized_stats", "q192_poisson_bootstrap",
+    "q193_join_cardinality_audit", "q194_forecast_baselines",
+    "q195_did_lift", "q196_auc_score", "q197_calibration_bins",
+    "q198_metric_family_readout", "q199_variance_reduction_report",
+    "q200_discount_elasticity", "q201_asof_snapshot",
+    "q202_dedup_method_agreement", "q203_sample_representativeness",
+    # Round-9 additions (registry-growth discipline, round-8 verdict
+    # item 2: every key added this round ships INSIDE the window, so
+    # zero oracle-backed keys end the round without driver evidence).
+    "q204_attribution_outer", "q205_stream_enrich",
+    "q206_sparse_cosine", "q207_bh_fdr", "q208_position_attribution",
+    "q209_cvm_drift", "q210_info_gain", "q211_tokenizer_coverage",
+    # Round-9 rotations: the 11 stalest oracle-backed keys (last
+    # driver-hashed in round 4; every other key's latest evidence is
+    # round 5+).
+    "q10_distinct_users", "q14_intersect", "q16_string_funcs",
+    "q17_date_funcs", "q18_json_funcs", "q23_pandas_udf",
+    "q23_pandas_udaf", "q24_explode", "q33_text_stats",
+    "q37_token_count", "q38_fingerprint",
+    # (The whole round-8 window — q143/q144, the r6 rotation block,
+    # q145-q173, q141/q142 — demoted into the digest with r8 full-hash
+    # evidence; q115_rolling_active_sketch demoted without a digest row
+    # — rows-only by design, its exact twins and invariant tests remain
+    # its evidence, and its window slot no longer burns a red err row.)
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )
