@@ -190,3 +190,24 @@ def test_digest_module_imports_standalone():
         timeout=180,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_close_round_ledger_check_is_green_and_strict():
+    """tools/close_round.check_ledger must pass on the CURRENT repo (the
+    ledger 'In rNN window' column agrees with DRIVER_ORDER and every
+    registered key has a row) and must FAIL on a wrong round number —
+    the staleness guard the round-6/7 ledgers needed."""
+    import re
+
+    from tools.close_round import ROWS_ONLY_OK, check_ledger
+
+    ledger = open("OPERATORS.md").read()
+    n = int(re.search(r"\| Key \| Driver-hash rounds \| In r(\d+) window \|", ledger).group(1))
+    assert check_ledger(n) == []
+    assert check_ledger(n - 1), "a stale round number must be reported"
+    # The closing sweep's allowed rows-only set must match the registry's
+    # actual no-oracle keys — a key silently losing its oracle fails the
+    # sweep, a new deliberate sketch key must be added in BOTH places.
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    assert set(qs) - set(oracles) == ROWS_ONLY_OK
