@@ -4668,6 +4668,7 @@ def test_sparse_cosine_matches_numpy_reference(spark):
 
     from trafficteach_spark.operators.llm.text import (
         _SPARSE_COS_MIN,
+        _SPARSE_DF_ABS,
         _SPARSE_W_SCALE,
     )
     from trafficteach_spark.sources.tables import load_table
@@ -4685,7 +4686,7 @@ def test_sparse_cosine_matches_numpy_reference(spark):
         tf[int(r.doc_id)] = counts
         for t in counts:
             df[t] = df.get(t, 0) + 1
-    kept = {t for t, d in df.items() if d * 10 <= n_docs}
+    kept = {t for t, d in df.items() if d * 10 <= n_docs and d <= _SPARSE_DF_ABS}
     vecs = {
         d: {
             t: round(c * _m.log((n_docs + 1.0) / (df[t] + 1.0)) * _SPARSE_W_SCALE)

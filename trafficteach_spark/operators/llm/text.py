@@ -1424,6 +1424,14 @@ def q178_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # length) and the minimum cosine that makes a pair a near-duplicate
 # candidate.
 _SPARSE_COS_MIN = 0.6
+# Absolute posting-length ceiling: terms in more than this many docs are
+# dropped regardless of corpus size. The relative df<=N/10 cap alone
+# still admits O((N/10)^2) candidate pairs per term at large N; the
+# absolute ceiling bounds any single term's pair fan-out at DF_ABS^2 —
+# the standard stop-term cut every production similarity join ships.
+# 10_000 is far above the N/10 cut at every test SF (N<=5000 docs), so
+# it is semantically inactive locally and binding only at scale.
+_SPARSE_DF_ABS = 10_000
 # TF-IDF weights quantize to 1e6-scaled integers so dots and norms are
 # EXACT integer sums in both engines (no FP-accumulation-order risk);
 # the one sqrt+divide at the end is correctly-rounded IEEE in both.
@@ -1453,7 +1461,7 @@ _SPARSE_W_SCALE = 1_000_000
                CAST(ROUND(tf * ln((n_docs + 1.0) / (df + 1.0))
                     * {_SPARSE_W_SCALE}) AS HUGEINT) AS w
         FROM tfdf CROSS JOIN n
-        WHERE df * 10 <= n_docs
+        WHERE df * 10 <= n_docs AND df <= 10000
     ),
     norms AS (
         SELECT doc_id, SUM(w * w) AS nsq FROM post GROUP BY doc_id
@@ -1491,14 +1499,15 @@ def q206_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: (doc, term) tf aggregate -> df as a COUNT window over the
     term partition (the q48 form — tf shuffles ONCE on term) -> the
-    df-cap filter (df > corpus/10 dropped: near-zero idf AND the
-    posting-length bound that keeps the self-join linear in corpus
-    size, the same cap every production similarity join ships) ->
+    df-cap filter (df > corpus/10 dropped for near-zero idf, PLUS the
+    absolute df <= 10,000 stop-term ceiling — inactive at test SFs but
+    the bound that caps any term's pair fan-out at 10^8 at 100 TB;
+    the relative cap alone admits O((N/10)^2) pairs per term) ->
     postings persist -> norms as one per-doc aggregate -> postings
     self-join on term (equi-join, never all-pairs) -> per-pair exact
     integer dot -> two dim-sized norm joins. At 100 TB the join cost
-    is sum over terms of posting^2 with posting <= N/10 enforced, and
-    AQE's skew split handles the residual heavy terms.
+    is sum over terms of posting^2 with posting length hard-capped,
+    and AQE's skew split handles the residual heavy terms.
     """
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     from pyspark.sql import Window as W
@@ -1509,7 +1518,7 @@ def q206_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = (
         tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
-        .where(F.col("df") * 10 <= F.col("n_docs"))
+        .where((F.col("df") * 10 <= F.col("n_docs")) & (F.col("df") <= _SPARSE_DF_ABS))
         .select(
             "doc_id",
             "term",
