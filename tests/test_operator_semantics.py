@@ -4883,3 +4883,325 @@ def test_tokenizer_coverage_matches_python_reference(spark):
         assert abs(r["coverage"] - n_cov / n_tok) < 1e-5
         assert r["n_oov_types"] == sum(1 for t in c if t not in vocab)
         assert 0.0 <= r["coverage"] <= 1.0
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    """q212 against a plain-Python replay of the contest derivation and
+    the Hunter-2004 MM iterations at sf0.001."""
+    from collections import Counter, defaultdict
+
+    from trafficteach_spark.operators.sequences import _BT_ITERS, _BT_SMOOTH
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("user_id", "event_type").toPandas()
+    cnt = Counter(zip(pdf["user_id"], pdf["event_type"]))
+    per_user = defaultdict(dict)
+    for (u, t), c in cnt.items():
+        per_user[u][t] = c
+    wc = Counter()
+    for u, tc in per_user.items():
+        types = sorted(tc)
+        for i, ta in enumerate(types):
+            for tb in types[i + 1 :]:
+                if tc[ta] != tc[tb]:
+                    w, l = (ta, tb) if tc[ta] > tc[tb] else (tb, ta)
+                    wc[(w, l)] += 1
+    items = sorted({t for pair in wc for t in pair})
+    pw = {
+        (i, j): _BT_SMOOTH + wc.get((i, j), 0)
+        for i in items
+        for j in items
+        if i != j
+    }
+    wins = {i: sum(w for (a, _), w in pw.items() if a == i) for i in items}
+    p = {i: 1.0 / len(items) for i in items}
+    for _ in range(_BT_ITERS):
+        den = {
+            i: sum(
+                (pw[(i, j)] + pw[(j, i)]) / (p[i] + p[j])
+                for j in items
+                if j != i
+            )
+            for i in items
+        }
+        praw = {i: wins[i] / den[i] for i in items}
+        tot = sum(praw.values())
+        p = {i: v / tot for i, v in praw.items()}
+    got = {r["event_type"]: r for r in Q["q212_bradley_terry"](spark, sf).collect()}
+    assert set(got) == set(items)
+    for i in items:
+        assert got[i]["n_wins"] == sum(w for (a, _), w in wc.items() if a == i)
+        assert got[i]["n_contests"] == sum(
+            w for pair, w in wc.items() if i in pair
+        )
+        assert abs(got[i]["strength"] - p[i]) < 1e-5
+    assert abs(sum(r["strength"] for r in got.values()) - 1.0) < 1e-4
+
+
+def test_filter_agreement_matches_python_kappa(spark):
+    """q213 against a plain-Python replay of both rule batteries."""
+    import re as _re
+
+    from trafficteach_spark.operators.llm.text import (
+        _EN_STOPWORDS,
+        _GOPHER_MAX_WLEN,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_ALPHA,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MIN_WLEN,
+        _GOPHER_MIN_WORDS,
+    )
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "documents").select("text").toPandas()
+    n = na = nb = nab = nrej = 0
+    for text in pdf["text"]:
+        if text is None:
+            continue
+        w = text.split(" ")
+        nw = len(w)
+        mwl = round(len(text.replace(" ", "")) / nw, 6)
+        nstop = sum(1 for x in w if x in _EN_STOPWORDS[:2])
+        alpha = round(
+            sum(1 for x in w if _re.fullmatch("[a-z]+", x)) / nw, 6
+        )
+        uniq = round(len(set(w)) / nw, 6)
+        a = (
+            _GOPHER_MIN_WORDS <= nw <= _GOPHER_MAX_WORDS
+            and _GOPHER_MIN_WLEN <= mwl <= _GOPHER_MAX_WLEN
+            and nstop >= _GOPHER_MIN_STOP
+            and alpha >= _GOPHER_MIN_ALPHA
+        )
+        b = nw >= 30 and uniq >= 0.35
+        n += 1
+        na += a
+        nb += b
+        nab += a and b
+        nrej += (not a) and (not b)
+    po = (nab + nrej) / n
+    pa, pb = na / n, nb / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    [r] = Q["q213_filter_agreement"](spark, sf).collect()
+    assert (r["n_docs"], r["n_gopher_pass"], r["n_quality_pass"], r["n_both_pass"]) == (
+        n,
+        na,
+        nb,
+        nab,
+    )
+    assert abs(r["po"] - po) < 1e-6
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-5
+
+
+def test_kendall_tau_matches_python_pairs(spark):
+    """q214 against the O(n^2) pairwise tau-b definition."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey").toPandas()
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice").toPandas()
+    nat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    rev, cntr = defaultdict(Decimal), defaultdict(int)
+    for r in orders.itertuples():
+        nk = nat.get(r.o_custkey)
+        if nk is None:
+            continue
+        rev[nk] += Decimal(str(r.o_totalprice)).quantize(Decimal("0.01"))
+        cntr[nk] += 1
+    ks = sorted(rev)
+    c = d = tx = ty = 0
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            xa, xb, ya, yb = rev[a], rev[b], cntr[a], cntr[b]
+            if xa == xb:
+                tx += 1
+            if ya == yb:
+                ty += 1
+            if (xa < xb and ya < yb) or (xa > xb and ya > yb):
+                c += 1
+            elif (xa < xb and ya > yb) or (xa > xb and ya < yb):
+                d += 1
+    n0 = len(ks) * (len(ks) - 1) // 2
+    [r] = Q["q214_kendall_tau"](spark, sf).collect()
+    assert (r["n_groups"], r["n_pairs"]) == (len(ks), n0)
+    assert (r["concordant"], r["discordant"]) == (c, d)
+    assert (r["ties_x"], r["ties_y"]) == (tx, ty)
+    tau = (c - d) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    assert abs(r["tau_b"] - tau) < 1e-5
+    assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_kruskal_wallis_matches_python_ranks(spark):
+    """q215 against a scipy-free average-rank replay."""
+    from collections import Counter, defaultdict
+
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "documents").select("source", "n_chars").toPandas()
+    vals = sorted(pdf["n_chars"])
+    avg_rank, cum = {}, 0
+    for v, cgrp in sorted(Counter(vals).items()):
+        avg_rank[v] = cum + (cgrp + 1) / 2.0
+        cum += cgrp
+    groups = defaultdict(list)
+    for r in pdf.itertuples():
+        groups[r.source].append(avg_rank[r.n_chars])
+    n = len(vals)
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    t3t = sum(c**3 - c for c in Counter(vals).values())
+    h_adj = h / (1 - t3t / (n**3 - n))
+    [r] = Q["q215_kruskal_wallis"](spark, sf).collect()
+    assert (r["n_groups"], r["n_total"]) == (len(groups), n)
+    assert abs(r["h"] - h) < 1e-5
+    assert abs(r["h_adj"] - h_adj) < 1e-5
+
+
+def test_user_state_batch_matches_pandas_replay(spark):
+    """q216 against a pandas groupby replay with the (ts, event_id)
+    last-row tie-break."""
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).toPandas()
+    got = {r["user_id"]: r for r in Q["q216_user_state_batch"](spark, sf).collect()}
+    assert set(got) == set(pdf["user_id"])
+    for uid, g in pdf.groupby("user_id"):
+        last = g.sort_values(["ts", "event_id"]).iloc[-1]
+        r = got[uid]
+        assert r["n_events"] == len(g)
+        assert abs(r["sum_value"] - round(float(g["value"].sum()), 6)) < 1e-5
+        assert r["last_ts"] == last["ts"].to_pydatetime()
+        assert r["last_event_type"] == last["event_type"]
+
+
+def test_average_precision_matches_python_reference(spark):
+    """q217 against the sklearn-style threshold-sum AP replayed in
+    plain Python (and consistency with q196's population counts)."""
+    from collections import defaultdict
+
+    from trafficteach_spark.operators.sequences import _JK_VALUE
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    score, label = defaultdict(int), defaultdict(bool)
+    for r in pdf.itertuples():
+        score[r.user_id] += 1
+        if r.event_type == "purchase" and r.value >= _JK_VALUE:
+            label[r.user_id] = True
+    by_score = defaultdict(lambda: [0, 0])
+    for u, s in score.items():
+        by_score[s][0] += 1
+        by_score[s][1] += label[u]
+    npos = sum(p for _, p in by_score.values())
+    cum_n = cum_p = 0
+    ap = 0.0
+    for s in sorted(by_score, reverse=True):
+        cgrp, p = by_score[s]
+        cum_n += cgrp
+        cum_p += p
+        ap += p * (cum_p / cum_n)
+    ap /= npos
+    [r] = Q["q217_average_precision"](spark, sf).collect()
+    assert (r["n_pos"], r["n_neg"]) == (npos, len(score) - npos)
+    assert abs(r["average_precision"] - ap) < 1e-5
+    # Prevalence is the EXPECTED AP of a random ranking, not a lower
+    # bound (an anti-correlated score legitimately lands below it), so
+    # only the hard range invariant is assertable.
+    assert 0.0 < r["average_precision"] <= 1.0
+    assert abs(r["prevalence"] - npos / len(score)) < 1e-9
+
+
+def test_xcorr_lag_matches_numpy(spark):
+    """q218 against numpy Pearson r on the shifted daily series."""
+    import numpy as np
+
+    from trafficteach_spark.operators.timeseries import _XCORR_MAX_LAG
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "events").select("ts", "event_type").toPandas()
+    pdf["day"] = pdf["ts"].dt.normalize()
+    days = sorted(pdf["day"].unique())
+    x = {d: 0 for d in days}
+    y = {d: 0 for d in days}
+    for r in pdf.itertuples():
+        if r.event_type == "view":
+            x[r.day] += 1
+        elif r.event_type == "purchase":
+            y[r.day] += 1
+    got = {r["lag"]: r for r in Q["q218_xcorr_lag"](spark, sf).collect()}
+    assert set(got) == set(range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1))
+    import pandas as pd
+
+    for lag in (-3, 0, 2):
+        xs, ys = [], []
+        for d in days:
+            d2 = d + pd.Timedelta(days=lag)
+            if d2 in y:
+                xs.append(x[d])
+                ys.append(y[d2])
+        r = got[lag]
+        assert r["n_days"] == len(xs)
+        if len(xs) >= 2 and np.std(xs) > 0 and np.std(ys) > 0:
+            assert abs(r["r"] - float(np.corrcoef(xs, ys)[0, 1])) < 1e-5
+
+
+def test_hard_negatives_matches_python_buckets(spark):
+    """q219 against a plain-Python replay of the sign-LSH bucketing and
+    the within-bucket cross-label argmax."""
+    from trafficteach_spark.operators.llm.similarity import _PLANES
+    from trafficteach_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = load_table(spark, sf, "embeddings").toPandas()
+    vecs, labels, buckets = {}, {}, {}
+    for r in pdf.itertuples():
+        v = [float(xx) for xx in r.embedding]
+        vecs[r.vec_id] = v
+        labels[r.vec_id] = r.label
+        b = 0
+        for i, plane in enumerate(_PLANES):
+            dot = 0.0
+            for xx, pp in zip(v, plane):
+                dot += xx * pp
+            if dot > 0:
+                b += 1 << i
+        buckets[r.vec_id] = b
+    def cos(a, b):
+        da = sum(x * x for x in vecs[a]) ** 0.5
+        db = sum(x * x for x in vecs[b]) ** 0.5
+        return round(sum(x * y for x, y in zip(vecs[a], vecs[b])) / (da * db), 6)
+    got = {r["vec_id"]: r for r in Q["q219_hard_negatives"](spark, sf).collect()}
+    assert set(got) == set(vecs)
+    n_with_neg = 0
+    for vid in vecs:
+        cands = [
+            n
+            for n in vecs
+            if n != vid
+            and buckets[n] == buckets[vid]
+            and labels[n] != labels[vid]
+        ]
+        r = got[vid]
+        assert r["label"] == labels[vid]
+        if not cands:
+            assert r["hard_neg_id"] is None
+            continue
+        n_with_neg += 1
+        best = max(cands, key=lambda n: (cos(vid, n), -n))
+        assert r["hard_neg_id"] == best
+        assert r["hard_neg_label"] == labels[best]
+        assert abs(r["hard_neg_cos"] - cos(vid, best)) < 1e-6
+    assert n_with_neg > 0  # the fixture must exercise the mining path

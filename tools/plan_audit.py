@@ -88,6 +88,30 @@ WHITELIST = {
         "whose conditioned BNLJs are whitelisted above for their own "
         "reasons — no new join is introduced by the digest wrapper itself",
     ),
+    "q206_sparse_cosine": (
+        ("conditioned-BNLJ",),
+        "the df <= n_docs/10 posting-cap filter references both the "
+        "postings frame and the 1-ROW corpus-doc-count frame, so "
+        "Catalyst fuses it into the broadcast attach as a conditioned "
+        "BNLJ (q141's idiom: build side is one row at any data size; "
+        "the absolute df<=10k ceiling is a plain pushed filter)",
+    ),
+    "q218_xcorr_lag": (
+        ("conditioned-BNLJ",),
+        "the 'condition' is only isnotnull(date_add(day, lag)) — the "
+        "equi-join null guard pushed into the STATIC 15-row lag-grid "
+        "cross-attach (q35's constant-grid idiom); the daily series "
+        "itself moves through the subsequent BroadcastHashJoin on "
+        "day_b, and the corpus collapses to the per-day aggregate "
+        "before any join",
+    ),
+    "q214_kendall_tau": (
+        ("conditioned-BNLJ",),
+        "the concordance pair join (a.nationkey < b.nationkey) runs on "
+        "the per-nation aggregate frame — 25 rows / 300 pairs at ANY "
+        "data scale (q35's constant-grid idiom); the corpus itself moves "
+        "only through the preceding hash join + aggregate",
+    ),
     "q147_activity_bitmap": (
         ("conditioned-BNLJ",),
         "the offset window filter (0 <= datediff(max_day, day) <= 29) "

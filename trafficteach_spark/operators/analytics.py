@@ -4439,3 +4439,233 @@ def q210_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_cond_raw", 6).alias("h_cond"),
         F.round(F.col("h_label_raw") - F.col("h_cond_raw"), 6).alias("info_gain"),
     )
+
+
+@register(
+    "q214_kendall_tau",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_nationkey AS nationkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT CASE WHEN (a.revenue < b.revenue AND a.n_orders < b.n_orders)
+                      OR (a.revenue > b.revenue AND a.n_orders > b.n_orders)
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.revenue < b.revenue AND a.n_orders > b.n_orders)
+                      OR (a.revenue > b.revenue AND a.n_orders < b.n_orders)
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.revenue = b.revenue THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0 END AS ty
+        FROM g a JOIN g b ON a.nationkey < b.nationkey
+    ),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM g) AS ng,
+               COUNT(*) AS n0, SUM(conc) AS c, SUM(disc) AS d,
+               SUM(tx) AS tx, SUM(ty) AS ty
+        FROM p
+    )
+    SELECT CAST(ng AS BIGINT) AS n_groups,
+           CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           CAST(tx AS BIGINT) AS ties_x,
+           CAST(ty AS BIGINT) AS ties_y,
+           ROUND((c - d) / NULLIF(sqrt(CAST((n0 - tx) AS DOUBLE)
+                                       * CAST((n0 - ty) AS DOUBLE)), 0), 6)
+               AS tau_b
+    FROM s
+    """,
+    tags=("analytics", "nonparametric", "rank-correlation"),
+)
+def q214_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between two per-nation metrics —
+    does the nation ranking by TOTAL REVENUE agree with the ranking by
+    ORDER COUNT? The robust companion to q145's Spearman: tau counts
+    concordant vs discordant PAIRS, so one outlier nation moves it by
+    at most its pair share, and tau-b's tie terms keep it exact under
+    tied counts. Revenue sums in DECIMAL(18,2) so both metrics are
+    exact integers/decimals cross-engine and every pair comparison is
+    unambiguous.
+
+    Plan: one fact-side join + per-nation aggregate collapses the
+    corpus to a NATION-CARDINALITY frame (25 rows); the pair
+    comparison is a conditioned BNLJ of that constant-bounded frame
+    against itself (a.nationkey < b.nationkey — 300 pairs at any data
+    scale; whitelisted like q35's static block grid), then one 1-row
+    reduction. At 100 TB only the first aggregate touches the corpus;
+    tau itself is O(|nations|^2) driver-negligible work.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    g = (
+        orders.join(cust, "o_custkey")
+        .groupBy("nationkey")
+        .agg(
+            F.sum("price").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .coalesce(1)
+        .persist()
+    )
+    a = g.select(
+        F.col("nationkey").alias("nk_a"),
+        F.col("revenue").alias("xa"),
+        F.col("n_orders").alias("ya"),
+    )
+    b = g.select(
+        F.col("nationkey").alias("nk_b"),
+        F.col("revenue").alias("xb"),
+        F.col("n_orders").alias("yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("nk_a") < F.col("nk_b"))
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    ).cast("int")
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    ).cast("int")
+    s = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(conc).alias("c"),
+        F.sum(disc).alias("d"),
+        F.sum((F.col("xa") == F.col("xb")).cast("int")).alias("tx"),
+        F.sum((F.col("ya") == F.col("yb")).cast("int")).alias("ty"),
+    ).crossJoin(F.broadcast(g.agg(F.count("*").alias("ng"))))
+    tau = F.try_divide(
+        (F.col("c") - F.col("d")).cast("double"),
+        F.nullif(
+            F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty")).cast("double")
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return s.select(
+        F.col("ng").cast("long").alias("n_groups"),
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("tx").cast("long").alias("ties_x"),
+        F.col("ty").cast("long").alias("ties_y"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+@register(
+    "q215_kruskal_wallis",
+    oracle="""
+    WITH d AS (
+        SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ),
+    v AS (
+        SELECT n_chars, COUNT(*) AS c FROM d GROUP BY 1
+    ),
+    r AS (
+        SELECT n_chars, c,
+               COALESCE(SUM(c) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (c + 1) / 2.0 AS avg_rank
+        FROM v
+    ),
+    gv AS (
+        SELECT source, n_chars, COUNT(*) AS gc FROM d GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT gv.source, SUM(gv.gc) AS n_g,
+               SUM(gv.gc * r.avg_rank) AS rank_sum
+        FROM gv JOIN r ON gv.n_chars = r.n_chars
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(rank_sum * rank_sum / n_g) AS srs
+        FROM g
+    ),
+    tie AS (
+        SELECT SUM(CAST(c AS DOUBLE) * c * c - c) AS t3t FROM v
+    )
+    SELECT tot.k AS n_groups,
+           CAST(tot.n AS BIGINT) AS n_total,
+           ROUND(12.0 / (tot.n * (tot.n + 1)) * tot.srs
+                 - 3 * (tot.n + 1), 6) AS h,
+           ROUND((12.0 / (tot.n * (tot.n + 1)) * tot.srs - 3 * (tot.n + 1))
+                 / NULLIF(1 - tie.t3t / (tot.n * tot.n * tot.n - tot.n), 0),
+                 6) AS h_adj
+    FROM tot CROSS JOIN tie
+    """,
+    tags=("analytics", "nonparametric"),
+)
+def q215_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do document LENGTHS (n_chars) differ
+    across sources? The k-group generalization of q184's Mann-Whitney
+    (H = 12/(N(N+1)) * sum R_g^2/n_g - 3(N+1) on average ranks), with
+    the standard tie correction 1 - sum(t^3 - t)/(N^3 - N) — the
+    distribution-free ANOVA a curation pipeline runs before trusting
+    per-source length stats.
+
+    Plan: q196's distinct-value device — ranks come from a cumulative
+    window over the DISTINCT n_chars frame (value cardinality, never a
+    per-document sort), joined back to the (source, value) count
+    frame; everything else is bounded aggregates. All rank arithmetic
+    is on integer counts, so cross-engine values are exact until the
+    two final divisions. At 100 TB: one (source, value) aggregate +
+    one value aggregate; no global per-row window.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select("source", "n_chars")
+    )
+    v = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "n_chars",
+        (
+            F.coalesce(F.sum("c").over(w), F.lit(0))
+            + (F.col("c") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    gv = d.groupBy("source", "n_chars").agg(F.count("*").alias("gc"))
+    g = (
+        gv.join(r, "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("gc").alias("n_g"),
+            F.sum(F.col("gc") * F.col("avg_rank")).alias("rank_sum"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("double").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(F.col("rank_sum") * F.col("rank_sum") / F.col("n_g")).alias("srs"),
+    )
+    tie = v.agg(
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("t3t")
+    )
+    h = 12.0 / (F.col("n") * (F.col("n") + 1)) * F.col("srs") - 3 * (
+        F.col("n") + 1
+    )
+    corr = 1 - F.col("t3t") / (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return tot.crossJoin(F.broadcast(tie)).select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        F.round(h, 6).alias("h"),
+        F.round(F.try_divide(h, F.nullif(corr, F.lit(0.0))), 6).alias("h_adj"),
+    )

@@ -1399,3 +1399,104 @@ def q185_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(_RRF_TOPK)
     )
+
+
+@register(
+    "q219_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
+               {_DUCK_BUCKET} AS bucket
+        FROM e
+    ),
+    pairs AS (
+        SELECT a.vec_id, b.vec_id AS nid, b.label AS nlabel,
+               ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b
+          ON a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+         AND a.label <> b.label
+    ),
+    best AS (
+        SELECT vec_id, nid, nlabel, cos
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, nid ASC) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT n.vec_id, n.label,
+           best.nid AS hard_neg_id,
+           best.nlabel AS hard_neg_label,
+           best.cos AS hard_neg_cos
+    FROM n LEFT JOIN best ON best.vec_id = n.vec_id
+    """,
+    tags=("llm", "X3", "contrastive"),
+)
+def q219_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the most-similar vector with a DIFFERENT label — the pair a
+    contrastive or metric-learning objective needs most (easy negatives
+    teach nothing; the near-miss across the class boundary carries the
+    gradient). Candidates come from the q32_knn_lsh sign-hyperplane
+    buckets (the literally shared `_bucket_expr`/`_DUCK_BUCKET`
+    geometry), so mining is an equi-join on the bucket key, never
+    all-pairs; a vector whose bucket holds no cross-label neighbor
+    reports NULL (visible, not silently dropped). Cosines round to 6
+    before the argmax and ties break on the lower neighbor id, so both
+    engines pick the same negative.
+
+    Plan: one scan computes norms + buckets (persisted — both join
+    sides and the left-join spine read it), one bucket equi-join with
+    residual label filter, one per-vector row_number window, one left
+    join back. At 100 TB: pair volume is sum over buckets of
+    bucket_size^2 like the LSH search path, with multi-probe (q32's
+    knn_lsh_multiprobe) the documented recall lever.
+    """
+    n = (
+        _vectors(spark, sf_dir)
+        .withColumn("bucket", _bucket_expr("v"))
+        .persist()
+    )
+    a = n.select("bucket", "vec_id", "label", "v", F.col("nrm").alias("an"))
+    b = n.select(
+        "bucket",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(
+            (F.col("vec_id") != F.col("nid"))
+            & (F.col("label") != F.col("nlabel"))
+        )
+        .select(
+            "vec_id",
+            "nid",
+            "nlabel",
+            F.round(
+                F.expr(_DOT.format(a="v", b="bv")) / (F.col("an") * F.col("bn")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "nid", "nlabel", "cos")
+    )
+    return n.select("vec_id", "label").join(best, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.col("nid").alias("hard_neg_id"),
+        F.col("nlabel").alias("hard_neg_label"),
+        F.col("cos").alias("hard_neg_cos"),
+    )

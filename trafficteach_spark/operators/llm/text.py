@@ -1557,3 +1557,122 @@ def q206_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= _SPARSE_COS_MIN)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@register(
+    "q213_filter_agreement",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               length(replace(text, ' ', '')) AS nz
+        FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               ROUND(nz / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+               len(list_filter(w, x -> x = '{_EN_STOPWORDS[0]}'
+                                       OR x = '{_EN_STOPWORDS[1]}')) AS n_stop,
+               ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+                     / CAST(len(w) AS DOUBLE), 6) AS alpha_frac,
+               ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                   AS uniq_ratio
+        FROM t
+    ),
+    r AS (
+        SELECT CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                    AND mean_word_len BETWEEN {_GOPHER_MIN_WLEN}
+                        AND {_GOPHER_MAX_WLEN}
+                    AND n_stop >= {_GOPHER_MIN_STOP}
+                    AND alpha_frac >= {_GOPHER_MIN_ALPHA} AS INT) AS a,
+               CAST(n_words >= 30 AND uniq_ratio >= 0.35 AS INT) AS b
+        FROM m
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(a) AS DOUBLE) AS na,
+               CAST(SUM(b) AS DOUBLE) AS nb,
+               CAST(SUM(a * b) AS DOUBLE) AS nab,
+               CAST(SUM((1 - a) * (1 - b)) AS DOUBLE) AS nrej
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(na AS BIGINT) AS n_gopher_pass,
+           CAST(nb AS BIGINT) AS n_quality_pass,
+           CAST(nab AS BIGINT) AS n_both_pass,
+           ROUND((nab + nrej) / n, 6) AS po,
+           ROUND((na / n) * (nb / n)
+                 + (1 - na / n) * (1 - nb / n), 6) AS pe,
+           ROUND(((nab + nrej) / n
+                  - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)))
+                 / NULLIF(1 - ((na / n) * (nb / n)
+                               + (1 - na / n) * (1 - nb / n)), 0), 6)
+               AS kappa
+    FROM s
+    """,
+    tags=("llm", "X4", "quality", "agreement"),
+)
+def q213_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent quality raters — the
+    Gopher hard gate (q174's pass_all rule battery, same constants) and
+    q39's 'high' bucket (n_tokens >= 30 AND uniq_ratio >= 0.35) —
+    chance-corrected agreement, the label-QC primitive a curation
+    pipeline runs before trusting any single filter (two filters that
+    agree no better than chance are measuring different things; kappa
+    near 1 means the cheaper rater can stand in for the dearer one).
+    Both raters recompute from the module's shared constants, so a
+    threshold change moves q174/q39 and this audit together.
+
+    Plan: pure per-row column expressions (both rule batteries are one
+    projection over one scan) -> ONE 1-row aggregate; zero joins, zero
+    per-doc state. At 100 TB: a single map-side-combined reduction.
+    NULLIF guards the degenerate pe = 1 corpus (kappa undefined).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    stop_pred = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    m = docs.select(
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / n_words.cast("double"),
+            6,
+        ).alias("mean_word_len"),
+        F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))").alias("n_stop"),
+        F.round(
+            F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))")
+            / n_words.cast("double"),
+            6,
+        ).alias("alpha_frac"),
+        F.round(F.size(F.array_distinct(w)).cast("double") / n_words, 6).alias(
+            "uniq_ratio"
+        ),
+    )
+    a = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MIN_WLEN, _GOPHER_MAX_WLEN)
+        & (F.col("n_stop") >= _GOPHER_MIN_STOP)
+        & (F.col("alpha_frac") >= _GOPHER_MIN_ALPHA)
+    ).cast("int")
+    b = ((F.col("n_words") >= 30) & (F.col("uniq_ratio") >= 0.35)).cast("int")
+    s = m.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("nab"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("double").alias("nrej"),
+    )
+    pa, pb = F.col("na") / F.col("n"), F.col("nb") / F.col("n")
+    po = (F.col("nab") + F.col("nrej")) / F.col("n")
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("na").cast("long").alias("n_gopher_pass"),
+        F.col("nb").cast("long").alias("n_quality_pass"),
+        F.col("nab").cast("long").alias("n_both_pass"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.try_divide(po - pe, F.nullif(1 - pe, F.lit(0.0))), 6
+        ).alias("kappa"),
+    )

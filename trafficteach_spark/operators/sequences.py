@@ -3157,3 +3157,301 @@ def q207_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c", 6).alias("z_crit"),
         F.col("sig").cast("int").alias("significant"),
     )
+
+
+# Bradley-Terry preference aggregation (Bradley & Terry 1952; the MM
+# fixed-point from Hunter 2004, "MM algorithms for generalized
+# Bradley-Terry models" — public papers). The RLHF reward-modeling
+# primitive: pairwise preference counts -> per-item strengths.
+_BT_ITERS = 10
+_BT_SMOOTH = 0.5  # virtual half-win per ordered pair (keeps p > 0)
+
+
+def _bt_oracle() -> str:
+    """Unrolled {_BT_ITERS}-iteration MM CTE chain (same unrolling
+    device as the q186 PageRank oracle: DuckDB has no mutual recursion,
+    and the bounded item set makes unrolling exact)."""
+    ctes = [
+        f"""u AS MATERIALIZED (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    contests AS (
+        SELECT CASE WHEN a.c > b.c THEN a.event_type
+                    ELSE b.event_type END AS winner,
+               CASE WHEN a.c > b.c THEN b.event_type
+                    ELSE a.event_type END AS loser
+        FROM u a JOIN u b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        WHERE a.c <> b.c
+    ),
+    wc AS MATERIALIZED (SELECT winner, loser, COUNT(*) AS w FROM contests GROUP BY 1, 2),
+    items AS MATERIALIZED (
+        SELECT DISTINCT it FROM (
+            SELECT winner AS it FROM wc UNION SELECT loser FROM wc)
+    ),
+    pw AS MATERIALIZED (
+        SELECT a.it AS i, b.it AS j,
+               {_BT_SMOOTH} + COALESCE(wc.w, 0) AS w
+        FROM items a JOIN items b ON a.it <> b.it
+        LEFT JOIN wc ON wc.winner = a.it AND wc.loser = b.it
+    ),
+    pr AS MATERIALIZED (
+        SELECT a.i, a.j, a.w + b.w AS n
+        FROM pw a JOIN pw b ON a.i = b.j AND a.j = b.i
+    ),
+    wi AS MATERIALIZED (SELECT i, SUM(w) AS wins FROM pw GROUP BY 1),
+    ni AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM items),
+    p0 AS MATERIALIZED (SELECT it AS i, 1.0 / ni.n AS p FROM items CROSS JOIN ni)"""
+    ]
+    for k in range(1, _BT_ITERS + 1):
+        ctes.append(f"""den{k} AS MATERIALIZED (
+        SELECT pr.i, SUM(pr.n / (pa.p + pb.p)) AS den
+        FROM pr JOIN p{k - 1} pa ON pa.i = pr.i
+                JOIN p{k - 1} pb ON pb.i = pr.j
+        GROUP BY pr.i
+    ),
+    praw{k} AS (
+        SELECT wi.i, wi.wins / den{k}.den AS p
+        FROM wi JOIN den{k} ON den{k}.i = wi.i
+    ),
+    p{k} AS MATERIALIZED (
+        SELECT i, p / (SELECT SUM(p) FROM praw{k}) AS p FROM praw{k}
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT p{_BT_ITERS}.i AS event_type,
+           CAST(COALESCE(tw.true_wins, 0) AS BIGINT) AS n_wins,
+           CAST(COALESCE(tc.n_contests, 0) AS BIGINT) AS n_contests,
+           ROUND(p{_BT_ITERS}.p, 6) AS strength
+    FROM p{_BT_ITERS}
+    LEFT JOIN (SELECT winner, SUM(w) AS true_wins FROM wc GROUP BY 1) tw
+      ON tw.winner = p{_BT_ITERS}.i
+    LEFT JOIN (
+        SELECT it, SUM(w) AS n_contests FROM (
+            SELECT winner AS it, w FROM wc
+            UNION ALL SELECT loser, w FROM wc) GROUP BY 1) tc
+      ON tc.it = p{_BT_ITERS}.i
+    """
+
+
+@register(
+    "q212_bradley_terry",
+    oracle=_bt_oracle(),
+    tags=("sequences", "preference", "iterative", "llm"),
+)
+def q212_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength estimation over pairwise preferences — the
+    aggregation core of RLHF preference data (which response "wins"
+    becomes which item is stronger). Contests here: for each user and
+    each pair of event types, the type the user emitted MORE of beats
+    the other (ties abstain); {_BT_SMOOTH} virtual wins per ordered pair
+    regularize so every item keeps positive strength (the standard
+    add-half smoothing, and it keeps the MM denominators finite on
+    degenerate corpora). {_BT_ITERS} Hunter-2004 MM iterations
+    p_i <- W_i / sum_j n_ij/(p_i+p_j), renormalized to sum 1 each step;
+    the oracle unrolls the identical arithmetic (q186's device).
+
+    Plan: one (user, type) hash aggregate, one user-keyed self-equi-join
+    bounded by the type vocabulary (<= |types|^2 rows per user), one
+    pair-count aggregate — the corpus collapses to a <= |types|^2 frame
+    and every MM iteration is a join + aggregate on that coalesced
+    memory-sized frame (localCheckpoint-pinned, q186/q187's plan-
+    flattening device). At 100 TB: two corpus shuffles, then driver-
+    negligible iteration.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    a = u.select("user_id", F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+    b = u.select("user_id", F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+    contests = (
+        a.join(b, "user_id")
+        .where((F.col("ta") < F.col("tb")) & (F.col("ca") != F.col("cb")))
+        .select(
+            F.when(F.col("ca") > F.col("cb"), F.col("ta"))
+            .otherwise(F.col("tb"))
+            .alias("winner"),
+            F.when(F.col("ca") > F.col("cb"), F.col("tb"))
+            .otherwise(F.col("ta"))
+            .alias("loser"),
+        )
+    )
+    wc = (
+        contests.groupBy("winner", "loser")
+        .agg(F.count("*").alias("w"))
+        .coalesce(1)
+        .persist()
+    )
+    items = (
+        wc.select(F.col("winner").alias("it"))
+        .union(wc.select("loser"))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    pw = (
+        items.select(F.col("it").alias("i"))
+        .crossJoin(items.select(F.col("it").alias("j")))
+        .where(F.col("i") != F.col("j"))
+        .join(
+            wc.select(
+                F.col("winner").alias("i"), F.col("loser").alias("j"), "w"
+            ),
+            ["i", "j"],
+            "left",
+        )
+        .select("i", "j", (F.lit(_BT_SMOOTH) + F.coalesce("w", F.lit(0))).alias("w"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    pr = (
+        pw.alias("a")
+        .join(
+            pw.select(
+                F.col("i").alias("j"), F.col("j").alias("i"), F.col("w").alias("wb")
+            ).alias("b"),
+            ["i", "j"],
+        )
+        .select("i", "j", (F.col("w") + F.col("wb")).alias("n"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    wi = pw.groupBy("i").agg(F.sum("w").alias("wins"))
+    ni = items.agg(F.count("*").cast("double").alias("n"))
+    p = items.crossJoin(F.broadcast(ni)).select(
+        F.col("it").alias("i"), (F.lit(1.0) / F.col("n")).alias("p")
+    )
+    for _ in range(_BT_ITERS):
+        den = (
+            pr.join(
+                F.broadcast(p.select("i", F.col("p").alias("pa"))), "i"
+            )
+            .join(
+                F.broadcast(
+                    p.select(F.col("i").alias("j"), F.col("p").alias("pb"))
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("n") / (F.col("pa") + F.col("pb"))).alias("den"))
+        )
+        praw = wi.join(F.broadcast(den), "i").select(
+            "i", (F.col("wins") / F.col("den")).alias("p")
+        )
+        tot = praw.agg(F.sum("p").alias("tot"))
+        p = (
+            praw.crossJoin(F.broadcast(tot))
+            .select("i", (F.col("p") / F.col("tot")).alias("p"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    true_wins = wc.groupBy(F.col("winner").alias("i")).agg(
+        F.sum("w").alias("true_wins")
+    )
+    n_contests = (
+        wc.select(F.col("winner").alias("it"), "w")
+        .unionAll(wc.select(F.col("loser").alias("it"), "w"))
+        .groupBy("it")
+        .agg(F.sum("w").alias("n_contests"))
+    )
+    return (
+        p.join(true_wins, "i", "left")
+        .join(n_contests, p["i"] == n_contests["it"], "left")
+        .select(
+            F.col("i").alias("event_type"),
+            F.coalesce("true_wins", F.lit(0)).cast("long").alias("n_wins"),
+            F.coalesce("n_contests", F.lit(0)).cast("long").alias("n_contests"),
+            F.round("p", 6).alias("strength"),
+        )
+    )
+
+
+@register(
+    "q217_average_precision",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS score,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= {_JK_VALUE}
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS c, SUM(label) AS pos
+        FROM u GROUP BY score
+    ),
+    r AS (
+        SELECT *,
+               SUM(c) OVER (ORDER BY score DESC) AS cum_n,
+               SUM(pos) OVER (ORDER BY score DESC) AS cum_pos
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n,
+               CAST(SUM(pos) AS DOUBLE) AS np,
+               SUM(pos * cum_pos / CAST(cum_n AS DOUBLE)) AS ap_num
+        FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(n - np AS BIGINT) AS n_neg,
+           ROUND(np / n, 6) AS prevalence,
+           ROUND(ap_num / NULLIF(np, 0), 6) AS average_precision
+    FROM s
+    """,
+    tags=("sequences", "ml-eval"),
+)
+def q217_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the same scoring rule q196 ROC-AUCs
+    — the metric that matters when positives are rare (ROC-AUC saturates
+    under class imbalance; AP is the PR-curve area). Tie-robust
+    threshold form (the scikit-learn definition): AP = sum over distinct
+    score thresholds of (R_k - R_{k-1}) * P_k, which collapses to
+    sum(pos_g * cumTP_g / cumN_g) / n_pos over score GROUPS in
+    descending-score order — no per-row ranking, no tie-break rule
+    needed.
+
+    Plan: q196's exact shape — one per-user aggregate, one distinct-
+    score tie-group frame, one cumulative window over that BOUNDED
+    frame (score cardinality, not user cardinality), one 1-row
+    reduction. At 100 TB: the per-user shuffle dominates; the PR curve
+    itself is score-cardinality work. NULLIF guards the no-positive
+    corpus (AP undefined -> NULL, matching both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("score"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _JK_VALUE)
+            ).cast("int")
+        ).alias("label"),
+    )
+    g = u.groupBy("score").agg(
+        F.count("*").alias("c"), F.sum("label").alias("pos")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.select(
+        "c",
+        "pos",
+        F.sum("c").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    s = r.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum("pos").cast("double").alias("np"),
+        F.sum(
+            F.col("pos") * F.col("cum_pos") / F.col("cum_n").cast("double")
+        ).alias("ap_num"),
+    )
+    return s.select(
+        F.col("np").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+        F.round(F.col("np") / F.col("n"), 6).alias("prevalence"),
+        F.round(
+            F.try_divide(F.col("ap_num"), F.nullif(F.col("np"), F.lit(0.0))),
+            6,
+        ).alias("average_precision"),
+    )

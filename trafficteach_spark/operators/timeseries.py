@@ -1692,3 +1692,156 @@ def q208_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("share"), 6).alias("credit"),
         )
     )
+
+
+@register(
+    "q216_user_state_batch",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+               SUM(value) OVER (PARTITION BY user_id) AS sum_value
+        FROM events
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(sum_value, 6) AS sum_value,
+           ts AS last_ts,
+           event_type AS last_event_type
+    FROM w WHERE rn = 1
+    """,
+    tags=("timeseries", "streaming", "stateful"),
+)
+def q216_user_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the custom stateful streaming operator
+    (`streaming/stateful.py: running_user_state`,
+    applyInPandasWithState): the CONVERGED per-user profile — event
+    count, value total, last-seen timestamp and event type — i.e. what
+    the streaming state holds after the final micro-batch. Registering
+    it puts the stateful operator's accumulation semantics under the
+    DuckDB oracle (the q204/q205 move applied to O35-O38's state
+    extension). One deliberate divergence, documented here and in the
+    streaming module: a timestamp TIE is broken by event_id here
+    (deterministic under any partitioning) where the stream keeps the
+    first ARRIVAL — arrival order is not a batch-reproducible key.
+
+    Plan: ONE user-partitioned window pass produces the running
+    aggregates and the last-row selector together (count/sum/
+    row_number share a single shuffle + sort), then a row filter — no
+    join between an aggregate frame and a last-row frame. At 100 TB:
+    one shuffle on user_id, the same key the stateful stream hashes
+    its state by.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    w = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number()
+        .over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn"),
+        F.count("*").over(wp).alias("n_events"),
+        F.sum("value").over(wp).alias("sum_value"),
+    )
+    return w.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+_XCORR_MAX_LAG = 7
+
+
+@register(
+    "q218_xcorr_lag",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1
+    ),
+    lg AS (SELECT CAST(lag AS INT) AS lag
+           FROM range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG} + 1) t(lag)),
+    p AS (
+        SELECT lg.lag, a.x, b.y
+        FROM d a CROSS JOIN lg
+        JOIN d b ON b.day = a.day + lg.lag
+    ),
+    s AS (
+        SELECT lag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM p GROUP BY 1
+    )
+    SELECT lag,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+               AS r
+    FROM s
+    """,
+    tags=("timeseries", "correlation"),
+)
+def q218_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lag scan: Pearson r between the daily VIEW
+    count series and the daily PURCHASE count series shifted by each
+    lag in [-{_XCORR_MAX_LAG}, +{_XCORR_MAX_LAG}] — "purchases follow
+    views by how many days?". The lead-lag diagnostic behind q194's
+    forecast baselines and q142's autocorrelation (this is the CROSS
+    series version of q142's self form). All sums are over integer
+    daily counts, so every engine-side value is exact until the final
+    divide.
+
+    Plan: the corpus collapses to ONE daily aggregate (day-cardinality
+    frame); the lag fan-out is a broadcast cross-attach of the constant
+    (2L+1)-row lag grid, realigned by an EQUI-join on the computed day
+    key (never an inequality join), then one per-lag aggregate. At
+    100 TB only the daily rollup touches the corpus; the scan itself
+    is O(days x lags) memory-sized work.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("int")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("y"),
+        )
+        .persist()
+    )
+    lags = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(lag,) for lag in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)],
+            "lag int",
+        )
+    )
+    a = d.select("day", "x").crossJoin(lags).select(
+        "lag", "x", F.date_add("day", F.col("lag")).alias("day_b")
+    )
+    b = d.select(F.col("day").alias("day_b"), "y")
+    p = a.join(b, "day_b")
+    s = p.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 6).alias("r"),
+    )

@@ -126,13 +126,16 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q204_attribution_outer", "q205_stream_enrich",
     "q206_sparse_cosine", "q207_bh_fdr", "q208_position_attribution",
     "q209_cvm_drift", "q210_info_gain", "q211_tokenizer_coverage",
-    # Round-9 rotations: the 11 stalest oracle-backed keys (last
-    # driver-hashed in round 4; every other key's latest evidence is
-    # round 5+).
+    "q212_bradley_terry", "q213_filter_agreement", "q214_kendall_tau",
+    "q215_kruskal_wallis", "q216_user_state_batch",
+    "q217_average_precision", "q218_xcorr_lag", "q219_hard_negatives",
+    # Round-9 rotations: 3 of the 11 stalest oracle-backed keys (last
+    # driver-hashed in round 4). The other 8 r4-stale keys
+    # (q17/q18/q23x2/q24/q33/q37/q38) ceded their slots to the
+    # q212-q219 additions — first-time full-hash evidence outranks a
+    # staleness refresh, and the ceded keys stay digest-pinned every
+    # round; they rotate in round 10.
     "q10_distinct_users", "q14_intersect", "q16_string_funcs",
-    "q17_date_funcs", "q18_json_funcs", "q23_pandas_udf",
-    "q23_pandas_udaf", "q24_explode", "q33_text_stats",
-    "q37_token_count", "q38_fingerprint",
     # (The whole round-8 window — q143/q144, the r6 rotation block,
     # q145-q173, q141/q142 — demoted into the digest with r8 full-hash
     # evidence; q115_rolling_active_sketch demoted without a digest row
