@@ -5205,3 +5205,59 @@ def test_hard_negatives_matches_python_buckets(spark):
         assert r["hard_neg_label"] == labels[best]
         assert abs(r["hard_neg_cos"] - cos(vid, best)) < 1e-6
     assert n_with_neg > 0  # the fixture must exercise the mining path
+
+
+def test_adaptive_lsh_depth_ladder_cross_engine(spark):
+    """q219's corpus-adaptive plane count: the integer CASE ladder must
+    (a) equal max(8, ceil(log2(ceil(N/32)))) clamped to the 20-plane
+    pool, (b) evaluate identically in Spark and DuckDB (it is embedded
+    in both the query and its oracle), and (c) leave every test-SF
+    corpus at the fixed 8-bit geometry so the shared q32 index story —
+    and the pinned q219 digests — hold."""
+    import math
+
+    import duckdb
+
+    from trafficteach_spark.operators.llm.similarity import (
+        _MINE_TARGET_BUCKET,
+        _PLANE_POOL,
+        _PLANES,
+        _POOL_PLANES,
+        _nbits_case_sql,
+    )
+
+    # Pool prefix property: the first 8 pool planes ARE the fixed
+    # search geometry (same seed, same draw order), so nbits=8
+    # reproduces _bucket_expr bit-for-bit.
+    assert _PLANE_POOL[: len(_PLANES)] == _PLANES
+    assert len(_PLANE_POOL) == _POOL_PLANES
+
+    grid = [1, 2, 255, 256, 257, 500, 2000, 5000, 8192, 8193, 20000,
+            200000, 2_000_000, 33_554_432, 33_554_433, 10**9]
+    expr = _nbits_case_sql("n")
+    con = duckdb.connect()
+    for n in grid:
+        expected = max(
+            8,
+            min(
+                _POOL_PLANES,
+                math.ceil(math.log2(math.ceil(n / _MINE_TARGET_BUCKET)))
+                if n > _MINE_TARGET_BUCKET
+                else 0,
+            ),
+        )
+        got_spark = spark.sql(
+            f"SELECT {expr} AS nb FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).collect()[0]["nb"]
+        got_duck = con.execute(
+            f"SELECT {expr} AS nb FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()[0]
+        assert got_spark == got_duck == expected, (n, got_spark, got_duck, expected)
+    # Test SFs stay on the fixed geometry (500 / 5000 / 2000 vectors).
+    for n in (500, 2000, 5000):
+        assert (
+            spark.sql(
+                f"SELECT {expr} AS nb FROM (SELECT CAST({n} AS BIGINT) AS n)"
+            ).collect()[0]["nb"]
+            == 8
+        )

@@ -21,7 +21,15 @@ of combinatorially exploding:
   are exactly preserved; cross-copy cosines are decorrelated, so the
   near-dup threshold query's output scales ~k, not k^2.
 
-Usage: python tools/gen_scale.py <k> <out_dir> [src_sf_dir] [tables]
+Usage: python tools/gen_scale.py <k> <out_dir> [src_sf_dir] [tables] [doc_mode]
+
+``doc_mode`` (optional, default ``remap``): how document copies treat
+the vocabulary. ``remap`` suffixes EVERY word per copy (right for
+set-similarity probes); ``hybrid`` keeps the source's high-df terms
+(df*10 > n_docs) shared so their df scales with the corpus the way
+real Zipf stopwords do — required for probing corpus-relative TF-IDF
+operators (q206), where full remap un-filters common terms and
+fabricates a quadratic self-similar corpus.
 
 ``tables`` (optional, comma-separated) restricts generation to a
 subset — e.g. ``lineitem,documents`` for the 100x probe of the
@@ -71,6 +79,7 @@ def main() -> None:
     out = sys.argv[2]
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    doc_mode = sys.argv[5] if len(sys.argv) > 5 else "remap"
 
     def wanted(table: str) -> bool:
         return only is None or table in only
@@ -105,9 +114,48 @@ def main() -> None:
     if wanted("documents"):
         docs = spark.read.schema(schemas.DOCUMENTS).parquet(f"{src}/documents.parquet")
 
+        # doc_mode "hybrid": keep the source corpus's HIGH-DF terms
+        # (df*10 > n_docs — the set a corpus-relative stop cut drops)
+        # verbatim across copies so their df scales k-fold with the
+        # corpus, the way real Zipf stopwords scale; remap only the
+        # content vocabulary. The default "remap" mode (suffix EVERY
+        # word) is right for set-similarity ops (Jaccard structure
+        # preserved, cross-copy disjoint) but makes every term's
+        # RELATIVE df fall k-fold, which un-filters common terms under
+        # any df/N cap — a corpus-relative TF-IDF operator (q206) then
+        # sees a pathological self-similar corpus where even the true
+        # output is quadratic. Measured: remap 10x -> 2.24e9 candidate
+        # pairs / 70.8M output; hybrid 10x stays linear (see BASELINE.md
+        # round-9 section).
+        stop_terms: list[str] = []
+        if doc_mode == "hybrid":
+            live = docs.where(F.col("text").isNotNull())
+            n_live = live.count()
+            stop_terms = [
+                r["term"]
+                for r in live.select(
+                    F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+                )
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") * 10 > n_live)
+                .collect()
+            ]
+            if len(stop_terms) > 500:
+                raise SystemExit(
+                    "hybrid doc_mode embeds the stop set in an expression; "
+                    f"{len(stop_terms)} stop terms is too many for that device"
+                )
+
         def copy_text(i: int):
             if i == 0:
                 return F.col("text")
+            if doc_mode == "hybrid" and stop_terms:
+                arr = ", ".join("'%s'" % t.replace("'", "\\'") for t in sorted(stop_terms))
+                return F.expr(
+                    "array_join(transform(split(text, ' '), "
+                    f"w -> IF(array_contains(array({arr}), w), w, concat(w, '{i}'))), ' ')"
+                )
             return F.expr(
                 f"array_join(transform(split(text, ' '), w -> concat(w, '{i}')), ' ')"
             )

@@ -211,13 +211,21 @@ def q35_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sign-LSH hyperplanes: fixed seeded pseudo-random, embedded as literals so
-# the bucketing is deterministic across runs and executors.
+# the bucketing is deterministic across runs and executors. The POOL holds
+# more planes than the fixed search geometry uses: the first _N_PLANES are
+# the shared 8-bit index (every existing bucket id is unchanged — same
+# seed, same draw order); planes 8.._POOL_PLANES-1 exist for operators
+# whose LSH depth must GROW with the corpus (q219's corpus-squared mining
+# join — see _nbits_case_sql). 20 planes bound the adaptive depth at
+# 2^20 buckets ~ 34M vectors per 32-vector target cell.
 _N_PLANES = 8
+_POOL_PLANES = 20
 _plane_rng = random.Random(7)
-_PLANES = [
+_PLANE_POOL = [
     [_plane_rng.uniform(-1.0, 1.0) for _ in range(schemas.EMBEDDING_DIM)]
-    for _ in range(_N_PLANES)
+    for _ in range(_POOL_PLANES)
 ]
+_PLANES = _PLANE_POOL[:_N_PLANES]
 
 
 def _bucket_expr(vcol: str) -> F.Column:
@@ -240,6 +248,56 @@ _DUCK_BUCKET = " + ".join(
     f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0"
     f" THEN {1 << i} ELSE 0 END)"
     for i, plane in enumerate(_PLANES)
+)
+
+
+# ---- Corpus-adaptive LSH depth (q219) -------------------------------------
+#
+# A fixed-depth sign-LSH index is right for the QUERY-BOUNDED search path
+# (q32_knn_lsh: cost = queries x bucket size), but a corpus-vs-corpus
+# mining join pays sum-over-buckets of size^2 — with 2^8 fixed cells that
+# grows quadratically in N (measured: 160x wall at 100x corpus before this
+# device existed). The standard remedy is depth that scales with the
+# corpus: nbits = max(8, ceil(log2(N / TARGET))) keeps the expected cell
+# size at TARGET and the join linear in N. The arithmetic is EXACT-INTEGER
+# in both engines (no cross-engine log/ceil rounding hazard):
+#   ceil(log2(ceil(N/T))) == bit_length(floor((N-1)/T))
+# unrolled as a CASE ladder over the plane pool, clamped to [8, 20].
+_MINE_TARGET_BUCKET = 32
+
+
+def _nbits_case_sql(n_col: str) -> str:
+    """SQL (valid in Spark AND DuckDB) for the adaptive plane count given
+    a corpus-size column. bit_length(floor((N-1)/T)) >= k iff
+    floor((N-1)/T) >= 2^(k-1) iff N > T * 2^(k-1): the ladder uses only
+    integer comparisons — no division, so no cross-engine float-vs-floor
+    division semantics to reconcile."""
+    ladder = " ".join(
+        f"WHEN ({n_col}) > {_MINE_TARGET_BUCKET * (1 << (k - 1))} THEN {k}"
+        for k in range(_POOL_PLANES, 7, -1)
+    )
+    return f"GREATEST(8, CASE {ladder} ELSE 8 END)"
+
+
+def _adaptive_bucket_expr(vcol: str, nbits_col: str) -> F.Column:
+    """Bucket id from the first `nbits` pool planes (a prefix of the pool,
+    so nbits=8 reproduces _bucket_expr exactly)."""
+    terms = []
+    for i, plane in enumerate(_PLANE_POOL):
+        lit = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+        dot = _DOT.format(a=vcol, b=lit)
+        terms.append(
+            f"(CASE WHEN {i} < {nbits_col} AND {dot} > 0D"
+            f" THEN {1 << i}L ELSE 0L END)"
+        )
+    return F.expr(" + ".join(terms))
+
+
+_DUCK_ADAPTIVE_BUCKET = " + ".join(
+    f"(CASE WHEN {i} < nbits AND"
+    f" list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i, plane in enumerate(_PLANE_POOL)
 )
 
 _LSH_ORACLE = f"""
@@ -1409,10 +1467,13 @@ def q185_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
+    nb AS (
+        SELECT {_nbits_case_sql("COUNT(*)")} AS nbits FROM embeddings
+    ),
     n AS (
         SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
-               {_DUCK_BUCKET} AS bucket
-        FROM e
+               {_DUCK_ADAPTIVE_BUCKET} AS bucket
+        FROM e CROSS JOIN nb
     ),
     pairs AS (
         SELECT a.vec_id, b.vec_id AS nid, b.label AS nlabel,
@@ -1443,24 +1504,45 @@ def q219_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most-similar vector with a DIFFERENT label — the pair a
     contrastive or metric-learning objective needs most (easy negatives
     teach nothing; the near-miss across the class boundary carries the
-    gradient). Candidates come from the q32_knn_lsh sign-hyperplane
-    buckets (the literally shared `_bucket_expr`/`_DUCK_BUCKET`
-    geometry), so mining is an equi-join on the bucket key, never
-    all-pairs; a vector whose bucket holds no cross-label neighbor
-    reports NULL (visible, not silently dropped). Cosines round to 6
-    before the argmax and ties break on the lower neighbor id, so both
-    engines pick the same negative.
+    gradient). Candidates come from sign-hyperplane LSH buckets whose
+    DEPTH ADAPTS TO THE CORPUS: nbits = max(8, ceil(log2(N/32))) pool
+    planes, where the first 8 planes ARE the q32_knn_lsh search index
+    (at every test SF nbits stays 8, so the bucket ids — and this
+    query's output — are bit-identical to the shared fixed geometry).
+    Mining is an equi-join on the bucket key, never all-pairs; a vector
+    whose bucket holds no cross-label neighbor reports NULL (visible,
+    not silently dropped). Cosines round to 6 before the argmax and
+    ties break on the lower neighbor id, so both engines pick the same
+    negative.
 
-    Plan: one scan computes norms + buckets (persisted — both join
+    Why adaptive where the search path is fixed: q32's cost is
+    queries x bucket size (query-bounded — fixed depth is fine, probes
+    are the recall lever), but mining pays sum-over-buckets of size^2.
+    Measured on the 100x replica (200k vectors): fixed 2^8 cells ->
+    780-vector buckets -> 160x wall; adaptive 13 bits -> ~24-vector
+    cells -> linear (BASELINE.md round-9 probe table). The nbits ladder
+    is exact integer comparisons in BOTH engines (no float log/division
+    — see _nbits_case_sql), so the bucket stays oracle-checkable at any
+    corpus size.
+
+    Plan: one 1-row count frame broadcast-attached (whitelisted scalar
+    attach), one scan computes norms + buckets (persisted — both join
     sides and the left-join spine read it), one bucket equi-join with
     residual label filter, one per-vector row_number window, one left
-    join back. At 100 TB: pair volume is sum over buckets of
-    bucket_size^2 like the LSH search path, with multi-probe (q32's
-    knn_lsh_multiprobe) the documented recall lever.
+    join back. At 100 TB: expected bucket size is pinned at
+    {_MINE_TARGET_BUCKET} by construction, so pair volume is ~N x
+    {_MINE_TARGET_BUCKET}; multi-probe (q32's knn_lsh_multiprobe) is
+    the documented recall lever.
     """
+    nbits_frame = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count("*").alias("n_vecs"))
+        .select(F.expr(_nbits_case_sql("n_vecs")).alias("nbits"))
+    )
     n = (
         _vectors(spark, sf_dir)
-        .withColumn("bucket", _bucket_expr("v"))
+        .crossJoin(F.broadcast(nbits_frame))
+        .withColumn("bucket", _adaptive_bucket_expr("v", "nbits"))
         .persist()
     )
     a = n.select("bucket", "vec_id", "label", "v", F.col("nrm").alias("an"))
