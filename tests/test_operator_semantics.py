@@ -5261,3 +5261,57 @@ def test_adaptive_lsh_depth_ladder_cross_engine(spark):
             ).collect()[0]["nb"]
             == 8
         )
+def test_result_partitioning_invariance(spark):
+    """Registered-query results must not depend on the PHYSICAL
+    partitioning: rerun a cross-family sample at sf0.001 under a
+    hostile shuffle-partition count (7) with AQE off and assert the
+    canonicalized row multiset is identical to the default-conf run.
+    This catches FP-accumulation-order and per-partition-logic
+    nondeterminism the DuckDB oracle can miss — parity only ever sees
+    ONE Spark partitioning. The sampled keys deliberately span the
+    fragile families: iterative fixed point (q212), HOF sequential
+    folds (q92, q19), double aggregates under round() (q103, q140),
+    integer-exact similarity joins (q206), adaptive-LSH mining (q219),
+    and cumulative-window devices (q217, q218)."""
+    from tools.parity import _canon
+    from trafficteach_spark.registry import queries
+    from trafficteach_spark.session import cache_scope
+
+    keys = [
+        "q19_funnel",
+        "q31_near_dedup",
+        "q92_ewma",
+        "q103_corr_matrix",
+        "q140_rfm_segmentation",
+        "q206_sparse_cosine",
+        "q212_bradley_terry",
+        "q217_average_precision",
+        "q218_xcorr_lag",
+        "q219_hard_negatives",
+    ]
+    sf = "/root/testdata/sf0.001"
+    qs = queries()
+
+    def snapshot(key):
+        with cache_scope(spark):
+            df = qs[key](spark, sf)
+            return sorted(tuple(_canon(v) for v in row) for row in df.collect())
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    base = {k: snapshot(k) for k in keys}
+    try:
+        conf.set("spark.sql.shuffle.partitions", "7")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for k in keys:
+            hostile = snapshot(k)
+            assert hostile == base[k], (
+                f"{k}: result depends on partitioning "
+                f"({len(hostile)} vs {len(base[k])} rows or value drift)"
+            )
+    finally:
+        for key_, v in saved.items():
+            conf.set(key_, v)
