@@ -5261,6 +5261,8 @@ def test_adaptive_lsh_depth_ladder_cross_engine(spark):
             ).collect()[0]["nb"]
             == 8
         )
+
+
 def test_result_partitioning_invariance(spark):
     """Registered-query results must not depend on the PHYSICAL
     partitioning: rerun a cross-family sample at sf0.001 under a

@@ -84,6 +84,7 @@ def run_parity(sf_dir: str, round_no: int) -> list[str]:
     lines: list[str] = []
     errors: list[str] = []
     n_hash = n_rows_only = 0
+    rows_only_seen: list[str] = []
     for key in specs:
         try:
             with cache_scope(spark):
@@ -93,6 +94,7 @@ def run_parity(sf_dir: str, round_no: int) -> list[str]:
         if res.ok and res.detail.startswith("rows-only"):
             if key in ROWS_ONLY_OK:
                 n_rows_only += 1
+                rows_only_seen.append(key)
                 lines.append(f"OK {key}: {res.detail} — rows-only by design")
             else:
                 # A key silently losing its oracle must fail the sweep.
@@ -114,7 +116,9 @@ def run_parity(sf_dir: str, round_no: int) -> list[str]:
             f"sf0.01, {stamp}, HEAD {head}+sweep). "
             f"{n_hash + n_rows_only}/{len(specs)} passed ({n_hash} full-hash,\n"
             f"{n_rows_only} deliberate rows-only sketch keys:\n"
-            f"{', '.join(sorted(ROWS_ONLY_OK))}).\n\n"
+            # The OBSERVED rows-only passes, not the static whitelist — a
+            # whitelisted key that failed must not appear in the header.
+            f"{', '.join(sorted(rows_only_seen))}).\n\n"
             "```\n" + "\n".join(lines) + "\n```\n"
         )
     return errors

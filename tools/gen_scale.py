@@ -80,6 +80,11 @@ def main() -> None:
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     doc_mode = sys.argv[5] if len(sys.argv) > 5 else "remap"
+    if doc_mode not in ("remap", "hybrid"):
+        # A typo'd mode silently behaving as "remap" would regenerate the
+        # pathological self-similar corpus hybrid exists to avoid, and the
+        # probe numbers recorded from it would look like a real blowup.
+        raise SystemExit(f"unknown doc_mode {doc_mode!r}: use 'remap' or 'hybrid'")
 
     def wanted(table: str) -> bool:
         return only is None or table in only
@@ -151,7 +156,10 @@ def main() -> None:
             if i == 0:
                 return F.col("text")
             if doc_mode == "hybrid" and stop_terms:
-                arr = ", ".join("'%s'" % t.replace("'", "\\'") for t in sorted(stop_terms))
+                arr = ", ".join(
+                    "'%s'" % t.replace("\\", "\\\\").replace("'", "\\'")
+                    for t in sorted(stop_terms)
+                )
                 return F.expr(
                     "array_join(transform(split(text, ' '), "
                     f"w -> IF(array_contains(array({arr}), w), w, concat(w, '{i}'))), ' ')"

@@ -390,12 +390,17 @@ def build_oracle() -> str:
     for key, spec in registry.peek_specs().items():
         if key not in DIGEST_SCHEMAS or spec.oracle is None:
             continue
+        # A constituent may itself use the lazy-callable oracle form, and
+        # whether registry._load() has resolved it before THIS builder runs
+        # depends on dict insertion order — resolve here so a callable is
+        # never f-string-embedded as a function repr into the composed SQL.
+        oracle_sql = spec.oracle() if callable(spec.oracle) else spec.oracle
         fps = ", ".join(
             f"{expr} AS {alias}" for expr, alias in _fp_aggs(DIGEST_SCHEMAS[key], "duckdb")
         )
         subs.append(
             f"SELECT '{key}' AS qkey, COUNT(*) AS n, {fps}\n"
-            f"FROM (\n{spec.oracle}\n) __digest_{key}"
+            f"FROM (\n{oracle_sql}\n) __digest_{key}"
         )
         covered.add(key)
     if covered != set(DIGEST_SCHEMAS):

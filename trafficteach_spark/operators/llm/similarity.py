@@ -276,7 +276,10 @@ def _nbits_case_sql(n_col: str) -> str:
         f"WHEN ({n_col}) > {_MINE_TARGET_BUCKET * (1 << (k - 1))} THEN {k}"
         for k in range(_POOL_PLANES, 7, -1)
     )
-    return f"GREATEST(8, CASE {ladder} ELSE 8 END)"
+    # The ELSE is the floor: the ladder stops at k=8, so every corpus small
+    # enough to miss all WHEN branches gets the fixed 8-bit search geometry
+    # (the cross-engine grid test pins this).
+    return f"CASE {ladder} ELSE 8 END"
 
 
 def _adaptive_bucket_expr(vcol: str, nbits_col: str) -> F.Column:

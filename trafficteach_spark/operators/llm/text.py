@@ -18,6 +18,12 @@ from trafficteach_spark.sources.tables import load_table
 # English function words present in the fixture vocabulary; the heuristic
 # generalizes to per-language stopword lists (one size(filter(...)) each).
 _EN_STOPWORDS = ("the", "a")
+# The SAME membership predicate for both engines (the lambda syntax is
+# identical in Spark SQL and DuckDB): every oracle must interpolate this
+# instead of enumerating _EN_STOPWORDS[i] by index — a Spark side
+# generated over the whole tuple paired with a hand-enumerated oracle
+# silently diverges the day the tuple grows.
+_STOP_PRED = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
 
 # BPE-ish tokenizer classes: letter runs, digit runs, single non-alnum marks.
 _RE_ALPHA = "[a-z]+"
@@ -71,7 +77,7 @@ def q33_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT lang,
                CASE WHEN len(list_filter(string_split(text, ' '),
-                        x -> x = '{_EN_STOPWORDS[0]}' OR x = '{_EN_STOPWORDS[1]}')) > 0
+                        x -> {_STOP_PRED})) > 0
                     THEN 'en' ELSE 'und' END AS predicted_lang
         FROM documents
     )
@@ -90,7 +96,7 @@ def q36_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     final confusion rollup) is what scales.
     """
     docs = load_table(spark, sf_dir, "documents")
-    stop_pred = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
+    stop_pred = _STOP_PRED
     predicted = F.when(
         F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))") > 0, F.lit("en")
     ).otherwise(F.lit("und"))
@@ -179,7 +185,7 @@ def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                      / len(string_split(text, ' ')), 6) AS avg_token_len,
                ROUND(CAST(len(list_filter(string_split(text, ' '),
-                        x -> x = '{_EN_STOPWORDS[0]}' OR x = '{_EN_STOPWORDS[1]}'))
+                        x -> {_STOP_PRED}))
                      AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio
         FROM documents
     )
@@ -195,7 +201,7 @@ def q39_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    stop_pred = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
+    stop_pred = _STOP_PRED
     n_tokens = F.size(w)
     feats = docs.select(
         "doc_id",
@@ -1235,8 +1241,7 @@ _GOPHER_MIN_ALPHA = 0.8
         SELECT doc_id, source,
                len(w) AS n_words,
                ROUND(nz / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
-               len(list_filter(w, x -> x = '{_EN_STOPWORDS[0]}'
-                                       OR x = '{_EN_STOPWORDS[1]}')) AS n_stop,
+               len(list_filter(w, x -> {_STOP_PRED})) AS n_stop,
                ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
                      / CAST(len(w) AS DOUBLE), 6) AS alpha_frac
         FROM t
@@ -1275,7 +1280,7 @@ def q174_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel at any scale; the regex runs inside a
     codegen'd HOF filter, no Python anywhere.
     """
-    stop_pred = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
+    stop_pred = _STOP_PRED
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     m = docs.select(
         "doc_id",
@@ -1461,7 +1466,7 @@ _SPARSE_W_SCALE = 1_000_000
                CAST(ROUND(tf * ln((n_docs + 1.0) / (df + 1.0))
                     * {_SPARSE_W_SCALE}) AS HUGEINT) AS w
         FROM tfdf CROSS JOIN n
-        WHERE df * 10 <= n_docs AND df <= 10000
+        WHERE df * 10 <= n_docs AND df <= {_SPARSE_DF_ABS}
     ),
     norms AS (
         SELECT doc_id, SUM(w * w) AS nsq FROM post GROUP BY doc_id
@@ -1571,8 +1576,7 @@ def q206_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                len(w) AS n_words,
                ROUND(nz / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
-               len(list_filter(w, x -> x = '{_EN_STOPWORDS[0]}'
-                                       OR x = '{_EN_STOPWORDS[1]}')) AS n_stop,
+               len(list_filter(w, x -> {_STOP_PRED})) AS n_stop,
                ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
                      / CAST(len(w) AS DOUBLE), 6) AS alpha_frac,
                ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
@@ -1629,7 +1633,7 @@ def q213_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLIF guards the degenerate pe = 1 corpus (kappa undefined).
     """
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    stop_pred = " OR ".join(f"x = '{s}'" for s in _EN_STOPWORDS)
+    stop_pred = _STOP_PRED
     w = F.split("text", " ")
     n_words = F.size(w)
     m = docs.select(

@@ -2881,26 +2881,45 @@ def q198_metric_family_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out aggregate. try_divide/NULLIF guard degenerate variances.
     """
     ev = load_table(spark, sf_dir, "events")
-    zt = _metric_family_z(ev)
+    return _stepped_significance_readout(
+        _metric_family_z(ev), _HOLM_CRIT, "down", "holm_rank"
+    )
+
+
+def _stepped_significance_readout(
+    zt: DataFrame, crit_vals, step: str, rank_alias: str
+) -> DataFrame:
+    """Shared q198/q207 readout tail (the _metric_family_z move applied
+    to the OTHER half of the pair): rank the metric family by |z| desc,
+    broadcast-attach the pinned critical values, run the stepped
+    significance window on the 4-row frame, and project the 7-column
+    result. step='down' is Holm's FWER step-down (significant only
+    while every STRONGER rank also cleared: cumulative MIN over
+    preceding rows); step='up' is Benjamini-Hochberg's FDR step-up
+    (significant if ANY weaker-or-equal rank clears its own threshold:
+    reverse cumulative MAX over following rows)."""
     wr = Window.orderBy(F.desc(F.abs(F.col("z"))), "metric")
     crit = F.broadcast(
-        ev.sparkSession.createDataFrame(
-            [(k + 1, c) for k, c in enumerate(_HOLM_CRIT)], "k int, c double"
+        zt.sparkSession.createDataFrame(
+            [(k + 1, c) for k, c in enumerate(crit_vals)], "k int, c double"
         )
     )
     ranked = zt.withColumn("k", F.row_number().over(wr)).join(crit, "k")
-    wstep = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
-    return ranked.withColumn(
-        "sig",
-        F.min(
-            F.when(F.abs(F.col("z")) > F.col("c"), 1).otherwise(0)
-        ).over(wstep),
-    ).select(
+    hit = F.when(F.abs(F.col("z")) > F.col("c"), 1).otherwise(0)
+    if step == "down":
+        wstep = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        sig = F.min(hit).over(wstep)
+    elif step == "up":
+        wstep = Window.orderBy("k").rowsBetween(0, Window.unboundedFollowing)
+        sig = F.max(hit).over(wstep)
+    else:
+        raise ValueError(f"step must be 'down' or 'up', got {step!r}")
+    return ranked.withColumn("sig", sig).select(
         "metric",
         "mean_a",
         "mean_b",
         F.round("z", 6).alias("z"),
-        F.col("k").alias("holm_rank"),
+        F.col("k").alias(rank_alias),
         F.round("c", 6).alias("z_crit"),
         F.col("sig").cast("int").alias("significant"),
     )
@@ -3126,36 +3145,18 @@ def q207_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q198/q207 pair is the standard readout duo (guardrail metrics get
     Holm, exploratory families get BH). Critical z values are pinned
     stdlib-NormalDist literals; the family z frame is the literally
-    shared ``_metric_family_z`` body, so the two procedures can never
-    drift on inputs.
+    shared ``_metric_family_z`` body and the rank/threshold/readout
+    tail is the literally shared ``_stepped_significance_readout``, so
+    the two procedures can only differ in the two places they should:
+    the pinned critical values and the step direction.
 
     Plan: identical to q198 — one user shuffle + one 4-way fan-out
     aggregate; the step-up reverse cumulative-MAX runs on the 4-row
     frame.
     """
     ev = load_table(spark, sf_dir, "events")
-    zt = _metric_family_z(ev)
-    wr = Window.orderBy(F.desc(F.abs(F.col("z"))), "metric")
-    crit = F.broadcast(
-        ev.sparkSession.createDataFrame(
-            [(k + 1, c) for k, c in enumerate(_BH_CRIT)], "k int, c double"
-        )
-    )
-    ranked = zt.withColumn("k", F.row_number().over(wr)).join(crit, "k")
-    wstep = Window.orderBy("k").rowsBetween(0, Window.unboundedFollowing)
-    return ranked.withColumn(
-        "sig",
-        F.max(
-            F.when(F.abs(F.col("z")) > F.col("c"), 1).otherwise(0)
-        ).over(wstep),
-    ).select(
-        "metric",
-        "mean_a",
-        "mean_b",
-        F.round("z", 6).alias("z"),
-        F.col("k").alias("bh_rank"),
-        F.round("c", 6).alias("z_crit"),
-        F.col("sig").cast("int").alias("significant"),
+    return _stepped_significance_readout(
+        _metric_family_z(ev), _BH_CRIT, "up", "bh_rank"
     )
 
 

@@ -69,6 +69,14 @@ def _make_update_fn():
             n += len(pdf)
             total += float(pdf["value"].sum())
             us = (pdf["ts"].astype("int64") // 1000).max()
+            # Timestamp TIE semantics (deliberate divergence from the
+            # batch twin): the strict ``us > last_us`` keeps the FIRST
+            # ARRIVAL on a tie — arrival order is real in a stream but is
+            # not a batch-reproducible key, so q216_user_state_batch
+            # breaks the same tie on the highest event_id instead. On a
+            # tied corpus the two can legitimately pick different
+            # last_event_type values; everything else (n, sum, last_ts)
+            # is identical.
             if us > last_us:
                 row = pdf.loc[(pdf["ts"].astype("int64") // 1000).idxmax()]
                 last_us, last_type = int(us), str(row["event_type"])
