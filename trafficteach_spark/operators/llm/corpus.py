@@ -393,7 +393,6 @@ def q56_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.crossJoin(F.broadcast(total))
         .withColumn("vocab_rank", F.row_number().over(w))
-        .where(F.col("vocab_rank") <= VOCAB_TOP_K)
         .select(
             "term",
             "n",
@@ -612,9 +611,17 @@ SPLIT_VAL_PCT = 10  # test gets the remainder
 
 # 15 hex chars of md5 -> 60-bit non-negative int, identical in both
 # engines (Spark conv(,16,10); DuckDB '0x'-literal cast).
-_SPLIT_HASH_SPARK = (
-    f"pmod({md5_prefix_int_spark('CAST(doc_id AS STRING)')}, 100)"
-)
+
+
+def _split_hash_spark(id_col: str) -> str:
+    """Generated per id column — not textual surgery on a prebuilt
+    string, which would silently produce wrong SQL the day the hash
+    expression mentions the column name twice or inside another
+    identifier."""
+    return f"pmod({md5_prefix_int_spark(f'CAST({id_col} AS STRING)')}, 100)"
+
+
+_SPLIT_HASH_SPARK = _split_hash_spark("doc_id")
 _SPLIT_HASH_DUCK = (
     f"({md5_prefix_int_duck('CAST(doc_id AS VARCHAR)')} % 100)"
 )
@@ -626,7 +633,7 @@ def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     training pipeline needs (stable under reruns, re-partitioning, and
     data growth: a doc's split never depends on what else is in the
     corpus). Pure per-row expression: no shuffle, no state."""
-    bucket = F.expr(_SPLIT_HASH_SPARK.replace("doc_id", id_col))
+    bucket = F.expr(_split_hash_spark(id_col))
     return df.withColumn(
         "split",
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
@@ -825,7 +832,10 @@ def _peeked_oracle(key: str) -> str:
         # Not an assert: a registration-order regression must fail loudly
         # under ``python -O`` too, not surface as a broken composed oracle.
         raise RuntimeError(f"{key} must register (with an oracle) before its consumers")
-    return spec.oracle
+    # A constituent may use the lazy-callable oracle form; resolve it here
+    # (the digest builder does the same) so a function repr can never be
+    # interpolated into a composed oracle.
+    return spec.oracle() if callable(spec.oracle) else spec.oracle
 
 
 @register(
@@ -1073,7 +1083,7 @@ def q98_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_rate_oracle() -> str:
     from trafficteach_spark import registry as _registry
 
-    q46 = _registry.peek_specs()["q46_dedup_clusters"].oracle
+    q46 = _peeked_oracle("q46_dedup_clusters")
     return f"""
     SELECT d.source,
            COUNT(*) AS n_docs,
@@ -1596,7 +1606,8 @@ _DSIR_BG_DUCK = md5_prefix_int_duck("bg")
     "q169_dsir_weights",
     oracle=f"""
     WITH tok AS (
-        SELECT doc_id, source IN ({_DSIR_TARGET_SQL}) AS is_target,
+        SELECT doc_id,
+               COALESCE(source IN ({_DSIR_TARGET_SQL}), FALSE) AS is_target,
                string_split(lower(text), ' ') AS w
         FROM documents WHERE text IS NOT NULL
     ),
@@ -1660,7 +1671,13 @@ def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
-        F.col("source").isin(*_DSIR_TARGET).alias("is_target"),
+        # NULL source must count as RAW, not vanish: bare isin() yields
+        # NULL for a NULL source, and summing its negation would drop
+        # those tokens from cr while the oracle's CASE WHEN counts them
+        # — coalesce pins both engines to "NULL source = raw corpus".
+        F.coalesce(
+            F.col("source").isin(*_DSIR_TARGET), F.lit(False)
+        ).alias("is_target"),
         F.split(F.lower("text"), " ").alias("w"),
     )
     feats = (
@@ -1882,7 +1899,11 @@ def q187_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # coalesce(1): grid-sized frame; single-partition sweeps avoid
         # full-width scheduling in each unrolled IPF stage.
         .coalesce(1)
-        .persist()
+        # localCheckpoint, not persist: a per-invocation persist() leaks
+        # one CacheManager entry per call (nothing ever unpersists it);
+        # the checkpoint blocks are freed by the ContextCleaner when the
+        # frame goes out of scope, same as the per-sweep pins below.
+        .localCheckpoint(eager=True)
     )
     tot = cells.agg(
         F.sum("n").alias("t"),
@@ -2020,10 +2041,8 @@ def q188_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q202_oracle() -> str:
     """Wrap the two registered dedup oracles verbatim so the agreement
     audit can never drift from the methods it audits."""
-    from trafficteach_spark.registry import peek_specs
-
-    lex = peek_specs()["q46_dedup_clusters"].oracle
-    sem = peek_specs()["q170_semdedup"].oracle
+    lex = _peeked_oracle("q46_dedup_clusters")
+    sem = _peeked_oracle("q170_semdedup")
     return f"""
     WITH lex AS ({lex}),
     sem AS ({sem}),

@@ -99,12 +99,13 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_EVAL_HASHED_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from trafficteach_spark.session import evict_stale_memo
 
-    for memo in (_SHINGLE_MEMO, _PAIRS_MEMO, _CLUSTERS_MEMO):
+    for memo in (_SHINGLE_MEMO, _PAIRS_MEMO, _CLUSTERS_MEMO, _EVAL_HASHED_MEMO):
         evict_stale_memo(memo, spark)
     return (spark.sparkContext.applicationId, sf_dir)
 
@@ -256,8 +257,12 @@ def q31_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, sf_dir)
 
 
-def _make_minhash_signatures():
-    """Vectorized numpy signature worker (closure — pickled by value).
+def _make_minhash_signatures(hash_ab=None):
+    """Vectorized numpy signature worker (closure — pickled by value),
+    parameterized by the (a, b) universal-hash coefficient table so the
+    production path (``_HASH_AB``, the default) and the recall-eval
+    harness (``_EVAL_HASH_AB``) share ONE implementation of the modmul
+    matrix and its overflow-safety argument.
 
     64 universal hashes per doc as one (64, n_shingles) modmul matrix +
     row-min — measured ~6x faster than the equivalent 64 interpreted HOF
@@ -268,8 +273,9 @@ def _make_minhash_signatures():
     """
     import numpy as np
 
-    a = np.array([ab[0] for ab in _HASH_AB], dtype=np.int64)[:, None]
-    b = np.array([ab[1] for ab in _HASH_AB], dtype=np.int64)[:, None]
+    ab = _HASH_AB if hash_ab is None else hash_ab
+    a = np.array([p[0] for p in ab], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in ab], dtype=np.int64)[:, None]
 
     def signatures(batches):
         import pandas as pd
@@ -981,33 +987,31 @@ def q125_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 1)
     )
     tok_hash = md5_prefix_int_spark("t", 7)
-    hashed = sample.select(
-        "doc_id",
-        "toks",
-        F.size("toks").alias("sz"),
-        F.expr(f"transform(toks, t -> {tok_hash})").alias("hs"),
-    ).persist()
-    # Signatures via the numpy matrix worker (the q31_minhash_lsh path:
-    # 64 interpreted HOF transforms measured ~4x slower at sf0.1) —
-    # identical integer math to the oracle's 64 list_min expressions
-    # (a < 2^30, h < 2^28 keeps a*h + b far inside int64).
-    def _eval_signatures(batches):
-        import numpy as np
-        import pandas as pd
+    # Memoized per (app, dataset) like the shared shingle layer: a bare
+    # per-invocation persist() stacks a fresh cache entry every bench
+    # repeat (the exact leak the round-6 review fixed in
+    # shared_word_kgrams), evicting the dedup family's shared frames.
+    from pyspark.storagelevel import StorageLevel
 
-        a = np.array([ab[0] for ab in _EVAL_HASH_AB], dtype=np.int64)[:, None]
-        b = np.array([ab[1] for ab in _EVAL_HASH_AB], dtype=np.int64)[:, None]
-        for pdf in batches:
-            sigs = [
-                ((a * np.asarray(hs, dtype=np.int64)[None, :] + b) % _MERSENNE).min(
-                    axis=1
-                )
-                for hs in pdf["hs"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
-
+    memo_key = _memo_key(spark, sf_dir)
+    hashed = _EVAL_HASHED_MEMO.get(memo_key)
+    if hashed is None:
+        hashed = sample.select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("sz"),
+            F.expr(f"transform(toks, t -> {tok_hash})").alias("hs"),
+        ).persist()
+        _EVAL_HASHED_MEMO[memo_key] = hashed
+    elif hashed.storageLevel == StorageLevel.NONE:
+        hashed.persist()
+    # Signatures via the SAME numpy matrix worker as q31_minhash_lsh,
+    # parameterized with the eval coefficient table (a < 2^30, h < 2^28
+    # keeps a*h + b far inside int64 — one implementation, one
+    # overflow-safety argument).
     sig = hashed.select("doc_id", "hs").mapInPandas(
-        _eval_signatures, schema="doc_id long, sig array<long>"
+        _make_minhash_signatures(_EVAL_HASH_AB),
+        schema="doc_id long, sig array<long>",
     )
     band_hashes = F.array(
         *[
@@ -1306,7 +1310,11 @@ def q175_lsh_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized dedup layer already computed for clustering — the
     planner costs one extra pass over it.
     """
-    pairs = near_dup_pairs(spark, sf_dir).select(
+    # Consume the once-materialized pair layer (the docstring's contract):
+    # recomputing near_dup_pairs here re-ran the shingle self-join — the
+    # dedup family's most expensive stage — on every planner invocation
+    # (measured 17 s cold vs 2.5 s riding the layer at sf0.1).
+    pairs = materialized_pairs(spark, sf_dir).select(
         F.round("jaccard", 6).alias("jaccard")
     )
     grid = F.broadcast(
