@@ -5317,3 +5317,66 @@ def test_result_partitioning_invariance(spark):
     finally:
         for key_, v in saved.items():
             conf.set(key_, v)
+
+
+def test_dsir_null_source_counts_as_raw(spark, tmp_path):
+    """q169 on a hand fixture WITH a NULL-source document (the driver
+    testdata has none, so the parity sweep cannot guard this): the
+    NULL-source doc's bigrams must land in the RAW denominator in BOTH
+    engines and the doc must receive a weight row. Pins the coalesce
+    fix — a bare isin()/IN yields NULL for a NULL source, silently
+    dropping those tokens from cr on the Spark side while the oracle's
+    CASE counted them."""
+    import duckdb
+
+    from trafficteach_spark import registry, schemas
+
+    rows = [
+        (1, "alpha beta gamma", "en", "src1", 16),       # target
+        (2, "alpha beta delta", "en", "other", 16),      # raw
+        (3, "alpha beta gamma delta", "en", None, 22),   # NULL source -> raw
+    ]
+    spark.createDataFrame(rows, schemas.DOCUMENTS).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in Q["q169_dsir_weights"](spark, str(tmp_path)).collect()
+    }
+    # Raw-side docs only (the weight frame scores the raw corpus), and
+    # the NULL-source doc is IN it, not silently dropped.
+    assert set(got) == {2, 3}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(
+            registry.all_specs()["q169_dsir_weights"].oracle
+        ).fetchall()
+    }
+    assert set(oracle) == {2, 3}
+    for did in (2, 3):
+        srow, orow = got[did], oracle[did]
+        assert [str(v) for v in srow] == [str(v) for v in orow], (srow, orow)
+
+
+def test_hash_split_custom_id_col(spark):
+    """hash_split's per-column expression generation: a non-default
+    id_col must hash THAT column's value — equal ids get equal splits
+    across different column names, and the generated SQL is not textual
+    surgery on the doc_id default."""
+    from trafficteach_spark.operators.llm.corpus import hash_split
+
+    a = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    b = spark.createDataFrame([(i,) for i in range(200)], "user_key long")
+    sa = {r["doc_id"]: r["split"] for r in hash_split(a).collect()}
+    sb = {
+        r["user_key"]: r["split"]
+        for r in hash_split(b, id_col="user_key").collect()
+    }
+    assert sa == sb
+    assert set(sa.values()) == {"train", "val", "test"}
