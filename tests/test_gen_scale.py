@@ -84,3 +84,70 @@ def test_dim_strides_exceed_dim_table_maxima():
 
     assert CUST_KEY_STRIDE > _max("customer", "c_custkey")
     assert PART_KEY_STRIDE > _max("part", "p_partkey")
+
+
+def test_hybrid_doc_mode_shares_stop_terms_and_remaps_content(tmp_path):
+    """doc_mode=hybrid must keep the source's high-df terms (df*10 >
+    n_docs) VERBATIM across copies — so their df scales with the corpus
+    the way real Zipf stopwords do and a corpus-relative df cap keeps
+    dropping them — while every content term is remapped per copy.
+    Also: an unknown doc_mode must be rejected, not silently treated as
+    'remap' (a typo would regenerate the pathological self-similar
+    corpus hybrid exists to avoid)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "sf_hyb")
+    subprocess.run(
+        [sys.executable, "tools/gen_scale.py", "2", out,
+         "/root/testdata/sf0.001", "documents", "hybrid"],
+        check=True,
+        cwd=repo,
+        timeout=420,
+    )
+    src = "/root/testdata/sf0.001"
+    n_src = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{src}/documents.parquet')"
+        " WHERE text IS NOT NULL"
+    ).fetchone()[0]
+    stop = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT term FROM (SELECT unnest(list_distinct(string_split(text, ' ')))"
+            f" AS term, doc_id FROM read_parquet('{src}/documents.parquet')"
+            " WHERE text IS NOT NULL)"
+            f" GROUP BY term HAVING COUNT(*) * 10 > {n_src}"
+        ).fetchall()
+    }
+    assert stop, "fixture must have at least one high-df term"
+    # Copy-1 docs (doc_id >= stride): every token is either a shared stop
+    # term (unsuffixed) or a remapped content term ending in '1'.
+    from tools.gen_scale import DOC_ID_STRIDE
+
+    toks = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) AS t"
+            f" FROM read_parquet('{out}/documents.parquet/*.parquet')"
+            f" WHERE doc_id >= {DOC_ID_STRIDE} AND text IS NOT NULL"
+        ).fetchall()
+    ]
+    shared = [t for t in toks if t in stop]
+    remapped = [t for t in toks if t.endswith("1") and t not in stop]
+    stray = [t for t in toks if t not in stop and not t.endswith("1")]
+    assert shared, "copy 1 must keep the stop terms verbatim"
+    assert remapped, "copy 1 must remap the content vocabulary"
+    assert stray == [], f"tokens neither shared-stop nor remapped: {stray[:5]}"
+
+    proc = subprocess.run(
+        [sys.executable, "tools/gen_scale.py", "2", str(tmp_path / "x"),
+         "/root/testdata/sf0.001", "documents", "hybird"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode != 0
+    assert "unknown doc_mode" in (proc.stderr + proc.stdout)
