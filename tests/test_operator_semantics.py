@@ -5380,3 +5380,22 @@ def test_hash_split_custom_id_col(spark):
     }
     assert sa == sb
     assert set(sa.values()) == {"train", "val", "test"}
+
+
+def test_kruskal_wallis_one_document_corpus_yields_null_not_crash(spark, tmp_path):
+    """q215 on a 1-document corpus: the tie-correction divisor n^3 - n
+    is 0, which ANSI Spark turns into a DIVIDE_BY_ZERO crash unless
+    try_divide guards it — the oracle (NULLIF) yields h_adj = NULL, and
+    so must we. Pins the degenerate-fixture lesson (q142/q103) for the
+    k-group rank test."""
+    from trafficteach_spark import schemas
+
+    spark.createDataFrame(
+        [(1, "one doc", "en", "src1", 7)], schemas.DOCUMENTS
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = Q["q215_kruskal_wallis"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_groups"] == 1 and r["n_total"] == 1
+    assert r["h"] == 0.0
+    assert r["h_adj"] is None

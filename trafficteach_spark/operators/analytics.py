@@ -4621,15 +4621,21 @@ def q215_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document sort), joined back to the (source, value) count
     frame; everything else is bounded aggregates. All rank arithmetic
     is on integer counts, so cross-engine values are exact until the
-    two final divisions. At 100 TB: one (source, value) aggregate +
-    one value aggregate; no global per-row window.
+    two final divisions. At 100 TB: ONE (source, value) corpus
+    aggregate (persisted; the distinct-value frame derives from it);
+    no global per-row window.
     """
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("n_chars").isNotNull())
         .select("source", "n_chars")
     )
-    v = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    # ONE corpus aggregate: the distinct-value frame derives from the
+    # persisted (source, value) frame (summing gc over sources == the
+    # plain value count, NULL-source groups included) — the first cut
+    # built v and gv independently, a second full corpus scan at scale.
+    gv = d.groupBy("source", "n_chars").agg(F.count("*").alias("gc")).persist()
+    v = gv.groupBy("n_chars").agg(F.sum("gc").alias("c"))
     w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
     r = v.select(
         "n_chars",
@@ -4638,7 +4644,6 @@ def q215_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("c") + 1) / 2.0
         ).alias("avg_rank"),
     )
-    gv = d.groupBy("source", "n_chars").agg(F.count("*").alias("gc"))
     g = (
         gv.join(r, "n_chars")
         .groupBy("source")
@@ -4660,8 +4665,11 @@ def q215_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = 12.0 / (F.col("n") * (F.col("n") + 1)) * F.col("srs") - 3 * (
         F.col("n") + 1
     )
-    corr = 1 - F.col("t3t") / (
-        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    # try_divide: a 1-document corpus has n^3 - n = 0; ANSI Spark throws
+    # DIVIDE_BY_ZERO even on doubles where DuckDB yields NULL (the q142
+    # lesson) — NULL here propagates to h_adj=NULL, matching the oracle.
+    corr = 1 - F.try_divide(
+        F.col("t3t"), F.col("n") * F.col("n") * F.col("n") - F.col("n")
     )
     return tot.crossJoin(F.broadcast(tie)).select(
         F.col("k").cast("long").alias("n_groups"),

@@ -1797,8 +1797,10 @@ def q218_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     views by how many days?". The lead-lag diagnostic behind q194's
     forecast baselines and q142's autocorrelation (this is the CROSS
     series version of q142's self form). All sums are over integer
-    daily counts, so every engine-side value is exact until the final
-    divide.
+    daily counts accumulated in exact decimal (q142's pattern: each SUM
+    casts to double only after aggregation, and products are formed on
+    the double sums — overflow-free where long*long would ANSI-crash),
+    so every engine-side value is exact until the final products/divide.
 
     Plan: the corpus collapses to ONE daily aggregate (day-cardinality
     frame); the lag fan-out is a broadcast cross-attach of the constant
@@ -1827,18 +1829,29 @@ def q218_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = d.select(F.col("day").alias("day_b"), "y")
     p = a.join(b, "day_b")
+    # q142's house pattern: accumulate in DECIMAL (exact, overflow-free —
+    # decimal(18,0) products widen to decimal(37,0) and sums to 38), then
+    # cast each SUM to double BEFORE the products-of-sums. The first cut
+    # kept sums in LONG and formed sx*sx as long*long — under Spark 4's
+    # default ANSI mode that is an ARITHMETIC_OVERFLOW crash once total
+    # views pass ~3e9 (sx^2 > 2^63), while the DuckDB oracle stays exact
+    # in HUGEINT. At test SFs every double here is below 2^53, so the
+    # cast chain is lossless and the round(6) hash is unchanged.
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
     s = p.groupBy("lag").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select(
         "lag",
