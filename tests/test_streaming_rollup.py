@@ -256,3 +256,52 @@ def test_crash_between_state_write_and_pointer_swap(spark, tmp_path):
     )
     merged = _state_dict(spark, state)[("view", dt.date(2024, 1, 6))]
     assert merged["n"] == 2 and merged["sum_value"] == 50.0
+
+
+def test_rollup_merge_null_day_key_updates_not_duplicates(spark):
+    """A null-ts event yields a (type, NULL-day) state row; the merge
+    must UPDATE it through the null-safe joins, not append a duplicate
+    fragment per batch (the name-list join never matches NULL = NULL,
+    so the first cut grew one extra (view, NULL) row every micro-batch
+    containing a null-ts event)."""
+    from trafficteach_spark.streaming.rollup import (
+        ROLLUP_STATE_SCHEMA,
+        merge_rollup_state,
+    )
+
+    base = spark.createDataFrame(
+        [("view", None, 2, 4.0, 1.0, 3.0), ("click", None, 1, 9.0, 9.0, 9.0)],
+        ROLLUP_STATE_SCHEMA,
+    )
+    partial = spark.createDataFrame(
+        [("view", None, 1, 5.0, 5.0, 5.0)], ROLLUP_STATE_SCHEMA
+    )
+    out = {(r["event_type"], r["day"]): r for r in merge_rollup_state(base, partial).collect()}
+    assert len(out) == 2  # merged, not appended
+    merged = out[("view", None)]
+    assert merged["n"] == 3
+    assert merged["sum_value"] == 9.0
+    assert merged["min_value"] == 1.0
+    assert merged["max_value"] == 5.0
+    untouched = out[("click", None)]
+    assert untouched["n"] == 1 and untouched["sum_value"] == 9.0
+
+
+def test_merge_upsert_null_key_component(spark):
+    """merge_upsert with a NULL key component: the update must REPLACE
+    the same-null-key base row (IS NOT DISTINCT FROM semantics, as SQL
+    MERGE), not let the stale row survive next to the new one."""
+    from trafficteach_spark.operators.analytics import merge_upsert
+
+    base = spark.createDataFrame(
+        [(None, "a", 1), (2, "b", 2)], "k int, tag string, v int"
+    )
+    updates = spark.createDataFrame([(None, "a2", 10)], "k int, tag string, v int")
+    rows = sorted(
+        merge_upsert(base, updates, ["k"]).collect(),
+        key=lambda r: (r["k"] is None, r["k"] or 0),
+    )
+    assert len(rows) == 2
+    by_k = {r["k"]: r for r in rows}
+    assert by_k[None]["v"] == 10 and by_k[None]["tag"] == "a2"
+    assert by_k[2]["v"] == 2

@@ -229,9 +229,25 @@ def merge_upsert(
                 f"merge_upsert: updates batch has duplicate keys on {keys} "
                 "(SQL MERGE would raise on multiple source matches)"
             )
-    return updates.unionByName(
-        base.join(updates.select(*keys), keys, "left_anti")
+    # NULL-SAFE anti join: a name-list join is null-unsafe, so a base row
+    # with a NULL key component never matched its update — the stale row
+    # passed through NEXT TO the new one, silently violating the unique-key
+    # contract (hit in practice by the rollup state's NULL-day rows from
+    # null-ts events). eqNullSafe treats NULL as a join value, SQL MERGE's
+    # IS NOT DISTINCT FROM.
+    import functools
+    import operator as _op
+
+    b = base.alias("__mu_base")
+    u = updates.select(*keys).alias("__mu_upd")
+    cond = functools.reduce(
+        _op.and_,
+        [
+            F.col(f"__mu_base.{k}").eqNullSafe(F.col(f"__mu_upd.{k}"))
+            for k in keys
+        ],
     )
+    return updates.unionByName(b.join(u, cond, "left_anti"))
 
 
 @register(

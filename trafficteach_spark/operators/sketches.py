@@ -81,6 +81,25 @@ _MG_SCHEMA = T.StructType(
 )
 
 
+def mg_fold(counters: dict[int, int], pdf, key_col: str, k: int) -> dict[int, int]:
+    """Fold one pandas batch into a Misra-Gries summary capped at k
+    counters: add the batch's exact value_counts, then subtract the
+    (k+1)-th largest count from everyone and drop non-positives.
+
+    THE single implementation of the merge+compress rule — the batch
+    sketch's per-partition pass and the streaming operator's
+    per-micro-batch state update both call it, which is what makes the
+    documented batch/stream equivalence a property of the code rather
+    than of two copies staying in sync."""
+    for key, c in pdf[key_col].dropna().value_counts().items():
+        key = int(key)
+        counters[key] = counters.get(key, 0) + int(c)
+    if len(counters) > k:
+        sub = sorted(counters.values(), reverse=True)[k]
+        counters = {key: c - sub for key, c in counters.items() if c - sub > 0}
+    return counters
+
+
 def misra_gries(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Mergeable Misra-Gries heavy-hitters sketch over ``df[key_col]``
     (integer keys): returns at most ``k`` candidate rows ``(key,
@@ -106,18 +125,13 @@ def misra_gries(df: DataFrame, key_col: str, k: int) -> DataFrame:
 
         # Batch-merge form of MG: each Arrow batch's exact value_counts
         # is itself a summary; fold it into the running one with the
-        # same merge+compress rule used for the global merge below.
-        # Vectorized (no per-row Python), identical guarantees.
+        # same merge+compress rule used for the global merge below —
+        # the ONE shared mg_fold (the streaming operator folds its
+        # micro-batches through the identical function, so the
+        # documented batch/stream equivalence cannot drift).
         counters: dict[int, int] = {}
         for pdf in batches:
-            for key, c in pdf[key_col].dropna().value_counts().items():
-                key = int(key)
-                counters[key] = counters.get(key, 0) + int(c)
-            if len(counters) > k:
-                sub = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    key: c - sub for key, c in counters.items() if c - sub > 0
-                }
+            counters = mg_fold(counters, pdf, key_col, k)
         yield pd.DataFrame(
             {"key": list(counters.keys()), "cnt": list(counters.values())}
         ).astype({"key": "int64", "cnt": "int64"})

@@ -45,7 +45,15 @@ WATERMARK = "2 hours"
 def _with_event_time(raw: DataFrame) -> DataFrame:
     """Physical rows (ts = int64 nanoseconds, the parquet layout) ->
     event-time rows; shared by every source so their output schemas are
-    identical by construction."""
+    identical by construction.
+
+    ``timestamp_micros`` builds an LTZ timestamp whose NTZ cast renders
+    through the SESSION timezone — on a non-UTC session every event time
+    would silently shift by the UTC offset (windows, watermarks, and
+    batch-loader parity all wrong). The public parse helpers are usable
+    directly over batch frames, so the UTC pin must happen HERE, not
+    only in read_event_stream."""
+    ensure_session_confs(raw.sparkSession)
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
     )

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from trafficteach_spark.operators.sketches import mg_fold
+
 DEFAULT_BUCKETS = 32
 
 HH_STATE = StructType(
@@ -56,18 +58,10 @@ HH_OUTPUT = StructType(
 )
 
 
-def _fold_mg(counters: dict[int, int], pdf, key_col: str, k: int) -> dict[int, int]:
-    """Fold one pandas batch into a Misra-Gries summary, capped at k
-    counters — the same merge+compress rule as the batch sketch: add the
-    batch's exact value_counts, then subtract the (k+1)-th largest count
-    from everyone and drop non-positives."""
-    for key, c in pdf[key_col].dropna().value_counts().items():
-        key = int(key)
-        counters[key] = counters.get(key, 0) + int(c)
-    if len(counters) > k:
-        sub = sorted(counters.values(), reverse=True)[k]
-        counters = {key: c - sub for key, c in counters.items() if c - sub > 0}
-    return counters
+# The merge+compress rule is LITERALLY the batch sketch's fold — one
+# implementation (operators/sketches.mg_fold) serving both forms, so the
+# batch/stream equivalence the tests pin is a property of the code.
+_fold_mg = mg_fold
 
 
 def _make_hh_update(k: int, key_col: str, buckets: int):

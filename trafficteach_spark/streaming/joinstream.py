@@ -34,11 +34,16 @@ HORIZON = "1 hour"
 WATERMARK = "2 hours"
 
 
-def attribution_pairs(events: DataFrame, streaming: bool = False) -> DataFrame:
+def attribution_pairs(
+    events: DataFrame, streaming: bool = False, how: str = "inner"
+) -> DataFrame:
     """(view, purchase) pairs for the same user with the purchase in
     ``(view.ts, view.ts + HORIZON]`` — one definition serving BOTH the
     batch oracle form and the streaming form (``streaming=True`` attaches
-    watermarks; the join/filter expressions are literally shared).
+    watermarks; the join/filter expressions are literally shared), and
+    both join types (``how`` — :func:`attribution_pairs_outer` is a
+    one-line binding, so the horizon/watermark/projection logic cannot
+    drift between the inner and outer streams).
 
     Watermarks attach only to TIMESTAMP columns (not TIMESTAMP_NTZ), so
     the streaming path casts through TIMESTAMP — identity under the
@@ -67,7 +72,7 @@ def attribution_pairs(events: DataFrame, streaming: bool = False) -> DataFrame:
             <= F.col("view_ts") + F.expr(f"INTERVAL {HORIZON}")
         )
     )
-    joined = views.join(purchases, cond)
+    joined = views.join(purchases, cond, how)
     return joined.select(
         F.col("v_user").alias("user_id"),
         "view_id",
@@ -127,35 +132,4 @@ def attribution_pairs_outer(events: DataFrame, streaming: bool = False) -> DataF
     enough that the final watermark closed them (the test pins both).
     State per key stays rate x (watermark + horizon)-bounded.
     """
-    ts_type = "timestamp" if streaming else "timestamp_ntz"
-    views = events.where(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").cast(ts_type).alias("view_ts"),
-    )
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").cast(ts_type).alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
-    if streaming:
-        views = views.withWatermark("view_ts", WATERMARK)
-        purchases = purchases.withWatermark("purchase_ts", WATERMARK)
-    cond = (
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("purchase_ts") > F.col("view_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("view_ts") + F.expr(f"INTERVAL {HORIZON}")
-        )
-    )
-    joined = views.join(purchases, cond, "left_outer")
-    return joined.select(
-        F.col("v_user").alias("user_id"),
-        "view_id",
-        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
-        "purchase_id",
-        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
-        "purchase_value",
-    )
+    return attribution_pairs(events, streaming=streaming, how="left_outer")

@@ -54,9 +54,23 @@ def merge_rollup_state(base: DataFrame, partial: DataFrame) -> DataFrame:
     at 100 TB that is the difference between rewriting a day's worth of
     keys and rewriting the whole aggregate table.
     """
-    affected_base = base.join(
-        partial.select(*ROLLUP_KEYS), ROLLUP_KEYS, "left_semi"
+    # NULL-SAFE semi join (paired with merge_upsert's null-safe anti): a
+    # null-ts event yields a day=NULL state row, and a name-list join
+    # would never re-match it — every batch with a null-ts event would
+    # append another (type, NULL) fragment instead of merging.
+    import functools
+    import operator as _op
+
+    b = base.alias("__rs_base")
+    p = partial.select(*ROLLUP_KEYS).alias("__rs_part")
+    cond = functools.reduce(
+        _op.and_,
+        [
+            F.col(f"__rs_base.{k}").eqNullSafe(F.col(f"__rs_part.{k}"))
+            for k in ROLLUP_KEYS
+        ],
     )
+    affected_base = b.join(p, cond, "left_semi")
     merged_affected = (
         affected_base.unionByName(partial)
         .groupBy(*ROLLUP_KEYS)
@@ -198,6 +212,14 @@ def start_incremental_rollup(
                 "rebuild the rollup from the replayed source."
             )
         if batch_id <= last_id:  # crash-replay of a committed batch
+            return
+        if batch_df.isEmpty():
+            # An empty micro-batch (file source with nothing new yet)
+            # would still copy the WHOLE state table into a fresh
+            # version dir — the full-rewrite cost this incremental store
+            # exists to avoid. Skipping is replay-safe: a replayed batch
+            # replays the same empty data, and the batch-id guard above
+            # only ever compares against COMMITTED ids.
             return
         batch_spark = batch_df.sparkSession
         partial = _daily_partial(batch_df).withColumn(

@@ -68,7 +68,8 @@ def _make_update_fn():
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            us = (pdf["ts"].astype("int64") // 1000).max()
+            us_series = pdf["ts"].astype("int64") // 1000
+            us = us_series.max()
             # Timestamp TIE semantics (deliberate divergence from the
             # batch twin): the strict ``us > last_us`` keeps the FIRST
             # ARRIVAL on a tie — arrival order is real in a stream but is
@@ -78,7 +79,7 @@ def _make_update_fn():
             # last_event_type values; everything else (n, sum, last_ts)
             # is identical.
             if us > last_us:
-                row = pdf.loc[(pdf["ts"].astype("int64") // 1000).idxmax()]
+                row = pdf.loc[us_series.idxmax()]
                 last_us, last_type = int(us), str(row["event_type"])
         # Keep the UNROUNDED total in state — re-rounding every micro-batch
         # would compound drift vs the batch groupBy sum this mirrors; the
