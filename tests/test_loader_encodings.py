@@ -217,3 +217,34 @@ def test_encoding_cache_detects_inplace_rewrite(spark, tmp_path):
     _time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
     write("us")  # same filename, same directory entry count
     assert _events_ts_kind(str(d)) == "timestamp"
+
+
+def test_mixed_encoding_middle_part_raises(spark, dual_dirs, tmp_path):
+    """The mixed-encoding guard must catch a rewritten MIDDLE part file:
+    the earlier head+tail probe sampled parts[:2] + parts[-2:], so a
+    6-part directory whose part #3 carried the other encoding re-probed
+    (the fingerprint changed) but never LOOKED at the flipped file —
+    its values were silently misread. Every part's footer is probed
+    now."""
+    import os
+    import shutil
+
+    ns_dir, us_dir = dual_dirs
+    mixed = tmp_path / "events.parquet"
+    mixed.mkdir()
+
+    def _src_part(src_dir):
+        src = os.path.join(src_dir, "events.parquet")
+        return os.path.join(
+            src, next(f for f in os.listdir(src) if f.endswith(".parquet"))
+        )
+
+    ns_part, us_part = _src_part(ns_dir), _src_part(us_dir)
+    # 6 parts: head 2 and tail 2 are int64-ns; ONLY part #3 is native
+    # TIMESTAMP — invisible to a head+tail sample, fatal to read through
+    # the long schema.
+    for i in (0, 1, 2, 4, 5):
+        shutil.copy(ns_part, mixed / f"part-0000{i}-x.parquet")
+    shutil.copy(us_part, mixed / "part-00003-x.parquet")
+    with pytest.raises(ValueError, match="mixed events.ts encodings"):
+        tables._events_ts_kind(str(mixed))

@@ -54,6 +54,21 @@ def epoch_us_expr(col_name: str) -> Column:
     return F.expr(epoch_us_sql(col_name))
 
 
+def ns_long_to_ntz_us(col_name: str = "ts") -> Column:
+    """The parity-critical int64-nanoseconds -> TIMESTAMP_NTZ(us)
+    conversion: integer division (``div`` — truncation, matching
+    DuckDB's ns->us cast exactly) then ``timestamp_micros`` and an NTZ
+    cast. ONE construction for the four call sites (parquet loader,
+    JSONL reader, CSV/JSONL text sources, streaming parse helpers) — a
+    conversion fix applied to one copy and missed in another would
+    silently break batch/stream parity. NOTE: the NTZ cast renders
+    through the SESSION timezone; every caller must run under the
+    pinned UTC session (ensure_session_confs)."""
+    return F.timestamp_micros(F.expr(f"{col_name} div 1000")).cast(
+        "timestamp_ntz"
+    )
+
+
 # --- cross-engine md5-prefix integer hash -----------------------------
 #
 # ONE construction, four historical call sites (dedup token hash, q81

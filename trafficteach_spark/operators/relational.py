@@ -515,8 +515,15 @@ def q76_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     not an anti/semi join per copy; the two branches union row-locally.
     """
     orders = load_table(spark, sf_dir, "orders")
-    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
-    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    # Persisted: exceptAll and intersectAll are separate shuffles with no
+    # exchange reuse between them, so each year frame would otherwise be
+    # scanned twice — four fact scans where two suffice.
+    y95 = (
+        orders.where(F.year("o_orderdate") == 1995).select("o_custkey").persist()
+    )
+    y96 = (
+        orders.where(F.year("o_orderdate") == 1996).select("o_custkey").persist()
+    )
     surplus = (
         y95.exceptAll(y96)
         .groupBy("o_custkey")

@@ -329,7 +329,7 @@ def q_stream_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
-    tags=("windows", "O22"),
+    tags=("window", "O22"),
 )
 def q74_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional ranks per group: quartile bucket (ntile),
@@ -341,11 +341,17 @@ def q74_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a tie boundary would land in different tiles depending on
     arbitrary order — the ORDER BY carries event_id as a unique
     tie-break, making all three functions exact in both engines
-    (percent_rank/cume_dist then see singleton peer groups). One
-    shuffle serves all three (shared WINDOW spec; same profile as q64).
+    (percent_rank/cume_dist then see singleton peer groups). NULL
+    values: Spark ASC defaults to NULLS FIRST where DuckDB defaults to
+    NULLS LAST — asc_nulls_last pins both engines to the same rank
+    order (latent on today's null-free fixture, a hash-divergence on
+    any corpus with a NULL value). One shuffle serves all three
+    (shared WINDOW spec; same profile as q64).
     """
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     return events.select(
         "event_id",
         "event_type",
@@ -376,7 +382,7 @@ DEDUP_BUCKET_SEC = 300
         FROM events
     ) t WHERE rn = 1
     """,
-    tags=("windows", "dedup", "O36"),
+    tags=("window", "dedup", "O36"),
 )
 def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed deduplication, batch form: keep the FIRST event per
@@ -427,6 +433,7 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
     ),
     numbered AS (
         SELECT user_id, ts,
@@ -485,9 +492,18 @@ def q106_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     sess = (
-        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        # NULL-ts rows are OUT of the session contract, explicitly:
+        # session_window silently injects this filter anyway (Spark's
+        # TimeWindowing rule), but the oracle has no such implicit rule —
+        # stating it on both sides keeps a NULL-ts corpus from diverging.
+        # Persisted: four subtrees consume the sessionization (the two
+        # delta branches, carry, cal); exchange reuse dedupes the scan
+        # but NOT the post-shuffle session aggregation.
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"))
+        .persist()
     )
     # An end falling EXACTLY on midnight is a no-op for both days: the
     # session is active to the end of the previous day (no -1 needed

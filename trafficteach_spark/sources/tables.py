@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark import schemas
 from trafficteach_spark.session import ensure_session_confs
+from trafficteach_spark.functions.exprs import ns_long_to_ntz_us
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -40,13 +41,13 @@ def _events_ts_kind(path: str) -> str:
     Generated testdata has used both encodings across driver versions, so
     the loader probes parquet footers once per path (driver-side metadata
     reads of a few KB — never a data scan) and adapts. For a directory,
-    the first and last few part files are probed (footers are ordered by
-    name, so a mid-run encoding flip lands at a boundary) and MIXED
-    encodings raise instead of being silently misread through one schema
-    (round-4 advisory). Cached per path keyed on the part files'
-    (name, size, mtime) fingerprint, so any rewrite — including in-place
-    — re-probes instead of serving the stale verdict; at 100 TB this is a handful of footer
-    reads per job, not per partition.
+    EVERY part file's footer is probed and MIXED encodings raise instead
+    of being silently misread through one schema (round-4 advisory; the
+    earlier head+tail sample missed an in-place rewrite of a middle
+    part). Cached per path keyed on the part files' (name, size, mtime)
+    fingerprint, so any rewrite — including in-place — re-probes instead
+    of serving the stale verdict; footer reads amortize to one per file
+    per job, not per partition.
     """
     # Cache key = fingerprint of the part files themselves (name, size,
     # mtime_ns), not the directory mtime: POSIX only bumps a dir's mtime
@@ -76,13 +77,19 @@ def _events_ts_kind(path: str) -> str:
 
     probes = [path]
     if os.path.isdir(path):
-        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        # Probe EVERY part file, derived from the same scandir stamp (one
+        # directory listing; the probed set and the cached fingerprint are
+        # atomically consistent). The earlier head+tail sample defeated
+        # the in-place-rewrite guard this cache exists for: a MIDDLE part
+        # rewritten with the other encoding re-probed (stamp changed) but
+        # was never sampled, so its values were silently misread. Footer
+        # reads are cheap (metadata only) and cached by the stamp; a
+        # deployment with tens of thousands of parts should enforce one
+        # encoding per dataset at write time instead of probing at all.
+        parts = [name for name, _, _ in stamp]
         if not parts:
             raise FileNotFoundError(f"no parquet files under {path}")
-        # Head + tail sample: an encoding flip from an appending writer is
-        # contiguous in name order, so it always crosses this boundary.
-        sample = parts[:2] + parts[-2:] if len(parts) > 4 else parts
-        probes = [os.path.join(path, f) for f in dict.fromkeys(sample)]
+        probes = [os.path.join(path, f) for f in parts]
     def _kind_of(probe: str) -> str:
         t = _pq.read_schema(probe).field("ts").type
         # Two physical forms need the raw-long read path: a plain int64
@@ -125,7 +132,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if _events_ts_kind(path) == "int64_ns":
             df = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
             return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts", ns_long_to_ntz_us("ts")
             )
         return spark.read.schema(schemas.EVENTS).parquet(path)
     df = spark.read.schema(schemas.READ_SCHEMAS[name]).parquet(path)
@@ -180,7 +187,7 @@ def load_events_range(spark: SparkSession, sf_dir: str, start: str, end: str) ->
             & (F.col("ts") < F.lit(_ts_to_ns(end)))
         )
         return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts", ns_long_to_ntz_us("ts")
         )
     df = spark.read.schema(schemas.EVENTS).parquet(path)
     start_lit = F.expr(f"TIMESTAMP_NTZ '{_ts_norm(start)}'")

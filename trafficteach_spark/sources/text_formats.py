@@ -22,13 +22,14 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark import schemas
 from trafficteach_spark.session import ensure_session_confs
+from trafficteach_spark.functions.exprs import ns_long_to_ntz_us
 
 
 def _normalize(raw: DataFrame) -> DataFrame:
     """Physical rows (ts int64 ns) -> logical EVENTS rows (ts NTZ µs),
     the same truncating conversion the parquet loader applies."""
     return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        "ts", ns_long_to_ntz_us("ts")
     )
 
 

@@ -38,6 +38,7 @@ from pyspark.sql.streaming import StreamingQuery
 from trafficteach_spark import schemas
 from trafficteach_spark.operators.windows import sliding_window_agg
 from trafficteach_spark.session import ensure_session_confs
+from trafficteach_spark.functions.exprs import ns_long_to_ntz_us
 
 WATERMARK = "2 hours"
 
@@ -55,7 +56,7 @@ def _with_event_time(raw: DataFrame) -> DataFrame:
     only in read_event_stream."""
     ensure_session_confs(raw.sparkSession)
     return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        "ts", ns_long_to_ntz_us("ts")
     )
 
 
