@@ -5399,3 +5399,47 @@ def test_kruskal_wallis_one_document_corpus_yields_null_not_crash(spark, tmp_pat
     assert r["n_groups"] == 1 and r["n_total"] == 1
     assert r["h"] == 0.0
     assert r["h_adj"] is None
+
+
+def test_lcg_mix_no_overflow_at_replica_ids(spark):
+    """The q08/q79 LCG mixes must evaluate on ids past 2^63/1103515245
+    (~8.36e9) — the repo's own gen_scale replicas produce event_ids
+    >= 9e9, where the unreduced (id * a) % m form ANSI-crashes. The
+    pre-mod form is value-identical: (x % m)*a % m == x*a % m."""
+    from trafficteach_spark.operators.sampling import _MIX, _WMIX
+
+    df = spark.createDataFrame(
+        [(9_000_100_000,), (7,), (2**62,)], "event_id long"
+    ).withColumn("o_orderkey", F.col("event_id"))
+    rows = df.selectExpr(f"{_MIX} AS m", f"{_WMIX} AS w").collect()
+    for r in rows:
+        assert 0 <= r["m"] < 2**31 and 0 <= r["w"] < 2**31
+    # Value-identity with the unreduced form where IT still fits:
+    small = spark.createDataFrame([(7,), (123456,)], "event_id long")
+    got = small.selectExpr(f"{_MIX} AS m").collect()
+    for (eid,), r in zip([(7,), (123456,)], got):
+        assert r["m"] == (eid * 1103515245 + 12345) % 2147483648
+
+
+def test_speed_decile_udf_matches_sql_on_nulls_and_negatives(spark):
+    """q23's Arrow UDF must follow SQL semantics off the happy path:
+    truncated modulo on negatives (numpy's floored % gives 9 where both
+    engines give -1) and NULL-in -> NULL-out (a bare int64 astype raises
+    on NaN, failing the query where the oracle emits a NULL group)."""
+    from trafficteach_spark.operators.udx import _speed_decile
+
+    df = spark.createDataFrame(
+        [(-0.5,), (None,), (13.2,), (0.0,)], "value double"
+    )
+    got = [
+        r["d"]
+        for r in df.select(_speed_decile(F.col("value")).alias("d")).collect()
+    ]
+    want = [
+        r[0]
+        for r in spark.sql(
+            "SELECT CAST(floor(v) AS BIGINT) % 10 FROM "
+            "VALUES (-0.5D), (CAST(NULL AS DOUBLE)), (13.2D), (0.0D) t(v)"
+        ).collect()
+    ]
+    assert got == want == [-1, None, 3, 0]

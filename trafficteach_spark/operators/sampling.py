@@ -26,7 +26,13 @@ _QUOTA = 2
 # LCG-style mixing of event_id: computable identically in Spark SQL and
 # DuckDB with plain BIGINT arithmetic (unlike murmur/xxhash built-ins whose
 # implementations differ across engines). Constants from Numerical Recipes.
-_MIX = "(event_id * 1103515245 + 12345) % 2147483648"
+# The id is reduced mod 2^31 BEFORE the multiply: (x % m)*a % m == x*a % m
+# exactly (modular arithmetic), but the unreduced form overflows BIGINT —
+# an ANSI ARITHMETIC_OVERFLOW crash in Spark 4 and an out-of-range error
+# in DuckDB — once ids pass 2^63/1103515245 ~ 8.36e9, which the repo's own
+# 10x/100x gen_scale replicas reach (EVENT_ID_STRIDE = 1e9). Same values,
+# overflow-free at any id.
+_MIX = "(((event_id % 2147483648) * 1103515245 + 12345) % 2147483648)"
 
 
 @register(
@@ -78,7 +84,10 @@ def q08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            string_agg(CAST(user_id AS VARCHAR), '|' ORDER BY user_id) AS users,
-           COUNT(*) AS n_users
+           -- COUNT(user_id), not COUNT(*): countDistinct (and collect_set,
+           -- and string_agg) all ignore a NULL user_id, so the oracle must
+           -- not count the (event_type, NULL) distinct row as a user.
+           COUNT(user_id) AS n_users
     FROM (
         SELECT DISTINCT event_type, user_id
         FROM events
@@ -113,7 +122,7 @@ def q09_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Weighted sample size and the LCG mix reapplied to o_orderkey.
 _WSAMPLE_K = 100
-_WMIX = "(o_orderkey * 1103515245 + 12345) % 2147483648"
+_WMIX = "(((o_orderkey % 2147483648) * 1103515245 + 12345) % 2147483648)"  # pre-mod: see _MIX
 
 
 @register(
@@ -175,9 +184,12 @@ _NEYMAN_BUDGET = 10_000
     ),
     d AS (
         SELECT event_type, n_rows,
-               SQRT(CAST(s2 AS DOUBLE) / n_rows
+               -- GREATEST(0, ...): a constant-valued stratum's variance can
+               -- land one ulp NEGATIVE after the two rounded divisions;
+               -- DuckDB's SQRT raises out-of-range there (Spark yields NaN)
+               SQRT(GREATEST(0.0, CAST(s2 AS DOUBLE) / n_rows
                     - (CAST(s1 AS DOUBLE) / n_rows)
-                      * (CAST(s1 AS DOUBLE) / n_rows)) AS sh
+                      * (CAST(s1 AS DOUBLE) / n_rows))) AS sh
         FROM s
     )
     SELECT event_type, n_rows,
@@ -211,7 +223,10 @@ def q165_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n_rows").cast("double")
     m = F.col("s1").cast("double") / nd
-    sh = F.sqrt(F.col("s2").cast("double") / nd - m * m)
+    # greatest(0, ...) mirrors the oracle's clamp: one-ulp-negative
+    # variance on a constant stratum must not become NaN here while the
+    # clamped oracle reads 0.
+    sh = F.sqrt(F.greatest(F.lit(0.0), F.col("s2").cast("double") / nd - m * m))
     d = s.select("event_type", "n_rows", sh.alias("sh"))
     norm = F.sum(F.col("n_rows") * F.col("sh")).over(Window.partitionBy())
     return d.select(

@@ -35,10 +35,21 @@ _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 # SparkContext to parse at decoration time, which import must not require.
 @pandas_udf(LongType())
 def _speed_decile(value: pd.Series) -> pd.Series:
-    """Arrow-batched scalar UDF: floor(value) mod 10 — exact on doubles."""
+    """Arrow-batched scalar UDF: floor(value) mod 10 — exact on doubles.
+
+    SQL-semantics parity, not numpy's: ``np.fmod`` is TRUNCATED modulo
+    (sign of the dividend), matching Spark SQL's and DuckDB's ``%`` on a
+    negative value where numpy's ``%`` is floored (-1 % 10 -> 9 vs the
+    engines' -1). NULLs pass through as NULLs via the nullable Int64
+    dtype — a bare ``astype('int64')`` raises on NaN, failing the whole
+    query where the oracle just emits a NULL-decile group. Latent on
+    today's null-free non-negative fixture; a contract, not a bugfix.
+    """
     import numpy as np
 
-    return (np.floor(value).astype("int64") % 10).astype("int64")
+    f = np.floor(value.to_numpy(dtype="float64", na_value=np.nan))
+    out = pd.Series(np.fmod(f, 10.0))
+    return out.astype("Int64")
 
 
 @pandas_udf(DoubleType())
