@@ -5443,3 +5443,65 @@ def test_speed_decile_udf_matches_sql_on_nulls_and_negatives(spark):
         ).collect()
     ]
     assert got == want == [-1, None, 3, 0]
+
+
+def test_asof_join_excludes_null_times(spark):
+    """asof_join's NULL-time contract (pandas merge_asof raises on null
+    keys; DuckDB ASOF never matches them): a right row with NULL `on`
+    must not be carried to any left row — before the fix it sorted
+    NULLS FIRST, its struct was NON-null, and last(ignorenulls) matched
+    it to every left row before the first real right row. A NULL-time
+    left row is likewise excluded, even under how='left'."""
+    import datetime as dt
+
+    from trafficteach_spark.operators.sequences import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, t(5), "L5"), (1, t(20), "L20"), (1, None, "LNULL")],
+        "k int, ts timestamp_ntz, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "RNULL"), (1, t(10), "R10")],
+        "k int, ts timestamp_ntz, rv string",
+    )
+    inner = asof_join(left, right, on="ts", by="k", direction="backward")
+    rows = {r["lv"]: r["rv"] for r in inner.collect()}
+    # L5 precedes every real right row -> unmatched (NOT matched to RNULL);
+    # L20 matches R10; LNULL is excluded entirely.
+    assert rows == {"L20": "R10"}
+    outer = asof_join(
+        left, right, on="ts", by="k", direction="backward", how="left"
+    )
+    orows = {r["lv"]: r["rv"] for r in outer.collect()}
+    assert orows == {"L5": None, "L20": "R10"}
+
+
+def test_funnel_chain_step_with_quote_is_escaped(spark, tmp_path):
+    """funnel() is the parameterized library entry: a chain step
+    containing a single quote (or backslash) must be escaped into the
+    generated Spark SQL, not break — or silently re-shape — the
+    expression."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+    from trafficteach_spark.operators.sequences import funnel
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ns = lambda m: int((base + dt.timedelta(minutes=m)).timestamp()) * 10**9
+    rows = [
+        (1, ns(0), 1, "o'clock", 1.0, None),
+        (2, ns(5), 1, "buy\\now", 2.0, None),
+        (3, ns(0), 2, "o'clock", 1.0, None),
+    ]
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r["step"]: (r["step_type"], r["n_users"])
+        for r in funnel(
+            spark, str(tmp_path), chain=("o'clock", "buy\\now")
+        ).collect()
+    }
+    assert out[1] == ("o'clock", 2)
+    assert out[2] == ("buy\\now", 1)

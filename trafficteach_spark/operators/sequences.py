@@ -40,6 +40,20 @@ _FOLLOW_US = 10 * 60 * 1_000_000
 _MIN_FOLLOW = 2
 
 
+def _sq_spark(s: str) -> str:
+    """Escape a string for a single-quoted SPARK SQL literal (backslash is
+    an escape character in Spark's default parser, unlike standard SQL).
+    Chain steps are interpolated into generated expressions; a step
+    containing a quote must not break — or worse, re-shape — the SQL."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _sq_duck(s: str) -> str:
+    """Escape for a single-quoted DUCKDB literal (standard SQL: double the
+    quote; backslash is literal)."""
+    return s.replace("'", "''")
+
+
 def _funnel_depth_expr(chain: tuple[str, ...]) -> str:
     """Greedy subsequence matcher over the time-sorted event-type list.
 
@@ -49,7 +63,7 @@ def _funnel_depth_expr(chain: tuple[str, ...]) -> str:
     iff the k-step prefix occurs as an ordered subsequence — the same
     semantics the reference implements imperatively per car [R].
     """
-    steps = ", ".join(f"'{s}'" for s in chain)
+    steps = ", ".join(f"'{_sq_spark(s)}'" for s in chain)
     cases = " ".join(
         f"WHEN acc = {i} AND t = element_at(array({steps}), {i + 1}) THEN {i + 1}"
         for i in range(len(chain))
@@ -68,7 +82,7 @@ def _funnel_oracle(chain: tuple[str, ...]) -> str:
     ctes = [
         f"""s1 AS (
         SELECT user_id, MIN(ts) AS t FROM r
-        WHERE event_type = '{chain[0]}' GROUP BY user_id
+        WHERE event_type = '{_sq_duck(chain[0])}' GROUP BY user_id
     )"""
     ]
     for k in range(2, len(chain) + 1):
@@ -76,19 +90,19 @@ def _funnel_oracle(chain: tuple[str, ...]) -> str:
             f"""s{k} AS (
         SELECT r.user_id, MIN(r.ts) AS t
         FROM r JOIN s{k - 1} ON r.user_id = s{k - 1}.user_id AND r.ts > s{k - 1}.t
-        WHERE r.event_type = '{chain[k - 1]}' GROUP BY r.user_id
+        WHERE r.event_type = '{_sq_duck(chain[k - 1])}' GROUP BY r.user_id
     )"""
         )
     counts = ",\n               ".join(
         f"(SELECT COUNT(*) FROM s{k}) AS n{k}" for k in range(1, len(chain) + 1)
     )
     selects = [
-        f"""SELECT 1 AS step, '{chain[0]}' AS step_type, n1 AS n_users,
+        f"""SELECT 1 AS step, '{_sq_duck(chain[0])}' AS step_type, n1 AS n_users,
            CAST(NULL AS DOUBLE) AS rate FROM n"""
     ]
     for k in range(2, len(chain) + 1):
         selects.append(
-            f"SELECT {k}, '{chain[k - 1]}', n{k}, "
+            f"SELECT {k}, '{_sq_duck(chain[k - 1])}', n{k}, "
             f"ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6) FROM n"
         )
     return f"""
@@ -104,14 +118,20 @@ def _funnel_oracle(chain: tuple[str, ...]) -> str:
 
 
 def funnel(
-    spark: SparkSession, sf_dir: str, chain: tuple[str, ...] = FUNNEL_CHAIN
+    spark: SparkSession,
+    sf_dir: str,
+    chain: tuple[str, ...] = FUNNEL_CHAIN,
+    depth_expr: str | None = None,
 ) -> DataFrame:
     """Parameterized funnel (the reference parameterized its chain via the
     MySQL task_param JSON [R]; here it is a plain argument). Returns one
-    row per step: (step, step_type, n_users, rate)."""
+    row per step: (step, step_type, n_users, rate). ``depth_expr``
+    swaps the greedy matcher (default :func:`_funnel_depth_expr`) for a
+    variant — q129 passes the per-hop-windowed matcher — so the
+    counts/stack readout tail exists ONCE."""
     events = load_events_range(spark, sf_dir, TS_START, TS_END)
     depths = events.groupBy("user_id").agg(
-        F.expr(_funnel_depth_expr(chain)).alias("depth")
+        F.expr(depth_expr or _funnel_depth_expr(chain)).alias("depth")
     )
     counts = depths.agg(
         *[
@@ -119,10 +139,10 @@ def funnel(
             for k in range(1, len(chain) + 1)
         ]
     )
-    stack_parts = [f"1, '{chain[0]}', n1, CAST(NULL AS DOUBLE)"]
+    stack_parts = [f"1, '{_sq_spark(chain[0])}', n1, CAST(NULL AS DOUBLE)"]
     for k in range(2, len(chain) + 1):
         stack_parts.append(
-            f"{k}, '{chain[k - 1]}', n{k}, ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6)"
+            f"{k}, '{_sq_spark(chain[k - 1])}', n{k}, ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6)"
         )
     return counts.select(
         F.expr(
@@ -193,7 +213,7 @@ def q13_follow_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = events.select(
         "event_type",
         "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        epoch_us_expr("ts").alias("us"),  # tz-free (not unix_micros(cast)): exprs.py
     )
     left = r.select(
         F.col("event_type"),
@@ -433,8 +453,10 @@ def q108_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = purchases.select(
         (
             (
-                F.unix_micros(F.col("first_purchase").cast("timestamp"))
-                - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+                # tz-free field-derived epochs (not unix_micros(cast):
+                # that NTZ->LTZ route shifts with the session zone)
+                epoch_us_expr("first_purchase")
+                - epoch_us_expr("signup_ts")
             ).cast("double")
             / 1e6
         ).alias("sec")
@@ -630,7 +652,10 @@ def asof_join(
 
     PRECONDITION (as in every as-of engine): ``right`` must be unique
     per (by, on) — pre-aggregate ties like q51's MAX(o_orderkey) dedup,
-    or the carried row is whichever sorts last. Ties across sides match:
+    or the carried row is whichever sorts last. Rows with a NULL ``on``
+    time are EXCLUDED on both sides (pandas merge_asof raises on null
+    keys; DuckDB ASOF never matches them — a NULL time has no place on
+    a timeline), including under ``how='left'``. Ties across sides match:
     a right row AT the left row's exact timestamp is taken in both
     directions. Right attribute columns MAY be NULL: the nearest row is
     carried ATOMICALLY as one struct, so a NULL attribute in the nearest
@@ -664,6 +689,15 @@ def asof_join(
         + [T.StructField(c, rtypes[c]) for c in rcols]
     )
 
+    # NULL `on` times are OUT on both sides (DuckDB/pandas ASOF
+    # semantics: NULL never satisfies the >=/<= match). Without this, a
+    # NULL-time right row sorts NULLS FIRST, its struct is NON-null
+    # (struct of NULLs), and last(ignorenulls) carries it to every left
+    # row before the first real right row — spurious inner matches a
+    # real ASOF engine would drop; symmetrically a NULL-time left row
+    # would match the earliest right row in forward mode.
+    left = left.where(F.col(on).isNotNull())
+    right = right.where(F.col(on).isNotNull())
     l_side = left.select(
         F.col(by).alias("_by"),
         F.col(on).alias("_t"),
@@ -838,7 +872,7 @@ def _windowed_depth_expr(chain: tuple[str, ...], window_min: int) -> str:
     oracle's MIN(ts)-cascade BECAUSE the bound is hop-relative: both
     take the first step-1 occurrence, then the first in-window next
     step, with no backtracking on expiry."""
-    steps = ", ".join(f"'{s}'" for s in chain)
+    steps = ", ".join(f"'{_sq_spark(s)}'" for s in chain)
     first = (
         f"WHEN acc.d = 0 AND x.event_type = element_at(array({steps}), 1)"
         " THEN named_struct('d', 1, 't', x.ts)"
@@ -864,7 +898,7 @@ def _windowed_funnel_oracle(chain: tuple[str, ...], window_min: int) -> str:
     ctes = [
         f"""s1 AS (
         SELECT user_id, MIN(ts) AS t FROM r
-        WHERE event_type = '{chain[0]}' GROUP BY user_id
+        WHERE event_type = '{_sq_duck(chain[0])}' GROUP BY user_id
     )"""
     ]
     for k in range(2, len(chain) + 1):
@@ -874,19 +908,19 @@ def _windowed_funnel_oracle(chain: tuple[str, ...], window_min: int) -> str:
         FROM r JOIN s{k - 1} ON r.user_id = s{k - 1}.user_id
          AND r.ts > s{k - 1}.t
          AND r.ts <= s{k - 1}.t + INTERVAL {window_min} MINUTE
-        WHERE r.event_type = '{chain[k - 1]}' GROUP BY r.user_id
+        WHERE r.event_type = '{_sq_duck(chain[k - 1])}' GROUP BY r.user_id
     )"""
         )
     counts = ",\n               ".join(
         f"(SELECT COUNT(*) FROM s{k}) AS n{k}" for k in range(1, len(chain) + 1)
     )
     selects = [
-        f"""SELECT 1 AS step, '{chain[0]}' AS step_type, n1 AS n_users,
+        f"""SELECT 1 AS step, '{_sq_duck(chain[0])}' AS step_type, n1 AS n_users,
            CAST(NULL AS DOUBLE) AS rate FROM n"""
     ]
     for k in range(2, len(chain) + 1):
         selects.append(
-            f"SELECT {k}, '{chain[k - 1]}', n{k}, "
+            f"SELECT {k}, '{_sq_duck(chain[k - 1])}', n{k}, "
             f"ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6) FROM n"
         )
     return f"""
@@ -921,28 +955,11 @@ def q129_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle's MIN-cascade — a whole-chain bound would need
     backtracking over candidate step-1 anchors.
     """
-    events = load_events_range(spark, sf_dir, TS_START, TS_END)
-    depths = events.groupBy("user_id").agg(
-        F.expr(_windowed_depth_expr(FUNNEL_CHAIN, FUNNEL_WINDOW_MIN)).alias("depth")
-    )
-    counts = depths.agg(
-        *[
-            F.sum(F.when(F.col("depth") >= k, 1).otherwise(0)).alias(f"n{k}")
-            for k in range(1, len(FUNNEL_CHAIN) + 1)
-        ]
-    )
-    stack_parts = [f"1, '{FUNNEL_CHAIN[0]}', n1, CAST(NULL AS DOUBLE)"]
-    for k in range(2, len(FUNNEL_CHAIN) + 1):
-        stack_parts.append(
-            f"{k}, '{FUNNEL_CHAIN[k - 1]}', n{k},"
-            f" ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6)"
-        )
-    return counts.select(
-        F.expr(
-            f"stack({len(FUNNEL_CHAIN)}, "
-            + ", ".join(stack_parts)
-            + ") AS (step, step_type, n_users, rate)"
-        )
+    return funnel(
+        spark,
+        sf_dir,
+        FUNNEL_CHAIN,
+        depth_expr=_windowed_depth_expr(FUNNEL_CHAIN, FUNNEL_WINDOW_MIN),
     )
 
 
@@ -1262,7 +1279,7 @@ def q159_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = epoch_us_expr("ts")  # tz-free (not unix_micros(cast)): exprs.py
     prev = F.lag(us).over(w)
     seq = ev.select(
         "user_id",
@@ -1420,33 +1437,18 @@ def q172_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction, anomaly scoring (improbable transitions) and the
     session-complexity entropy q159 reads off a single state.
 
-    Plan: one user-partitioned LAG window (shuffle on user_id — the
-    same partitioning every per-user sequence operator reuses), one
-    hash aggregate onto the event-type x event-type frame (bounded by
-    the TYPE VOCABULARY squared, ~25 rows here, never corpus-sized),
-    and the normalizing window runs on that tiny frame. At 100 TB the
-    only full-data stages are the user shuffle and the map-side-combined
-    pair count; the matrix itself stays broadcastable for downstream
-    scoring joins.
+    Plan / implementation: LITERALLY q109_transition_matrix's body (the
+    LAG and LEAD formulations count the identical consecutive-pair
+    multiset), re-aliased to the prev/next naming this key's consumers
+    use — one implementation of the transition matrix, so a semantics
+    fix (range filter, tie-break) can never drift between the two
+    registered views of it.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id",
-        "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
-    )
-    tc = (
-        seq.where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count("*").alias("n"))
-    )
-    wnorm = Window.partitionBy("prev_type")
-    return tc.select(
-        "prev_type",
-        "next_type",
+    return q109_transition_matrix(spark, sf_dir).select(
+        F.col("src").alias("prev_type"),
+        F.col("dst").alias("next_type"),
         "n",
-        F.round(F.col("n") / F.sum("n").over(wnorm).cast("double"), 6).alias("p"),
+        "p",
     )
 
 
@@ -1463,6 +1465,29 @@ _JK_Z = 1.959963984540054  # two-sided 95%
 # of fixture users (degenerate CI of width 0); value >= 90 converts
 # ~85%, giving the estimator real between-group variance.
 _JK_VALUE = 90
+
+
+def _score_tie_groups(ev: DataFrame) -> DataFrame:
+    """Shared q196/q197/q217 body (the _metric_family_z move applied to
+    the ML-eval trio): the per-user (score = event count, label =
+    high-value purchase >= _JK_VALUE) aggregate rolled to the DISTINCT-
+    SCORE tie-group frame (score, c, pos). One definition so the
+    ROC-AUC / calibration / average-precision trio can never silently
+    evaluate different models; each consumer's oracle mirrors the same
+    two CTEs."""
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("score"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _JK_VALUE)
+            ).cast("int")
+        ).alias("label"),
+    )
+    return u.groupBy("score").agg(
+        F.count("*").alias("c"), F.sum("label").alias("pos")
+    )
+
 
 
 @register(
@@ -1750,9 +1775,18 @@ def q184_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to one row per DISTINCT metric value (tie group), the
     cumulative window runs over that value-cardinality frame (the
     repo's distinct-value quantile machinery, cf. q151), and the test
-    statistic is one aggregate over it. At 100 TB: the one per-user
-    shuffle every user metric pays, then value-cardinality work.
+    statistic is one aggregate over it.
     try_divide guards the all-values-tied corpus (variance 0 -> NULL z).
+
+    SCALE CAVEAT (unlike q196/q197/q217, where score = an event COUNT
+    with a bounded vocabulary): this metric is summed REVENUE, near-
+    unique per purchasing user, so the tie-group frame is ~user-
+    cardinality and its unpartitioned cumulative window is a single-
+    task sort at the extreme. The 100 TB lever is the classic two-pass
+    distributed ranking (repartitionByRange on the metric, local ranks,
+    broadcast per-partition-count offsets) or bucketing revenue to
+    cents — both exact; kept simple here because the exact-rank oracle
+    form is the point of this key.
     """
     ev = load_table(spark, sf_dir, "events")
     u = (
@@ -1887,8 +1921,11 @@ def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         # coalesce(1): the edge frame is <=|types|^2 rows; the ten
         # iteration stages should run single-partition, not pay
         # full-width task scheduling for a handful of rows.
+        # localCheckpoint, not persist: a per-invocation persist leaks a
+        # CacheManager entry per call (nothing unpersists); checkpoint
+        # blocks free via the ContextCleaner when the frame drops.
         .coalesce(1)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     out = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
     e = (
@@ -2647,18 +2684,7 @@ def q196_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score-cardinality work. try_divide guards the single-class corpus.
     """
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.count("*").cast("double").alias("score"),
-        F.max(
-            (
-                (F.col("event_type") == "purchase")
-                & (F.col("value") >= _JK_VALUE)
-            ).cast("int")
-        ).alias("label"),
-    )
-    g = u.groupBy("score").agg(
-        F.count("*").alias("c"), F.sum("label").alias("pos")
-    )
+    g = _score_tie_groups(ev)
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     r = g.withColumn("cum", F.coalesce(F.sum("c").over(w), F.lit(0)))
     s = r.agg(
@@ -2737,18 +2763,7 @@ def q197_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Same scale shape as q184/q196.
     """
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.count("*").cast("double").alias("score"),
-        F.max(
-            (
-                (F.col("event_type") == "purchase")
-                & (F.col("value") >= _JK_VALUE)
-            ).cast("int")
-        ).alias("label"),
-    )
-    g = u.groupBy("score").agg(
-        F.count("*").alias("c"), F.sum("label").alias("pos")
-    )
+    g = _score_tie_groups(ev)
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -3281,7 +3296,8 @@ def q212_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         contests.groupBy("winner", "loser")
         .agg(F.count("*").alias("w"))
         .coalesce(1)
-        .persist()
+        # localCheckpoint, not persist: see q186's edge frame.
+        .localCheckpoint(eager=True)
     )
     items = (
         wc.select(F.col("winner").alias("it"))
@@ -3419,18 +3435,7 @@ def q217_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (AP undefined -> NULL, matching both engines).
     """
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.count("*").cast("double").alias("score"),
-        F.max(
-            (
-                (F.col("event_type") == "purchase")
-                & (F.col("value") >= _JK_VALUE)
-            ).cast("int")
-        ).alias("label"),
-    )
-    g = u.groupBy("score").agg(
-        F.count("*").alias("c"), F.sum("label").alias("pos")
-    )
+    g = _score_tie_groups(ev)
     w = Window.orderBy(F.desc("score")).rowsBetween(
         Window.unboundedPreceding, 0
     )
