@@ -54,6 +54,25 @@ def epoch_us_expr(col_name: str) -> Column:
     return F.expr(epoch_us_sql(col_name))
 
 
+def null_safe_key_cond(left_alias: str, right_alias: str, keys) -> Column:
+    """AND-fold of eqNullSafe over alias-qualified key columns — the SQL
+    MERGE ``IS NOT DISTINCT FROM`` join condition. ONE construction for
+    merge_upsert's anti join and merge_rollup_state's semi join (the
+    paired halves of the null-safe merge contract): a name-list join is
+    null-unsafe, so a NULL key component would never re-match its own
+    state row."""
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.and_,
+        [
+            F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+            for k in keys
+        ],
+    )
+
+
 def ns_long_to_ntz_us(col_name: str = "ts") -> Column:
     """The parity-critical int64-nanoseconds -> TIMESTAMP_NTZ(us)
     conversion: integer division (``div`` — truncation, matching

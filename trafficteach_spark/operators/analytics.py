@@ -233,20 +233,12 @@ def merge_upsert(
     # with a NULL key component never matched its update — the stale row
     # passed through NEXT TO the new one, silently violating the unique-key
     # contract (hit in practice by the rollup state's NULL-day rows from
-    # null-ts events). eqNullSafe treats NULL as a join value, SQL MERGE's
-    # IS NOT DISTINCT FROM.
-    import functools
-    import operator as _op
+    # null-ts events).
+    from trafficteach_spark.functions.exprs import null_safe_key_cond
 
     b = base.alias("__mu_base")
     u = updates.select(*keys).alias("__mu_upd")
-    cond = functools.reduce(
-        _op.and_,
-        [
-            F.col(f"__mu_base.{k}").eqNullSafe(F.col(f"__mu_upd.{k}"))
-            for k in keys
-        ],
-    )
+    cond = null_safe_key_cond("__mu_base", "__mu_upd", keys)
     return updates.unionByName(b.join(u, cond, "left_anti"))
 
 

@@ -1849,9 +1849,15 @@ def q218_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    # greatest(0, ...) on each variance term: once sums pass 2^53 the
+    # double products carry rounding error, and a near-constant series'
+    # true variance can be smaller than that error — the difference then
+    # computes NEGATIVE and sqrt would emit NaN where the exact-integer
+    # oracle yields a real number. Clamped-to-zero variance flows to
+    # den=0 -> nullif -> NULL r, matching the oracle's NULLIF exactly.
     den = F.sqrt(
-        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.greatest(F.lit(0.0), nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.greatest(F.lit(0.0), nd * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select(
         "lag",

@@ -58,18 +58,11 @@ def merge_rollup_state(base: DataFrame, partial: DataFrame) -> DataFrame:
     # null-ts event yields a day=NULL state row, and a name-list join
     # would never re-match it — every batch with a null-ts event would
     # append another (type, NULL) fragment instead of merging.
-    import functools
-    import operator as _op
+    from trafficteach_spark.functions.exprs import null_safe_key_cond
 
     b = base.alias("__rs_base")
     p = partial.select(*ROLLUP_KEYS).alias("__rs_part")
-    cond = functools.reduce(
-        _op.and_,
-        [
-            F.col(f"__rs_base.{k}").eqNullSafe(F.col(f"__rs_part.{k}"))
-            for k in ROLLUP_KEYS
-        ],
-    )
+    cond = null_safe_key_cond("__rs_base", "__rs_part", ROLLUP_KEYS)
     affected_base = b.join(p, cond, "left_semi")
     merged_affected = (
         affected_base.unionByName(partial)
