@@ -51,55 +51,15 @@ from trafficteach_spark import registry
 # this dict, demoted keys enter it with their live Spark schemas.
 DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     # Round-6 demotions: full-hash green in round 5 (CORRECTNESS_r05)
-    "q01_filter_range": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
-    "q02_group_count": [("event_type", "string"), ("n_events", "bigint"), ("n_users", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
-    "q03_star_join": [("r_name", "string"), ("n_name", "string"), ("revenue", "double"), ("n_orders", "bigint")],
-    "q04_monitor_state": [("n_name", "string"), ("n_suppliers", "bigint"), ("n_active", "bigint"), ("n_silent", "bigint")],
-    "q05_missing_cameras": [("s_suppkey", "bigint"), ("s_name", "string")],
-    "q06_topn": [("user_id", "bigint"), ("n_events", "bigint")],
-    "q06_topn_details": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
-    "q07_speed_buckets": [("event_type", "string"), ("n_high", "bigint"), ("n_medium", "bigint"), ("n_normal", "bigint"), ("n_low", "bigint")],
-    "q08_stratified_sample": [("stratum_hour", "timestamp"), ("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
-    "q11_topk_per_group": [("event_type", "string"), ("user_id", "bigint"), ("n_events", "bigint"), ("rn", "int")],
-    "q13_follow_within": [("leader_id", "bigint"), ("follower_id", "bigint"), ("n_follow", "bigint")],
-    "q19_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
-    "q20_sliding_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
-    "q22_session_window": [("user_id", "bigint"), ("session_start", "timestamp_ntz"), ("session_end", "timestamp_ntz"), ("n_events", "bigint")],
-    "q_stream_avg": [("event_type", "string"), ("n_events", "bigint"), ("avg_speed", "double")],
-    "q30_exact_dedup": [("content_hash", "string"), ("doc_id", "bigint"), ("n_copies", "bigint")],
-    "q31_near_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
-    "q31_minhash_lsh": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
-    "q31_simhash_md5": [("doc_a", "bigint"), ("doc_b", "bigint"), ("hamming", "int")],
-    "q46_dedup_clusters": [("doc_id", "bigint"), ("canonical_id", "bigint"), ("is_canonical", "int")],
-    "q32_knn_cosine": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
-    "q32_knn_lsh": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
-    "q32_knn_ivf": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
-    "q35_embed_near_dup": [("vec_a", "bigint"), ("vec_b", "bigint"), ("cosine", "double")],
-    "q44_int8_quantize": [("vec_id", "bigint"), ("label", "int"), ("scale", "double"), ("qv", "string"), ("max_abs_err", "double")],
-    "q36_langid": [("actual_lang", "string"), ("predicted_lang", "string"), ("n_docs", "bigint")],
-    "q39_quality_score": [("doc_id", "bigint"), ("n_tokens", "int"), ("uniq_ratio", "double"), ("avg_token_len", "double"), ("stop_ratio", "double"), ("quality", "string")],
-    "q43_chunk_split": [("doc_id", "bigint"), ("chunk_idx", "bigint"), ("chunk_text", "string"), ("n_tokens", "bigint")],
-    "q45_repetition": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_dup_grams", "bigint"), ("dup_ratio", "double"), ("is_repetitive", "int")],
-    "q47_pii_redact": [("doc_id", "bigint"), ("n_emails", "int"), ("n_phones", "int"), ("redacted", "string")],
-    "q48_tfidf": [("doc_id", "bigint"), ("term", "string"), ("tf", "bigint"), ("df", "bigint"), ("tfidf", "double"), ("term_rank", "int")],
-    "q49_pack_sequences": [("doc_id", "bigint"), ("source", "string"), ("n_tokens", "bigint"), ("bin_id", "bigint"), ("pack_offset", "bigint")],
-    "q50_decontaminate": [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
-    "q34_multimodal_join": [("label", "int"), ("lang", "string"), ("n_docs", "bigint"), ("sum_chars", "bigint"), ("avg_chars", "double"), ("min_doc_id", "bigint")],
-    "q51_asof_join": [("event_id", "bigint"), ("user_id", "bigint"), ("ts", "timestamp_ntz"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz")],
     "q57_edit_distance": [("doc_a", "bigint"), ("doc_b", "bigint"), ("edit_dist", "int")],
     "q61_merge_upsert": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string")],
     "q63_range_join": [("o_orderpriority", "string"), ("n_pairs", "bigint"), ("n_orders", "bigint"), ("sum_qty", "double")],
     "q67_basket_pairs": [("part_a", "bigint"), ("part_b", "bigint"), ("n_orders", "bigint")],
-    "q68_attribution_join": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
     "q70_trailing_range": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("trailing_30d", "double"), ("n_30d", "bigint")],
     "q72_corr_stats": [("l_returnflag", "string"), ("n", "bigint"), ("qty_price_corr", "double"), ("qty_disc_covar", "double"), ("price_stddev", "double")],
     "q75_bm25": [("doc_id", "bigint"), ("score", "double")],
     "q83_feature_bins": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
-    "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
     "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
-    "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
-    "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
-    "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
     # Round-8 demotions: doubly evidenced (full-hash green in r6 AND r7),
     # plus the r7-evidenced q112+ block demoted one-for-one as round-8
     # additions landed (q115 is rows-only — no oracle, so no digest row;
@@ -225,19 +185,64 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
     "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
     # Long-demoted keys (full-hash green in rounds 1-4)
-    "q15_union": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
     # Mid-round-9 demotions: 8 of the 11 r4-stale rotation keys ceded
     # their window slots to the q212-q219 additions (first-time
     # full-hash evidence outranks a staleness refresh); digest-pinned
     # here until they rotate back in round 10.
-    "q17_date_funcs": [("event_date", "date"), ("hr", "int"), ("day_name", "string"), ("n_events", "bigint"), ("n_users", "bigint")],
-    "q18_json_funcs": [("event_type", "string"), ("n_events", "bigint"), ("max_k", "bigint"), ("sum_k", "bigint"), ("avg_k", "double"), ("n_high", "bigint")],
-    "q23_pandas_udf": [("event_type", "string"), ("speed_decile", "bigint"), ("n_events", "bigint")],
-    "q23_pandas_udaf": [("event_type", "string"), ("value_spread", "double")],
-    "q24_explode": [("label", "int"), ("pos", "int"), ("n_vals", "bigint"), ("min_val", "double"), ("max_val", "double"), ("avg_val", "double")],
-    "q33_text_stats": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("avg_tokens", "double"), ("avg_chars", "double"), ("min_chars", "bigint"), ("max_chars", "bigint")],
-    "q37_token_count": [("lang", "string"), ("n_docs", "bigint"), ("ws_tokens", "bigint"), ("alpha_tokens", "bigint"), ("num_tokens", "bigint"), ("punct_tokens", "bigint")],
-    "q38_fingerprint": [("doc_id", "bigint"), ("fingerprint", "string"), ("n_uniq_tokens", "int")],
+    # Round-10 demotions: the whole round-9 window (q174-q203, the
+    # q204-q219 additions, the q10/q14/q16 rotations) - all full-hash
+    # green in CORRECTNESS_r09 (50/50, zero err rows); demoted to
+    # clear the window for the round-10 freshness rotation (the 9
+    # r4-stale + 40 r5-stale keys promoted out of this dict).
+    "q174_gopher_rules": [("doc_id", "bigint"), ("source", "string"), ("n_words", "bigint"), ("mean_word_len", "double"), ("n_stop", "bigint"), ("alpha_frac", "double"), ("r_count", "int"), ("r_wordlen", "int"), ("r_stop", "int"), ("r_alpha", "int"), ("pass_all", "int")],
+    "q175_lsh_curve_planner": [("bands", "int"), ("rows_per_band", "int"), ("n_true_pairs", "bigint"), ("exp_recall", "double"), ("worst_pair_prob", "double"), ("prob_at_threshold", "double")],
+    "q176_quantization_error": [("label", "int"), ("n_vectors", "bigint"), ("avg_cosine", "double"), ("min_cosine", "double"), ("avg_max_abs_err", "double"), ("avg_scale", "double")],
+    "q177_kaplan_meier": [("duration", "bigint"), ("n_risk", "bigint"), ("n_events", "bigint"), ("n_censored", "bigint"), ("survival", "double")],
+    "q178_kneser_ney_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
+    "q179_jsd_source_divergence": [("source", "string"), ("jsd", "double"), ("jsd_distance", "double")],
+    "q180_jackknife_ci": [("n_users", "bigint"), ("n_groups", "bigint"), ("conv_rate", "double"), ("jk_se", "double"), ("ci_lo", "double"), ("ci_hi", "double")],
+    "q181_power_analysis": [("mde_rel", "double"), ("p1", "double"), ("p2", "double"), ("n_per_arm", "bigint"), ("days_to_run", "bigint")],
+    "q182_embedding_dim_profile": [("dim", "int"), ("n_vectors", "bigint"), ("mean_val", "double"), ("var_val", "double"), ("var_share", "double")],
+    "q183_embedding_corr_pairs": [("dim_a", "int"), ("dim_b", "int"), ("n_vectors", "bigint"), ("corr", "double")],
+    "q184_mann_whitney": [("n_a", "bigint"), ("n_b", "bigint"), ("u_a", "double"), ("z", "double"), ("rank_biserial", "double")],
+    "q185_rrf_fusion": [("doc_id", "bigint"), ("bm25_rank", "int"), ("cosine_rank", "int"), ("rrf_score", "double")],
+    "q186_pagerank_types": [("event_type", "string"), ("n_out", "bigint"), ("pagerank", "double")],
+    "q187_raking_weights": [("source", "string"), ("lang", "string"), ("n_docs", "bigint"), ("weight", "double")],
+    "q188_hash_collision_audit": [("width", "int"), ("n_terms", "bigint"), ("n_buckets_used", "bigint"), ("collided_buckets", "bigint"), ("collision_mass_share", "double")],
+    "q189_shapley_attribution": [("channel", "string"), ("n_exposed", "bigint"), ("shapley", "double")],
+    "q190_markov_attribution": [("channel", "string"), ("removal_effect", "double"), ("attribution", "double")],
+    "q191_winsorized_stats": [("n_users", "bigint"), ("mean_raw", "double"), ("std_raw", "double"), ("mean_winsor", "double"), ("std_winsor", "double"), ("mean_trim", "double"), ("n_trim", "bigint")],
+    "q192_poisson_bootstrap": [("n_users", "bigint"), ("n_replicas", "int"), ("mean_raw", "double"), ("boot_se", "double")],
+    "q193_join_cardinality_audit": [("n_keys", "bigint"), ("total_rows", "bigint"), ("total_pairs", "bigint"), ("max_key_pairs", "bigint"), ("top1_share", "double"), ("skew_ratio", "double")],
+    "q194_forecast_baselines": [("n_days", "bigint"), ("mae_naive", "double"), ("mae_snaive", "double"), ("mape_naive", "double"), ("mape_snaive", "double"), ("snaive_vs_naive", "double")],
+    "q195_did_lift": [("n_obs", "bigint"), ("treat_pre", "double"), ("treat_post", "double"), ("ctrl_pre", "double"), ("ctrl_post", "double"), ("did", "double"), ("se", "double"), ("z", "double")],
+    "q196_auc_score": [("n_pos", "bigint"), ("n_neg", "bigint"), ("auc", "double"), ("gini", "double")],
+    "q197_calibration_bins": [("bin", "int"), ("n_users", "bigint"), ("avg_score", "double"), ("conv_rate", "double")],
+    "q198_metric_family_readout": [("metric", "string"), ("mean_a", "double"), ("mean_b", "double"), ("z", "double"), ("holm_rank", "int"), ("z_crit", "double"), ("significant", "int")],
+    "q199_variance_reduction_report": [("n_users", "bigint"), ("theta", "double"), ("se_raw", "double"), ("se_cuped", "double"), ("se_winsor", "double"), ("vr_cuped", "double"), ("vr_winsor", "double")],
+    "q200_discount_elasticity": [("brand", "string"), ("n_items", "bigint"), ("elasticity", "double"), ("r2", "double")],
+    "q201_asof_snapshot": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("n_events", "bigint")],
+    "q202_dedup_method_agreement": [("n_docs", "bigint"), ("n_lexical_dropped", "bigint"), ("n_semantic_dropped", "bigint"), ("n_both", "bigint"), ("jaccard", "double"), ("pct_agree", "double")],
+    "q203_sample_representativeness": [("event_type", "string"), ("n_pop", "bigint"), ("n_sample", "bigint"), ("sampling_frac", "double"), ("mean_pop", "double"), ("mean_sample", "double"), ("z", "double")],
+    "q204_attribution_outer": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
+    "q205_stream_enrich": [("event_id", "bigint"), ("user_id", "bigint"), ("user_name", "string"), ("nationkey", "int"), ("event_type", "string"), ("value", "double")],
+    "q206_sparse_cosine": [("doc_a", "bigint"), ("doc_b", "bigint"), ("cosine", "double")],
+    "q207_bh_fdr": [("metric", "string"), ("mean_a", "double"), ("mean_b", "double"), ("z", "double"), ("bh_rank", "int"), ("z_crit", "double"), ("significant", "int")],
+    "q208_position_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
+    "q209_cvm_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("cvm_stat", "double"), ("drift_flag", "int")],
+    "q210_info_gain": [("feature", "string"), ("n_rows", "bigint"), ("n_bins", "bigint"), ("h_label", "double"), ("h_cond", "double"), ("info_gain", "double")],
+    "q211_tokenizer_coverage": [("source", "string"), ("n_tokens", "bigint"), ("n_covered", "bigint"), ("coverage", "double"), ("n_oov_types", "bigint")],
+    "q212_bradley_terry": [("event_type", "string"), ("n_wins", "bigint"), ("n_contests", "bigint"), ("strength", "double")],
+    "q213_filter_agreement": [("n_docs", "bigint"), ("n_gopher_pass", "bigint"), ("n_quality_pass", "bigint"), ("n_both_pass", "bigint"), ("po", "double"), ("pe", "double"), ("kappa", "double")],
+    "q214_kendall_tau": [("n_groups", "bigint"), ("n_pairs", "bigint"), ("concordant", "bigint"), ("discordant", "bigint"), ("ties_x", "bigint"), ("ties_y", "bigint"), ("tau_b", "double")],
+    "q215_kruskal_wallis": [("n_groups", "bigint"), ("n_total", "bigint"), ("h", "double"), ("h_adj", "double")],
+    "q216_user_state_batch": [("user_id", "bigint"), ("n_events", "bigint"), ("sum_value", "double"), ("last_ts", "timestamp_ntz"), ("last_event_type", "string")],
+    "q217_average_precision": [("n_pos", "bigint"), ("n_neg", "bigint"), ("prevalence", "double"), ("average_precision", "double")],
+    "q218_xcorr_lag": [("lag", "int"), ("n_days", "bigint"), ("r", "double")],
+    "q219_hard_negatives": [("vec_id", "bigint"), ("label", "int"), ("hard_neg_id", "bigint"), ("hard_neg_label", "int"), ("hard_neg_cos", "double")],
+    "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
+    "q14_intersect": [("user_id", "bigint")],
+    "q16_string_funcs": [("doc_id", "bigint"), ("n_tokens", "int"), ("first_word", "string"), ("last_word", "string"), ("head_upper", "string"), ("lang_src", "string"), ("text_len", "int")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

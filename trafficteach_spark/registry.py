@@ -103,44 +103,35 @@ _OPERATOR_MODULES = (
 # and are fingerprinted per-round by the digest. OPERATORS.md tracks
 # each key's last driver-hash round.
 DRIVER_ORDER: tuple[str, ...] = (
-    # Round-9 promotions, tier 1 (round-8 verdict item 1): the 30 keys
-    # with ZERO driver evidence — registered after the round-8 window
-    # was drawn, digest-pinned + local-parity-only since.
-    "q174_gopher_rules", "q175_lsh_curve_planner",
-    "q176_quantization_error", "q177_kaplan_meier",
-    "q178_kneser_ney_logprob", "q179_jsd_source_divergence",
-    "q180_jackknife_ci", "q181_power_analysis",
-    "q182_embedding_dim_profile", "q183_embedding_corr_pairs",
-    "q184_mann_whitney", "q185_rrf_fusion", "q186_pagerank_types",
-    "q187_raking_weights", "q188_hash_collision_audit",
-    "q189_shapley_attribution", "q190_markov_attribution",
-    "q191_winsorized_stats", "q192_poisson_bootstrap",
-    "q193_join_cardinality_audit", "q194_forecast_baselines",
-    "q195_did_lift", "q196_auc_score", "q197_calibration_bins",
-    "q198_metric_family_readout", "q199_variance_reduction_report",
-    "q200_discount_elasticity", "q201_asof_snapshot",
-    "q202_dedup_method_agreement", "q203_sample_representativeness",
-    # Round-9 additions (registry-growth discipline, round-8 verdict
-    # item 2: every key added this round ships INSIDE the window, so
-    # zero oracle-backed keys end the round without driver evidence).
-    "q204_attribution_outer", "q205_stream_enrich",
-    "q206_sparse_cosine", "q207_bh_fdr", "q208_position_attribution",
-    "q209_cvm_drift", "q210_info_gain", "q211_tokenizer_coverage",
-    "q212_bradley_terry", "q213_filter_agreement", "q214_kendall_tau",
-    "q215_kruskal_wallis", "q216_user_state_batch",
-    "q217_average_precision", "q218_xcorr_lag", "q219_hard_negatives",
-    # Round-9 rotations: 3 of the 11 stalest oracle-backed keys (last
-    # driver-hashed in round 4). The other 8 r4-stale keys
-    # (q17/q18/q23x2/q24/q33/q37/q38) ceded their slots to the
-    # q212-q219 additions — first-time full-hash evidence outranks a
-    # staleness refresh, and the ceded keys stay digest-pinned every
-    # round; they rotate in round 10.
-    "q10_distinct_users", "q14_intersect", "q16_string_funcs",
-    # (The whole round-8 window — q143/q144, the r6 rotation block,
-    # q145-q173, q141/q142 — demoted into the digest with r8 full-hash
-    # evidence; q115_rolling_active_sketch demoted without a digest row
-    # — rows-only by design, its exact twins and invariant tests remain
-    # its evidence, and its window slot no longer burns a red err row.)
+    # Round 10 is a pure freshness rotation (round-9 verdict item 1):
+    # zero new keys, so all 49 slots go to the stalest evidence.
+    # Tier 1 — the 9 r4-stale keys (last driver-hashed in round 4; 8 of
+    # them ceded their round-9 slots to the q212-q219 additions).
+    "q15_union", "q17_date_funcs", "q18_json_funcs",
+    "q23_pandas_udf", "q23_pandas_udaf", "q24_explode",
+    "q33_text_stats", "q37_token_count", "q38_fingerprint",
+    # Tier 2 — 40 of the 49 r5-stale keys (last driver-hashed round 5).
+    # The 9 deferred to round 11 (q57, q61, q63, q67, q70, q72, q75,
+    # q83, q87) are those with an extra r3 driver pass or a by-design
+    # exact-anchor twin (q83); all stay digest-pinned + local-parity
+    # every round in the meantime.
+    "q01_filter_range", "q02_group_count", "q03_star_join",
+    "q04_monitor_state", "q05_missing_cameras", "q06_topn",
+    "q06_topn_details", "q07_speed_buckets", "q08_stratified_sample",
+    "q11_topk_per_group", "q13_follow_within", "q19_funnel",
+    "q20_sliding_window", "q22_session_window", "q_stream_avg",
+    "q85_window_dedup", "q51_asof_join", "q89_asof_forward",
+    "q30_exact_dedup", "q31_near_dedup", "q31_minhash_lsh",
+    "q31_simhash_md5", "q46_dedup_clusters", "q90_containment_dedup",
+    "q32_knn_cosine", "q32_knn_ivf", "q32_knn_lsh",
+    "q35_embed_near_dup", "q44_int8_quantize", "q36_langid",
+    "q39_quality_score", "q43_chunk_split", "q45_repetition",
+    "q34_multimodal_join", "q47_pii_redact", "q48_tfidf",
+    "q49_pack_sequences", "q50_decontaminate",
+    "q88_keep_best_per_cluster", "q68_attribution_join",
+    # (The whole round-9 window — q174-q203, the q204-q219 additions,
+    # q10/q14/q16 — demoted into the digest with r9 full-hash evidence,
+    # CORRECTNESS_r09 50/50 zero err rows.)
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )
