@@ -34,10 +34,55 @@ if _REPO not in sys.path:
 from trafficteach_spark import registry  # noqa: E402
 from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
 
+# Drift normalization (round-9 verdict item 2): the shared bench host's
+# ambient load drifts round-over-round (±20% documented band; r9 saw a
+# 1.67x phantom regression that a same-HEAD re-run read as flat). Ten
+# pinned reference keys — chosen for r8->r9 cross-round stability
+# (|ratio-1| <= 5%), medium cost, and shape diversity (scan+agg,
+# window, join, Arrow UDF, dedup, embedding) — are re-timed at the
+# START and END of every run; the published ``drift`` factor is the
+# median of the 20 observed/anchor ratios. Dividing any per-query time
+# by the run's drift puts rounds on a comparable footing. Anchors are
+# host- and sf0.1-specific: regenerate with tools/calibrate_drift.py.
+DRIFT_REF_KEYS: tuple[str, ...] = (
+    "q126_bigram_lm_logprob", "q32_knn_ivf", "q84_feature_bins_sketch",
+    "q171_dup_span_fraction", "q185_rrf_fusion",
+    "q146_degree_distribution", "q87_bigram_pmi", "q120_skew_audit",
+    "q139_ols_regression", "q86_feature_normalize",
+)
+# Median-of-5 per key at sf0.1 (tools/calibrate_drift.py, round 10).
+DRIFT_REF_ANCHOR_SEC: dict[str, float] = {
+    "q126_bigram_lm_logprob": 1.047,
+    "q32_knn_ivf": 0.941,
+    "q84_feature_bins_sketch": 1.135,
+    "q171_dup_span_fraction": 1.592,
+    "q185_rrf_fusion": 0.728,
+    "q146_degree_distribution": 0.836,
+    "q87_bigram_pmi": 0.603,
+    "q120_skew_audit": 1.423,
+    "q139_ols_regression": 0.981,
+    "q86_feature_normalize": 0.873,
+}
+_DRIFT_SF = 0.1
+
 
 def _force(df) -> None:
     """Fully execute a DataFrame without driver-side materialization."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _time_drift_refs(spark, sf_dir: str) -> dict[str, float]:
+    """One timed pass over the pinned reference keys (single run each —
+    the drift estimate aggregates 2 passes x 10 keys, so per-key medians
+    would only slow the run down)."""
+    specs = registry.all_specs()
+    out: dict[str, float] = {}
+    for key in DRIFT_REF_KEYS:
+        with cache_scope(spark):
+            t0 = time.perf_counter()
+            _force(specs[key].fn(spark, sf_dir))
+            out[key] = time.perf_counter() - t0
+    return out
 
 
 def main() -> None:
@@ -79,6 +124,19 @@ def main() -> None:
     # first sample IS the recorded median).
     spark.catalog.clearCache()
 
+    # Drift reference, pass 1 (see DRIFT_REF_KEYS). Under a key filter
+    # the ref keys may not have been warmed above — warm them now so
+    # both passes measure steady-state ambient load, not codegen.
+    do_drift = bool(DRIFT_REF_ANCHOR_SEC) and abs(sf - _DRIFT_SF) < 1e-9
+    ref_start: dict[str, float] = {}
+    if do_drift:
+        if only:
+            specs = registry.all_specs()
+            for key in DRIFT_REF_KEYS:
+                _force(specs[key].fn(spark, sf_dir))
+            spark.catalog.clearCache()
+        ref_start = _time_drift_refs(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for key, fn in qs.items():
         samples = []
@@ -98,20 +156,47 @@ def main() -> None:
             print(f"bench {key} failed: {exc}", file=sys.stderr)
             timings[key] = -1.0
 
+    # Drift reference, pass 2, then the run's drift factor: median of
+    # the 20 per-key observed/anchor ratios (robust to one noisy key).
+    drift = None
+    if do_drift:
+        ref_end = _time_drift_refs(spark, sf_dir)
+        ratios = [
+            obs / DRIFT_REF_ANCHOR_SEC[k]
+            for pass_ in (ref_start, ref_end)
+            for k, obs in pass_.items()
+        ]
+        drift = round(statistics.median(ratios), 3)
+
     ok = {k: v for k, v in timings.items() if v >= 0}
-    # Full per-query detail for humans/BASELINE.md bookkeeping -> stderr.
+    # Full per-query detail for humans/BASELINE.md bookkeeping -> stderr:
+    # raw seconds and, when a drift factor exists, drift-divided seconds.
     for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
-        print(f"  {k:30s} {v:8.3f} s", file=sys.stderr)
+        norm = f" ({v / drift:8.3f} s/drift)" if drift else ""
+        print(f"  {k:30s} {v:8.3f} s{norm}", file=sys.stderr)
+    if drift is not None:
+        print(
+            f"  drift={drift} (ref start {sum(ref_start.values()):.3f}s,"
+            f" end {sum(ref_end.values()):.3f}s, anchor"
+            f" {sum(DRIFT_REF_ANCHOR_SEC.values()):.3f}s)",
+            file=sys.stderr,
+        )
 
     # The driver keeps only the LAST 2000 CHARS of stdout and parses the
     # JSON line from that tail (an 83-query dict overflowed it in r03 and
     # recorded "parsed": null). Budget the line: slowest queries first,
     # compact separators, and an explicit queries_omitted count.
     budget = 1800
+    total = round(sum(ok.values()), 3)
     result = {
         "metric": "median_wall_sec_total_all_queries",
-        "value": round(sum(ok.values()), 3),
+        "value": total,
         "unit": "sec",
+        # Ambient-load factor vs the pinned sf0.1 anchor (1.0 = calm
+        # host; divide any time in this run by it for cross-round
+        # comparison). null off-anchor-SF.
+        "drift": drift,
+        "value_driftnorm": round(total / drift, 3) if drift else None,
         "queries": {},
         "queries_total": len(timings),
         # Starts at "all omitted" so a zero-query emission (every candidate

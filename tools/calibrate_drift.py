@@ -1,0 +1,68 @@
+"""Calibrate the bench drift anchor (round-9 verdict item 2).
+
+The per-round driver bench runs on a shared host whose ambient load
+drifts round-over-round (documented ±20% band; r9 saw a 1.67× phantom
+"regression" on q190 that a same-HEAD re-run read as flat). To make
+cross-round per-query comparisons meaningful, ``bench.py`` re-times a
+pinned set of stable reference keys at the START and END of every run
+and publishes the run's drift factor: the median of observed/anchor
+ratios. This tool measures those anchors.
+
+Protocol (identical to a bench ref pass): build the bench session,
+warm each ref key once untimed, ``clearCache()``, then time each key
+``--rounds`` times (default 5) under ``cache_scope`` and print the
+median — as the ``DRIFT_REF_ANCHOR_SEC`` dict literal to paste into
+``bench.py``. Anchors are host+SF specific: re-run this tool (and
+update the dict) whenever the host or the sf0.1 fixture changes.
+
+Usage: python tools/calibrate_drift.py [sf_dir] [--rounds N]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import bench  # noqa: E402
+from trafficteach_spark import registry  # noqa: E402
+from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    rounds = 5
+    for a in sys.argv[1:]:
+        if a.startswith("--rounds"):
+            rounds = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+
+    spark = get_spark("trafficteach-drift-calibrate")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+
+    for key in bench.DRIFT_REF_KEYS:
+        bench._force(specs[key].fn(spark, sf_dir))  # warmup
+    spark.catalog.clearCache()
+
+    print("DRIFT_REF_ANCHOR_SEC: dict[str, float] = {")
+    for key in bench.DRIFT_REF_KEYS:
+        samples = []
+        for _ in range(rounds):
+            with cache_scope(spark):
+                t0 = time.perf_counter()
+                bench._force(specs[key].fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
+        spread = (max(samples) - min(samples)) / med
+        print(f'    "{key}": {med:.3f},  # spread {spread:.0%}')
+    print("}")
+
+
+if __name__ == "__main__":
+    main()
