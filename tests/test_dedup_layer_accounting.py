@@ -1,0 +1,99 @@
+"""Byte-accounting guard on the materialized dedup layer (round-9
+verdict item 3).
+
+The registry's caching contract (registry.py module docstring) promises
+the dedup chain's localCheckpoint'ed pair/cluster frames are
+pair-count-sized, not corpus-sized, and live until application exit.
+These tests pin the guard rail around that promise:
+
+- ``materialized_layer_bytes`` reads live block sizes (>0 after a
+  build, 0 after eviction);
+- ``clearCache()`` deliberately does NOT free the layer (the
+  contract's whole point — checkpoint blocks are not SQL-cache
+  entries), while eviction does;
+- a cap breach evicts other datasets' layers first, then REFUSES the
+  materialization loudly (no silent corpus-shaped pinning);
+- the checkpoint residue is row-shaped: bounded by a small per-row
+  budget over the pair/cluster row counts, not by corpus size.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from trafficteach_spark.operators.llm import dedup
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(autouse=True)
+def clean_layer(spark):
+    """Each test starts and ends with an empty layer (eviction is safe
+    by construction — the frames rebuild on next access)."""
+    for key in list(dedup._LAYER_LEDGER):
+        dedup._evict_layer_entry(spark, key)
+    yield
+    for key in list(dedup._LAYER_LEDGER):
+        dedup._evict_layer_entry(spark, key)
+
+
+def test_readout_eviction_and_clearcache_contract(spark):
+    assert dedup.materialized_layer_bytes(spark) == 0
+    dedup.materialized_pairs(spark, SF_SMALL)
+    dedup.materialized_clusters(spark, SF_SMALL)
+    built = dedup.materialized_layer_bytes(spark)
+    assert built > 0
+    key = (spark.sparkContext.applicationId, SF_SMALL)
+    assert set(dedup._LAYER_LEDGER) == {key}
+
+    # The registry contract: clearCache() must NOT free the layer...
+    spark.catalog.clearCache()
+    after_clear = dedup.materialized_layer_bytes(spark)
+    assert after_clear > 0
+    # ...but it does drop any shingle SQL-cache blocks the conservative
+    # attribution charged to the ledger (over-count, never under).
+    assert after_clear <= built
+
+    # Eviction frees the checkpoint blocks and the memos rebuild.
+    dedup._evict_layer_entry(spark, key)
+    assert dedup.materialized_layer_bytes(spark) == 0
+    assert key not in dedup._PAIRS_MEMO and key not in dedup._CLUSTERS_MEMO
+    rebuilt = dedup.materialized_pairs(spark, SF_SMALL)
+    assert rebuilt.count() > 0
+    assert dedup.materialized_layer_bytes(spark) > 0
+
+
+def test_cap_breach_evicts_others_then_refuses(spark, monkeypatch):
+    dedup.materialized_pairs(spark, SF_SMALL)
+    assert dedup.materialized_layer_bytes(spark) > 0
+
+    monkeypatch.setenv(dedup._LAYER_CAP_ENV, "1")
+    with pytest.raises(RuntimeError, match="over the 1-byte cap"):
+        dedup.materialized_pairs(spark, SF_MED)
+
+    # The other dataset's layer was evicted under pressure, and the
+    # refused entry was not left half-registered: nothing is pinned.
+    assert dedup.materialized_layer_bytes(spark) == 0
+    assert dedup._LAYER_LEDGER == {}
+    assert dedup._PAIRS_MEMO == {}
+
+    # With the cap back at the default the same build succeeds.
+    monkeypatch.delenv(dedup._LAYER_CAP_ENV)
+    assert dedup.materialized_pairs(spark, SF_MED).count() > 0
+
+
+def test_layer_is_row_shaped_not_corpus_shaped(spark):
+    """The pure checkpoint residue (post-clearCache) must be bounded by
+    a small per-row budget over the frames' actual row counts — the
+    'pair-count-sized, not corpus-sized' promise as an inequality. The
+    1 KiB/row budget is ~20x the observed bytes/row at sf0.01; a
+    corpus-shaped regression (e.g. text riding the pair shuffle into
+    the checkpoint) blows through it immediately."""
+    n_pairs = dedup.materialized_pairs(spark, SF_MED).count()
+    n_clusters = dedup.materialized_clusters(spark, SF_MED).count()
+    spark.catalog.clearCache()  # drop SQL-cache blocks; keep checkpoints
+    residue = dedup.materialized_layer_bytes(spark)
+    assert residue > 0
+    budget = (n_pairs + n_clusters) * 1024 + 256 * 1024
+    assert residue <= budget, (residue, n_pairs, n_clusters)

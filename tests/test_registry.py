@@ -192,6 +192,19 @@ def test_digest_module_imports_standalone():
     assert proc.returncode == 0, proc.stderr[-2000:]
 
 
+def test_close_round_capstone_check_is_strict():
+    """check_capstone must fail a round with no BASELINE capstone section
+    and pass a recorded round whose capstone key-count still equals the
+    registry's timed-key count (r8's 194-vs-206 undercount is the bug
+    class this guards; zero-growth rounds keep old counts valid)."""
+    from tools.close_round import check_capstone
+
+    assert check_capstone(999), "a missing capstone section must be reported"
+    # Round 9's binding capstone covered 222 timed keys; round 10 is a
+    # zero-growth rotation, so the count must still match the registry.
+    assert check_capstone(9) == []
+
+
 def test_close_round_ledger_check_is_green_and_strict():
     """tools/close_round.check_ledger must pass on the CURRENT repo (the
     ledger 'In rNN window' column agrees with DRIVER_ORDER and every

@@ -108,6 +108,15 @@ def run_parity(sf_dir: str, round_no: int) -> list[str]:
             lines.append(f"FAIL {key}: {res.detail}")
     head = _git("rev-parse", "--short", "HEAD")
     stamp = time.strftime("%Y-%m-%d")
+    # Materialized-layer byte readout (round-9 verdict item 3): the sweep
+    # just exercised the whole dedup chain, so the layer is warm — record
+    # what it actually pins, with the SQL cache dropped first so the
+    # number is the pure checkpoint residue the contract is about.
+    from trafficteach_spark.operators.llm.dedup import materialized_layer_bytes
+
+    spark.catalog.clearCache()
+    layer_bytes = materialized_layer_bytes(spark)
+    print(f"materialized dedup layer: {layer_bytes} bytes (post-clearCache)")
     with open(os.path.join(_REPO, "PARITY_LOCAL.md"), "w") as f:
         f.write(
             f"# PARITY_LOCAL — round {round_no} ({len(specs)} keys)\n\n"
@@ -119,6 +128,10 @@ def run_parity(sf_dir: str, round_no: int) -> list[str]:
             # The OBSERVED rows-only passes, not the static whitelist — a
             # whitelisted key that failed must not appear in the header.
             f"{', '.join(sorted(rows_only_seen))}).\n\n"
+            f"Materialized dedup layer after the sweep: {layer_bytes} bytes\n"
+            "of checkpoint residue (post-clearCache; byte-accounted and\n"
+            "capped — see llm/dedup.py ledger + tests/test_dedup_layer_\n"
+            "accounting.py).\n\n"
             "```\n" + "\n".join(lines) + "\n```\n"
         )
     return errors
@@ -154,6 +167,33 @@ def check_ledger(round_no: int) -> list[str]:
     return errors
 
 
+def check_capstone(round_no: int) -> list[str]:
+    """The round's BINDING capstone in BASELINE.md must time exactly the
+    registry's timed keys (everything but the digest). Round 8 shipped a
+    194-key capstone against a 206-key registry because three late keys
+    landed after it ran (round-9 verdict item 8) — make that drift a
+    closing failure instead of a judge finding."""
+    src = open(os.path.join(_REPO, "BASELINE.md")).read()
+    m = re.search(
+        rf"^## Round {round_no} [^\n]*capstone — (?:all )?(\d+) timed quer",
+        src,
+        re.M,
+    )
+    if not m:
+        return [
+            f"CAPSTONE: no '## Round {round_no} ... capstone — N timed queries' "
+            "section in BASELINE.md — run the binding capstone before closing"
+        ]
+    timed = len(registry.all_specs()) - 1  # q80_parity_digest is not timed
+    if int(m.group(1)) != timed:
+        return [
+            f"CAPSTONE: BASELINE.md round-{round_no} capstone covers "
+            f"{m.group(1)} keys but the registry has {timed} timed keys — "
+            "re-run the capstone at final HEAD"
+        ]
+    return []
+
+
 def run_pytest() -> list[str]:
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
@@ -177,16 +217,18 @@ def main() -> int:
     args = ap.parse_args()
 
     errors: list[str] = []
-    print("== 1/4 plan audit ==", flush=True)
+    print("== 1/5 plan audit ==", flush=True)
     errors += run_plan_audit()
-    print("== 2/4 parity sweep ==", flush=True)
+    print("== 2/5 parity sweep ==", flush=True)
     errors += run_parity(args.sf_dir, args.round)
-    print("== 3/4 ledger staleness ==", flush=True)
+    print("== 3/5 ledger staleness ==", flush=True)
     errors += check_ledger(args.round)
+    print("== 4/5 capstone coverage ==", flush=True)
+    errors += check_capstone(args.round)
     if args.skip_pytest and not args.commit:
-        print("== 4/4 pytest SKIPPED (--skip-pytest) ==", flush=True)
+        print("== 5/5 pytest SKIPPED (--skip-pytest) ==", flush=True)
     else:
-        print("== 4/4 pytest ==", flush=True)
+        print("== 5/5 pytest ==", flush=True)
         errors += run_pytest()
 
     if errors:

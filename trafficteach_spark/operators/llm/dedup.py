@@ -110,6 +110,95 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return (spark.sparkContext.applicationId, sf_dir)
 
 
+# -- Byte accounting for the checkpoint layer (round-9 verdict item 3) ------
+#
+# The registry's caching contract promises the pair/cluster checkpoint
+# blocks are pair-count-sized, not corpus-sized, and live until app exit.
+# At 100 TB that promise needs a guard rail, not a comment: every
+# materialization is MEASURED (RDD storage-info delta across the eager
+# build — which also charges the CC iteration's internal checkpoints to
+# the entry that created them), recorded in a per-(app, sf_dir) ledger,
+# and checked against a configurable cap. Past the cap, entries for
+# OTHER (app, sf_dir) keys are evicted first (checkpoint blocks freed
+# via the context's persistent-RDD registry, memo entries dropped so
+# they rebuild on next use — always safe, the frames are re-buildable
+# by construction); if the new entry ALONE still exceeds the cap, the
+# materialization refuses loudly instead of silently pinning
+# corpus-shaped state in executor memory for the life of the app.
+#
+# Attribution is conservative: blocks the lazily-persisted shingle SQL
+# cache happens to fill during the build are charged to the ledger too
+# (over-counting, never under); `materialized_layer_bytes` re-reads
+# live block sizes, so anything `clearCache()` later frees drops out.
+
+_LAYER_LEDGER: dict[tuple[str, str], dict[int, int]] = {}
+_LAYER_CAP_ENV = "SPARK_GRAFT_DEDUP_LAYER_CAP_BYTES"
+# ~1000x the measured sf0.1 layer, far under a single executor's memory.
+_LAYER_CAP_DEFAULT = 8 << 30
+
+
+def _storage_sizes(spark: SparkSession) -> dict[int, int]:
+    """Live (mem + disk) bytes per block-manager-resident RDD id."""
+    return {
+        info.id(): info.memSize() + info.diskSize()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def materialized_layer_bytes(spark: SparkSession) -> int:
+    """Bytes currently pinned by the materialized dedup layer. Ledger
+    ids are re-read from the block manager, so blocks that were dropped
+    (or never materialized on this app) count zero."""
+    live = _storage_sizes(spark)
+    return sum(live.get(rid, 0) for per in _LAYER_LEDGER.values() for rid in per)
+
+
+def _evict_layer_entry(spark: SparkSession, key: tuple[str, str]) -> None:
+    """Free one (app, sf_dir) entry: unpersist its checkpoint RDDs via
+    the persistent-RDD registry (a DataFrame.unpersist() would only
+    touch the SQL cache, not checkpoint blocks) and drop the memos so
+    the frames rebuild on next use."""
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in _LAYER_LEDGER.pop(key, {}):
+        jrdd = live.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist()
+    _PAIRS_MEMO.pop(key, None)
+    _CLUSTERS_MEMO.pop(key, None)
+
+
+def _materialize_accounted(
+    spark: SparkSession, key: tuple[str, str], build
+) -> DataFrame:
+    """Build + eagerly checkpoint one layer frame with byte accounting
+    (see the ledger comment above). ``build`` is a zero-arg callable so
+    the storage snapshot brackets EVERY action the build runs (the CC
+    loop checkpoints per round), not just the final frame."""
+    import os
+
+    before = _storage_sizes(spark)
+    out = build().localCheckpoint(eager=True)
+    ledger = _LAYER_LEDGER.setdefault(key, {})
+    for rid, nbytes in _storage_sizes(spark).items():
+        if rid not in before:
+            ledger[rid] = nbytes
+    cap = int(os.environ.get(_LAYER_CAP_ENV, _LAYER_CAP_DEFAULT))
+    if materialized_layer_bytes(spark) > cap:
+        for other in [k for k in _LAYER_LEDGER if k != key]:
+            _evict_layer_entry(spark, other)
+    if materialized_layer_bytes(spark) > cap:
+        this_bytes = sum(_LAYER_LEDGER.get(key, {}).values())
+        _evict_layer_entry(spark, key)
+        raise RuntimeError(
+            f"materialized dedup layer for {key} needs ~{this_bytes} bytes, "
+            f"over the {cap}-byte cap (${_LAYER_CAP_ENV}) even after "
+            "evicting every other dataset's layer — the pair frame is "
+            "corpus-shaped, not pair-shaped; fix the candidate generator "
+            "or raise the cap deliberately"
+        )
+    return out
+
+
 def shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted shingle frame, one instance per (app, dataset).
 
@@ -136,7 +225,7 @@ def materialized_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _memo_key(spark, sf_dir)
     df = _PAIRS_MEMO.get(key)
     if df is None:
-        df = near_dup_pairs(spark, sf_dir).localCheckpoint(eager=True)
+        df = _materialize_accounted(spark, key, lambda: near_dup_pairs(spark, sf_dir))
         _PAIRS_MEMO[key] = df
     return df
 
@@ -147,9 +236,11 @@ def materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _memo_key(spark, sf_dir)
     df = _CLUSTERS_MEMO.get(key)
     if df is None:
-        df = dedup_clusters(
-            spark, sf_dir, pairs=materialized_pairs(spark, sf_dir)
-        ).localCheckpoint(eager=True)
+        df = _materialize_accounted(
+            spark,
+            key,
+            lambda: dedup_clusters(spark, sf_dir, pairs=materialized_pairs(spark, sf_dir)),
+        )
         _CLUSTERS_MEMO[key] = df
     return df
 
