@@ -50,18 +50,19 @@ DRIFT_REF_KEYS: tuple[str, ...] = (
     "q146_degree_distribution", "q87_bigram_pmi", "q120_skew_audit",
     "q139_ols_regression", "q86_feature_normalize",
 )
-# Median-of-5 per key at sf0.1 (tools/calibrate_drift.py, round 10).
+# Median over 5 sequence passes per key at sf0.1 (tools/
+# calibrate_drift.py, round 10, post-codegen-maxFields session).
 DRIFT_REF_ANCHOR_SEC: dict[str, float] = {
-    "q126_bigram_lm_logprob": 1.047,
-    "q32_knn_ivf": 0.941,
-    "q84_feature_bins_sketch": 1.135,
-    "q171_dup_span_fraction": 1.592,
-    "q185_rrf_fusion": 0.728,
-    "q146_degree_distribution": 0.836,
-    "q87_bigram_pmi": 0.603,
-    "q120_skew_audit": 1.423,
-    "q139_ols_regression": 0.981,
-    "q86_feature_normalize": 0.873,
+    "q126_bigram_lm_logprob": 1.332,
+    "q32_knn_ivf": 1.123,
+    "q84_feature_bins_sketch": 1.416,
+    "q171_dup_span_fraction": 2.434,
+    "q185_rrf_fusion": 0.985,
+    "q146_degree_distribution": 1.409,
+    "q87_bigram_pmi": 0.811,
+    "q120_skew_audit": 1.945,
+    "q139_ols_regression": 1.191,
+    "q86_feature_normalize": 1.004,
 }
 _DRIFT_SF = 0.1
 

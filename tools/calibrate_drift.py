@@ -9,11 +9,16 @@ and publishes the run's drift factor: the median of observed/anchor
 ratios. This tool measures those anchors.
 
 Protocol (identical to a bench ref pass): build the bench session,
-warm each ref key once untimed, ``clearCache()``, then time each key
-``--rounds`` times (default 5) under ``cache_scope`` and print the
-median — as the ``DRIFT_REF_ANCHOR_SEC`` dict literal to paste into
-``bench.py``. Anchors are host+SF specific: re-run this tool (and
-update the dict) whenever the host or the sf0.1 fixture changes.
+warm each ref key once untimed, ``clearCache()``, then run the WHOLE
+ref set as a sequence pass (one timed run per key, like bench's
+start/end passes) ``--rounds`` times (default 5) and print each key's
+median across passes — as the ``DRIFT_REF_ANCHOR_SEC`` dict literal to
+paste into ``bench.py``. Sequence passes, not per-key repeats: five
+back-to-back runs of one key sit in a warmer JIT/page-cache state than
+the single interleaved run a real bench pass sees, and that mismatch
+showed up as a phantom 1.3-1.4x "drift" on a calm host. Anchors are
+host+SF specific: re-run this tool (and update the dict) whenever the
+host or the sf0.1 fixture changes.
 
 Usage: python tools/calibrate_drift.py [sf_dir] [--rounds N]
 """
@@ -50,14 +55,13 @@ def main() -> None:
         bench._force(specs[key].fn(spark, sf_dir))  # warmup
     spark.catalog.clearCache()
 
+    passes: list[dict[str, float]] = []
+    for _ in range(rounds):
+        passes.append(bench._time_drift_refs(spark, sf_dir))
+
     print("DRIFT_REF_ANCHOR_SEC: dict[str, float] = {")
     for key in bench.DRIFT_REF_KEYS:
-        samples = []
-        for _ in range(rounds):
-            with cache_scope(spark):
-                t0 = time.perf_counter()
-                bench._force(specs[key].fn(spark, sf_dir))
-                samples.append(time.perf_counter() - t0)
+        samples = [p[key] for p in passes]
         med = statistics.median(samples)
         spread = (max(samples) - min(samples)) / med
         print(f'    "{key}": {med:.3f},  # spread {spread:.0%}')

@@ -1162,7 +1162,13 @@ def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     k(k-1)/2 covar states ride the same partial/final hash-aggregate
     pass, each using Spark's numerically-stable single-pass co-moment
     update (matching DuckDB's, so ROUND(6) parity holds despite
-    1e14-scale raw moments). corr is assembled as
+    1e14-scale raw moments). The 137-field partial state is wider than
+    codegen's default 100-field cutoff, which silently demoted the
+    whole pass to interpreted aggregation (6.7x slower, measured);
+    session.RUNTIME_CONFS raises spark.sql.codegen.maxFields so this
+    single-scan form stays inside WholeStageCodegen — the round-10
+    probe showed that beats both a 2x14-pair split (two scans) and an
+    Arrow co-moment pass (BASELINE.md round-10 section). corr is assembled as
     try_divide(covar_samp, sa*sb) rather than F.corr because under
     Spark 4's ANSI mode corr THROWS on a zero-variance column where
     DuckDB (and this form) yield NULL. Null-free contract: each stddev

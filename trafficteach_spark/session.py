@@ -38,6 +38,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Wide-aggregate codegen: the default 100-field cutoff silently
+    # drops plans like q103's 28-pair co-moment aggregate (137 partial
+    # fields) out of whole-stage codegen into interpreted row-at-a-time
+    # aggregation — measured 6.7x slower for the IDENTICAL single-scan
+    # plan (round-9 verdict item 4; BASELINE.md round-10 probe). 300
+    # covers every registered plan's width; compile blowups past it
+    # still fall back gracefully (spark.sql.codegen.fallback=true).
+    "spark.sql.codegen.maxFields": "300",
 }
 
 
