@@ -1,0 +1,176 @@
+"""Idempotent streaming row sinks (round-9 verdict item 6).
+
+The reference wrote every streaming job's per-record results to MySQL
+through hand-rolled DAO inserts (REF: jdbc/JDBCHelper.java ~200 LoC,
+driven from foreachPartition [R]) with no replay story — a crashed batch
+simply re-inserted. Spark-first, the sink is a ``foreachBatch`` body
+whose idempotence comes from DETERMINISTIC BATCH IDENTITY: every write
+lands under the batch id, and a crash-replayed batch REPLACES its own
+output instead of appending next to it.
+
+Two sinks, one strategy (:mod:`rollup` is the upsert/merge sibling;
+this module is the append-table analog):
+
+- **parquet** (:func:`start_parquet_append_sink`): each micro-batch
+  overwrites exactly the directory partition ``batch_id=N`` of the
+  result table; readers see standard partition discovery. At cluster
+  scale the identical body targets an object store — the overwrite of
+  one batch-id partition is the classic exactly-once parquet append.
+- **JDBC** (:func:`start_jdbc_append_sink`, Derby-tested like the O3/O4
+  batch path): ``DELETE WHERE batch_id = N`` then executor-parallel
+  INSERTs. Offsets commit only after the body returns, so every crash
+  window replays into the delete — re-running the pair converges.
+
+Both sinks carry the rollup's lineage guard: batch ids restart at 0
+with a FRESH checkpoint while the result table persists, so a bare
+replay-by-id would duplicate everything already written — the sink
+records the checkpoint's query id next to the table and fails loudly on
+a mismatch (see :func:`rollup._checkpoint_lineage`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficteach_spark.sources.jdbc import write_jdbc
+from trafficteach_spark.streaming.demo import read_event_stream
+from trafficteach_spark.streaming.rollup import _checkpoint_lineage
+
+
+def _lineage_guard(meta_dir: str, lineage: str) -> None:
+    """Record (first call) or enforce (later calls) which streaming
+    query owns the sink output. ``meta_dir`` must live WITH the output
+    (not the checkpoint — a fresh checkpoint must trip the guard, not
+    reset it)."""
+    os.makedirs(meta_dir, exist_ok=True)
+    ptr = os.path.join(meta_dir, "_SINK_LINEAGE")
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            stored = json.load(fh)["lineage"]
+        if stored != lineage:
+            raise RuntimeError(
+                f"sink at {meta_dir} was written by streaming query "
+                f"{stored}, but this run's checkpoint has lineage "
+                f"{lineage}: batch ids restarted, so replay-by-id would "
+                "duplicate committed rows. Either restart from the "
+                "original checkpoint, or clear the sink output to rebuild "
+                "it from the replayed source."
+            )
+        return
+    fd, tmp = tempfile.mkstemp(dir=meta_dir, prefix="_SINK_LINEAGE.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"lineage": lineage}, fh)
+    os.replace(tmp, ptr)
+
+
+def read_parquet_sink(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The sink table (all committed batches; empty source dir yields no
+    partitions, surfaced as an empty frame only after a first batch)."""
+    return spark.read.option("basePath", table_dir).parquet(
+        os.path.join(table_dir, "batch_id=*")
+    )
+
+
+def start_parquet_append_sink(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+):
+    """File-source events -> parquet result table partitioned by batch
+    id. Idempotent under crash-replay: batch N always lands in (and only
+    in) ``table_dir/batch_id=N``, and a replayed batch OVERWRITES that
+    partition with the same rows instead of appending a second copy.
+    ``availableNow`` drains-and-terminates (also the restart-test shape).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _lineage_guard(table_dir, _checkpoint_lineage(checkpoint_dir))
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        read_event_stream(spark, source_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _jdbc_execute(spark: SparkSession, url: str, sql: str) -> bool:
+    """Run one DML/DDL statement over JDBC from the driver (py4j —
+    foreachBatch bodies run driver-side). Returns False when the target
+    table does not exist yet (first batch; Spark's append creates it)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+            return True
+        finally:
+            stmt.close()
+    except Exception as exc:  # noqa: BLE001 - inspect, re-raise non-missing
+        # Derby: 42X05 "Table/View does not exist"; same class of error
+        # text on MySQL/Postgres. Anything else is a real failure.
+        msg = str(exc)
+        if "does not exist" in msg or "42X05" in msg:
+            return False
+        raise
+    finally:
+        conn.close()
+
+
+def start_jdbc_append_sink(
+    spark: SparkSession,
+    source_dir: str,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    meta_dir: str,
+):
+    """File-source events -> JDBC result table (the reference's MySQL
+    result sink, replay-safe). Each batch runs ``DELETE WHERE batch_id``
+    then executor-parallel INSERTs of the rows tagged with the batch id;
+    offsets commit after the body, so every crash window replays into
+    the delete and the pair converges to exactly-once rows.
+
+    ``meta_dir`` holds the lineage marker and must live with the
+    DATABASE's lifecycle, not the checkpoint's (see :func:`_lineage_guard`).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _lineage_guard(meta_dir, _checkpoint_lineage(checkpoint_dir))
+        if batch_df.isEmpty():
+            return
+        batch_spark = batch_df.sparkSession
+        # "batch_id" quoted: Spark's JDBC writer creates case-sensitive
+        # quoted column identifiers, so the bare name would upper-case
+        # into a different (missing) column on Derby/Postgres.
+        _jdbc_execute(
+            batch_spark,
+            url,
+            f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}',
+        )
+        write_jdbc(
+            batch_df.withColumn("batch_id", F.lit(int(batch_id))),
+            url,
+            table,
+            mode="append",
+        )
+
+    return (
+        read_event_stream(spark, source_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
