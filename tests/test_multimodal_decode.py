@@ -361,3 +361,97 @@ def test_custom_decode_fn_contract_end_to_end(spark):
     assert rows[1].pixel_md5 == hashlib.md5(FLAT).hexdigest()
     assert (rows[2].width, rows[2].height, rows[2].n_pixels) == (1, 1, 1)
     assert rows[2].pixel_md5 == hashlib.md5(bytes([9, 8, 7])).hexdigest()
+
+
+# ---- optional pillow-backed decode_fn adapter (round-9 verdict item 7) ----
+
+
+def test_decode_with_pillow_jpeg_through_spark(spark):
+    """Wherever a real codec exists, the adapter closes the documented
+    JPEG gap end-to-end: PIL-encoded JPEG bytes as a binary column,
+    decoded inside Arrow-batched mapInPandas via the pillow decode_fn.
+    Skipped in-container (pillow is not shipped here by design)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from trafficteach_spark.operators.llm.multimodal import decode_with_pillow
+
+    im = PIL_Image.new("RGB", (3, 2))
+    im.putdata([px for row in PIXELS for px in row])
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    r = image_features(df, decode_fn=decode_with_pillow).collect()[0]
+    # JPEG is lossy: geometry is exact, pixel bytes are not bit-pinned.
+    assert (r.width, r.height, r.n_pixels) == (3, 2, 6)
+    assert len(r.pixel_md5) == 32
+
+
+def test_decode_with_pillow_without_pillow_raises_cleanly():
+    """In-container contract: no pillow -> the adapter raises the same
+    NotImplementedError class as decode_image's unsupported-codec guard,
+    naming the optional dependency."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow installed; the no-dependency path is moot")
+    except ImportError:
+        pass
+    from trafficteach_spark.operators.llm.multimodal import decode_with_pillow
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_with_pillow(make_bmp(PIXELS))
+
+
+def test_decode_with_pillow_contract_via_stub(monkeypatch):
+    """The adapter's conversion logic (flat getdata -> rows of RGB
+    tuples, the decode_image contract) tested WITHOUT pillow: a minimal
+    stub of the PIL.Image API is injected, and the adapter's output is
+    fed driver-side through the same _make_decode_features worker the
+    Spark pipeline uses — so the wiring is proven even where the real
+    codec can't be."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    class _StubImg:
+        size = (3, 2)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def getdata(self):
+            return [px for row in PIXELS for px in row]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    stub_image = types.ModuleType("PIL.Image")
+    stub_image.open = lambda fh: _StubImg()
+    stub_pil = types.ModuleType("PIL")
+    stub_pil.Image = stub_image
+    monkeypatch.setitem(sys.modules, "PIL", stub_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", stub_image)
+
+    from trafficteach_spark.operators.llm.multimodal import (
+        _make_decode_features,
+        decode_with_pillow,
+    )
+
+    img = decode_with_pillow(b"\xff\xd8fakejpeg")
+    assert img == {"width": 3, "height": 2, "pixels": PIXELS}
+
+    worker = _make_decode_features(decode_with_pillow)
+    out = pd.concat(
+        worker(iter([pd.DataFrame({"doc_id": [7], "payload": [b"\xff\xd8f"]})]))
+    )
+    assert out.loc[0, "width"] == 3 and out.loc[0, "height"] == 2
+    assert out.loc[0, "n_pixels"] == 6
+    assert out.loc[0, "pixel_md5"] == hashlib.md5(FLAT).hexdigest()
