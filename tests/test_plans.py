@@ -633,3 +633,33 @@ def test_q205_enrich_broadcasts_the_dim_side(spark):
     plan = formatted_plan(spark, "q205_stream_enrich")
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_q103_wide_aggregate_stays_in_codegen(spark):
+    """Round-10 finding: the 137-field partial co-moment state is wider
+    than codegen's DEFAULT 100-field cutoff, which silently demoted the
+    whole single-scan aggregate to interpreted row-at-a-time execution
+    (6.7x slower, identical plan shape). session.RUNTIME_CONFS raises
+    spark.sql.codegen.maxFields; this pins (a) the conf reaches any
+    session through ensure_session_confs and (b) the EXECUTED final
+    plan really runs both HashAggregates inside WholeStageCodegen (the
+    `*(n)` stage marker) — a plan-shape assert alone would pass either
+    way, which is exactly how the regression hid."""
+    from trafficteach_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    assert int(spark.conf.get("spark.sql.codegen.maxFields")) >= 137
+
+    df = queries()["q103_corr_matrix"](spark, SMOKE_SF_DIR)
+    assert len(df.collect()) == 28
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("Initial Plan")[0]  # AQE echoes the pre-run plan below
+    agg_lines = [
+        line.strip().lstrip("+-: ")
+        for line in final.splitlines()
+        if "HashAggregate" in line
+    ]
+    assert len(agg_lines) == 2, final
+    for line in agg_lines:
+        assert line.startswith("*("), line
