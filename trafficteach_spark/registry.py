@@ -27,7 +27,11 @@ MATERIALIZED layer (``operators/llm/dedup.py``: localCheckpoint'ed pair
 and cluster frames, one per (application, sf_dir)) that clearCache()
 deliberately does NOT free — those blocks are the chain's reuse
 contract and live until the application exits; their footprint is
-pair-count-sized, not corpus-sized.
+pair-count-sized, not corpus-sized, and since round 10 that promise is
+enforced, not assumed: every materialization is byte-accounted
+(``dedup.materialized_layer_bytes``) against a configurable cap
+($SPARK_GRAFT_DEDUP_LAYER_CAP_BYTES) with evict-other-datasets-then-
+refuse semantics (tests/test_dedup_layer_accounting.py).
 """
 
 from __future__ import annotations
