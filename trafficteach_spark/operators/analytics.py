@@ -3620,39 +3620,38 @@ def q161_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     level deeper: <= 25 brands per order bound the per-basket triple
     fan-out at C(25,3) (a constant), so the triple frame is linear in
     baskets and the RESULT frame constant (<= 2300 ordered triples) at
-    any scale. The shared basket-array frame (:func:`_brand_baskets`,
-    ONE shuffle) replaces the round-9 double self-join: the sorted
-    array expands to its 3-combinations via a nested slice HOF
-    (JVM-side, ordering guaranteed by the sort), and item counts + the
-    basket total derive from the same frame. Measured ~15-20% faster at
-    sf0.1 with one shuffle of the basket frame instead of three
-    (distinct + two exchange-reused join sides).
+    any scale. The dedup'ed (ok, brand) frame derives from the shared
+    basket-array frame by EXPLODE (:func:`_brand_baskets` — already
+    hash-partitioned by ok, which explode preserves), so the two
+    triple-building self-joins need NO further exchange: one shuffle of
+    the raw rows total, vs the round-9 form's distinct-then-join. A
+    nested-slice HOF that expanded each array to its C(k,3) struct
+    triples was probed first: fastest at sf0.1 but 1.7x SLOWER than
+    this form at the 100x replica (31.3 s vs 18.8 s — the per-basket
+    slice allocations lose to exchange-free codegen'd joins once the
+    basket count dominates), so the join form stays; q141 keeps the HOF
+    because the pair expansion is O(k^2) with no nested slicing and
+    wins at both scales (BASELINE.md round-10 section).
     """
-    baskets = _brand_baskets(spark, sf_dir).persist()
+    baskets = _brand_baskets(spark, sf_dir)
+    flat = baskets.select("ok", F.explode("bs").alias("brand")).persist()
     n = baskets.agg(F.count("*").alias("n_baskets"))
-    item = (
-        baskets.select(F.explode("bs").alias("brand"))
-        .groupBy("brand")
-        .agg(F.count("*").alias("n_item"))
-    )
+    item = flat.groupBy("brand").agg(F.count("*").alias("n_item"))
+    a_, c_, d_ = flat.alias("a"), flat.alias("c"), flat.alias("d")
     tri = (
-        baskets.where(F.size("bs") >= 3)
-        .select(
-            F.explode(
-                F.expr(
-                    # slice is 1-based; i and j are the 0-based outer
-                    # indices, so y ranges over elements after x and z
-                    # over elements after y — exactly C(k, 3), each
-                    # triple in ascending (sorted-array) order.
-                    "flatten(flatten("
-                    " transform(bs, (x, i) ->"
-                    "  transform(slice(bs, i + 2, size(bs)), (y, j) ->"
-                    "   transform(slice(bs, i + j + 3, size(bs)), z ->"
-                    "    struct(x AS brand_a, y AS brand_b, z AS brand_c))))))"
-                )
-            ).alias("t")
+        a_.join(
+            c_,
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.brand") < F.col("c.brand")),
         )
-        .groupBy("t.brand_a", "t.brand_b", "t.brand_c")
+        .join(
+            d_,
+            (F.col("c.ok") == F.col("d.ok")) & (F.col("c.brand") < F.col("d.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("c.brand").alias("brand_b"),
+            F.col("d.brand").alias("brand_c"),
+        )
         .agg(F.count("*").alias("n_triple"))
     )
     ia = item.select(F.col("brand").alias("brand_a"), F.col("n_item").alias("n_a"))
