@@ -3635,7 +3635,12 @@ def q161_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     baskets = _brand_baskets(spark, sf_dir)
     flat = baskets.select("ok", F.explode("bs").alias("brand")).persist()
-    n = baskets.agg(F.count("*").alias("n_baskets"))
+    # Basket count from the PERSISTED flat frame (every basket array is
+    # non-empty — it's a collect_set over inner-joined rows — so
+    # distinct ok == basket count); counting `baskets` directly would
+    # recompute the whole join+collect_set build a second time, and
+    # flat's ok-hash-partitioning makes the partial distinct exchange-free.
+    n = flat.agg(F.count_distinct("ok").alias("n_baskets"))
     item = flat.groupBy("brand").agg(F.count("*").alias("n_item"))
     a_, c_, d_ = flat.alias("a"), flat.alias("c"), flat.alias("d")
     tri = (
