@@ -1885,72 +1885,78 @@ def q187_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive grid).
 
     Plan: ONE corpus-sized aggregate collapses documents to the
-    (source x lang) cell grid (vocabulary-bounded, hundreds of rows);
-    every sweep is an aggregate + equi-join on that persisted tiny
-    frame with the 1-row totals cross-attached. At 100 TB: one scan,
-    one shuffle, then grid-sized arithmetic. try_divide/NULLIF guard
-    empty rows/columns (weight NULL = unreachable marginal).
+    (source x lang) cell grid (vocabulary-bounded, hundreds of rows),
+    which then collapses to ONE ROW (sorted cell array + totals) and
+    all {_IPF_ITERS} row/column sweep pairs run as a single JVM-side
+    ``aggregate()`` fold over it (the q190/q186/q212 device — odd fold
+    steps sweep sources, even steps sweep langs), replacing the earlier
+    join-per-sweep loop whose per-pair localCheckpoints each paid a
+    scheduler round-trip on the grid frame. At 100 TB: one scan, one
+    shuffle, then a constant-size single-task fold. NULLIF guards empty
+    marginals (weight NULL = unreachable marginal), and marginal sums
+    coalesce a NULL weight to 0 exactly as SQL SUM skips it.
     """
     docs = load_table(spark, sf_dir, "documents")
     cells = (
         docs.where(F.col("source").isNotNull() & F.col("lang").isNotNull())
         .groupBy("source", "lang")
         .agg(F.count("*").cast("double").alias("n"))
-        # coalesce(1): grid-sized frame; single-partition sweeps avoid
-        # full-width scheduling in each unrolled IPF stage.
-        .coalesce(1)
-        # localCheckpoint, not persist: a per-invocation persist() leaks
-        # one CacheManager entry per call (nothing ever unpersists it);
-        # the checkpoint blocks are freed by the ContextCleaner when the
-        # frame goes out of scope, same as the per-sweep pins below.
-        .localCheckpoint(eager=True)
     )
-    tot = cells.agg(
-        F.sum("n").alias("t"),
-        F.countDistinct("source").cast("double").alias("ns"),
-        F.countDistinct("lang").cast("double").alias("nl"),
+    sep = "chr(1)"
+    key = f"concat(c.source, {sep}, c.lang)"
+    key2 = f"concat(c2.source, {sep}, c2.lang)"
+    g = (
+        cells.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("source", "lang", "n"))
+            ).alias("cl")
+        )
+        .withColumn("t", F.expr("aggregate(cl, 0.0D, (a, c) -> a + c.n)"))
+        .withColumn(
+            "ns",
+            F.expr(
+                "cast(size(array_distinct(transform(cl, c -> c.source))) as double)"
+            ),
+        )
+        .withColumn(
+            "nl",
+            F.expr(
+                "cast(size(array_distinct(transform(cl, c -> c.lang))) as double)"
+            ),
+        )
     )
-    w = cells.withColumn("w", F.lit(1.0))
-    for _ in range(_IPF_ITERS):
-        rs = w.groupBy("source").agg(F.sum(F.col("n") * F.col("w")).alias("s"))
-        w = (
-            w.join(rs, "source")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "source",
-                "lang",
-                "n",
-                (
-                    F.col("w")
-                    * F.try_divide(F.col("t") / F.col("ns"), F.col("s"))
-                ).alias("w"),
-            )
+    w_map = F.expr(
+        f"""
+        aggregate(
+          sequence(1, {2 * _IPF_ITERS}),
+          map_from_entries(transform(cl, c -> struct({key}, 1.0D))),
+          (acc, k) -> map_from_entries(transform(cl, c -> struct(
+              {key},
+              try_element_at(acc, {key})
+              * (t / IF(k % 2 = 1, ns, nl))
+              / nullif(
+                  aggregate(
+                    filter(cl, c2 -> IF(k % 2 = 1,
+                                        c2.source = c.source,
+                                        c2.lang = c.lang)),
+                    0.0D,
+                    (a, c2) -> a + c2.n * coalesce(try_element_at(acc, {key2}), 0.0D)),
+                  0.0D))))
         )
-        cs = w.groupBy("lang").agg(F.sum(F.col("n") * F.col("w")).alias("s"))
-        w = (
-            w.join(cs, "lang")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "source",
-                "lang",
-                "n",
-                (
-                    F.col("w")
-                    * F.try_divide(F.col("t") / F.col("nl"), F.col("s"))
-                ).alias("w"),
-            )
+        """
+    )
+    return (
+        g.select(F.col("cl"), w_map.alias("fw"))
+        .select(F.explode("cl").alias("c"), "fw")
+        .select(
+            F.col("c.source").alias("source"),
+            F.col("c.lang").alias("lang"),
+            F.col("c.n").cast("long").alias("n_docs"),
+            F.round(
+                F.expr(f"try_element_at(fw, {key})"), 6
+            ).alias("weight"),
         )
-        # localCheckpoint per sweep pair: each sweep consumes w TWICE
-        # (marginal aggregate + join back), so without truncation the
-        # lineage — and the physical plan — doubles every sweep
-        # (measured: 197 exchanges for 3 sweeps). Materializing the
-        # grid-sized frame keeps the plan constant per sweep.
-        w = w.localCheckpoint(eager=True)
-    return w.select(
-        "source",
-        "lang",
-        F.col("n").cast("long").alias("n_docs"),
-        F.round("w", 6).alias("weight"),
     )
 
 

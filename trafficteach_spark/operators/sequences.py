@@ -1902,10 +1902,15 @@ def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one user-partitioned LAG window (the shared per-user-sequence
     shuffle) + one hash aggregate collapse the corpus to a <=|types|^2
-    edge frame, persisted so the ten iterations replay a MEMORY-SIZED
-    frame, not the corpus lineage. Each iteration is an equi-join +
-    aggregate on <=|types| rows (AQE broadcasts them). At 100 TB: the
-    same two corpus stages as q172, then driver-negligible iteration.
+    edge frame (localCheckpoint-pinned: it feeds both the iteration and
+    the n_out readout). The graph then collapses to ONE ROW (sorted
+    edge-probability array + node array) and all {_PR_ITERS} power
+    iterations run as a single JVM-side ``aggregate()`` fold over it —
+    the q190 device, replacing the earlier join-per-step loop whose ten
+    eager localCheckpoints each paid a scheduler round-trip on a
+    <=|types|-row frame. Deterministic: sorted-array fold order. At
+    100 TB: the same two corpus stages as q172, then a constant-size
+    single-task fold.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1928,53 +1933,41 @@ def q186_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     out = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
-    e = (
-        edges.join(out, "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+    e = edges.join(out, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", "n", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
-    for _ in range(_PR_ITERS):
-        contrib = (
-            e.join(
-                F.broadcast(
-                    pr.select(
-                        F.col("node").alias("src"), F.col("pr").alias("pr_src")
-                    )
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("p") * F.col("pr_src")).alias("c"))
+    # ONE row: sorted edge-probability structs + the node vocabulary;
+    # the whole power iteration is a sequence() fold over them (see
+    # q190 for the pattern; try_element_at = ANSI-safe map lookup).
+    g = (
+        e.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("src", "dst", "p"))
+            ).alias("ep")
         )
-        pr = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(F.broadcast(contrib), "node", "left")
-            .select(
-                "node",
-                "n",
-                (
-                    (1 - _PR_D) / F.col("n")
-                    + _PR_D * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            # localCheckpoint per iteration: keeps every iteration's
-            # plan flat (join + agg over two materialized node-sized
-            # frames) instead of a 10-deep lineage of exchanges — the
-            # same plan-pinning fix the q187 IPF sweeps use.
-            .localCheckpoint(eager=True)
+        .withColumn(
+            "nodes",
+            F.expr(
+                "array_sort(array_distinct(concat("
+                "transform(ep, x -> x.src), transform(ep, x -> x.dst))))"
+            ),
         )
+    )
+    pr_map = F.expr(
+        f"""
+        aggregate(
+          sequence(1, {_PR_ITERS}),
+          map_from_entries(transform(nodes, nd ->
+              struct(nd, 1.0D / cast(size(nodes) as double)))),
+          (acc, i) -> map_from_entries(transform(nodes, nd ->
+              struct(nd, (1.0D - {_PR_D}D) / cast(size(nodes) as double)
+                         + {_PR_D}D * aggregate(filter(ep, x -> x.dst = nd), 0.0D,
+                               (a, x) -> a + x.p * coalesce(try_element_at(acc, x.src), 0.0D)))))
+        )
+        """
+    )
+    pr = g.select(F.explode(pr_map).alias("node", "pr"))
     n_out = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("n_out")
     )
@@ -2268,62 +2261,77 @@ def q190_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps, unrolled IDENTICALLY in both engines (journeys longer than
     {_MK_ITERS} touches contribute the same residual to both).
 
-    Plan: the corpus-sized work is one per-user window pass + one edge
-    count (the q172 shape plus START/terminal edges); the 5-variant x
-    state transition frame is localCheckpoint-materialized at <=
-    5*|types|^2 rows and each value-iteration step is one join +
-    aggregate on it (the q186/q187 plan-pinning pattern). At 100 TB:
-    two corpus stages, then constant-size iteration.
+    Plan: the corpus-sized work is ONE per-user window pass + one edge
+    count: each event row emits its (up to 2) journey edges as an array
+    — the touch edge plus, on the journey's last touch (or a
+    first-event purchase), the terminal edge — so the union-of-three-
+    branches form this replaces (which re-derived the window pipeline
+    three times per run) collapses to a single Window stage. The
+    full-sequence LAG equals the within-touches LAG because touches
+    are a strict PREFIX of every journey (rn < first-purchase rn), and
+    the three window aggregates (row_number, lag / min-purchase-rn,
+    max-rn) share one user-key exchange. The 5-variant x
+    state transition frame then collapses to ONE ROW PER VARIANT (edge
+    list and state vocabulary as sorted arrays, <= |types|^2 structs),
+    and all {_MK_ITERS} value-iteration steps run as a single JVM-side
+    ``aggregate()`` fold over those arrays — replacing the earlier
+    join-per-step loop whose 15 eager localCheckpoints paid one
+    scheduler round-trip each on a <= 45-row frame (measured ~2.3 s of
+    the query's 3.5 s at sf0.1). Deterministic: the fold order is the
+    sorted edge array, not partition arrival. At 100 TB: two corpus
+    stages, then a constant-size single-task fold.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
     r = ev.select(
-        "user_id", "event_type", F.row_number().over(w).alias("rn")
-    )
-    p = (
-        r.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("rn").alias("prn"))
-    )
-    t = r.join(p, "user_id", "left").where(
-        F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
-    )
-    wt = Window.partitionBy("user_id").orderBy("rn")
-    tt = t.select(
         "user_id",
         "event_type",
-        "prn",
-        F.lag("event_type").over(wt).alias("prev"),
-        F.lead("event_type").over(wt).alias("nxt"),
+        F.row_number().over(wo).alias("rn"),
+        F.lag("event_type").over(wo).alias("prev"),
+    ).select(
+        "event_type",
+        "rn",
+        "prev",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).over(wu).alias("prn"),
+        F.max("rn").over(wu).alias("mx"),
     )
-    edges_raw = (
-        tt.select(
+    is_touch = F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
+    touch_edge = F.when(
+        is_touch,
+        F.struct(
             F.coalesce("prev", F.lit("START")).alias("src"),
             F.col("event_type").alias("dst"),
+        ),
+    )
+    terminal_edge = (
+        F.when(
+            is_touch & (F.col("rn") == F.col("prn") - 1),
+            F.struct(
+                F.col("event_type").alias("src"), F.lit("CONV").alias("dst")
+            ),
         )
-        .unionAll(
-            tt.where(F.col("nxt").isNull()).select(
-                F.col("event_type").alias("src"),
-                F.when(F.col("prn").isNotNull(), F.lit("CONV"))
-                .otherwise(F.lit("NULL"))
-                .alias("dst"),
-            )
+        .when(
+            is_touch & F.col("prn").isNull() & (F.col("rn") == F.col("mx")),
+            F.struct(
+                F.col("event_type").alias("src"), F.lit("NULL").alias("dst")
+            ),
         )
-        .unionAll(
-            p.where(F.col("prn") == 1).select(
-                F.lit("START").alias("src"), F.lit("CONV").alias("dst")
-            )
+        # First event IS the purchase: no touches, one START -> CONV edge.
+        .when(
+            (F.col("prn") == 1) & (F.col("rn") == 1),
+            F.struct(F.lit("START").alias("src"), F.lit("CONV").alias("dst")),
         )
     )
+    edges_raw = r.select(
+        F.explode(F.array_compact(F.array(touch_edge, terminal_edge))).alias("e")
+    ).select("e.src", "e.dst")
     ec = edges_raw.groupBy("src", "dst").agg(
         F.count("*").cast("double").alias("w")
     )
     eo = ec.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = (
-        ec.join(eo, "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("pr"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+    e = ec.join(eo, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("pr")
     )
     var = F.broadcast(
         ev.sparkSession.createDataFrame(
@@ -2343,48 +2351,44 @@ def q190_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("removed", "src", "dst")
         .agg(F.sum("pr").alias("pr"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
     )
-    states = (
-        e_var.select("removed", F.col("src").alias("st"))
-        .union(e_var.select("removed", F.col("dst").alias("st")))
-        .distinct()
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    pv = states.withColumn(
-        "v", F.when(F.col("st") == "CONV", F.lit(1.0)).otherwise(F.lit(0.0))
-    )
-    for _ in range(_MK_ITERS):
-        c = (
-            e_var.join(
-                F.broadcast(
-                    pv.select(
-                        F.col("removed").alias("removed_p"),
-                        F.col("st").alias("dst_p"),
-                        F.col("v").alias("v_dst"),
-                    )
-                ),
-                (F.col("removed") == F.col("removed_p"))
-                & (F.col("dst") == F.col("dst_p")),
-            )
-            .groupBy("removed", F.col("src").alias("st"))
-            .agg(F.sum(F.col("pr") * F.col("v_dst")).alias("nv"))
+    # One row per removal variant; the whole value iteration is one
+    # sequence() fold — v_{k+1}[s] = sum over s's out-edges of
+    # pr * v_k[dst], with CONV/NULL pinned at 1/0. try_element_at keeps
+    # the map lookup NULL-safe under ANSI mode (every dst IS in states
+    # by construction; the coalesce is belt-and-braces).
+    g = (
+        e_var.groupBy("removed")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("src", "dst", "pr"))
+            ).alias("edges")
         )
-        pv = (
-            states.join(F.broadcast(c), ["removed", "st"], "left")
-            .select(
-                "removed",
-                "st",
-                F.when(F.col("st") == "CONV", F.lit(1.0))
-                .when(F.col("st") == "NULL", F.lit(0.0))
-                .otherwise(F.coalesce(F.col("nv"), F.lit(0.0)))
-                .alias("v"),
-            )
-            .localCheckpoint(eager=True)
+        .withColumn(
+            "states",
+            F.expr(
+                "array_sort(array_distinct(concat("
+                "transform(edges, e -> e.src), transform(edges, e -> e.dst))))"
+            ),
         )
-    reach = pv.where(F.col("st") == "START").select("removed", "v")
+    )
+    v_final = F.expr(
+        f"""
+        try_element_at(
+          aggregate(
+            sequence(1, {_MK_ITERS}),
+            map_from_entries(transform(states, s ->
+                struct(s, CASE WHEN s = 'CONV' THEN 1.0D ELSE 0.0D END))),
+            (acc, i) -> map_from_entries(transform(states, s ->
+                struct(s, CASE WHEN s = 'CONV' THEN 1.0D
+                               WHEN s = 'NULL' THEN 0.0D
+                               ELSE aggregate(filter(edges, e -> e.src = s), 0.0D,
+                                              (a, e) -> a + e.pr * coalesce(try_element_at(acc, e.dst), 0.0D))
+                          END)))
+          ), 'START')
+        """
+    )
+    reach = g.select("removed", v_final.alias("v")).localCheckpoint(eager=True)
     base = reach.where(F.col("removed") == "none").select(
         F.col("v").alias("v0")
     )
@@ -3270,11 +3274,16 @@ def q212_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one (user, type) hash aggregate, one user-keyed self-equi-join
     bounded by the type vocabulary (<= |types|^2 rows per user), one
-    pair-count aggregate — the corpus collapses to a <= |types|^2 frame
-    and every MM iteration is a join + aggregate on that coalesced
-    memory-sized frame (localCheckpoint-pinned, q186/q187's plan-
-    flattening device). At 100 TB: two corpus shuffles, then driver-
-    negligible iteration.
+    pair-count aggregate — the corpus collapses to a <= |types|^2
+    contest frame (localCheckpoint-pinned: it feeds the iteration AND
+    the n_wins/n_contests readouts). That frame then collapses to ONE
+    ROW (item vocabulary + smoothed win/pair-total maps) and all
+    {_BT_ITERS} MM iterations run as a single JVM-side ``aggregate()``
+    fold over it — the q190/q186 device, replacing the earlier
+    join-per-step loop whose 13 eager localCheckpoints each paid a
+    scheduler round-trip on a <=|types|^2-row frame. Deterministic:
+    sorted-array fold order. At 100 TB: two corpus shuffles, then a
+    constant-size single-task fold.
     """
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
@@ -3299,69 +3308,79 @@ def q212_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint, not persist: see q186's edge frame.
         .localCheckpoint(eager=True)
     )
-    items = (
-        wc.select(F.col("winner").alias("it"))
-        .union(wc.select("loser"))
-        .distinct()
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    pw = (
-        items.select(F.col("it").alias("i"))
-        .crossJoin(items.select(F.col("it").alias("j")))
-        .where(F.col("i") != F.col("j"))
-        .join(
-            wc.select(
-                F.col("winner").alias("i"), F.col("loser").alias("j"), "w"
+    # ONE row: item vocabulary, the observed win-count map keyed
+    # 'winner<SEP>loser', the smoothed per-item win totals, and the
+    # per-ordered-pair contest totals n_ij = 2*smooth + w_ij + w_ji.
+    # The MM fold below only does map lookups on these columns —
+    # praw_i = wins_i / sum_j n_ij/(p_i+p_j), renormalized per step
+    # (the normalizer is inlined as a second aggregate() because SQL
+    # lambdas have no let-binding; the double-compute is |types|^2
+    # arithmetic). try_element_at = ANSI-safe lookup; chr(1) separator
+    # cannot occur in an event type.
+    sep = "chr(1)"
+    g = (
+        wc.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("winner", "loser", F.col("w").cast("double").alias("w"))
+                )
+            ).alias("wl")
+        )
+        .withColumn(
+            "items",
+            F.expr(
+                "array_sort(array_distinct(concat("
+                "transform(wl, x -> x.winner), transform(wl, x -> x.loser))))"
             ),
-            ["i", "j"],
-            "left",
         )
-        .select("i", "j", (F.lit(_BT_SMOOTH) + F.coalesce("w", F.lit(0))).alias("w"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+        .withColumn(
+            "wmap",
+            F.expr(
+                f"map_from_entries(transform(wl, x ->"
+                f" struct(concat(x.winner, {sep}, x.loser), x.w)))"
+            ),
+        )
+        .withColumn(
+            "wins",
+            F.expr(
+                f"""map_from_entries(transform(items, i -> struct(i,
+                    aggregate(filter(items, j -> j != i), 0.0D, (a, j) ->
+                        a + {_BT_SMOOTH}D
+                          + coalesce(try_element_at(wmap, concat(i, {sep}, j)), 0.0D)))))"""
+            ),
+        )
+        .withColumn(
+            "nmap",
+            F.expr(
+                f"""map_from_entries(flatten(transform(items, i ->
+                    transform(filter(items, j -> j != i), j ->
+                        struct(concat(i, {sep}, j),
+                               {2 * _BT_SMOOTH}D
+                               + coalesce(try_element_at(wmap, concat(i, {sep}, j)), 0.0D)
+                               + coalesce(try_element_at(wmap, concat(j, {sep}, i)), 0.0D))))))"""
+            ),
+        )
     )
-    pr = (
-        pw.alias("a")
-        .join(
-            pw.select(
-                F.col("i").alias("j"), F.col("j").alias("i"), F.col("w").alias("wb")
-            ).alias("b"),
-            ["i", "j"],
-        )
-        .select("i", "j", (F.col("w") + F.col("wb")).alias("n"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+    den = (
+        f"""aggregate(filter(items, j -> j != II), 0.0D, (a, j) ->
+               a + try_element_at(nmap, concat(II, {sep}, j))
+                   / (try_element_at(acc, II) + try_element_at(acc, j)))"""
     )
-    wi = pw.groupBy("i").agg(F.sum("w").alias("wins"))
-    ni = items.agg(F.count("*").cast("double").alias("n"))
-    p = items.crossJoin(F.broadcast(ni)).select(
-        F.col("it").alias("i"), (F.lit(1.0) / F.col("n")).alias("p")
+    praw = f"(try_element_at(wins, II) / ({den}))"
+    p_map = F.expr(
+        f"""
+        aggregate(
+          sequence(1, {_BT_ITERS}),
+          map_from_entries(transform(items, i ->
+              struct(i, 1.0D / cast(size(items) as double)))),
+          (acc, k) -> map_from_entries(transform(items, i -> struct(i,
+              {praw.replace("II", "i")}
+              / aggregate(items, 0.0D, (t, i2) -> t + {praw.replace("II", "i2")}))))
+        )
+        """
     )
-    for _ in range(_BT_ITERS):
-        den = (
-            pr.join(
-                F.broadcast(p.select("i", F.col("p").alias("pa"))), "i"
-            )
-            .join(
-                F.broadcast(
-                    p.select(F.col("i").alias("j"), F.col("p").alias("pb"))
-                ),
-                "j",
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("n") / (F.col("pa") + F.col("pb"))).alias("den"))
-        )
-        praw = wi.join(F.broadcast(den), "i").select(
-            "i", (F.col("wins") / F.col("den")).alias("p")
-        )
-        tot = praw.agg(F.sum("p").alias("tot"))
-        p = (
-            praw.crossJoin(F.broadcast(tot))
-            .select("i", (F.col("p") / F.col("tot")).alias("p"))
-            .coalesce(1)
-            .localCheckpoint(eager=True)
-        )
+    p = g.select(F.explode(p_map).alias("i", "p"))
     true_wins = wc.groupBy(F.col("winner").alias("i")).agg(
         F.sum("w").alias("true_wins")
     )
