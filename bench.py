@@ -51,20 +51,48 @@ DRIFT_REF_KEYS: tuple[str, ...] = (
     "q139_ols_regression", "q86_feature_normalize",
 )
 # Median over 5 sequence passes per key at sf0.1 (tools/
-# calibrate_drift.py, round 10, post-codegen-maxFields session).
+# calibrate_drift.py, round 10, recalibrated after the mid-round host
+# reboot — the boot changed per-key readings ±10-15% and the job floor,
+# so anchors follow the boot they run on).
 DRIFT_REF_ANCHOR_SEC: dict[str, float] = {
-    "q126_bigram_lm_logprob": 1.332,
-    "q32_knn_ivf": 1.123,
-    "q84_feature_bins_sketch": 1.416,
-    "q171_dup_span_fraction": 2.434,
-    "q185_rrf_fusion": 0.985,
-    "q146_degree_distribution": 1.409,
-    "q87_bigram_pmi": 0.811,
-    "q120_skew_audit": 1.945,
-    "q139_ols_regression": 1.191,
-    "q86_feature_normalize": 1.004,
+    "q126_bigram_lm_logprob": 1.183,
+    "q32_knn_ivf": 1.197,
+    "q84_feature_bins_sketch": 1.248,
+    "q171_dup_span_fraction": 2.464,
+    "q185_rrf_fusion": 1.018,
+    "q146_degree_distribution": 1.476,
+    "q87_bigram_pmi": 0.816,
+    "q120_skew_audit": 2.117,
+    "q139_ols_regression": 1.156,
+    "q86_feature_normalize": 0.963,
 }
 _DRIFT_SF = 0.1
+
+# Job-FLOOR reference (round-10 finding): a host/boot change can leave
+# scan THROUGHPUT flat (ref keys read 0.94x of anchor) while the
+# per-job scheduler round-trip roughly doubles — which inflates tiny
+# and multi-job keys ~1.2-2x and is invisible to the throughput-based
+# drift factor above. So alongside the ref keys, bench times a trivial
+# 32-task job (range -> noop: pure submit/schedule/collect-status
+# cost, no data) at the start and end of every run and publishes
+# ``floor_ms`` + ``drift_floor`` (observed/anchor). Interpretation
+# rule: `drift` normalizes scan-bound keys; keys dominated by job
+# count follow `drift_floor`. Anchor is host-specific like the refs.
+FLOOR_ANCHOR_SEC = 0.0251  # round-10 host post-reboot (calibrate_drift.py)
+_FLOOR_RUNS = 7
+
+
+def _time_job_floor(spark) -> float:
+    """Median wall time of a trivial 32-task noop job — the per-job
+    scheduling floor every timed query pays at least once."""
+    ts = []
+    for _ in range(_FLOOR_RUNS):
+        t0 = time.perf_counter()
+        spark.range(32, numPartitions=32).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
 def _force(df) -> None:
@@ -130,12 +158,14 @@ def main() -> None:
     # both passes measure steady-state ambient load, not codegen.
     do_drift = bool(DRIFT_REF_ANCHOR_SEC) and abs(sf - _DRIFT_SF) < 1e-9
     ref_start: dict[str, float] = {}
+    floor_start = None
     if do_drift:
         if only:
             specs = registry.all_specs()
             for key in DRIFT_REF_KEYS:
                 _force(specs[key].fn(spark, sf_dir))
             spark.catalog.clearCache()
+        floor_start = _time_job_floor(spark)
         ref_start = _time_drift_refs(spark, sf_dir)
 
     timings: dict[str, float] = {}
@@ -160,14 +190,18 @@ def main() -> None:
     # Drift reference, pass 2, then the run's drift factor: median of
     # the 20 per-key observed/anchor ratios (robust to one noisy key).
     drift = None
+    floor = drift_floor = None
     if do_drift:
         ref_end = _time_drift_refs(spark, sf_dir)
+        floor_end = _time_job_floor(spark)
         ratios = [
             obs / DRIFT_REF_ANCHOR_SEC[k]
             for pass_ in (ref_start, ref_end)
             for k, obs in pass_.items()
         ]
         drift = round(statistics.median(ratios), 3)
+        floor = round((floor_start + floor_end) / 2, 4)
+        drift_floor = round(floor / FLOOR_ANCHOR_SEC, 2)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     # Full per-query detail for humans/BASELINE.md bookkeeping -> stderr:
@@ -180,6 +214,12 @@ def main() -> None:
             f"  drift={drift} (ref start {sum(ref_start.values()):.3f}s,"
             f" end {sum(ref_end.values()):.3f}s, anchor"
             f" {sum(DRIFT_REF_ANCHOR_SEC.values()):.3f}s)",
+            file=sys.stderr,
+        )
+        print(
+            f"  drift_floor={drift_floor} (job floor start"
+            f" {floor_start * 1000:.1f}ms, end {floor_end * 1000:.1f}ms,"
+            f" anchor {FLOOR_ANCHOR_SEC * 1000:.1f}ms)",
             file=sys.stderr,
         )
 
@@ -198,6 +238,11 @@ def main() -> None:
         # comparison). null off-anchor-SF.
         "drift": drift,
         "value_driftnorm": round(total / drift, 3) if drift else None,
+        # Per-job scheduling floor (sec) and its factor vs anchor: tiny
+        # or multi-job keys scale with THIS, not with `drift` (see the
+        # FLOOR_ANCHOR_SEC comment). null off-anchor-SF.
+        "floor": floor,
+        "drift_floor": drift_floor,
         "queries": {},
         "queries_total": len(timings),
         # Starts at "all omitted" so a zero-query emission (every candidate

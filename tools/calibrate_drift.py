@@ -66,6 +66,9 @@ def main() -> None:
         spread = (max(samples) - min(samples)) / med
         print(f'    "{key}": {med:.3f},  # spread {spread:.0%}')
     print("}")
+    floors = [bench._time_job_floor(spark) for _ in range(rounds)]
+    print(f"FLOOR_ANCHOR_SEC = {statistics.median(floors):.4f}"
+          f"  # spread {(max(floors) - min(floors)) / statistics.median(floors):.0%}")
 
 
 if __name__ == "__main__":
