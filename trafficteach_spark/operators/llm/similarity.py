@@ -741,10 +741,17 @@ def kmeans_train(
 
 @register(
     "q131_embedding_margin",
-    # Centroid means are ROUNDED to 1e-6 in both engines BEFORE the
-    # cosine: per-dimension AVG is the one order-dependent double sum
-    # here, and pinning it to the 1e-6 grid makes every downstream
-    # cosine/argmax bit-identical across engines.
+    # DETERMINISM CONTRACT: the centroid mean is the one place a
+    # parallel double sum could feed downstream arithmetic — a 1-ulp
+    # partial-merge-order difference that flips one ROUND(mean, 6) cell
+    # would shift EVERY cosine against that centroid and cascade into
+    # the margins (observed once as a sweep-only hash flake, round 10).
+    # So each component is quantized to exact 1e-7 integer units and
+    # summed as BIGINT — exact, commutative, order-independent — and
+    # the mean (sum / (n * 1e7)) rounds to the same 1e-6 grid as
+    # before in BOTH engines. The final margin average gets the same
+    # treatment (margins are 1e-6 multiples up to one ulp, so the
+    # unit cast is exact).
     oracle=f"""
     WITH v AS (
         SELECT vec_id, label,
@@ -757,10 +764,13 @@ def kmeans_train(
     ),
     cent AS (
         SELECT label AS c_label,
-               list(ROUND(m, 6) ORDER BY pos) AS c,
+               list(m ORDER BY pos) AS c,
                CAST(MAX(n) AS BIGINT) AS n_vectors
         FROM (
-            SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+            SELECT label, pos,
+                   ROUND(SUM(CAST(ROUND(x * 10000000) AS BIGINT))
+                         / (COUNT(*) * 10000000.0), 6) AS m,
+                   COUNT(*) AS n
             FROM dims GROUP BY label, pos
         )
         GROUP BY label
@@ -781,7 +791,8 @@ def kmeans_train(
     )
     SELECT label,
            COUNT(*) AS n_vectors,
-           ROUND(AVG(own - best_other), 6) AS avg_margin,
+           ROUND(SUM(CAST(ROUND((own - best_other) * 1000000) AS BIGINT))
+                 / (COUNT(own - best_other) * 1000000.0), 6) AS avg_margin,
            CAST(SUM(CASE WHEN own < best_other THEN 1 ELSE 0 END) AS BIGINT)
                AS n_misassigned,
            ROUND(SUM(CASE WHEN own < best_other THEN 1 ELSE 0 END)
@@ -821,7 +832,17 @@ def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = (
         dims.groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
+        # Exact integer-unit sum (see the oracle's determinism-contract
+        # comment): BIGINT sums are order-independent where a parallel
+        # double AVG is not, and one flipped 1e-6 centroid cell would
+        # cascade into every downstream cosine.
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("x") * 1e7).cast("long"))
+                / (F.count("*") * 1e7),
+                6,
+            ).alias("m")
+        )
         .groupBy(F.col("label").alias("c_label"))
         .agg(
             F.expr(
@@ -852,9 +873,15 @@ def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     mis = F.when(F.col("own") < F.col("best_other"), 1).otherwise(0)
+    marg = F.col("own") - F.col("best_other")
     return margins.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.avg(F.col("own") - F.col("best_other")), 6).alias("avg_margin"),
+        # Margins are 1e-6 multiples up to one ulp (both cosines carry
+        # round(6)), so the unit cast is exact and the sum commutative.
+        F.round(
+            F.sum(F.round(marg * 1e6).cast("long")) / (F.count(marg) * 1e6),
+            6,
+        ).alias("avg_margin"),
         F.sum(mis).cast("long").alias("n_misassigned"),
         F.round(F.sum(mis) / F.count("*").cast("double"), 6).alias(
             "misassign_rate"
