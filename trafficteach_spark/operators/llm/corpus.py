@@ -554,7 +554,14 @@ def q58_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN (SELECT unnest(range({dim})) AS i) g
     ),
     means AS (
-        SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+        -- Exact 1e-7 integer-unit sum, not AVG(double): BIGINT sums are
+        -- order-independent, so a partial-merge-order ulp can never
+        -- flip the 1e-6 rounding (the q131 determinism contract; this
+        -- query builds the identical 640-cell mean grid).
+        SELECT label, pos,
+               SUM(CAST(ROUND(x * 10000000) AS BIGINT))
+                   / (COUNT(*) * 10000000.0) AS m,
+               COUNT(*) AS n
         FROM dims GROUP BY label, pos
     )
     SELECT label,
@@ -588,7 +595,13 @@ def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     means = dims.groupBy("label", "pos").agg(
-        F.avg("x").alias("m"), F.count("*").alias("n")
+        # Exact integer-unit sum — order-independent where a parallel
+        # double AVG is not (q131's determinism contract).
+        (
+            F.sum(F.round(F.col("x") * 1e7).cast("long"))
+            / (F.count("*") * 1e7)
+        ).alias("m"),
+        F.count("*").alias("n"),
     )
     return means.groupBy("label").agg(
         F.max("n").alias("n_vectors"),
