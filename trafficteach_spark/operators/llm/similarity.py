@@ -1152,23 +1152,40 @@ def q176_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q182_embedding_dim_profile",
     # DuckDB 1.0 has no WITH ORDINALITY; expand positions explicitly
     # (lists are 1-indexed there; pos stays 0-based to match posexplode).
+    # Mean/variance from exact 1e-7 integer-unit sums (q131's
+    # order-independence contract): AVG/var_pop over parallel doubles
+    # could flip a ROUND(_, 6) cell on partial-merge order; BIGINT/
+    # HUGEINT sums cannot. v = (n*Su2 - Su^2) / (n^2 * 1e14), the
+    # var_pop identity in units — expression mirrored verbatim in Spark
+    # so both engines run the identical double arithmetic on identical
+    # exact integers.
     oracle="""
     WITH dims AS (
-        SELECT g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+        SELECT g.i AS pos,
+               CAST(ROUND(CAST(embedding[g.i + 1] AS DOUBLE) * 10000000)
+                    AS BIGINT) AS u
         FROM embeddings
         CROSS JOIN (SELECT unnest(range({dim})) AS i) g
     ),
     prof AS (
-        SELECT pos, COUNT(*) AS n, AVG(x) AS m, var_pop(x) AS v
+        SELECT pos, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(u) AS DOUBLE) AS su,
+               CAST(SUM(u * u) AS DOUBLE) AS su2
         FROM dims GROUP BY pos
     ),
-    tot AS (SELECT SUM(v) AS tv FROM prof)
+    pv AS (
+        SELECT pos, n,
+               su / (n * 10000000.0) AS m,
+               (n * su2 - su * su) / (n * n * 1e14) AS v
+        FROM prof
+    ),
+    tot AS (SELECT SUM(v) AS tv FROM pv)
     SELECT pos AS dim,
            CAST(n AS BIGINT) AS n_vectors,
            ROUND(m, 6) AS mean_val,
            ROUND(v, 6) AS var_val,
            ROUND(v / NULLIF(tv, 0), 6) AS var_share
-    FROM prof CROSS JOIN tot
+    FROM pv CROSS JOIN tot
     """.format(dim=schemas.EMBEDDING_DIM),
     tags=("llm", "X3", "audit"),
 )
@@ -1191,16 +1208,31 @@ def q182_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         F.posexplode(
-            F.expr("transform(embedding, x -> cast(x as double))")
-        ).alias("pos", "x")
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(round(cast(x as double) * 1e7) as long))"
+            )
+        ).alias("pos", "u")
     )
+    # Exact integer-unit sums (q131's order-independence contract);
+    # u*u <= 4e14 per element, summed as DECIMAL so no ANSI overflow at
+    # any corpus size. Same var_pop-in-units identity as the oracle.
     prof = dims.groupBy("pos").agg(
         F.count("*").alias("n"),
-        F.avg("x").alias("m"),
-        F.var_pop("x").alias("v"),
+        F.sum("u").cast("double").alias("su"),
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("su2"),
     )
-    tot = prof.agg(F.sum("v").alias("tv"))
-    return prof.crossJoin(F.broadcast(tot)).select(
+    nd = F.col("n").cast("double")
+    pv = prof.select(
+        "pos",
+        "n",
+        (F.col("su") / (nd * 1e7)).alias("m"),
+        ((nd * F.col("su2") - F.col("su") * F.col("su")) / (nd * nd * 1e14)).alias("v"),
+    )
+    tot = pv.agg(F.sum("v").alias("tv"))
+    return pv.crossJoin(F.broadcast(tot)).select(
         F.col("pos").alias("dim"),
         F.col("n").alias("n_vectors"),
         F.round("m", 6).alias("mean_val"),
@@ -1215,14 +1247,21 @@ _CORR_TOPK = 10
 
 @register(
     "q183_embedding_corr_pairs",
+    # Co-moment sums over exact 1e-7 integer units (q131's order-
+    # independence contract — Pearson r is scale-invariant, so the unit
+    # factor cancels and no rescaling is needed): a partial-merge-order
+    # ulp in a double co-moment sum could flip ROUND(|r|, 6) and with it
+    # the TOP-K MEMBERSHIP. BIGINT/HUGEINT/DECIMAL sums cannot.
     oracle=f"""
     WITH dims AS (
-        SELECT vec_id, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+        SELECT vec_id, g.i AS pos,
+               CAST(ROUND(CAST(embedding[g.i + 1] AS DOUBLE) * 10000000)
+                    AS BIGINT) AS u
         FROM embeddings
         CROSS JOIN (SELECT unnest(range({_CORR_DIMS})) AS i) g
     ),
     pairs AS (
-        SELECT a.pos AS dim_a, b.pos AS dim_b, a.x AS x, b.x AS y
+        SELECT a.pos AS dim_a, b.pos AS dim_b, a.u AS x, b.u AS y
         FROM dims a JOIN dims b
           ON a.vec_id = b.vec_id AND a.pos < b.pos
     ),
@@ -1231,8 +1270,10 @@ _CORR_TOPK = 10
     -- zero-variance dims; cf. q103's try_divide rationale)
     c AS (
         SELECT dim_a, dim_b, CAST(COUNT(*) AS DOUBLE) AS n,
-               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
-               SUM(x * x) AS sxx, SUM(y * y) AS syy
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
         FROM pairs GROUP BY dim_a, dim_b
     ),
     cc AS (
@@ -1275,22 +1316,25 @@ def q183_embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"""flatten(transform(sequence(0, {lo}), i ->
                     transform(sequence(i + 1, {_CORR_DIMS - 1}), j ->
                         struct(i AS dim_a, j AS dim_b,
-                               cast(embedding[i] AS double) AS x,
-                               cast(embedding[j] AS double) AS y))))"""
+                               cast(round(cast(embedding[i] AS double) * 1e7) AS long) AS x,
+                               cast(round(cast(embedding[j] AS double) * 1e7) AS long) AS y))))"""
             )
         ).alias("p")
     ).select("p.dim_a", "p.dim_b", "p.x", "p.y")
     # co-moment sums + try_divide instead of F.corr: ANSI mode raises
     # DIVIDE_BY_ZERO inside corr() on a zero-variance dimension
     # (constant embeddings in the degenerate fixture); the explicit
-    # form yields NULL there, matching the oracle's NULLIF.
+    # form yields NULL there, matching the oracle's NULLIF. Sums run
+    # over exact integer units (see the oracle comment); the cross
+    # products sum as DECIMAL so no ANSI overflow at any corpus size.
+    dec = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
     c = pairs.groupBy("dim_a", "dim_b").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
     ).select(
         "dim_a",
         "dim_b",
