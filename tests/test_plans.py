@@ -663,3 +663,27 @@ def test_q103_wide_aggregate_stays_in_codegen(spark):
     assert len(agg_lines) == 2, final
     for line in agg_lines:
         assert line.startswith("*("), line
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "q131_embedding_margin",
+        "q59_label_centroids",
+        "q182_embedding_dim_profile",
+        "q183_embedding_corr_pairs",
+    ],
+)
+def test_embedding_grid_aggregates_are_order_independent(spark, key):
+    """The q131 determinism contract (round 10): the per-dimension
+    mean/variance/co-moment grids must aggregate exact integer units
+    (BIGINT/DECIMAL sums — commutative), never a parallel double
+    avg/var/corr whose partial-merge order can flip a ROUND(_, 6) cell
+    and cascade into downstream cosines (q131) or top-k membership
+    (q183). This pins the optimized plan free of the order-dependent
+    aggregate functions; the unit sums show up as sum() over integral
+    types instead."""
+    df = queries()[key](spark, SMOKE_SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    for banned in ("avg(", "var_pop(", "var_samp(", "corr(", "stddev"):
+        assert banned not in logical, (key, banned)

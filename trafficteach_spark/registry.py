@@ -15,7 +15,16 @@ Design rules enforced by convention here (SURVEY.md §6):
 - stable tie-breaks on every top-k;
 - every computed column aliased identically in Spark and SQL;
 - doubles rounded (6) in final projections; exact sums in DECIMAL;
-- DuckDB hugeint sums cast to BIGINT in oracles.
+- DuckDB hugeint sums cast to BIGINT in oracles;
+- AMPLIFIED rounding sites use exact integer-unit sums (round 10): a
+  ROUND(_, 6) over a parallel double aggregate is deterministic only up
+  to partial-merge order — acceptable when the rounded value is a final
+  output cell (a boundary ulp flips one digit with ~1e-7 probability),
+  NOT when it feeds further arithmetic or a top-k cut, where one flip
+  cascades (observed once: q131). Those sites (q131, q59, q182, q183)
+  quantize each value to 1e-7 integer units and sum as BIGINT/DECIMAL —
+  exact and commutative — in BOTH engines (tests/test_plans.py pins the
+  plans free of avg/var/corr).
 
 Caching contract: a few queries ``persist()`` an intra-query frame (O43
 — q06_topn_details, the q31-family shared shingle frame). The returned
