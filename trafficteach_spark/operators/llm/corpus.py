@@ -559,7 +559,7 @@ def q58_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- flip the 1e-6 rounding (the q131 determinism contract; this
         -- query builds the identical 640-cell mean grid).
         SELECT label, pos,
-               SUM(CAST(ROUND(x * 10000000) AS BIGINT))
+               SUM(CAST(FLOOR(x * 10000000 + 0.5) AS BIGINT))
                    / (COUNT(*) * 10000000.0) AS m,
                COUNT(*) AS n
         FROM dims GROUP BY label, pos
@@ -598,7 +598,7 @@ def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Exact integer-unit sum — order-independent where a parallel
         # double AVG is not (q131's determinism contract).
         (
-            F.sum(F.round(F.col("x") * 1e7).cast("long"))
+            F.sum(F.floor(F.col("x") * 1e7 + 0.5))
             / (F.count("*") * 1e7)
         ).alias("m"),
         F.count("*").alias("n"),

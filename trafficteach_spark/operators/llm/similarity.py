@@ -768,7 +768,7 @@ def kmeans_train(
                CAST(MAX(n) AS BIGINT) AS n_vectors
         FROM (
             SELECT label, pos,
-                   ROUND(SUM(CAST(ROUND(x * 10000000) AS BIGINT))
+                   ROUND(SUM(CAST(FLOOR(x * 10000000 + 0.5) AS BIGINT))
                          / (COUNT(*) * 10000000.0), 6) AS m,
                    COUNT(*) AS n
             FROM dims GROUP BY label, pos
@@ -791,7 +791,7 @@ def kmeans_train(
     )
     SELECT label,
            COUNT(*) AS n_vectors,
-           ROUND(SUM(CAST(ROUND((own - best_other) * 1000000) AS BIGINT))
+           ROUND(SUM(CAST(FLOOR((own - best_other) * 1000000 + 0.5) AS BIGINT))
                  / (COUNT(own - best_other) * 1000000.0), 6) AS avg_margin,
            CAST(SUM(CASE WHEN own < best_other THEN 1 ELSE 0 END) AS BIGINT)
                AS n_misassigned,
@@ -838,7 +838,7 @@ def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cascade into every downstream cosine.
         .agg(
             F.round(
-                F.sum(F.round(F.col("x") * 1e7).cast("long"))
+                F.sum(F.floor(F.col("x") * 1e7 + 0.5))
                 / (F.count("*") * 1e7),
                 6,
             ).alias("m")
@@ -879,7 +879,7 @@ def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Margins are 1e-6 multiples up to one ulp (both cosines carry
         # round(6)), so the unit cast is exact and the sum commutative.
         F.round(
-            F.sum(F.round(marg * 1e6).cast("long")) / (F.count(marg) * 1e6),
+            F.sum(F.floor(marg * 1e6 + 0.5)) / (F.count(marg) * 1e6),
             6,
         ).alias("avg_margin"),
         F.sum(mis).cast("long").alias("n_misassigned"),
@@ -1162,7 +1162,7 @@ def q176_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT g.i AS pos,
-               CAST(ROUND(CAST(embedding[g.i + 1] AS DOUBLE) * 10000000)
+               CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 10000000 + 0.5)
                     AS BIGINT) AS u
         FROM embeddings
         CROSS JOIN (SELECT unnest(range({dim})) AS i) g
@@ -1210,7 +1210,7 @@ def q182_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.expr(
                 "transform(embedding,"
-                " x -> cast(round(cast(x as double) * 1e7) as long))"
+                " x -> floor(cast(x as double) * 1e7 + 0.5D))"
             )
         ).alias("pos", "u")
     )
@@ -1255,7 +1255,7 @@ _CORR_TOPK = 10
     oracle=f"""
     WITH dims AS (
         SELECT vec_id, g.i AS pos,
-               CAST(ROUND(CAST(embedding[g.i + 1] AS DOUBLE) * 10000000)
+               CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 10000000 + 0.5)
                     AS BIGINT) AS u
         FROM embeddings
         CROSS JOIN (SELECT unnest(range({_CORR_DIMS})) AS i) g
@@ -1316,8 +1316,8 @@ def q183_embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"""flatten(transform(sequence(0, {lo}), i ->
                     transform(sequence(i + 1, {_CORR_DIMS - 1}), j ->
                         struct(i AS dim_a, j AS dim_b,
-                               cast(round(cast(embedding[i] AS double) * 1e7) AS long) AS x,
-                               cast(round(cast(embedding[j] AS double) * 1e7) AS long) AS y))))"""
+                               floor(cast(embedding[i] AS double) * 1e7 + 0.5D) AS x,
+                               floor(cast(embedding[j] AS double) * 1e7 + 0.5D) AS y))))"""
             )
         ).alias("p")
     ).select("p.dim_a", "p.dim_b", "p.x", "p.y")
