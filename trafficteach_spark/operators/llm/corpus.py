@@ -560,7 +560,7 @@ def q58_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- query builds the identical 640-cell mean grid).
         SELECT label, pos,
                SUM(CAST(FLOOR(x * 10000000 + 0.5) AS BIGINT))
-                   / (COUNT(*) * 10000000.0) AS m,
+                   / (COUNT(x) * 10000000.0) AS m,
                COUNT(*) AS n
         FROM dims GROUP BY label, pos
     )
@@ -599,7 +599,7 @@ def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double AVG is not (q131's determinism contract).
         (
             F.sum(F.floor(F.col("x") * 1e7 + 0.5))
-            / (F.count("*") * 1e7)
+            / (F.count("x") * 1e7)
         ).alias("m"),
         F.count("*").alias("n"),
     )
@@ -1915,9 +1915,12 @@ def q187_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.count("*").cast("double").alias("n"))
     )
-    sep = "chr(1)"
-    key = f"concat(c.source, {sep}, c.lang)"
-    key2 = f"concat(c2.source, {sep}, c2.lang)"
+    # STRUCT map keys, not a separator-joined string: source/lang are
+    # corpus-derived values, so no byte is guaranteed absent from them,
+    # and a collision would throw DUPLICATED_MAP_KEY at runtime. Struct
+    # equality needs identical field names on build and lookup.
+    key = "struct(c.source AS ks, c.lang AS kl)"
+    key2 = "struct(c2.source AS ks, c2.lang AS kl)"
     g = (
         cells.groupBy()
         .agg(

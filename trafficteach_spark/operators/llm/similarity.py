@@ -769,7 +769,7 @@ def kmeans_train(
         FROM (
             SELECT label, pos,
                    ROUND(SUM(CAST(FLOOR(x * 10000000 + 0.5) AS BIGINT))
-                         / (COUNT(*) * 10000000.0), 6) AS m,
+                         / (COUNT(x) * 10000000.0), 6) AS m,
                    COUNT(*) AS n
             FROM dims GROUP BY label, pos
         )
@@ -839,7 +839,7 @@ def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(F.floor(F.col("x") * 1e7 + 0.5))
-                / (F.count("*") * 1e7),
+                / (F.count("x") * 1e7),
                 6,
             ).alias("m")
         )
@@ -1169,14 +1169,15 @@ def q176_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     prof AS (
         SELECT pos, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(u) AS DOUBLE) AS nn,
                CAST(SUM(u) AS DOUBLE) AS su,
                CAST(SUM(u * u) AS DOUBLE) AS su2
         FROM dims GROUP BY pos
     ),
     pv AS (
         SELECT pos, n,
-               su / (n * 10000000.0) AS m,
-               (n * su2 - su * su) / (n * n * 1e14) AS v
+               su / (nn * 10000000.0) AS m,
+               (nn * su2 - su * su) / (nn * nn * 1e14) AS v
         FROM prof
     ),
     tot AS (SELECT SUM(v) AS tv FROM pv)
@@ -1219,15 +1220,20 @@ def q182_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any corpus size. Same var_pop-in-units identity as the oracle.
     prof = dims.groupBy("pos").agg(
         F.count("*").alias("n"),
+        F.count("u").cast("double").alias("nn"),
+        # linear unit sum stays LONG: its ANSI cliff (~9e11 same-sign
+        # max-magnitude rows per group) is an order past the 100 TB
+        # design point and fails LOUD with a one-line DECIMAL remedy;
+        # the squared sum's cliff (~4e4 rows) is real, hence DECIMAL.
         F.sum("u").cast("double").alias("su"),
         F.sum((F.col("u") * F.col("u")).cast("decimal(38,0)"))
         .cast("double")
         .alias("su2"),
     )
-    nd = F.col("n").cast("double")
+    nd = F.col("nn")
     pv = prof.select(
         "pos",
-        "n",
+        "n",  # n_vectors keeps COUNT(*) (rows incl. NULL components)
         (F.col("su") / (nd * 1e7)).alias("m"),
         ((nd * F.col("su2") - F.col("su") * F.col("su")) / (nd * nd * 1e14)).alias("v"),
     )
@@ -1330,6 +1336,7 @@ def q183_embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
     c = pairs.groupBy("dim_a", "dim_b").agg(
         F.count("*").cast("double").alias("n"),
+        # linear sums LONG / cross+squared sums DECIMAL: see q182.
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
         dec(F.col("x") * F.col("y")).alias("sxy"),

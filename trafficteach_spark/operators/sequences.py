@@ -3308,16 +3308,19 @@ def q212_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint, not persist: see q186's edge frame.
         .localCheckpoint(eager=True)
     )
-    # ONE row: item vocabulary, the observed win-count map keyed
-    # 'winner<SEP>loser', the smoothed per-item win totals, and the
+    # ONE row: item vocabulary, the observed win-count map keyed by the
+    # (winner, loser) struct, the smoothed per-item win totals, and the
     # per-ordered-pair contest totals n_ij = 2*smooth + w_ij + w_ji.
     # The MM fold below only does map lookups on these columns —
     # praw_i = wins_i / sum_j n_ij/(p_i+p_j), renormalized per step
     # (the normalizer is inlined as a second aggregate() because SQL
     # lambdas have no let-binding; the double-compute is |types|^2
-    # arithmetic). try_element_at = ANSI-safe lookup; chr(1) separator
-    # cannot occur in an event type.
-    sep = "chr(1)"
+    # arithmetic). try_element_at = ANSI-safe lookup; pair maps use
+    # STRUCT keys (identical field names on build and lookup) so
+    # corpus-derived item strings can never collide through a
+    # separator byte.
+    def pkey(a: str, b: str) -> str:
+        return f"struct({a} AS ka, {b} AS kb)"
     g = (
         wc.groupBy()
         .agg(
@@ -3338,7 +3341,7 @@ def q212_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wmap",
             F.expr(
                 f"map_from_entries(transform(wl, x ->"
-                f" struct(concat(x.winner, {sep}, x.loser), x.w)))"
+                f" struct({pkey('x.winner', 'x.loser')}, x.w)))"
             ),
         )
         .withColumn(
@@ -3347,7 +3350,7 @@ def q212_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"""map_from_entries(transform(items, i -> struct(i,
                     aggregate(filter(items, j -> j != i), 0.0D, (a, j) ->
                         a + {_BT_SMOOTH}D
-                          + coalesce(try_element_at(wmap, concat(i, {sep}, j)), 0.0D)))))"""
+                          + coalesce(try_element_at(wmap, {pkey("i", "j")}), 0.0D)))))"""
             ),
         )
         .withColumn(
@@ -3355,16 +3358,16 @@ def q212_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"""map_from_entries(flatten(transform(items, i ->
                     transform(filter(items, j -> j != i), j ->
-                        struct(concat(i, {sep}, j),
+                        struct({pkey("i", "j")},
                                {2 * _BT_SMOOTH}D
-                               + coalesce(try_element_at(wmap, concat(i, {sep}, j)), 0.0D)
-                               + coalesce(try_element_at(wmap, concat(j, {sep}, i)), 0.0D))))))"""
+                               + coalesce(try_element_at(wmap, {pkey("i", "j")}), 0.0D)
+                               + coalesce(try_element_at(wmap, {pkey("j", "i")}), 0.0D))))))"""
             ),
         )
     )
     den = (
         f"""aggregate(filter(items, j -> j != II), 0.0D, (a, j) ->
-               a + try_element_at(nmap, concat(II, {sep}, j))
+               a + try_element_at(nmap, {pkey("II", "j")})
                    / (try_element_at(acc, II) + try_element_at(acc, j)))"""
     )
     praw = f"(try_element_at(wins, II) / ({den}))"
