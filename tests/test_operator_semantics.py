@@ -5505,3 +5505,41 @@ def test_funnel_chain_step_with_quote_is_escaped(spark, tmp_path):
     }
     assert out[1] == ("o'clock", 2)
     assert out[2] == ("buy\\now", 1)
+
+
+def test_embedding_null_component_skipped_in_centroid_means(spark, tmp_path):
+    """Round-10 review finding: the integer-unit mean rewrite must keep
+    AVG's NULL semantics — a NULL embedding component is skipped by the
+    numerator AND the denominator (count of non-null units), never
+    counted as zero mass. Parity can't see this (driver fixtures have
+    no NULL components), so pin it with a hand fixture: label 0 has
+    dim-0 values [1.0, NULL, 3.0] -> mean 2.0 (not 4/3)."""
+    from trafficteach_spark import schemas
+
+    dim = schemas.EMBEDDING_DIM
+    def vec(first):
+        return [first] + [0.0] * (dim - 1)
+
+    rows_ = [
+        (0, vec(1.0), 0),
+        (1, [None] + [0.0] * (dim - 1), 0),
+        (2, vec(3.0), 0),
+        (3, vec(5.0), 1),
+    ]
+    spark.createDataFrame(rows_, schemas.EMBEDDINGS).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    cents = {
+        r["label"]: r for r in Q["q59_label_centroids"](spark, str(tmp_path)).collect()
+    }
+    assert cents[0]["centroid"].split(",")[0] == "2.000000", cents[0]
+    # n_vectors keeps COUNT(*) (rows, incl. the NULL-component vector)
+    assert cents[0]["n_vectors"] == 3
+    assert cents[1]["centroid"].split(",")[0] == "5.000000"
+
+    prof = {r["dim"]: r for r in Q["q182_embedding_dim_profile"](spark, str(tmp_path)).collect()}
+    # dim 0 over all labels: non-null values [1, 3, 5] -> mean 3.0,
+    # var_pop = ((1-3)^2 + 0 + (5-3)^2) / 3
+    assert prof[0]["mean_val"] == 3.0, prof[0]
+    assert abs(prof[0]["var_val"] - 8.0 / 3) < 1e-6, prof[0]
+    assert prof[0]["n_vectors"] == 4
