@@ -97,3 +97,24 @@ def test_layer_is_row_shaped_not_corpus_shaped(spark):
     assert residue > 0
     budget = (n_pairs + n_clusters) * 1024 + 256 * 1024
     assert residue <= budget, (residue, n_pairs, n_clusters)
+
+
+def test_dead_app_ledger_entries_are_purged_not_unpersisted(spark):
+    """RDD ids restart at 0 per SparkContext, so a ledger entry from a
+    previous application would alias the live app's ids: it must be
+    DROPPED by the accounting entry points (its blocks no longer
+    exist), never counted in the readout and never fed to unpersist —
+    a cap breach evicting through a stale id would kill an unrelated
+    live RDD (round-10 review finding)."""
+    df = dedup.materialized_pairs(spark, SF_SMALL)
+    live_key = dedup._memo_key(spark, SF_SMALL)
+    live_bytes = dedup.materialized_layer_bytes(spark)
+    assert live_bytes > 0
+    # Forge a dead-app entry aliasing the live entry's RDD ids.
+    stale_key = ("application_dead_0000", SF_SMALL)
+    dedup._LAYER_LEDGER[stale_key] = dict(dedup._LAYER_LEDGER[live_key])
+    # The readout must purge the stale entry, not double-count it.
+    assert dedup.materialized_layer_bytes(spark) == live_bytes
+    assert stale_key not in dedup._LAYER_LEDGER
+    # And the live frame must still be usable (nothing was unpersisted).
+    assert df.count() > 0

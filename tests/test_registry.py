@@ -194,15 +194,20 @@ def test_digest_module_imports_standalone():
 
 def test_close_round_capstone_check_is_strict():
     """check_capstone must fail a round with no BASELINE capstone section
-    and pass a recorded round whose capstone key-count still equals the
-    registry's timed-key count (r8's 194-vs-206 undercount is the bug
-    class this guards; zero-growth rounds keep old counts valid)."""
+    and pass the CURRENT round (whose binding capstone must always match
+    the live registry's timed-key count — r8's 194-vs-206 undercount is
+    the bug class this guards). The current round comes from the
+    OPERATORS.md ledger header, NOT a hardcoded round number: historical
+    capstones record the registry as it was and must not be re-validated
+    against a registry that has since grown (round-10 review finding)."""
+    import re
+
     from tools.close_round import check_capstone
 
     assert check_capstone(999), "a missing capstone section must be reported"
-    # Round 9's binding capstone covered 222 timed keys; round 10 is a
-    # zero-growth rotation, so the count must still match the registry.
-    assert check_capstone(9) == []
+    ledger = open("OPERATORS.md").read()
+    cur = int(re.search(r"\| Key \| Driver-hash rounds \| In r(\d+) window \|", ledger).group(1))
+    assert check_capstone(cur) == []
 
 
 def test_close_round_ledger_check_is_green_and_strict():

@@ -160,3 +160,16 @@ def test_jdbc_sink_exactly_once_across_restart_and_replay(spark, tmp_path):
     assert _ids(back) == [1, 2, 3, 4, 5, 6]
     # every row carries the batch id that wrote it (replay-owner column)
     assert all(r["batch_id"] is not None for r in back)
+
+
+def test_read_parquet_sink_empty_before_first_batch(spark, tmp_path):
+    """A reader that races the stream (or follows an all-empty-batch
+    run) must get an empty frame with the sink schema, not a
+    PATH_NOT_FOUND AnalysisException (round-10 review finding)."""
+    from trafficteach_spark.streaming.sink import read_parquet_sink
+
+    table_dir = tmp_path / "sink_table"
+    table_dir.mkdir()
+    df = read_parquet_sink(spark, str(table_dir))
+    assert df.count() == 0
+    assert "batch_id" in df.columns and "event_id" in df.columns

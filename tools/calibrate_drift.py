@@ -40,12 +40,25 @@ from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    # Consume --rounds (both `--rounds=N` and `--rounds N`) BEFORE
+    # picking positionals, so the space-separated value can't be
+    # mistaken for the sf_dir positional.
+    argv = sys.argv[1:]
     rounds = 5
-    for a in sys.argv[1:]:
+    positionals: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--rounds"):
-            rounds = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                rounds = int(a.split("=", 1)[1])
+            else:
+                rounds = int(argv[i + 1])
+                i += 1
+        else:
+            positionals.append(a)
+        i += 1
+    sf_dir = positionals[0] if positionals else "/root/testdata/sf0.1"
 
     spark = get_spark("trafficteach-drift-calibrate")
     spark.sparkContext.setLogLevel("ERROR")

@@ -119,12 +119,24 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 # build — which also charges the CC iteration's internal checkpoints to
 # the entry that created them), recorded in a per-(app, sf_dir) ledger,
 # and checked against a configurable cap. Past the cap, entries for
-# OTHER (app, sf_dir) keys are evicted first (checkpoint blocks freed
+# OTHER same-app sf_dirs are evicted first (checkpoint blocks freed
 # via the context's persistent-RDD registry, memo entries dropped so
-# they rebuild on next use — always safe, the frames are re-buildable
-# by construction); if the new entry ALONE still exceeds the cap, the
-# materialization refuses loudly instead of silently pinning
-# corpus-shaped state in executor memory for the life of the app.
+# they rebuild for any FUTURE accessor; a caller still holding a
+# previously returned frame loses it — localCheckpoint truncated its
+# lineage, so the next action on the held reference fails with a
+# missing-block error and the holder must re-fetch through the memo);
+# if the new entry ALONE still exceeds the cap, the materialization
+# refuses loudly instead of silently pinning corpus-shaped state in
+# executor memory for the life of the app.
+#
+# SCOPING: RDD ids restart at 0 with every SparkContext, so ledger
+# entries from a DEAD application would collide with the live app's
+# ids — inflating the readout and, worse, letting a cap breach
+# unpersist the live app's unrelated blocks through a stale id. Every
+# accounting entry point therefore drops other-app ledger entries
+# FIRST (without touching the block manager: their context is gone,
+# the blocks no longer exist) — the ledger twin of
+# session.evict_stale_memo.
 #
 # Attribution is conservative: blocks the lazily-persisted shingle SQL
 # cache happens to fill during the build are charged to the ledger too
@@ -145,19 +157,33 @@ def _storage_sizes(spark: SparkSession) -> dict[int, int]:
     }
 
 
+def _purge_dead_app_entries(spark: SparkSession) -> None:
+    """Drop ledger entries recorded under a different applicationId:
+    their SparkContext is gone, their blocks no longer exist, and their
+    RDD ids would alias the LIVE app's ids (ids restart at 0 per
+    context). No block-manager calls — there is nothing to free."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _LAYER_LEDGER if k[0] != app]:
+        del _LAYER_LEDGER[key]
+
+
 def materialized_layer_bytes(spark: SparkSession) -> int:
     """Bytes currently pinned by the materialized dedup layer. Ledger
     ids are re-read from the block manager, so blocks that were dropped
     (or never materialized on this app) count zero."""
+    _purge_dead_app_entries(spark)
     live = _storage_sizes(spark)
     return sum(live.get(rid, 0) for per in _LAYER_LEDGER.values() for rid in per)
 
 
 def _evict_layer_entry(spark: SparkSession, key: tuple[str, str]) -> None:
-    """Free one (app, sf_dir) entry: unpersist its checkpoint RDDs via
-    the persistent-RDD registry (a DataFrame.unpersist() would only
-    touch the SQL cache, not checkpoint blocks) and drop the memos so
-    the frames rebuild on next use."""
+    """Free one LIVE-app (app, sf_dir) entry: unpersist its checkpoint
+    RDDs via the persistent-RDD registry (a DataFrame.unpersist() would
+    only touch the SQL cache, not checkpoint blocks) and drop the memos
+    so the frames rebuild for future accessors (held references to the
+    evicted frames are lost — see the ledger comment). Callers must
+    purge dead-app entries first; unpersisting through a stale id would
+    hit an unrelated live RDD."""
     live = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in _LAYER_LEDGER.pop(key, {}):
         jrdd = live.get(rid)
@@ -176,6 +202,7 @@ def _materialize_accounted(
     loop checkpoints per round), not just the final frame."""
     import os
 
+    _purge_dead_app_entries(spark)
     before = _storage_sizes(spark)
     out = build().localCheckpoint(eager=True)
     ledger = _LAYER_LEDGER.setdefault(key, {})

@@ -69,8 +69,24 @@ def _lineage_guard(meta_dir: str, lineage: str) -> None:
 
 
 def read_parquet_sink(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The sink table (all committed batches; empty source dir yields no
-    partitions, surfaced as an empty frame only after a first batch)."""
+    """The sink table (all committed batches). Before the first
+    non-empty batch commits there are no ``batch_id=N`` partitions to
+    glob (empty batches write nothing), so that case returns an empty
+    frame with the sink schema — event stream columns + ``batch_id`` —
+    instead of raising PATH_NOT_FOUND at a monitoring reader."""
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from trafficteach_spark import schemas
+
+        # copy the fields — StructType.add MUTATES the receiver, and
+        # schemas.EVENTS is the shared module-level schema
+        schema = StructType(
+            list(schemas.EVENTS.fields) + [StructField("batch_id", LongType())]
+        )
+        return spark.createDataFrame([], schema)
     return spark.read.option("basePath", table_dir).parquet(
         os.path.join(table_dir, "batch_id=*")
     )
@@ -119,14 +135,38 @@ def _jdbc_execute(spark: SparkSession, url: str, sql: str) -> bool:
         finally:
             stmt.close()
     except Exception as exc:  # noqa: BLE001 - inspect, re-raise non-missing
-        # Derby: 42X05 "Table/View does not exist"; same class of error
-        # text on MySQL/Postgres. Anything else is a real failure.
+        # Missing-table detection by SQLSTATE class (JDBC-standard,
+        # engine-independent) with an error-text fallback: Derby/Postgres
+        # use 42X05/42P01, MySQL uses 42S02 with "doesn't exist" text.
+        state = ""
+        cause = getattr(exc, "java_exception", None)
+        if cause is not None and hasattr(cause, "getSQLState"):
+            state = cause.getSQLState() or ""
         msg = str(exc)
-        if "does not exist" in msg or "42X05" in msg:
+        if (
+            state in ("42X05", "42P01", "42S02")
+            or "does not exist" in msg
+            or "doesn't exist" in msg
+            or "42X05" in msg
+        ):
             return False
         raise
     finally:
         conn.close()
+
+
+def _quote_ident(spark: SparkSession, url: str, name: str) -> str:
+    """Quote one identifier with the TARGET database's own quote string
+    (DatabaseMetaData.getIdentifierQuoteString): '"' on Derby/Postgres,
+    '`' on default-config MySQL — where a double-quoted name would be a
+    STRING LITERAL, silently comparing 'batch_id' instead of the
+    column."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        q = conn.getMetaData().getIdentifierQuoteString().strip() or '"'
+    finally:
+        conn.close()
+    return f"{q}{name}{q}"
 
 
 def start_jdbc_append_sink(
@@ -143,6 +183,13 @@ def start_jdbc_append_sink(
     offsets commit after the body, so every crash window replays into
     the delete and the pair converges to exactly-once rows.
 
+    Task-retry safety rides on Spark's JDBC writer wrapping each insert
+    PARTITION in a transaction (autocommit off, one commit per task —
+    the default when ``isolationLevel`` isn't NONE), so a failed task
+    rolls back before its retry re-inserts. On a NON-transactional
+    backend (e.g. MyISAM) a retried task can duplicate rows within one
+    batch — use the parquet sink or a transactional engine there.
+
     ``meta_dir`` holds the lineage marker and must live with the
     DATABASE's lifecycle, not the checkpoint's (see :func:`_lineage_guard`).
     """
@@ -152,13 +199,16 @@ def start_jdbc_append_sink(
         if batch_df.isEmpty():
             return
         batch_spark = batch_df.sparkSession
-        # "batch_id" quoted: Spark's JDBC writer creates case-sensitive
-        # quoted column identifiers, so the bare name would upper-case
-        # into a different (missing) column on Derby/Postgres.
+        # batch_id quoted with the TARGET engine's quote string: Spark's
+        # JDBC writer creates case-sensitive quoted column identifiers,
+        # so the bare name would fold into a different (missing) column
+        # on Derby/Postgres — and a hardcoded '"' would be a string
+        # LITERAL on default-config MySQL (see _quote_ident).
+        bid = _quote_ident(batch_spark, url, "batch_id")
         _jdbc_execute(
             batch_spark,
             url,
-            f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}',
+            f"DELETE FROM {table} WHERE {bid} = {int(batch_id)}",
         )
         write_jdbc(
             batch_df.withColumn("batch_id", F.lit(int(batch_id))),
