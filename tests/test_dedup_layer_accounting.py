@@ -99,6 +99,35 @@ def test_layer_is_row_shaped_not_corpus_shaped(spark):
     assert residue <= budget, (residue, n_pairs, n_clusters)
 
 
+def test_eviction_revives_shingle_cache(spark):
+    """Eviction must release the SQL-cached shingle frame THROUGH the
+    DataFrame API and drop its memo entry. A raw RDD unpersist of the
+    ledgered cache blocks would leave the CacheManager entry configured
+    (storageLevel still MEMORY_*) but its RDD at level NONE — the memo's
+    self-heal guard would never re-persist, and every later q31/q90/q46
+    run would silently recompute the shingling per use for the rest of
+    the app (round-10 review finding). Pinned here as: after eviction
+    the memo is empty, and the next access re-persists a cache that
+    actually fills blocks again."""
+    dedup.materialized_pairs(spark, SF_SMALL)  # build fills the shingle cache
+    key = dedup._memo_key(spark, SF_SMALL)
+    assert key in dedup._SHINGLE_MEMO
+    dedup._evict_layer_entry(spark, key)
+    assert key not in dedup._SHINGLE_MEMO
+
+    from pyspark.storagelevel import StorageLevel
+
+    before = set(dedup._storage_sizes(spark))
+    sh = dedup.shared_shingle_sets(spark, SF_SMALL)
+    assert sh.storageLevel != StorageLevel.NONE
+    assert sh.count() > 0
+    after = dedup._storage_sizes(spark)
+    assert any(rid not in before and nbytes > 0 for rid, nbytes in after.items()), (
+        "re-accessed shingle frame did not re-fill any cache blocks: "
+        "the shared cache is dead behind the CacheManager's back"
+    )
+
+
 def test_dead_app_ledger_entries_are_purged_not_unpersisted(spark):
     """RDD ids restart at 0 per SparkContext, so a ledger entry from a
     previous application would alias the live app's ids: it must be

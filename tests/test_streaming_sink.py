@@ -83,10 +83,19 @@ def test_parquet_sink_exactly_once_across_restart_and_replay(spark, tmp_path):
     table = str(tmp_path / "table")
     ckpt = str(tmp_path / "ckpt")
 
+    # The sink schema must not flip across the first commit: the
+    # pre-first-batch empty frame types batch_id long, and the explicit
+    # read schema pins partition discovery to the same type (it would
+    # otherwise infer IntegerType from the small 'batch_id=N' directory
+    # names — round-10 review finding).
+    pre_schema = read_parquet_sink(spark, table).schema
+
     _drop_file(spark, tmp_path, watch, ROWS_1, "f1")
     q = start_parquet_append_sink(spark, str(watch), table, ckpt)
     q.awaitTermination(120)
-    assert _ids(read_parquet_sink(spark, table).collect()) == [1, 2, 3, 4]
+    committed = read_parquet_sink(spark, table)
+    assert _ids(committed.collect()) == [1, 2, 3, 4]
+    assert committed.schema == pre_schema
 
     # Clean restart with a second file: union, nothing re-appended.
     _drop_file(spark, tmp_path, watch, ROWS_2, "f2")

@@ -183,7 +183,23 @@ def _evict_layer_entry(spark: SparkSession, key: tuple[str, str]) -> None:
     so the frames rebuild for future accessors (held references to the
     evicted frames are lost — see the ledger comment). Callers must
     purge dead-app entries first; unpersisting through a stale id would
-    hit an unrelated live RDD."""
+    hit an unrelated live RDD.
+
+    The SQL-CACHED companions the conservative attribution may have
+    charged to this entry (the shingle frame, the hashed eval frame) are
+    released FIRST, through DataFrame.unpersist(): a raw
+    ``jrdd.unpersist()`` on a SQL-cache RDD drops its blocks BEHIND the
+    CacheManager, and because a direct RDD unpersist also resets the
+    RDD's storage level to NONE the cached relation never re-caches —
+    while ``shared_shingle_sets``' self-heal guard reads the CONFIGURED
+    level (still MEMORY_*), so it would never re-persist either: the
+    shared shingle cache would be silently dead for the rest of the app
+    (round-10 review finding). Going through the DataFrame API removes
+    the CacheManager entry too, so the memo rebuild re-persists cleanly."""
+    for memo in (_SHINGLE_MEMO, _EVAL_HASHED_MEMO):
+        df = memo.pop(key, None)
+        if df is not None:
+            df.unpersist()
     live = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in _LAYER_LEDGER.pop(key, {}):
         jrdd = live.get(rid)

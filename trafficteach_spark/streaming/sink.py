@@ -76,19 +76,25 @@ def read_parquet_sink(spark: SparkSession, table_dir: str) -> DataFrame:
     instead of raising PATH_NOT_FOUND at a monitoring reader."""
     import glob as _glob
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from trafficteach_spark import schemas
+
+    # copy the fields — StructType.add MUTATES the receiver, and
+    # schemas.EVENTS is the shared module-level schema
+    schema = StructType(
+        list(schemas.EVENTS.fields) + [StructField("batch_id", LongType())]
+    )
     if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        from trafficteach_spark import schemas
-
-        # copy the fields — StructType.add MUTATES the receiver, and
-        # schemas.EVENTS is the shared module-level schema
-        schema = StructType(
-            list(schemas.EVENTS.fields) + [StructField("batch_id", LongType())]
-        )
         return spark.createDataFrame([], schema)
-    return spark.read.option("basePath", table_dir).parquet(
-        os.path.join(table_dir, "batch_id=*")
+    # The explicit schema also pins the PARTITION column's type: left to
+    # partition discovery, small 'batch_id=N' directory names infer
+    # IntegerType, so the sink's schema would flip int<->bigint across
+    # the first committed batch (round-10 review finding).
+    return (
+        spark.read.schema(schema)
+        .option("basePath", table_dir)
+        .parquet(os.path.join(table_dir, "batch_id=*"))
     )
 
 
@@ -194,6 +200,14 @@ def start_jdbc_append_sink(
     DATABASE's lifecycle, not the checkpoint's (see :func:`_lineage_guard`).
     """
 
+    # The engine's identifier quote string is constant for the sink's
+    # lifetime (one url) — look it up on the FIRST non-empty batch and
+    # reuse it, instead of paying a driver JDBC connection + metadata
+    # round-trip per micro-batch (round-10 review finding). Lazy, not
+    # at-start: the first connection is what creates an embedded-Derby
+    # database, and that belongs to the first batch like before.
+    quoted: dict[str, str] = {}
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _lineage_guard(meta_dir, _checkpoint_lineage(checkpoint_dir))
         if batch_df.isEmpty():
@@ -204,7 +218,9 @@ def start_jdbc_append_sink(
         # so the bare name would fold into a different (missing) column
         # on Derby/Postgres — and a hardcoded '"' would be a string
         # LITERAL on default-config MySQL (see _quote_ident).
-        bid = _quote_ident(batch_spark, url, "batch_id")
+        bid = quoted.get("batch_id")
+        if bid is None:
+            bid = quoted["batch_id"] = _quote_ident(batch_spark, url, "batch_id")
         _jdbc_execute(
             batch_spark,
             url,
