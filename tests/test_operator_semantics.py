@@ -5543,3 +5543,152 @@ def test_embedding_null_component_skipped_in_centroid_means(spark, tmp_path):
     assert prof[0]["mean_val"] == 3.0, prof[0]
     assert abs(prof[0]["var_val"] - 8.0 / 3) < 1e-6, prof[0]
     assert prof[0]["n_vectors"] == 4
+
+
+# ---------- degenerate-input ANSI/NULL contracts (round-10 review) ----------
+
+
+def _duck_view(tmp_path, table):
+    """DuckDB connection with one view over a Spark-written table dir."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/{table}.parquet/*.parquet')"
+    )
+    return con
+
+
+def _oracle_rows(con, key):
+    from trafficteach_spark import registry
+
+    return sorted(tuple(r) for r in con.execute(registry.all_specs()[key].oracle).fetchall())
+
+
+def test_corr_stats_zero_variance_group_matches_oracle_null(spark, tmp_path):
+    """Pearson corr on a zero-variance group: F.corr raises ANSI
+    DIVIDE_BY_ZERO where the oracle's corr() yields NULL (round-10
+    review finding) — the try_divide(covar, sx*sy) form must return the
+    oracle's NULLs on both the constant-column and single-row groups."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    d = dt.datetime(1995, 3, 1)
+    li = [
+        # group A: 3 rows, CONSTANT quantity -> corr NULL (0/0)
+        (1, 1, 1, 1, 5.0, 100.0, 0.01, 0.0, "A", "O", d),
+        (2, 1, 1, 1, 5.0, 150.0, 0.02, 0.0, "A", "O", d),
+        (3, 1, 1, 1, 5.0, 120.0, 0.03, 0.0, "A", "O", d),
+        # group R: single row -> corr NULL (undefined)
+        (4, 1, 1, 1, 7.0, 90.0, 0.04, 0.0, "R", "O", d),
+        # group N: honest variation -> corr defined
+        (5, 1, 1, 1, 1.0, 10.0, 0.05, 0.0, "N", "O", d),
+        (6, 1, 1, 1, 2.0, 20.0, 0.06, 0.0, "N", "O", d),
+    ]
+    spark.createDataFrame(li, schemas.LINEITEM).coalesce(1).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {r["l_returnflag"]: r for r in Q["q72_corr_stats"](spark, str(tmp_path)).collect()}
+    assert got["A"]["qty_price_corr"] is None
+    assert got["A"]["qty_disc_covar"] == 0.0
+    assert got["R"]["qty_price_corr"] is None
+    assert got["R"]["qty_disc_covar"] is None  # covar_samp of 1 row
+    assert got["N"]["qty_price_corr"] == 1.0
+    con = _duck_view(tmp_path, "lineitem")
+    spark_rows = sorted(tuple(r) for r in Q["q72_corr_stats"](spark, str(tmp_path)).collect())
+    assert spark_rows == _oracle_rows(con, "q72_corr_stats")
+
+
+def test_ols_constant_regressor_matches_oracle_null(spark, tmp_path):
+    """A constant regressor makes the Cramer determinant 0: every beta
+    and r2 must come back NULL exactly like the oracle's plain division
+    (DuckDB doubles: x/0 is NULL), never an ANSI DIVIDE_BY_ZERO
+    (round-10 review finding)."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    d = dt.datetime(1995, 3, 1)
+    li = [
+        # l_discount (x2) CONSTANT across all rows -> sxx2 = sx1x2 = 0
+        (1, 1, 1, 1, 1.0, 10.0, 0.05, 0.0, "A", "O", d),
+        (2, 1, 1, 1, 2.0, 25.0, 0.05, 0.0, "A", "O", d),
+        (3, 1, 1, 1, 3.0, 31.0, 0.05, 0.0, "A", "O", d),
+    ]
+    spark.createDataFrame(li, schemas.LINEITEM).coalesce(1).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    row = Q["q139_ols_regression"](spark, str(tmp_path)).collect()[0]
+    assert row["n"] == 3
+    assert row["beta0"] is None and row["beta1"] is None
+    assert row["beta2"] is None and row["r2"] is None
+    con = _duck_view(tmp_path, "lineitem")
+    assert [tuple(row)] == _oracle_rows(con, "q139_ols_regression")
+
+
+def test_chi2_single_status_matches_oracle_null_cramers_v(spark, tmp_path):
+    """A contingency table with ONE distinct status: least(r-1, c-1) = 0,
+    so cramers_v must be the oracle's NULL (sqrt of x/0), chi2 exactly 0
+    (every observed == expected), dof 0 — never an ANSI error
+    (round-10 review finding)."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    orders = [
+        (1, 1, "O", 10.0, dt.datetime(1995, 3, 1), "1-URGENT"),
+        (2, 1, "O", 20.0, dt.datetime(1995, 3, 2), "2-HIGH"),
+        (3, 2, "O", 30.0, dt.datetime(1995, 3, 3), "2-HIGH"),
+    ]
+    spark.createDataFrame(orders, schemas.ORDERS).coalesce(1).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    row = Q["q162_chi2_independence"](spark, str(tmp_path)).collect()[0]
+    assert row["n_cols"] == 1 and row["dof"] == 0
+    assert row["chi2"] == 0.0
+    assert row["cramers_v"] is None
+    con = _duck_view(tmp_path, "orders")
+    assert [tuple(row)] == _oracle_rows(con, "q162_chi2_independence")
+
+
+def test_incremental_rollup_keeps_null_ts_group(spark, tmp_path):
+    """NULL-ts events fail both half-open cutover predicates, so without
+    the delta's isNull arm they'd vanish from the incremental merge
+    while the full-recompute oracle keeps a (type, NULL day) group
+    (round-10 review finding). The merge must equal the full recompute
+    row-for-row, including that group."""
+    from trafficteach_spark import schemas
+
+    ns = 1_000_000_000
+    before = int(1_705_000_000) * ns  # 2024-01-11, before the cutover
+    after = int(1_706_000_000) * ns   # 2024-01-23, after the cutover
+    ev = [
+        (1, before, 1, "view", 10.0, "{}"),
+        (2, after, 1, "view", 20.0, "{}"),
+        (3, None, 2, "view", 5.0, "{}"),   # undatable row
+        (4, None, 2, "click", 7.0, "{}"),
+    ]
+    spark.createDataFrame(ev, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    key = lambda t: tuple(map(repr, t))  # noqa: E731 - None vs date unorderable
+    got = sorted(
+        (tuple(r) for r in Q["q101_incremental_rollup"](spark, str(tmp_path)).collect()),
+        key=key,
+    )
+    con = _duck_view(tmp_path, "events")
+    # DuckDB reads the raw int64-ns column; mirror the loader's ns->ts view
+    con.execute("CREATE VIEW events_ts AS SELECT event_id, "
+                "make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts, "
+                "user_id, event_type, value, props FROM events")
+    from trafficteach_spark import registry
+
+    oracle_sql = registry.all_specs()["q101_incremental_rollup"].oracle.replace(
+        "FROM events", "FROM events_ts"
+    )
+    oracle = sorted((tuple(r) for r in con.execute(oracle_sql).fetchall()), key=key)
+    assert got == oracle
+    null_day = [r for r in got if r[1] is None]
+    assert {(r[0], r[2]) for r in null_day} == {("view", 1), ("click", 1)}

@@ -497,9 +497,20 @@ def q72_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile; no sort, no window, no second pass.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # corr as try_divide(covar_samp, sx*sy) — algebraically identical
+    # (the 1/(n-1) factors cancel), but F.corr's internal divide throws
+    # DIVIDE_BY_ZERO under ANSI on a zero-variance group where the
+    # oracle's corr() yields NULL (the q103 hazard; verified empirically
+    # on Spark 4 ANSI + DuckDB 1.0).
     return lineitem.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            ),
+            6,
+        ).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
     )
@@ -1109,8 +1120,15 @@ def q101_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines must prove. Exact cross-engine: sums are reordered by the
     merge, so ROUND(6) absorbs summation-order ulp drift.
     """
+    # NULL-ts events fail BOTH half-open predicates (base keeps
+    # ts < cutover), so without the isNull arm they would vanish from
+    # the merge while the full-recompute oracle keeps them as a
+    # (event_type, NULL day) group — they ride the delta side, which a
+    # real pipeline reprocesses anyway (an undatable row can never be
+    # proven already-rolled-up).
     delta = load_table(spark, sf_dir, "events").where(
-        F.col("ts") >= F.lit(ROLLUP_CUTOVER).cast("timestamp_ntz")
+        (F.col("ts") >= F.lit(ROLLUP_CUTOVER).cast("timestamp_ntz"))
+        | F.col("ts").isNull()
     )
     merged = (
         rollup_base(spark, sf_dir)
@@ -1427,6 +1445,34 @@ def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trailing window for the rolling-active pair (q107 exact, q115 sketch):
+# ONE literal, shared by both fan-outs, so the accuracy-contract test
+# that pins the sketch against the exact twin can never silently compare
+# two different window lengths (round-10 review finding). The q107
+# oracle's `BETWEEN day - 6 AND day` mirrors it.
+_TRAILING_WINDOW_DAYS = 7
+
+
+def _trailing_day_fanout(day_rows: DataFrame) -> DataFrame:
+    """Fan each day-keyed row (column ``d``) to the trailing days it
+    stays visible for — bounded replication, the scale-safe exact form
+    of a sliding distinct/merge (see q107's plan docstring)."""
+    return day_rows.select(
+        "*",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add("d", _TRAILING_WINDOW_DAYS - 1))
+        ).alias("day"),
+    )
+
+
+def _day_calendar(day_rows: DataFrame) -> DataFrame:
+    """Dense calendar frame spanning min..max of ``d`` — days with no
+    activity still get a report row."""
+    return day_rows.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+
+
 @register(
     "q107_rolling_active_users",
     oracle="""
@@ -1469,18 +1515,12 @@ def q107_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    fan = ud.select(
-        "user_id",
-        "d",
-        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
-    )
+    fan = _trailing_day_fanout(ud)
     per_day = fan.groupBy("day").agg(
         F.countDistinct(F.when(F.col("d") == F.col("day"), F.col("user_id"))).alias("dau"),
         F.countDistinct("user_id").alias("wau"),
     )
-    cal = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
-        F.explode(F.sequence("lo", "hi")).alias("day")
-    )
+    cal = _day_calendar(ud)
     return (
         cal.join(per_day, "day", "left")
         .select(
@@ -1684,20 +1724,14 @@ def q115_rolling_active_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.select(F.to_date("ts").alias("d"), "user_id").groupBy("d").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
     )
-    fan = daily.select(
-        "sk",
-        "d",
-        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
-    )
+    fan = _trailing_day_fanout(daily)
     per_day = fan.groupBy("day").agg(
         F.hll_sketch_estimate(
             F.hll_union_agg(F.when(F.col("d") == F.col("day"), F.col("sk")), F.lit(True))
         ).alias("dau_est"),
         F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("wau_est"),
     )
-    cal = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
-        F.explode(F.sequence("lo", "hi")).alias("day")
-    )
+    cal = _day_calendar(daily)
     return (
         cal.join(per_day, "day", "left")
         .select(
@@ -2056,11 +2090,21 @@ def q139_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx2y") - F.col("sx2") * F.col("sy") / F.col("n")).alias("sx2y"),
         (F.col("syy_raw") - F.col("sy") * F.col("sy") / F.col("n")).alias("syy"),
     )
+    # try_divide, not /: a constant regressor makes the Cramer
+    # determinant 0 (and a constant target makes syy 0) — ANSI would
+    # throw DIVIDE_BY_ZERO where the oracle's plain division yields
+    # NULL (DuckDB doubles: x/0 is NULL). Same IEEE divide otherwise.
     det = F.col("sxx1") * F.col("sxx2") - F.col("sx1x2") * F.col("sx1x2")
-    b1 = (F.col("sxx2") * F.col("sx1y") - F.col("sx1x2") * F.col("sx2y")) / det
-    b2 = (F.col("sxx1") * F.col("sx2y") - F.col("sx1x2") * F.col("sx1y")) / det
-    b0 = (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) / F.col("n")
-    r2 = (b1 * F.col("sx1y") + b2 * F.col("sx2y")) / F.col("syy")
+    b1 = F.try_divide(
+        F.col("sxx2") * F.col("sx1y") - F.col("sx1x2") * F.col("sx2y"), det
+    )
+    b2 = F.try_divide(
+        F.col("sxx1") * F.col("sx2y") - F.col("sx1x2") * F.col("sx1y"), det
+    )
+    b0 = F.try_divide(
+        F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2"), F.col("n")
+    )
+    r2 = F.try_divide(b1 * F.col("sx1y") + b2 * F.col("sx2y"), F.col("syy"))
     return centered.select(
         "n",
         F.round(b0, 6).alias("beta0"),
@@ -3023,6 +3067,40 @@ _KS_COEF = 1.3581015157406195
 _KS_VALUE_BIN = 0.5  # ECDF granularity for the drift comparison
 
 
+def _half_split_side_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front half of the two-sample drift tests (q156 KS, q209
+    CvM): split events at the exact-integer-microsecond (min+max)//2
+    midpoint (one 1-row bounds frame broadcast back — the sanctioned
+    cross-attach), bin values to {_KS_VALUE_BIN}-wide buckets, and emit
+    ONE hash aggregate of (event_type, bin, c1, c2) side counts.
+    Factored so the split instant and bin width can never
+    desynchronize between the two tests that document themselves as
+    sharing them (round-10 review finding)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = ev.agg(
+        F.floor(
+            (
+                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                + F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    e = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.floor(F.col("value") / _KS_VALUE_BIN).cast("long").alias("bin"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid"))
+        .cast("int")
+        .alias("first_half"),
+    )
+    return e.groupBy("event_type", "bin").agg(
+        F.sum("first_half").cast("long").alias("c1"),
+        F.sum(1 - F.col("first_half")).cast("long").alias("c2"),
+    )
+
+
 @register(
     "q155_abc_analysis",
     oracle=f"""
@@ -3181,30 +3259,7 @@ def q156_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient. try_divide: a side with zero rows yields NULL ECDF ->
     NULL ks_stat, drift 0, no crash.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    # (min+max)//2 in exact integer microseconds
-    bounds = ev.agg(
-        F.floor(
-            (
-                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
-                + F.max(F.unix_micros(F.col("ts").cast("timestamp")))
-            )
-            / 2
-        )
-        .cast("long")
-        .alias("mid")
-    )
-    e = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.floor(F.col("value") / _KS_VALUE_BIN).cast("long").alias("bin"),
-        (F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid"))
-        .cast("int")
-        .alias("first_half"),
-    )
-    g = e.groupBy("event_type", "bin").agg(
-        F.sum("first_half").cast("long").alias("c1"),
-        F.sum(1 - F.col("first_half")).cast("long").alias("c2"),
-    )
+    g = _half_split_side_counts(spark, sf_dir)
     wp = Window.partitionBy("event_type")
     wc = wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     c = g.select(
@@ -3762,14 +3817,17 @@ def q162_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dof"),
         F.round(F.sum("term"), 6).alias("chi2"),
+        # try_divide: a single-valued dimension makes least(r-1, c-1)
+        # zero — ANSI would throw where the oracle's division yields
+        # NULL (and sqrt(NULL) stays NULL in both engines).
         F.round(
             F.sqrt(
-                F.sum("term")
-                / (
+                F.try_divide(
+                    F.sum("term"),
                     F.min("n")
                     * F.least(
                         F.count_distinct("pri") - 1, F.count_distinct("st") - 1
-                    )
+                    ),
                 )
             ),
             6,
@@ -3804,9 +3862,8 @@ def q162_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(cnt) OVER (PARTITION BY segment) AS tot,
                SUM(CAST(v AS DECIMAL(18,0)) * cnt)
                    OVER (PARTITION BY segment) AS sv
-        FROM c_base
-    ),
-    c_base AS (SELECT * FROM vw)
+        FROM vw
+    )
     SELECT segment,
            CAST(MIN(tot) AS BIGINT) AS n_gaps,
            CAST(MIN(CASE WHEN 2 * cum >= tot THEN v END) AS INT) AS median_days,
@@ -4289,29 +4346,7 @@ def q209_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, bin) hash aggregate, ECDFs + the weighted quadratic reduce
     on that bounded frame. try_divide guards an empty half.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    bounds = ev.agg(
-        F.floor(
-            (
-                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
-                + F.max(F.unix_micros(F.col("ts").cast("timestamp")))
-            )
-            / 2
-        )
-        .cast("long")
-        .alias("mid")
-    )
-    e = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.floor(F.col("value") / _KS_VALUE_BIN).cast("long").alias("bin"),
-        (F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid"))
-        .cast("int")
-        .alias("first_half"),
-    )
-    g = e.groupBy("event_type", "bin").agg(
-        F.sum("first_half").cast("long").alias("c1"),
-        F.sum(1 - F.col("first_half")).cast("long").alias("c2"),
-    )
+    g = _half_split_side_counts(spark, sf_dir)
     wp = Window.partitionBy("event_type")
     wc = wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     c = g.select(
