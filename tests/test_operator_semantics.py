@@ -5692,3 +5692,20 @@ def test_incremental_rollup_keeps_null_ts_group(spark, tmp_path):
     assert got == oracle
     null_day = [r for r in got if r[1] is None]
     assert {(r[0], r[2]) for r in null_day} == {("view", 1), ("click", 1)}
+
+
+def test_range_join_rejects_nonpositive_bucket(spark):
+    """range_join must fail EAGERLY on a zero/negative/sub-microsecond
+    bucket width (round-10 review finding): the plan would otherwise
+    build fine and die at execution with a bare `div 0` that never
+    names the bucket as the cause."""
+    from trafficteach_spark.operators.timeseries import range_join
+
+    pts = spark.range(1).select(F.current_timestamp().alias("t"))
+    iv = spark.range(1).select(
+        F.current_timestamp().alias("s"), F.current_timestamp().alias("e")
+    )
+    for bad in (0, -5, 1e-7):
+        with pytest.raises(ValueError, match="bucket_sec"):
+            range_join(pts, iv, point_col="t", start_col="s", end_col="e",
+                       bucket_sec=bad)

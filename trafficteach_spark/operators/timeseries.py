@@ -717,6 +717,15 @@ def range_join(
     caller's to avoid, as with any join).
     """
     width_us = int(bucket_sec * 1_000_000)
+    # Eager validation like asof_join's: a zero/negative/sub-microsecond
+    # bucket would otherwise build a valid-looking plan that dies at
+    # execution with a bare `div 0` DIVIDE_BY_ZERO (or inverts every
+    # bucket sequence) with no hint the width was the cause.
+    if width_us < 1:
+        raise ValueError(
+            f"bucket_sec={bucket_sec!r} must be a positive duration of at "
+            "least one microsecond"
+        )
     p_us = F.unix_micros(F.col(point_col).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
@@ -879,6 +888,32 @@ def q122_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, day, n) rollup q127 and q128 both shrink to
+    before any window runs — ONE definition so the date cast and
+    grouping cannot drift between the changepoint detector and the
+    seasonal decomposition it is documented to pair with (the
+    shared_hourly_grid rationale, applied to the daily pair)."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact (day, rev DECIMAL(18,2)) daily revenue series q142 and
+    q158 both roll up to — ONE definition so the decimal width and the
+    date cast cannot desynchronize the ACF's input series from the Holt
+    forecast's."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return orders.groupBy("day").agg(
+        F.sum("price").cast("decimal(18,2)").alias("rev")
+    )
+
+
 @register(
     "q127_changepoint",
     oracle="""
@@ -931,10 +966,7 @@ def q127_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME day order in both engines (ordered window), so the doubles
     are bit-identical; the argmax tiebreak is (|S| desc, day asc).
     """
-    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
-    daily = events.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").alias("n"))
+    daily = _daily_type_counts(spark, sf_dir)
     w_type = Window.partitionBy("event_type")
     w_cum = (
         Window.partitionBy("event_type")
@@ -1007,10 +1039,7 @@ def q128_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically. Averages (not ordered sums) of a handful of doubles
     round stably at 1e-6.
     """
-    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
-    daily = events.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").alias("n"))
+    daily = _daily_type_counts(spark, sf_dir)
     by_dow = daily.groupBy(
         "event_type", (F.weekday("day") + 1).alias("dow")
     ).agg(
@@ -1108,8 +1137,8 @@ def _acf_oracle() -> str:
         per_lag.append(f"""
     SELECT {k} AS lag, COUNT(*) AS n,
            ROUND((CAST(SUM(x * y) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / NULLIF(COUNT(*), 0))
-                 / NULLIF(SQRT((CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / NULLIF(COUNT(*), 0))
-                        * (CAST(SUM(y * y) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / NULLIF(COUNT(*), 0))), 0),
+                 / NULLIF(SQRT(GREATEST((CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / NULLIF(COUNT(*), 0))
+                        * (CAST(SUM(y * y) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / NULLIF(COUNT(*), 0)), 0)), 0),
                  6) AS acf
     FROM (
         SELECT rev AS x,
@@ -1144,13 +1173,7 @@ def q142_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation), so both engines assemble each correlation from
     bit-identical doubles.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderdate").cast("date").alias("day"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-    )
-    daily = orders.groupBy("day").agg(
-        F.sum("price").cast("decimal(18,2)").alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     w = Window.orderBy("day")
     lagged = daily.select(
         F.col("rev").alias("x"),
@@ -1180,11 +1203,19 @@ def q142_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         cxy = F.col(f"sxy_{k}") - F.try_divide(F.col(f"sx_{k}") * F.col(f"sy_{k}"), n)
         cxx = F.col(f"sxx_{k}") - F.try_divide(F.col(f"sx_{k}") * F.col(f"sx_{k}"), n)
         cyy = F.col(f"syy_{k}") - F.try_divide(F.col(f"sy_{k}") * F.col(f"sy_{k}"), n)
+        # greatest(0, ...) clamps the variance product before the sqrt:
+        # the double differences can round to a tiny NEGATIVE on a
+        # constant series (the q218 FP-cancellation class), which would
+        # be NaN here and an OutOfRangeException in the oracle's SQRT.
+        # Both engines clamp identically (GREATEST in the oracle), and
+        # sqrt(0) flows into try_divide's NULL like the exact-zero case.
         entries.append(
             F.struct(
                 F.lit(k).alias("lag"),
                 F.col(f"n_{k}").alias("n"),
-                F.round(F.try_divide(cxy, F.sqrt(cxx * cyy)), 6).alias("acf"),
+                F.round(
+                    F.try_divide(cxy, F.sqrt(F.greatest(F.lit(0.0), cxx * cyy))), 6
+                ).alias("acf"),
             )
         )
     return row.select(F.inline(F.array(*entries)))
@@ -1214,11 +1245,11 @@ _BURST_MIN_GAPS = 5
         HAVING COUNT(*) >= {_BURST_MIN_GAPS}
     ),
     b AS (
-        SELECT CAST(FLOOR(10 * (SQRT(CAST(sg2 AS DOUBLE) / k
-                                     - (CAST(sg AS DOUBLE) / k) * (CAST(sg AS DOUBLE) / k))
+        SELECT CAST(FLOOR(10 * (SQRT(GREATEST(CAST(sg2 AS DOUBLE) / k
+                                     - (CAST(sg AS DOUBLE) / k) * (CAST(sg AS DOUBLE) / k), 0))
                                 - CAST(sg AS DOUBLE) / k)
-                         / NULLIF(SQRT(CAST(sg2 AS DOUBLE) / k
-                                       - (CAST(sg AS DOUBLE) / k) * (CAST(sg AS DOUBLE) / k))
+                         / NULLIF(SQRT(GREATEST(CAST(sg2 AS DOUBLE) / k
+                                       - (CAST(sg AS DOUBLE) / k) * (CAST(sg AS DOUBLE) / k), 0))
                                   + CAST(sg AS DOUBLE) / k, 0)) AS INT) AS b_bin
         FROM per_user
     )
@@ -1262,7 +1293,14 @@ def q154_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kd = F.col("k").cast("double")
     mu = F.col("sg").cast("double") / kd
-    sigma = F.sqrt(F.col("sg2").cast("double") / kd - mu * mu)
+    # greatest(0, ...): an all-equal-gap user (the scheduler/bot this
+    # query detects) can round the radicand one ulp NEGATIVE once
+    # gap^2 > 2^53 — NaN here, OutOfRangeException in the oracle's
+    # SQRT. Both engines clamp identically; the clamped user lands in
+    # the B = -1 bin, the mathematically correct periodic answer.
+    sigma = F.sqrt(
+        F.greatest(F.lit(0.0), F.col("sg2").cast("double") / kd - mu * mu)
+    )
     b = per_user.select(
         F.floor(10 * F.try_divide(sigma - mu, sigma + mu)).cast("int").alias("b_bin")
     ).where(F.col("b_bin").isNotNull())
@@ -1331,12 +1369,8 @@ def q158_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderdate").cast("date").alias("day"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-    )
-    daily = orders.groupBy("day").agg(
-        F.sum("price").cast("decimal(18,2)").cast("double").alias("rev")
+    daily = _daily_revenue(spark, sf_dir).select(
+        "day", F.col("rev").cast("double").alias("rev")
     )
 
     # Complements as parsed literals, NOT 1-alpha: the double nearest
