@@ -5709,3 +5709,72 @@ def test_range_join_rejects_nonpositive_bucket(spark):
         with pytest.raises(ValueError, match="bucket_sec"):
             range_join(pts, iv, point_col="t", start_col="s", end_col="e",
                        bucket_sec=bad)
+
+
+def test_embedding_audits_null_embedding_parity(spark, tmp_path):
+    """A NULL embedding row (schema-legal) must not desynchronize the
+    engines: Spark's posexplode drops the row in q59/q131/q182, so the
+    oracles' fixed-dim grids need the matching guard (round-10 review
+    finding) — while q183 builds pairs row-locally and KEEPS the row
+    with NULL units on both sides. Pinned by running all four
+    Spark-vs-oracle on a planted fixture with one NULL embedding."""
+    from trafficteach_spark import schemas
+
+    def vec(base):
+        return [float(base + 0.01 * i) for i in range(schemas.EMBEDDING_DIM)]
+
+    rows_ = [
+        (1, vec(1.0), 0),
+        (2, vec(2.0), 0),
+        (3, None, 0),       # NULL embedding: dropped by posexplode
+        (4, vec(5.0), 1),
+        (5, vec(4.0), 1),
+    ]
+    spark.createDataFrame(rows_, schemas.EMBEDDINGS).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    con = _duck_view(tmp_path, "embeddings")
+    for key in ("q59_label_centroids", "q131_embedding_margin",
+                "q182_embedding_dim_profile", "q183_embedding_corr_pairs"):
+        sdf = Q[key](spark, str(tmp_path))
+        cols = sdf.columns
+        got = sorted(
+            (tuple(r[c] for c in cols) for r in sdf.collect()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        from trafficteach_spark import registry
+
+        want = sorted(
+            (tuple(r) for r in con.execute(registry.all_specs()[key].oracle).fetchall()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        assert got == want, (key, got[:3], want[:3])
+    # the posexplode trio count 4 vectors; q183 counts all 5 rows
+    assert {r["n_vectors"] for r in Q["q59_label_centroids"](spark, str(tmp_path)).collect()} == {2}
+    assert {r["n_vectors"] for r in Q["q183_embedding_corr_pairs"](spark, str(tmp_path)).collect()} == {5}
+
+
+def test_length_retention_sweep_ignores_null_n_chars(spark, tmp_path):
+    """A NULL-length document must survive NO threshold (LEAST skips
+    NULL in both engines, so unguarded it would land at the TOP
+    threshold bucket and count as passing every cut while its chars
+    vanish from the kept sums — round-10 review finding). Pinned
+    Spark-vs-oracle on a planted fixture."""
+    from trafficteach_spark import registry, schemas
+
+    docs = [
+        (1, "a" * 100, "en", "web", 100),
+        (2, "b" * 260, "en", "web", 260),
+        (3, "c" * 40, "en", "web", None),   # unknown length
+    ]
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    key = "q173_length_retention_sweep"
+    got = sorted(tuple(r) for r in Q[key](spark, str(tmp_path)).collect())
+    con = _duck_view(tmp_path, "documents")
+    assert got == _oracle_rows(con, key)
+    by_thr = {r[0]: r for r in got}
+    # doc 3 never counted: threshold 50/100 keep docs 1+2, 150..250 doc 2
+    assert by_thr[50][1] == 2 and by_thr[50][2] == 360
+    assert by_thr[250][1] == 1 and by_thr[250][2] == 260

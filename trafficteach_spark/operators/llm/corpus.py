@@ -548,10 +548,16 @@ def q58_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0-based to match Spark's posexplode).
     oracle="""
     WITH dims AS (
+        -- mirror posexplode exactly: a NULL embedding produces no rows
+        -- (explode of NULL), and a short embedding enumerates only its
+        -- actual elements — the fixed grid alone would emit every pos
+        -- for every row, inflating n_vectors and inventing cells the
+        -- Spark side never sees (round-10 review finding)
         SELECT label, g.i AS pos,
                CAST(embedding[g.i + 1] AS DOUBLE) AS x
         FROM embeddings
         CROSS JOIN (SELECT unnest(range({dim})) AS i) g
+        WHERE embedding IS NOT NULL AND g.i < len(embedding)
     ),
     means AS (
         -- Exact 1e-7 integer-unit sum, not AVG(double): BIGINT sums are
@@ -634,7 +640,6 @@ def _split_hash_spark(id_col: str) -> str:
     return f"pmod({md5_prefix_int_spark(f'CAST({id_col} AS STRING)')}, 100)"
 
 
-_SPLIT_HASH_SPARK = _split_hash_spark("doc_id")
 _SPLIT_HASH_DUCK = (
     f"({md5_prefix_int_duck('CAST(doc_id AS VARCHAR)')} % 100)"
 )
@@ -685,7 +690,7 @@ BPE_TOP_PAIRS = 30
     "q82_bpe_pairs",
     oracle=f"""
     WITH words AS (
-        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+')) AS w
         FROM documents
     ),
     wc AS (
@@ -720,7 +725,10 @@ def q82_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(
-            F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+            # explicit class, not \s+: Java's \s includes \x0B, RE2's
+            # does not — the spelled-out class tokenizes identically in
+            # both engines (round-10 review finding)
+            F.explode(F.split(F.lower("text"), "[ \\t\\n\\f\\r]+")).alias("w")
         )
         .where(F.length("w") >= 2)
         .groupBy("w")
@@ -786,11 +794,16 @@ def q87_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one tokenized scan feeds both the unigram and bigram counts
     (vocabulary-sized shuffles); the bigram frame joins its two
-    constituent unigram counts (vocab-vocab equi-joins — broadcastable
-    at any corpus size since vocabulary, not corpus, bounds them); the
-    two scalar totals ride along as broadcast single rows. Integer
-    counts divide in double and pass through ln identically in both
-    engines up to 1 ulp; ROUND(6) absorbs it.
+    constituent unigram counts as plain word-key equi-joins with NO
+    broadcast hint — a web-scale vocabulary grows without bound
+    (Heaps' law over typos/URLs), so a forced broadcast would hit the
+    8 GB limit exactly when the corpus gets interesting; AQE still
+    picks a broadcast at runtime whenever the measured vocab frame is
+    small (every test SF), and falls back to a uniform-key shuffle
+    join past that (round-10 review finding). Only the two SCALAR
+    totals ride as pinned broadcast single rows. Integer counts divide
+    in double and pass through ln identically in both engines up to
+    1 ulp; ROUND(6) absorbs it.
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select(F.split(F.lower("text"), " ").alias("ws"))
@@ -812,8 +825,8 @@ def q87_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bc.where(F.col("cab") >= PMI_MIN_COUNT)
         .withColumn("wa", parts.getItem(0))
         .withColumn("wb", parts.getItem(1))
-        .join(F.broadcast(uc.withColumnRenamed("w", "wa").withColumnRenamed("c", "ca")), "wa")
-        .join(F.broadcast(uc.withColumnRenamed("w", "wb").withColumnRenamed("c", "cb")), "wb")
+        .join(uc.withColumnRenamed("w", "wa").withColumnRenamed("c", "ca"), "wa")
+        .join(uc.withColumnRenamed("w", "wb").withColumnRenamed("c", "cb"), "wb")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
     )
@@ -1094,8 +1107,6 @@ def q98_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_rate_oracle() -> str:
-    from trafficteach_spark import registry as _registry
-
     q46 = _peeked_oracle("q46_dedup_clusters")
     return f"""
     SELECT d.source,
@@ -1170,7 +1181,8 @@ def bpe_train(
     """
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
-        docs.select(F.explode(F.split(F.lower("text"), "\\s+")).alias("w"))
+        # same engine-identical whitespace class as q82
+        docs.select(F.explode(F.split(F.lower("text"), "[ \\t\\n\\f\\r]+")).alias("w"))
         .where(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count("*").alias("wn"))
@@ -1525,7 +1537,7 @@ _SWEEP_STEP = 50
         SELECT LEAST(n_chars // {_SWEEP_STEP} * {_SWEEP_STEP}, {_SWEEP_HI})
                    AS t_max,
                COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS ch
-        FROM documents GROUP BY 1
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
     ),
     tot AS (
         SELECT CAST(SUM(c) AS DOUBLE) AS tc, CAST(SUM(ch) AS DOUBLE) AS tch
@@ -1564,7 +1576,14 @@ def q173_length_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan + one bounded shuffle regardless of grid resolution —
     the 100 TB version changes the grid literals, nothing else.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # n_chars IS NOT NULL on both sides: LEAST skips NULL in both
+    # engines, so a NULL-length doc would otherwise land at t_max =
+    # _SWEEP_HI and count as surviving EVERY threshold while its chars
+    # vanish from the kept sums — a doc of unknown length survives no
+    # 'n_chars >= T' cut (round-10 review finding).
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
     b = (
         docs.groupBy(
             F.least(
@@ -1710,6 +1729,16 @@ def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_target",
             F.pmod(F.expr(_DSIR_BG_SPARK), F.lit(_DSIR_BUCKETS)).alias("bucket"),
         )
+        # persist (O43, the registry caching contract): the feature
+        # stream feeds BOTH the bucket-count aggregate and the final
+        # per-doc mean, and the two subplans share no exchange — without
+        # the cache the dominant cost (tokenize + bigram explode + md5
+        # per occurrence over the whole corpus) executes twice,
+        # contradicting the one-tokenized-scan plan below (round-10
+        # review finding). Three machine-word columns, so the cached
+        # footprint is occurrence-count-sized, spilling to disk past
+        # memory like any O43 persist.
+        .persist()
     )
     bc = feats.groupBy("bucket").agg(
         F.sum(F.col("is_target").cast("int")).alias("ct"),
@@ -1809,7 +1838,11 @@ def q179_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctot = cc.agg(F.sum("cw").alias("ct"))
     terms = (
         sc.join(F.broadcast(stot), "source")
-        .join(F.broadcast(cc), "w")
+        # no broadcast hint on the vocab-sized corpus-mass frame: AQE
+        # broadcasts it while it is small and shuffle-joins on the
+        # uniform word key once a web-scale vocabulary outgrows the
+        # 8 GB broadcast ceiling (see q87; round-10 review finding)
+        .join(cc, "w")
         .crossJoin(F.broadcast(ctot))
         .select(
             "source",

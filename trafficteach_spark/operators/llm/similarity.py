@@ -759,8 +759,13 @@ def kmeans_train(
         FROM embeddings
     ),
     dims AS (
+        -- mirror posexplode: NULL embeddings produce no rows (the
+        -- fixed grid alone would count them into every pos's n and
+        -- centroid denominator the Spark side never sees); the len
+        -- guard is a no-op under the dim=64 table contract
         SELECT label, g.i AS pos, v[g.i + 1] AS x
         FROM v CROSS JOIN (SELECT unnest(range({{dim}})) AS i) g
+        WHERE v IS NOT NULL AND g.i < len(v)
     ),
     cent AS (
         SELECT label AS c_label,
@@ -1161,11 +1166,14 @@ def q176_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integers.
     oracle="""
     WITH dims AS (
+        -- mirror posexplode: NULL embeddings produce no rows (see q59);
+        -- the len guard is a no-op under the dim=64 table contract
         SELECT g.i AS pos,
                CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 10000000 + 0.5)
                     AS BIGINT) AS u
         FROM embeddings
         CROSS JOIN (SELECT unnest(range({dim})) AS i) g
+        WHERE embedding IS NOT NULL AND g.i < len(embedding)
     ),
     prof AS (
         SELECT pos, CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1260,6 +1268,10 @@ _CORR_TOPK = 10
     # the TOP-K MEMBERSHIP. BIGINT/HUGEINT/DECIMAL sums cannot.
     oracle=f"""
     WITH dims AS (
+        -- unlike q59/q131/q182 (posexplode: NULL embeddings vanish),
+        -- the Spark side here builds pairs row-locally over a CONSTANT
+        -- index sequence, so a NULL embedding KEEPS its row with NULL
+        -- units and counts into n — the fixed grid mirrors that exactly
         SELECT vec_id, g.i AS pos,
                CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 10000000 + 0.5)
                     AS BIGINT) AS u

@@ -2084,19 +2084,28 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("conv").cast("double").alias("k"),
         )
     )
-    grid = F.broadcast(
-        ev.sparkSession.createDataFrame(
-            [
-                (s, i)
-                for s in range(1 << n_ch)
-                for i in range(n_ch)
-                if not s & (1 << i)
-            ],
-            "s int, ch int",
-        )
+    grid = ev.sparkSession.createDataFrame(
+        [
+            (s, i)
+            for s in range(1 << n_ch)
+            for i in range(n_ch)
+            if not s & (1 << i)
+        ],
+        "s int, ch int",
     )
-    a = co.select(F.col("mask").alias("s"), F.col("n").alias("na"), F.col("k").alias("ka"))
-    b = co.select(F.col("mask").alias("sb"), F.col("n").alias("nb"), F.col("k").alias("kb"))
+    # The broadcast hint goes on the RIGHT (coalition) side: the grid is
+    # the LEFT input of left outer joins, and Spark cannot build-left
+    # there — a hint on the grid is silently DROPPED (HintErrorLogger
+    # warning) and the bounded coalition frames risk planning as a
+    # shuffle join. The coalition frame is fixed-cardinality (<= 2^n_ch
+    # masks), inside the O44 broadcast contract (round-10 review
+    # finding).
+    a = F.broadcast(
+        co.select(F.col("mask").alias("s"), F.col("n").alias("na"), F.col("k").alias("ka"))
+    )
+    b = F.broadcast(
+        co.select(F.col("mask").alias("sb"), F.col("n").alias("nb"), F.col("k").alias("kb"))
+    )
     w_col = F.element_at(
         F.create_map(
             *[x for k, v in _SHAP_W.items() for x in (F.lit(k), F.lit(v))]
@@ -2119,10 +2128,8 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     phi = terms.groupBy("ch").agg(F.sum("term").alias("phi"))
-    chgrid = F.broadcast(
-        ev.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(_SHAP_CHANNELS)], "ch int, channel string"
-        )
+    chgrid = ev.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(_SHAP_CHANNELS)], "ch int, channel string"
     )
     # exposure per channel: explode each coalition's SET BITS and
     # equi-join — not a bitmask theta-join (which plans as a BNLJ even
@@ -2137,12 +2144,14 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ch"),
         "n",
     ).groupBy("ch").agg(F.sum("n").alias("ne"))
-    expo = chgrid.join(expo_bits, "ch", "left").select(
+    # same build-right hint placement as a/b above (chgrid is the left
+    # input of a left outer join; expo_bits is n_ch-row bounded)
+    expo = chgrid.join(F.broadcast(expo_bits), "ch", "left").select(
         "ch",
         "channel",
         F.coalesce(F.col("ne"), F.lit(0.0)).cast("long").alias("n_exposed"),
     )
-    return phi.join(expo, "ch").select(
+    return phi.join(F.broadcast(expo), "ch").select(
         "channel", "n_exposed", F.round("phi", 6).alias("shapley")
     )
 
