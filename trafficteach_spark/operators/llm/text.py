@@ -166,7 +166,9 @@ def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(F.array_join(uniq, " ")).alias("fingerprint"),
-        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_uniq_tokens"),
+        # size of the SAME array the fingerprint hashes (sorting keeps
+        # length) — one expression, so the two can never disagree
+        F.size(uniq).alias("n_uniq_tokens"),
     )
 
 
@@ -231,6 +233,35 @@ def q39_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Context-window chunking: documents split into fixed token-budget chunks.
 _CHUNK_TOKENS = 16
 
+# The chunk boundary arithmetic q43 (split), q118 (dedup hashes) and
+# q133 (boilerplate keys) promise to share — single-sourced in BOTH
+# dialects so an off-by-one fix cannot desynchronize them (round-10
+# review finding). ``w`` is the token array; ``c`` the chunk index.
+_CHUNK_TEXT_EXPR = (
+    f"array_join(slice(w, c * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' ')"
+)
+_CHUNK_TEXT_SQL = (
+    f"array_to_string(w[c * {_CHUNK_TOKENS} + 1 : (c + 1) * {_CHUNK_TOKENS}], ' ')"
+)
+
+
+def _chunk_fanout_expr(emit: str) -> str:
+    """Spark side: one array element per chunk; ``emit`` is an
+    expression over (w, c) — use _CHUNK_TEXT_EXPR for the chunk text."""
+    return (
+        f"transform(sequence(0, (size(w) - 1) div {_CHUNK_TOKENS}),"
+        f" c -> {emit})"
+    )
+
+
+def _chunk_fanout_sql(cols: str) -> str:
+    """DuckDB side: the fanout CTE body over tok(..., w)."""
+    return f"""
+        SELECT {cols}, w,
+               unnest(generate_series(0, (len(w) - 1) // {_CHUNK_TOKENS})) AS c
+        FROM tok
+    """
+
 
 @register(
     "q43_chunk_split",
@@ -241,15 +272,10 @@ _CHUNK_TOKENS = 16
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
-    fanout AS (
-        SELECT doc_id, w,
-               unnest(generate_series(0, (len(w) - 1) // {_CHUNK_TOKENS})) AS c
-        FROM tok
-    )
+    fanout AS ({_chunk_fanout_sql("doc_id")})
     SELECT doc_id,
            c AS chunk_idx,
-           array_to_string(w[c * {_CHUNK_TOKENS} + 1 :
-                             (c + 1) * {_CHUNK_TOKENS}], ' ') AS chunk_text,
+           {_CHUNK_TEXT_SQL} AS chunk_text,
            CAST(least({_CHUNK_TOKENS},
                       len(w) - c * {_CHUNK_TOKENS}) AS INT) AS n_tokens
     FROM fanout
@@ -268,11 +294,10 @@ def q43_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     chunks = F.expr(
-        f"transform(sequence(0, (size(w) - 1) div {_CHUNK_TOKENS}),"
-        f" c -> struct("
-        f"   array_join(slice(w, c * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' ')"
-        f"     as chunk_text,"
-        f"   least({_CHUNK_TOKENS}, size(w) - c * {_CHUNK_TOKENS}) as n_tokens))"
+        _chunk_fanout_expr(
+            f"struct({_CHUNK_TEXT_EXPR} as chunk_text,"
+            f" least({_CHUNK_TOKENS}, size(w) - c * {_CHUNK_TOKENS}) as n_tokens)"
+        )
     )
     return (
         docs.select("doc_id", w.alias("w"))
@@ -423,7 +448,11 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = scored.agg(
         F.count("*").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        # exact integer sum / one divide, not AVG(double): avgdl feeds
+        # every score, and the rounded score orders q75's LIMIT and
+        # q185's pool cut — a partial-merge-order ulp in a double AVG
+        # could flip top-k membership (q131 determinism contract)
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         *[
             F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
             for i in range(len(_BM25_QUERY))
@@ -456,7 +485,8 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
         SELECT COUNT(*) AS n_docs,
-               AVG(CAST(dl AS DOUBLE)) AS avgdl,
+               -- exact integer sum / one divide (see the Spark side)
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
                {', '.join(
                    f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
                    for i in range(len(_BM25_QUERY)))}
@@ -676,15 +706,9 @@ def q95_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
-    fanout AS (
-        SELECT doc_id, w,
-               unnest(generate_series(0, (len(w) - 1) // {_CHUNK_TOKENS})) AS c
-        FROM tok
-    ),
+    fanout AS ({_chunk_fanout_sql("doc_id")}),
     chunks AS (
-        SELECT doc_id,
-               md5(array_to_string(w[c * {_CHUNK_TOKENS} + 1 :
-                                     (c + 1) * {_CHUNK_TOKENS}], ' ')) AS h
+        SELECT doc_id, md5({_CHUNK_TEXT_SQL}) AS h
         FROM fanout
     ),
     counted AS (
@@ -724,10 +748,7 @@ def q118_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    chunk_hashes = F.expr(
-        f"transform(sequence(0, (size(w) - 1) div {_CHUNK_TOKENS}),"
-        f" c -> md5(array_join(slice(w, c * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' ')))"
-    )
+    chunk_hashes = F.expr(_chunk_fanout_expr(f"md5({_CHUNK_TEXT_EXPR})"))
     chunks = (
         docs.select("doc_id", w.alias("w"))
         .select("doc_id", F.explode(chunk_hashes).alias("h"))
@@ -852,8 +873,14 @@ _BIGRAM_TOPK = 20
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(AVG(ln({_JM_LAMBDA} * (bi.c2 / CAST(u1.c1 AS DOUBLE))
-                        + {1.0 - _JM_LAMBDA} * (u2.c1 / tot.n))), 6)
+           -- exact 1e-7 integer-unit sum, not AVG(double): the mean
+           -- ORDERS the top-k cut below, where a partial-merge-order
+           -- ulp could flip membership (the registry determinism
+           -- contract; q131's incident class)
+           ROUND(SUM(CAST(FLOOR(ln({_JM_LAMBDA} * (bi.c2 / CAST(u1.c1 AS DOUBLE))
+                        + {1.0 - _JM_LAMBDA} * (u2.c1 / tot.n)) * 10000000 + 0.5)
+                     AS BIGINT))
+                 / (COUNT(*) * 10000000.0), 6)
                AS avg_logprob
     FROM pairs
     JOIN bi USING (w1, w2)
@@ -882,9 +909,11 @@ def q126_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join back as broadcasts; the total-token count is a 1-row
     broadcast. Full-data shuffles: the two count aggregates and the
     per-doc mean — all hash aggs with map-side partials. The per-doc
-    AVG of logs is order-dependent at the ulp level, hence rounded to
-    1e-6, and the top-k orders by the ROUNDED score with doc_id
-    tiebreak (q75's determinism recipe).
+    mean of logs ORDERS the top-k cut, so it is an exact 1e-7
+    integer-unit sum (BIGINT — commutative) divided once, not a
+    parallel double AVG whose partial-merge-order ulp could flip
+    membership at a rounding boundary (the q131 determinism contract);
+    doc_id tiebreak resolves exact-equal scores.
     """
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
@@ -925,7 +954,14 @@ def q126_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+            # exact 1e-7 integer-unit sum (q131's determinism contract):
+            # this mean ORDERS the top-k cut, so a parallel double AVG's
+            # partial-merge-order ulp could flip which docs make it
+            F.round(
+                F.sum(F.floor(F.log(p) * 1e7 + 0.5))
+                / (F.count("*") * 1e7),
+                6,
+            ).alias("avg_logprob"),
         )
     )
     return scored.orderBy("avg_logprob", "doc_id").limit(_BIGRAM_TOPK)
@@ -940,15 +976,10 @@ _BOILERPLATE_TOPK = 20
     WITH tok AS (
         SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
     ),
-    fanout AS (
-        SELECT doc_id, source, w,
-               unnest(generate_series(0, (len(w) - 1) // {_CHUNK_TOKENS})) AS c
-        FROM tok
-    ),
+    fanout AS ({_chunk_fanout_sql("doc_id, source")}),
     chunks AS (
         SELECT doc_id, source,
-               array_to_string(w[c * {_CHUNK_TOKENS} + 1 :
-                                 (c + 1) * {_CHUNK_TOKENS}], ' ') AS chunk_text
+               {_CHUNK_TEXT_SQL} AS chunk_text
         FROM fanout
     )
     SELECT md5(chunk_text) AS h,
@@ -983,10 +1014,7 @@ def q133_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    chunk_texts = F.expr(
-        f"transform(sequence(0, (size(w) - 1) div {_CHUNK_TOKENS}),"
-        f" c -> array_join(slice(w, c * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' '))"
-    )
+    chunk_texts = F.expr(_chunk_fanout_expr(_CHUNK_TEXT_EXPR))
     chunks = docs.select(
         "doc_id", "source", w.alias("w")
     ).select("doc_id", "source", F.explode(chunk_texts).alias("chunk_text"))
@@ -1019,11 +1047,16 @@ _CURRICULUM_CUTS = 3
     "q167_curriculum_buckets",
     oracle=f"""
     WITH d AS (
+        -- text IS NOT NULL like every sibling text query: a NULL text
+        -- yields a NULL tercile value whose NULL ORDERING differs
+        -- between the engines (Spark windows NULLS FIRST, DuckDB LAST),
+        -- which would shift every cumulative tercile boundary on one
+        -- side only (round-10 review finding)
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                CAST(FLOOR(100.0 * len(list_distinct(string_split(text, ' ')))
                           / len(string_split(text, ' '))) AS BIGINT) AS rbin
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     lt AS (
         SELECT v, CAST(CEIL({_CURRICULUM_CUTS}.0 * cum / n) AS INT) AS ter
@@ -1072,14 +1105,23 @@ def q167_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL text filtered on BOTH sides — see the oracle comment
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     toks = F.split("text", " ")
     d = docs.select(
         F.size(toks).alias("n_tokens"),
         F.floor(
             100.0 * F.size(F.array_distinct(toks)) / F.size(toks)
         ).alias("rbin"),
-    )
+    # persist (O43): d feeds BOTH tercile maps and the join stream —
+    # three independent subtrees that share no exchange, so the
+    # doc-level split/array_distinct pass would otherwise run 3x
+    # (round-10 review finding)
+    ).persist()
 
     def tercile_map(col: str) -> DataFrame:
         vals = d.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
@@ -1229,6 +1271,68 @@ _GOPHER_MIN_STOP = 2
 _GOPHER_MIN_ALPHA = 0.8
 
 
+def _gopher_feature_cols() -> list:
+    """The four Gopher rule features as column expressions over a
+    documents scan — ONE definition shared by q174 (the shipped gate)
+    and q213 (the agreement audit), so a tokenization or rounding tweak
+    can never make the audit rate a different rater than the one that
+    ships (round-10 review finding; the _STOP_PRED rationale)."""
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    return [
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / n_words.cast("double"),
+            6,
+        ).alias("mean_word_len"),
+        F.expr(f"size(filter(split(text, ' '), x -> {_STOP_PRED}))").alias("n_stop"),
+        F.round(
+            F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))")
+            / n_words.cast("double"),
+            6,
+        ).alias("alpha_frac"),
+    ]
+
+
+def _gopher_pass() -> "F.Column":
+    """The combined Gopher hard gate over _gopher_feature_cols output."""
+    return (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MIN_WLEN, _GOPHER_MAX_WLEN)
+        & (F.col("n_stop") >= _GOPHER_MIN_STOP)
+        & (F.col("alpha_frac") >= _GOPHER_MIN_ALPHA)
+    )
+
+
+def _gopher_features_sql(extra: str = "") -> str:
+    """The oracle m-CTE body mirroring _gopher_feature_cols over a
+    t(doc_id, w, nz, ...) frame; ``extra`` appends rater-specific
+    columns. Shared by the q174 and q213 oracles for the same
+    cannot-drift reason as the Spark twin."""
+    return f"""
+        SELECT doc_id,
+               len(w) AS n_words,
+               ROUND(nz / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+               len(list_filter(w, x -> {_STOP_PRED})) AS n_stop,
+               ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+                     / CAST(len(w) AS DOUBLE), 6) AS alpha_frac{extra}
+        FROM t
+    """
+
+
+# q213's rater-B extra feature, appended to the shared m-CTE body.
+_UNIQ_RATIO_EXTRA_SQL = """,
+               ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                   AS uniq_ratio"""
+
+_GOPHER_PASS_SQL = (
+    f"n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}"
+    f" AND mean_word_len BETWEEN {_GOPHER_MIN_WLEN} AND {_GOPHER_MAX_WLEN}"
+    f" AND n_stop >= {_GOPHER_MIN_STOP}"
+    f" AND alpha_frac >= {_GOPHER_MIN_ALPHA}"
+)
+
+
 @register(
     "q174_gopher_rules",
     oracle=f"""
@@ -1237,15 +1341,7 @@ _GOPHER_MIN_ALPHA = 0.8
                length(replace(text, ' ', '')) AS nz
         FROM documents WHERE text IS NOT NULL
     ),
-    m AS (
-        SELECT doc_id, source,
-               len(w) AS n_words,
-               ROUND(nz / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
-               len(list_filter(w, x -> {_STOP_PRED})) AS n_stop,
-               ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
-                     / CAST(len(w) AS DOUBLE), 6) AS alpha_frac
-        FROM t
-    )
+    m AS ({_gopher_features_sql(extra=", source")})
     SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
            mean_word_len, CAST(n_stop AS BIGINT) AS n_stop, alpha_frac,
            CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
@@ -1254,11 +1350,7 @@ _GOPHER_MIN_ALPHA = 0.8
                 AND {_GOPHER_MAX_WLEN} AS INT) AS r_wordlen,
            CAST(n_stop >= {_GOPHER_MIN_STOP} AS INT) AS r_stop,
            CAST(alpha_frac >= {_GOPHER_MIN_ALPHA} AS INT) AS r_alpha,
-           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
-                AND mean_word_len BETWEEN {_GOPHER_MIN_WLEN}
-                    AND {_GOPHER_MAX_WLEN}
-                AND n_stop >= {_GOPHER_MIN_STOP}
-                AND alpha_frac >= {_GOPHER_MIN_ALPHA} AS INT) AS pass_all
+           CAST({_GOPHER_PASS_SQL} AS INT) AS pass_all
     FROM m
     """,
     tags=("llm", "X4", "quality", "gopher"),
@@ -1280,24 +1372,8 @@ def q174_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel at any scale; the regex runs inside a
     codegen'd HOF filter, no Python anywhere.
     """
-    stop_pred = _STOP_PRED
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    m = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", " ")).alias("n_words"),
-        F.round(
-            F.length(F.regexp_replace("text", " ", ""))
-            / F.size(F.split("text", " ")).cast("double"),
-            6,
-        ).alias("mean_word_len"),
-        F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))").alias("n_stop"),
-        F.round(
-            F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))")
-            / F.size(F.split("text", " ")).cast("double"),
-            6,
-        ).alias("alpha_frac"),
-    )
+    m = docs.select("doc_id", "source", *_gopher_feature_cols())
     r_count = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
     r_wordlen = F.col("mean_word_len").between(_GOPHER_MIN_WLEN, _GOPHER_MAX_WLEN)
     r_stop = F.col("n_stop") >= _GOPHER_MIN_STOP
@@ -1313,7 +1389,7 @@ def q174_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_wordlen.cast("int").alias("r_wordlen"),
         r_stop.cast("int").alias("r_stop"),
         r_alpha.cast("int").alias("r_alpha"),
-        (r_count & r_wordlen & r_stop & r_alpha).cast("int").alias("pass_all"),
+        _gopher_pass().cast("int").alias("pass_all"),
     )
 
 
@@ -1351,9 +1427,12 @@ _KN_TOPK = 20
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(AVG(ln((bi.c2 - {_KN_D}) / CAST(f.c1 AS DOUBLE)
+           -- exact 1e-7 integer-unit sum, not AVG(double): the mean
+           -- ORDERS the top-k cut (q126's determinism rationale)
+           ROUND(SUM(CAST(FLOOR(ln((bi.c2 - {_KN_D}) / CAST(f.c1 AS DOUBLE)
                         + ({_KN_D} * f.n1p_fwd / CAST(f.c1 AS DOUBLE))
-                          * (b.n1p_back / t.nbt))), 6) AS avg_logprob
+                          * (b.n1p_back / t.nbt)) * 10000000 + 0.5) AS BIGINT))
+                 / (COUNT(*) * 10000000.0), 6) AS avg_logprob
     FROM pairs
     JOIN bi USING (w1, w2)
     JOIN fwd f ON pairs.w1 = f.w1
@@ -1417,7 +1496,11 @@ def q178_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(p_kn), 6).alias("avg_logprob"),
+            # exact 1e-7 integer-unit sum: this mean orders the top-k
+            # cut (q126's determinism rationale; q131 contract)
+            F.round(
+                F.sum(F.floor(p_kn * 1e7 + 0.5)) / (F.count("*") * 1e7), 6
+            ).alias("avg_logprob"),
         )
         .orderBy("avg_logprob", "doc_id")
         .limit(_KN_TOPK)
@@ -1572,23 +1655,9 @@ def q206_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(replace(text, ' ', '')) AS nz
         FROM documents WHERE text IS NOT NULL
     ),
-    m AS (
-        SELECT doc_id,
-               len(w) AS n_words,
-               ROUND(nz / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
-               len(list_filter(w, x -> {_STOP_PRED})) AS n_stop,
-               ROUND(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
-                     / CAST(len(w) AS DOUBLE), 6) AS alpha_frac,
-               ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
-                   AS uniq_ratio
-        FROM t
-    ),
+    m AS ({_gopher_features_sql(extra=_UNIQ_RATIO_EXTRA_SQL)}),
     r AS (
-        SELECT CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
-                    AND mean_word_len BETWEEN {_GOPHER_MIN_WLEN}
-                        AND {_GOPHER_MAX_WLEN}
-                    AND n_stop >= {_GOPHER_MIN_STOP}
-                    AND alpha_frac >= {_GOPHER_MIN_ALPHA} AS INT) AS a,
+        SELECT CAST({_GOPHER_PASS_SQL} AS INT) AS a,
                CAST(n_words >= 30 AND uniq_ratio >= 0.35 AS INT) AS b
         FROM m
     ),
@@ -1633,31 +1702,14 @@ def q213_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLIF guards the degenerate pe = 1 corpus (kappa undefined).
     """
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    stop_pred = _STOP_PRED
     w = F.split("text", " ")
-    n_words = F.size(w)
     m = docs.select(
-        n_words.alias("n_words"),
-        F.round(
-            F.length(F.regexp_replace("text", " ", "")) / n_words.cast("double"),
-            6,
-        ).alias("mean_word_len"),
-        F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))").alias("n_stop"),
-        F.round(
-            F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))")
-            / n_words.cast("double"),
-            6,
-        ).alias("alpha_frac"),
-        F.round(F.size(F.array_distinct(w)).cast("double") / n_words, 6).alias(
+        *_gopher_feature_cols(),
+        F.round(F.size(F.array_distinct(w)).cast("double") / F.size(w), 6).alias(
             "uniq_ratio"
         ),
     )
-    a = (
-        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
-        & F.col("mean_word_len").between(_GOPHER_MIN_WLEN, _GOPHER_MAX_WLEN)
-        & (F.col("n_stop") >= _GOPHER_MIN_STOP)
-        & (F.col("alpha_frac") >= _GOPHER_MIN_ALPHA)
-    ).cast("int")
+    a = _gopher_pass().cast("int")
     b = ((F.col("n_words") >= 30) & (F.col("uniq_ratio") >= 0.35)).cast("int")
     s = m.select(a.alias("a"), b.alias("b")).agg(
         F.count("*").cast("double").alias("n"),
