@@ -196,15 +196,20 @@ def _evict_layer_entry(spark: SparkSession, key: tuple[str, str]) -> None:
     shared shingle cache would be silently dead for the rest of the app
     (round-10 review finding). Going through the DataFrame API removes
     the CacheManager entry too, so the memo rebuild re-persists cleanly."""
+    # blocking=True throughout: the caller re-reads the block manager
+    # immediately after eviction (cap re-check, test assertions), and a
+    # fire-and-forget unpersist can leave the just-evicted blocks still
+    # counted — spuriously refusing a materialization that fits
+    # (round-10 review finding).
     for memo in (_SHINGLE_MEMO, _EVAL_HASHED_MEMO):
         df = memo.pop(key, None)
         if df is not None:
-            df.unpersist()
+            df.unpersist(blocking=True)
     live = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in _LAYER_LEDGER.pop(key, {}):
         jrdd = live.get(rid)
         if jrdd is not None:
-            jrdd.unpersist()
+            jrdd.unpersist(True)
     _PAIRS_MEMO.pop(key, None)
     _CLUSTERS_MEMO.pop(key, None)
 
@@ -226,9 +231,15 @@ def _materialize_accounted(
         if rid not in before:
             ledger[rid] = nbytes
     cap = int(os.environ.get(_LAYER_CAP_ENV, _LAYER_CAP_DEFAULT))
-    if materialized_layer_bytes(spark) > cap:
-        for other in [k for k in _LAYER_LEDGER if k != key]:
-            _evict_layer_entry(spark, other)
+    # Evict other datasets' layers OLDEST-FIRST and only until the
+    # readout is back under the cap — the documented "evicted first"
+    # pressure contract, not evict-all: surviving datasets keep their
+    # expensive pair/cluster frames (round-10 review finding). Dict
+    # insertion order = materialization order, so iteration is LRU-ish.
+    for other in [k for k in _LAYER_LEDGER if k != key]:
+        if materialized_layer_bytes(spark) <= cap:
+            break
+        _evict_layer_entry(spark, other)
     if materialized_layer_bytes(spark) > cap:
         this_bytes = sum(_LAYER_LEDGER.get(key, {}).values())
         _evict_layer_entry(spark, key)
@@ -341,9 +352,14 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Library form of q31_near_dedup — the pair-generation stage the
-    cluster/keep-best chain consumes (via :func:`materialized_pairs`)."""
+def shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index candidate frame (doc_a, doc_b, sz_a, sz_b,
+    n_common): dual explode of the shared shingle sets, self equi-join
+    on shingle (only docs SHARING a shingle ever meet), common-shingle
+    count in the same groupBy. ONE definition scored by both
+    near_dup_pairs (Jaccard) and q90 (containment), so a candidate-plan
+    change — a skew hint, a pruning fix — can never silently diverge
+    the two operators (round-10 review finding)."""
     sets = shared_shingle_sets(spark, sf_dir)
     tok_a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.explode("s").alias("shingle")
@@ -351,11 +367,19 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_b = sets.select(
         F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.explode("s").alias("shingle")
     )
-    pairs = (
+    return (
         tok_a.join(tok_b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_common"))
+    )
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library form of q31_near_dedup — the pair-generation stage the
+    cluster/keep-best chain consumes (via :func:`materialized_pairs`)."""
+    pairs = (
+        shingle_candidates(spark, sf_dir)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -661,6 +685,17 @@ def q31_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_CC_ROUNDS = 20
 
 
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    """Unpersist EXACTLY one localCheckpoint'ed frame's blocks: the
+    checkpointed RDD is the LogicalRDD plan's own rdd, so this touches
+    nothing else (no storage-delta guessing, no CacheManager
+    side-effects). blocking=True because callers (the CC loop, the
+    layer cap check) re-read the block manager right after."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getName().endswith(".LogicalRDD"):
+        plan.rdd().unpersist(True)
+
+
 def alternating_components(
     edges: DataFrame, max_rounds: int = _MAX_CC_ROUNDS
 ) -> tuple[DataFrame, int]:
@@ -751,6 +786,13 @@ def alternating_components(
             .where(F.col("count") == 1)
             .isEmpty()
         )
+        # e2 is materialized by the probe above, so the superseded
+        # round's checkpoint blocks are dead — free them NOW instead of
+        # waiting for nondeterministic JVM GC: a 10-round convergence
+        # would otherwise pin ~10 copies of the edge list
+        # simultaneously, all counted live by the layer cap check
+        # (round-10 review finding).
+        _free_checkpoint_blocks(e)
         e = e2
         if converged:
             star = e.groupBy(F.col("u").alias("doc_id")).agg(
@@ -876,18 +918,8 @@ def q90_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs — reusing the shared persisted shingle frame. At 100 TB the
     same LSH banding applies (band the smaller set's signature).
     """
-    sets = shared_shingle_sets(spark, sf_dir)
-    tok_a = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.explode("s").alias("shingle")
-    )
-    tok_b = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.explode("s").alias("shingle")
-    )
     return (
-        tok_a.join(tok_b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("n_common"))
+        shingle_candidates(spark, sf_dir)
         .withColumn(
             "containment",
             F.col("n_common").cast("double") / F.least("sz_a", "sz_b"),
@@ -1019,8 +1051,6 @@ _EVAL_HASH_AB = [
 
 
 def _eval_oracle() -> str:
-    from trafficteach_spark.functions.exprs import md5_prefix_int_duck
-
     tok_hash = md5_prefix_int_duck("t", 7)
     mins = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MERSENNE}))"
@@ -1110,8 +1140,6 @@ def q125_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity dense, giving the eval a populated mid-range where
     banding probabilistically misses — a realistic recall < 1.
     """
-    from trafficteach_spark.functions.exprs import md5_prefix_int_spark
-
     docs = load_table(spark, sf_dir, "documents")
     sample = (
         docs.where(
@@ -1369,6 +1397,12 @@ def q171_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.where(F.size("w") >= SPAN_K)
         .select("doc_id", F.explode(F.expr(gram_expr)).alias("pg"))
         .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+        # persist (O43): pg feeds the owners aggregate AND the cov
+        # join's probe side, two subtrees sharing no exchange — without
+        # the cache the positional gram transform+explode (the most
+        # expensive per-row stage here) runs twice per invocation
+        # (round-10 review finding).
+        .persist()
     )
     owners = (
         pg.groupBy("gram")
@@ -1452,7 +1486,7 @@ def q175_lsh_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("jaccard")
     )
     grid = F.broadcast(
-        _spark_session_of(pairs).createDataFrame(
+        pairs.sparkSession.createDataFrame(
             list(_LSH_CONFIGS), "bands int, rows_per_band int"
         )
     )
@@ -1474,9 +1508,4 @@ def q175_lsh_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-def _spark_session_of(df: DataFrame) -> SparkSession:
-    """The active session that owns ``df`` (avoids threading a spark
-    handle through expression-only helpers)."""
-    return df.sparkSession
 
