@@ -5778,3 +5778,44 @@ def test_length_retention_sweep_ignores_null_n_chars(spark, tmp_path):
     # doc 3 never counted: threshold 50/100 keep docs 1+2, 150..250 doc 2
     assert by_thr[50][1] == 2 and by_thr[50][2] == 360
     assert by_thr[250][1] == 1 and by_thr[250][2] == 260
+
+
+def test_embed_near_dup_drops_null_and_zero_vectors(spark, tmp_path):
+    """q35 must drop NULL embeddings (the Arrow worker's vstack would
+    crash) and zero-norm vectors (0/0 cosine: NaN fails numpy's >= but
+    sorts GREATER in DuckDB, which would pair the zero vector with
+    everything) — both engines now exclude them identically (round-10
+    review finding). q170 parity rides the same fixture."""
+    from trafficteach_spark import schemas
+
+    def vec(base):
+        return [float(base + 0.01 * i) for i in range(schemas.EMBEDDING_DIM)]
+
+    rows_ = [
+        (1, vec(1.0), 0),
+        (2, vec(1.0), 0),                          # near-identical to 1
+        (3, None, 0),                              # NULL embedding
+        (4, [0.0] * schemas.EMBEDDING_DIM, 1),     # zero-norm vector
+        (5, vec(5.0), 1),
+    ]
+    spark.createDataFrame(rows_, schemas.EMBEDDINGS).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    con = _duck_view(tmp_path, "embeddings")
+    for key in ("q35_embed_near_dup", "q170_semdedup"):
+        sdf = Q[key](spark, str(tmp_path))
+        cols = sdf.columns
+        got = sorted(
+            (tuple(r[c] for c in cols) for r in sdf.collect()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        from trafficteach_spark import registry
+
+        want = sorted(
+            (tuple(r) for r in con.execute(registry.all_specs()[key].oracle).fetchall()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        assert got == want, (key, got[:4], want[:4])
+    pairs = {(r["vec_a"], r["vec_b"]) for r in Q["q35_embed_near_dup"](spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)

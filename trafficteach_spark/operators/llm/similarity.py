@@ -29,6 +29,21 @@ NEAR_DUP_COS = 0.35  # fixture embeddings are random-ish (max pair ~0.51)
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
 
 
+def _rank_topk(pairs: DataFrame) -> DataFrame:
+    """The KNN family's shared ranking tail over a scored
+    (qid, vec_id, cosine) candidate frame: rank by (cosine desc,
+    vec_id asc), keep TOP_K. ONE definition for the exact, IVF, and
+    multiprobe-LSH variants so a tie-break or rounding change can never
+    desynchronize one variant from its oracle (round-10 review
+    finding)."""
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("nid"), "cosine", "knn_rank")
+    )
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, v: array<double>, nrm: double) with L2 norms."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -86,14 +101,9 @@ def q32_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         vecs.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
-        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("nrm")), 6))
+        .withColumn("cosine", F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("nrm")), 6))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("knn_rank", F.row_number().over(w))
-        .where(F.col("knn_rank") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("nid"), "cosine", "knn_rank")
-    )
+    return _rank_topk(pairs)
 
 
 _N_BLOCKS = 8
@@ -147,7 +157,14 @@ def _make_block_pair_cosine(threshold: float):
         FROM embeddings
     ),
     n AS (
+        -- NULL and zero-norm vectors are excluded on BOTH sides: a NULL
+        -- embedding would crash the Spark worker's vstack, and a
+        -- zero-norm vector's 0/0 cosine is NaN, which numpy's >= drops
+        -- but DuckDB's NaN-sorts-greatest comparison KEEPS — pairing it
+        -- with everything (round-10 review finding). Cosine is simply
+        -- undefined there; both engines now drop the row.
         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        WHERE v IS NOT NULL AND list_dot_product(v, v) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
@@ -187,12 +204,17 @@ def q35_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal random vectors (max pairwise cosine ~0.51).
     """
     vecs = _vectors(spark, sf_dir)
-    # L2-normalize once so the block product is a plain dot.
-    norm = vecs.select(
+    # L2-normalize once so the block product is a plain dot. nrm > 0
+    # drops NULL embeddings (NULL comparison) and zero vectors — see
+    # the oracle's n-CTE comment. persist (O43): the norm frame feeds
+    # BOTH the bi and bj join branches, which share no exchange, so the
+    # scan + 64-division normalize would otherwise run twice
+    # (round-10 review finding).
+    norm = vecs.where(F.col("nrm") > 0).select(
         "vec_id",
         F.expr("transform(v, x -> x / nrm)").alias("nv"),
         F.pmod(F.col("vec_id"), F.lit(_N_BLOCKS)).alias("blk"),
-    )
+    ).persist()
     pairs = spark.range(_N_BLOCKS).alias("i").crossJoin(spark.range(_N_BLOCKS).alias("j")).select(
         F.col("i.id").alias("bi"), F.col("j.id").alias("bj")
     ).where(F.col("bi") <= F.col("bj"))
@@ -396,14 +418,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataF
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("vec_id") != F.col("qid"))
         .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
-        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("nrm")), 6))
+        .withColumn("cosine", F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("nrm")), 6))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("knn_rank", F.row_number().over(w))
-        .where(F.col("knn_rank") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("nid"), "cosine", "knn_rank")
-    )
+    return _rank_topk(pairs)
 
 
 # The IVF pipeline is approximate as a *search* (probing < all lists) but
@@ -553,14 +570,9 @@ def knn_lsh_multiprobe(
         vecs.join(F.broadcast(probes), "bucket")
         .where(F.col("vec_id") != F.col("qid"))
         .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
-        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("nrm")), 6))
+        .withColumn("cosine", F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("nrm")), 6))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("knn_rank", F.row_number().over(w))
-        .where(F.col("knn_rank") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("nid"), "cosine", "knn_rank")
-    )
+    return _rank_topk(pairs)
 
 
 def int8_quantize(emb: DataFrame) -> DataFrame:
@@ -769,13 +781,11 @@ def kmeans_train(
     ),
     cent AS (
         SELECT label AS c_label,
-               list(m ORDER BY pos) AS c,
-               CAST(MAX(n) AS BIGINT) AS n_vectors
+               list(m ORDER BY pos) AS c
         FROM (
             SELECT label, pos,
                    ROUND(SUM(CAST(FLOOR(x * 10000000 + 0.5) AS BIGINT))
-                         / (COUNT(x) * 10000000.0), 6) AS m,
-                   COUNT(*) AS n
+                         / (COUNT(x) * 10000000.0), 6) AS m
             FROM dims GROUP BY label, pos
         )
         GROUP BY label
@@ -860,10 +870,10 @@ def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cosine",
             F.round(
-                F.expr(_DOT.format(a="v", b="c"))
-                / (
+                F.try_divide(
+                    F.expr(_DOT.format(a="v", b="c")),
                     F.sqrt(F.expr(_DOT.format(a="v", b="v")))
-                    * F.sqrt(F.expr(_DOT.format(a="c", b="c")))
+                    * F.sqrt(F.expr(_DOT.format(a="c", b="c"))),
                 ),
                 6,
             ),
@@ -1033,7 +1043,10 @@ def q170_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id keys. Cosines round to 6 before MAX so both engines select
     identically.
     """
-    n = _vectors(spark, sf_dir)
+    # persist (O43): n feeds the a side, the b side, and the left-join
+    # spine — three subtrees sharing no exchange, so the scan + norm
+    # pass would otherwise run three times (round-10 review finding).
+    n = _vectors(spark, sf_dir).persist()
     a = n.select(
         F.col("label").alias("l"),
         F.col("vec_id").alias("a_id"),
@@ -1052,7 +1065,9 @@ def q170_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(
-                F.expr(_DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn")),
+                F.try_divide(
+                    F.expr(_DOT.format(a="av", b="bv")), F.col("an") * F.col("bn")
+                ),
                 6,
             ).alias("cos"),
         )
@@ -1098,10 +1113,17 @@ def q170_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q
     )
     SELECT label, COUNT(*) AS n_vectors,
-           ROUND(AVG(cos_vq), 6) AS avg_cosine,
+           -- exact 1e-7 integer-unit sums (q131's order-independence
+           -- contract, applied family-wide): a parallel double AVG's
+           -- partial-merge-order ulp could flip a ROUND(_, 6) cell on
+           -- one engine only (round-10 review finding)
+           ROUND(SUM(CAST(FLOOR(cos_vq * 10000000 + 0.5) AS BIGINT))
+                 / (COUNT(*) * 10000000.0), 6) AS avg_cosine,
            ROUND(MIN(cos_vq), 6) AS min_cosine,
-           ROUND(AVG(max_err), 6) AS avg_max_abs_err,
-           ROUND(AVG(scale), 6) AS avg_scale
+           ROUND(SUM(CAST(FLOOR(max_err * 10000000 + 0.5) AS BIGINT))
+                 / (COUNT(*) * 10000000.0), 6) AS avg_max_abs_err,
+           ROUND(SUM(CAST(FLOOR(scale * 10000000 + 0.5) AS BIGINT))
+                 / (COUNT(*) * 10000000.0), 6) AS avg_scale
     FROM m GROUP BY label
     """,
     tags=("llm", "X3", "storage"),
@@ -1144,12 +1166,17 @@ def q176_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_err.alias("max_err"),
         "scale",
     )
+    def _unit_mean(col: str):
+        # exact 1e-7 integer-unit sum (q131's order-independence
+        # contract, applied family-wide — see the oracle comment)
+        return F.sum(F.floor(F.col(col) * 1e7 + 0.5)) / (F.count("*") * 1e7)
+
     return m.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.avg("cos_vq"), 6).alias("avg_cosine"),
+        F.round(_unit_mean("cos_vq"), 6).alias("avg_cosine"),
         F.round(F.min("cos_vq"), 6).alias("min_cosine"),
-        F.round(F.avg("max_err"), 6).alias("avg_max_abs_err"),
-        F.round(F.avg("scale"), 6).alias("avg_scale"),
+        F.round(_unit_mean("max_err"), 6).alias("avg_max_abs_err"),
+        F.round(_unit_mean("scale"), 6).alias("avg_scale"),
     )
 
 
@@ -1514,8 +1541,9 @@ def q185_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(
-                F.expr(_DOT.format(a="qv", b="v"))
-                / (F.col("qn") * F.col("nrm")),
+                F.try_divide(
+                    F.expr(_DOT.format(a="qv", b="v")), F.col("qn") * F.col("nrm")
+                ),
                 6,
             ).alias("cosine"),
         )
@@ -1657,7 +1685,9 @@ def q219_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nid",
             "nlabel",
             F.round(
-                F.expr(_DOT.format(a="v", b="bv")) / (F.col("an") * F.col("bn")),
+                F.try_divide(
+                    F.expr(_DOT.format(a="v", b="bv")), F.col("an") * F.col("bn")
+                ),
                 6,
             ).alias("cos"),
         )
