@@ -76,20 +76,30 @@ def _funnel_depth_expr(chain: tuple[str, ...]) -> str:
     )
 
 
-def _funnel_oracle(chain: tuple[str, ...]) -> str:
+def _funnel_oracle(chain: tuple[str, ...], window_min: int | None = None) -> str:
     """N-step oracle: cascade of 'first occurrence strictly after the
-    previous step' CTEs — equivalent to the greedy matcher."""
+    previous step' CTEs — equivalent to the greedy matcher. With
+    ``window_min`` set, each hop additionally requires the step within
+    that many minutes of the previous one (q129's windowed variant —
+    ONE builder so the counts/readout tail cannot drift between the
+    q19 and q129 oracles; round-10 review finding)."""
     ctes = [
         f"""s1 AS (
         SELECT user_id, MIN(ts) AS t FROM r
         WHERE event_type = '{_sq_duck(chain[0])}' GROUP BY user_id
     )"""
     ]
+    hop_bound = (
+        f"\n         AND r.ts <= s{{prev}}.t + INTERVAL {window_min} MINUTE"
+        if window_min is not None
+        else ""
+    )
     for k in range(2, len(chain) + 1):
         ctes.append(
             f"""s{k} AS (
         SELECT r.user_id, MIN(r.ts) AS t
-        FROM r JOIN s{k - 1} ON r.user_id = s{k - 1}.user_id AND r.ts > s{k - 1}.t
+        FROM r JOIN s{k - 1} ON r.user_id = s{k - 1}.user_id
+         AND r.ts > s{k - 1}.t{hop_bound.format(prev=k - 1)}
         WHERE r.event_type = '{_sq_duck(chain[k - 1])}' GROUP BY r.user_id
     )"""
         )
@@ -133,16 +143,25 @@ def funnel(
     depths = events.groupBy("user_id").agg(
         F.expr(depth_expr or _funnel_depth_expr(chain)).alias("depth")
     )
+    # coalesce: SUM over an EMPTY depths frame is NULL while the
+    # oracle's scalar COUNT(*) subqueries read 0 — an empty-range
+    # corpus must agree (round-10 review finding).
     counts = depths.agg(
         *[
-            F.sum(F.when(F.col("depth") >= k, 1).otherwise(0)).alias(f"n{k}")
+            F.coalesce(
+                F.sum(F.when(F.col("depth") >= k, 1).otherwise(0)), F.lit(0)
+            ).alias(f"n{k}")
             for k in range(1, len(chain) + 1)
         ]
     )
     stack_parts = [f"1, '{_sq_spark(chain[0])}', n1, CAST(NULL AS DOUBLE)"]
     for k in range(2, len(chain) + 1):
+        # try_divide: a zero-user step (legal with an arbitrary library
+        # chain) must yield a NULL rate like the oracle's NULL-on-/0
+        # division, not an ANSI DIVIDE_BY_ZERO (round-10 review finding)
         stack_parts.append(
-            f"{k}, '{_sq_spark(chain[k - 1])}', n{k}, ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6)"
+            f"{k}, '{_sq_spark(chain[k - 1])}', n{k},"
+            f" ROUND(try_divide(CAST(n{k} AS DOUBLE), n{k - 1}), 6)"
         )
     return counts.select(
         F.expr(
@@ -892,52 +911,9 @@ def _windowed_depth_expr(chain: tuple[str, ...], window_min: int) -> str:
     )
 
 
-def _windowed_funnel_oracle(chain: tuple[str, ...], window_min: int) -> str:
-    """Cascade oracle with the hop-relative time bound folded into each
-    step's join predicate."""
-    ctes = [
-        f"""s1 AS (
-        SELECT user_id, MIN(ts) AS t FROM r
-        WHERE event_type = '{_sq_duck(chain[0])}' GROUP BY user_id
-    )"""
-    ]
-    for k in range(2, len(chain) + 1):
-        ctes.append(
-            f"""s{k} AS (
-        SELECT r.user_id, MIN(r.ts) AS t
-        FROM r JOIN s{k - 1} ON r.user_id = s{k - 1}.user_id
-         AND r.ts > s{k - 1}.t
-         AND r.ts <= s{k - 1}.t + INTERVAL {window_min} MINUTE
-        WHERE r.event_type = '{_sq_duck(chain[k - 1])}' GROUP BY r.user_id
-    )"""
-        )
-    counts = ",\n               ".join(
-        f"(SELECT COUNT(*) FROM s{k}) AS n{k}" for k in range(1, len(chain) + 1)
-    )
-    selects = [
-        f"""SELECT 1 AS step, '{_sq_duck(chain[0])}' AS step_type, n1 AS n_users,
-           CAST(NULL AS DOUBLE) AS rate FROM n"""
-    ]
-    for k in range(2, len(chain) + 1):
-        selects.append(
-            f"SELECT {k}, '{_sq_duck(chain[k - 1])}', n{k}, "
-            f"ROUND(CAST(n{k} AS DOUBLE) / n{k - 1}, 6) FROM n"
-        )
-    return f"""
-    WITH r AS (
-        SELECT user_id, event_type, ts FROM events WHERE {_ORACLE_RANGE}
-    ),
-    {",".join(ctes)},
-    n AS (
-        SELECT {counts}
-    )
-    {" UNION ALL ".join(selects)}
-    """
-
-
 @register(
     "q129_window_funnel",
-    oracle=_windowed_funnel_oracle(FUNNEL_CHAIN, FUNNEL_WINDOW_MIN),
+    oracle=_funnel_oracle(FUNNEL_CHAIN, window_min=FUNNEL_WINDOW_MIN),
     tags=("sequence", "O34", "windowed"),
 )
 def q129_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,9 +983,7 @@ def q138_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, so both engines agree bit-for-bit.
     """
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(F.lit(1).alias("_one")).select(
-        F.expr(_AB_HASH_SPARK).alias("v")
-    )
+    u = ev.select("user_id").distinct().select(F.expr(_AB_HASH_SPARK).alias("v"))
     g = u.agg(
         F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
@@ -1113,7 +1087,11 @@ def q144_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("s_prepost") - F.col("s_pre") * F.col("s_post") / n
     var_pre = F.col("s_prepre") - F.col("s_pre") * F.col("s_pre") / n
     var_post = F.col("s_postpost") - F.col("s_post") * F.col("s_post") / n
-    theta = cov / var_pre
+    # try_divide: a corpus whose events all sit on one side of the
+    # CUPED split makes var_pre exactly 0 with cov 0 — the oracle's
+    # plain division yields NULL where ANSI would throw (q199 already
+    # guards its identical theta; round-10 review finding).
+    theta = F.try_divide(cov, var_pre)
     mean_pre = F.col("s_pre") / n
     adj_b = F.col("s_post_b") / F.col("n_b") - theta * (
         F.col("s_pre_b") / F.col("n_b") - mean_pre
@@ -1129,7 +1107,9 @@ def q144_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_post_b") / F.col("n_b") - F.col("s_post_a") / F.col("n_a"), 6
         ).alias("lift_raw"),
         F.round(adj_b - adj_a, 6).alias("lift_cuped"),
-        F.round(F.pow(cov, 2) / (var_pre * var_post), 6).alias("var_reduction"),
+        F.round(
+            F.try_divide(F.pow(cov, 2), var_pre * var_post), 6
+        ).alias("var_reduction"),
     )
 
 
@@ -1522,11 +1502,11 @@ def _score_tie_groups(ev: DataFrame) -> DataFrame:
            CAST(n_grp AS BIGINT) AS n_groups,
            ROUND(cc / nn, 6) AS conv_rate,
            ROUND(sqrt((n_grp - 1.0) / n_grp
-                      * (ss - n_grp * theta_bar * theta_bar)), 6) AS jk_se,
+                      * GREATEST(ss - n_grp * theta_bar * theta_bar, 0)), 6) AS jk_se,
            ROUND(cc / nn - {_JK_Z} * sqrt((n_grp - 1.0) / n_grp
-                      * (ss - n_grp * theta_bar * theta_bar)), 6) AS ci_lo,
+                      * GREATEST(ss - n_grp * theta_bar * theta_bar, 0)), 6) AS ci_lo,
            ROUND(cc / nn + {_JK_Z} * sqrt((n_grp - 1.0) / n_grp
-                      * (ss - n_grp * theta_bar * theta_bar)), 6) AS ci_hi
+                      * GREATEST(ss - n_grp * theta_bar * theta_bar, 0)), 6) AS ci_hi
     FROM jk
     """,
     tags=("sequences", "experimentation", "uncertainty"),
@@ -1583,10 +1563,17 @@ def q180_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("theta_i").alias("theta_bar"),
         F.sum(F.col("theta_i") * F.col("theta_i")).alias("ss"),
     )
+    # greatest(0, ...): near-identical replicates cancel ss against
+    # n*theta_bar^2 to one ulp NEGATIVE — NaN here, OutOfRangeException
+    # in the oracle's SQRT (the q142/q154/q218 FP-cancellation class;
+    # both engines clamp identically).
     var = (
         (F.col("n_grp") - 1.0)
         / F.col("n_grp")
-        * (F.col("ss") - F.col("n_grp") * F.col("theta_bar") * F.col("theta_bar"))
+        * F.greatest(
+            F.lit(0.0),
+            F.col("ss") - F.col("n_grp") * F.col("theta_bar") * F.col("theta_bar"),
+        )
     )
     se = F.sqrt(var)
     rate = F.try_divide(F.col("cc"), F.col("nn"))
@@ -1626,7 +1613,13 @@ _PWR_MDES = (0.01, 0.02, 0.05, 0.10, 0.20)  # relative lifts
             AS g(mde_rel)
     ),
     calc AS (
-        SELECT mde_rel, p1, p1 * (1 + mde_rel) AS p2, n_users, n_days
+        -- LEAST(..., 1): a treatment rate is a probability; an
+        -- unclamped p1*(1+mde) > 1 is a nonsensical design AND makes
+        -- 2*pbar*(1-pbar) negative for high-baseline corpora — an
+        -- OutOfRange SQRT here, NaN->ANSI-cast crash on the Spark side
+        -- (round-10 review finding; both engines clamp identically)
+        SELECT mde_rel, p1, LEAST(p1 * (1 + mde_rel), 1.0) AS p2,
+               n_users, n_days
         FROM grid CROSS JOIN base
     )
     SELECT mde_rel,
@@ -1685,8 +1678,9 @@ def q181_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(m,) for m in _PWR_MDES], "mde_rel double"
         )
     )
+    # least(1): p2 is a probability — see the oracle's calc comment.
     calc = grid.crossJoin(F.broadcast(base)).withColumn(
-        "p2", F.col("p1") * (1 + F.col("mde_rel"))
+        "p2", F.least(F.col("p1") * (1 + F.col("mde_rel")), F.lit(1.0))
     )
     pbar = (F.col("p1") + F.col("p2")) / 2
     # try_divide: a zero-conversion corpus (degenerate fixture) has
@@ -1753,7 +1747,7 @@ def q181_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ra - na * (na + 1) / 2, 6) AS u_a,
            ROUND((ra - na * (na + 1) / 2 - na * (n - na) / 2)
                  / NULLIF(sqrt(na * (n - na) / 12.0
-                     * ((n + 1) - tie / NULLIF(n * (n - 1), 0))), 0), 6)
+                     * GREATEST((n + 1) - tie / NULLIF(n * (n - 1), 0), 0)), 0), 6)
                AS z,
            ROUND(2 * (ra - na * (na + 1) / 2)
                  / NULLIF(na * (n - na), 0) - 1, 6) AS rank_biserial
@@ -1820,8 +1814,12 @@ def q184_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, na = F.col("n"), F.col("na")
     nb = n - na
     u_a = F.col("ra") - na * (na + 1) / 2
-    var = na * nb / 12.0 * (
-        (n + 1) - F.try_divide(F.col("tie"), n * (n - 1))
+    # greatest(0, ...): with EVERY value tied, tie/(n(n-1)) equals n+1
+    # mathematically but the double products can land one ulp past it —
+    # NaN here and an OutOfRangeException in the oracle's SQRT (the
+    # q142/q154/q180 FP-cancellation class; both engines clamp).
+    var = na * nb / 12.0 * F.greatest(
+        F.lit(0.0), (n + 1) - F.try_divide(F.col("tie"), n * (n - 1))
     )
     return s.select(
         na.cast("long").alias("n_a"),
@@ -2531,6 +2529,20 @@ def q192_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _calendar_midpoint(ev: DataFrame) -> tuple[DataFrame, "F.Column"]:
+    """The 1-row (d0, d1) calendar-bounds frame plus the floor-half
+    midpoint date — the before/after split shared by q195's DiD periods
+    and q199's CUPED pre/post window. ONE definition so a boundary
+    drift (<= vs <) can never decouple the two splits the docstrings
+    describe as the same machinery (round-10 review finding)."""
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    half = F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int")
+    return bounds, F.date_add(F.col("d0"), half)
+
+
 @register(
     "q195_did_lift",
     oracle=f"""
@@ -2592,18 +2604,14 @@ def q195_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell frame, 1-row arithmetic. try_divide/NULLIF guard empty cells.
     """
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("d0"),
-        F.max(F.col("ts").cast("date")).alias("d1"),
-    )
-    half = F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int")
+    bounds, mid = _calendar_midpoint(ev)
     u = (
         ev.crossJoin(F.broadcast(bounds))
         .select(
             "user_id",
             F.expr(_AB_HASH_SPARK).alias("arm"),
             F.when(
-                F.col("ts").cast("date") <= F.date_add(F.col("d0"), half),
+                F.col("ts").cast("date") <= mid,
                 F.lit(0),
             )
             .otherwise(F.lit(1))
@@ -3074,12 +3082,7 @@ def q199_variance_reduction_report(spark: SparkSession, sf_dir: str) -> DataFram
     scale (q52-class tradeoff).
     """
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("d0"),
-        F.max(F.col("ts").cast("date")).alias("d1"),
-    )
-    half = F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int")
-    mid = F.date_add(F.col("d0"), half)
+    bounds, mid = _calendar_midpoint(ev)
     is_purch = F.col("event_type") == "purchase"
     u = (
         ev.crossJoin(F.broadcast(bounds))
