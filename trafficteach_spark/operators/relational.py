@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trafficteach_spark.functions.exprs import exact_sum
+from trafficteach_spark.functions.exprs import exact_sum, money
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_events_range, load_table
 
@@ -44,7 +44,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             exact_sum("value", "sum_value"),
         )
-        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .orderBy(F.desc("n_events"), F.asc_nulls_last("event_type"))
         .limit(5)
     )
 
@@ -99,8 +99,10 @@ def q02_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         exact_sum("value", "sum_value"),
+        # same shared money() policy as exact_sum: one precision bump
+        # must move BOTH aggregates of this query together
         F.round(
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("*"), 6
+            F.sum(money("value")).cast("double") / F.count("*"), 6
         ).alias("avg_value"),
     )
 
@@ -271,7 +273,7 @@ def q06_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         events
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
-        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .orderBy(F.desc("n_events"), F.asc_nulls_last("user_id"))
         .limit(10)
     )
 
@@ -319,7 +321,7 @@ def q06_topn_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     topn = (
         events.groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
-        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .orderBy(F.desc("n_events"), F.asc_nulls_last("user_id"))
         .limit(10)
     )
     return events.join(F.broadcast(topn), "user_id", "left_semi").select(
@@ -370,7 +372,7 @@ def q07_speed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("n_medium"),
             F.desc("n_normal"),
             F.desc("n_low"),
-            F.asc("event_type"),
+            F.asc_nulls_last("event_type"),
         )
         .limit(5)
     )
@@ -518,12 +520,23 @@ def q76_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: exceptAll and intersectAll are separate shuffles with no
     # exchange reuse between them, so each year frame would otherwise be
     # scanned twice — four fact scans where two suffice.
-    y95 = (
-        orders.where(F.year("o_orderdate") == 1995).select("o_custkey").persist()
-    )
-    y96 = (
-        orders.where(F.year("o_orderdate") == 1996).select("o_custkey").persist()
-    )
+    # Half-open DATE ranges, not year(): a function-wrapped column is
+    # non-sargable, so neither filter would reach PushedFilters — every
+    # year-frame build was a full orders scan with no row-group skipping
+    # and, at scale, no partition pruning (q03's sargable form; round-10
+    # review finding). Semantics identical.
+    def _year_custkeys(y: int):
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+            )
+            .select("o_custkey")
+            .persist()
+        )
+
+    y95 = _year_custkeys(1995)
+    y96 = _year_custkeys(1996)
     surplus = (
         y95.exceptAll(y96)
         .groupBy("o_custkey")

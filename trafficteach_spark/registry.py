@@ -27,7 +27,11 @@ Design rules enforced by convention here (SURVEY.md §6):
   plans free of avg/var/corr).
 
 Caching contract: a few queries ``persist()`` an intra-query frame (O43
-— q06_topn_details, the q31-family shared shingle frame). The returned
+— q06_topn_details, q76's year frames, the q31-family shared shingle
+frame, q167's doc frame, q169's feature stream, q171's positional-gram
+frame, q35's normalized vectors, q170's vector frame, q206's posting
+frame — every case where two subplans share no exchange and would
+otherwise recompute a dominant scan). The returned
 DataFrame is lazy, so the query function cannot unpersist it; long-lived
 sessions running many queries should call ``spark.catalog.clearCache()``
 between queries (bench.py and the plan tests do) — Spark's LRU eviction
