@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trafficteach_spark.functions.exprs import epoch_us_sql, exact_sum
+from trafficteach_spark.functions.exprs import epoch_us_sql, exact_sum, money
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_events_range, load_table
@@ -37,6 +37,12 @@ _ORACLE_RANGE = (
 # expansion; 4x keeps the same semantics with a sane blow-up factor).
 _SLIDE_SEC = 900
 _WIN_SLOTS = 4  # window length / slide
+
+# Session gap shared by q22 and q106 (Spark session_window AND both
+# oracles interpolate this ONE literal — the _SLIDE_SEC pattern, so the
+# gap can never drift between the batch query, its oracle twin, and the
+# concurrency readout that documents itself as using the same sessions).
+SESSION_GAP_MIN = 30
 
 
 @register(
@@ -78,7 +84,7 @@ def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     w = Window.partitionBy("event_type").orderBy(
-        F.desc("n_events"), F.asc("user_id")
+        F.desc("n_events"), F.asc_nulls_last("user_id")
     )
     return (
         flow.withColumn("rn", F.row_number().over(w))
@@ -112,6 +118,11 @@ def q12_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is deterministic under any shuffle order. One shuffle on
     user_id; at 100 TB the fact table is bucketed by user_id making the
     trajectory family shuffle-free.
+
+    NULL contract: relies on the ingest guarantee that event_id and
+    event_type are non-null — a NULL event_id would sort FIRST in the
+    struct comparison but LAST in the oracle's ORDER BY, and an
+    all-NULL-type user would read '' here vs NULL from string_agg.
     """
     events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
@@ -142,7 +153,7 @@ def sliding_window_agg(events: DataFrame) -> DataFrame:
             F.count("*").alias("n_events"),
             exact_sum("value", "sum_value"),
             F.round(
-                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                F.sum(money("value")).cast("double")
                 / F.count("*"),
                 6,
             ).alias("avg_value"),
@@ -239,7 +250,7 @@ def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                          OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL '30 minutes'
+                            >= INTERVAL '{SESSION_GAP_MIN} minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM r
     ),
@@ -253,7 +264,7 @@ def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
            COUNT(*) AS n_events
     FROM sessions
     GROUP BY user_id, session_id
@@ -272,7 +283,7 @@ def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
         events
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
@@ -311,7 +322,7 @@ def q_stream_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                F.sum(money("value")).cast("double")
                 / F.count("*"),
                 2,
             ).alias("avg_speed"),
@@ -388,9 +399,15 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed deduplication, batch form: keep the FIRST event per
     (user, event_type) within each {DEDUP_BUCKET_SEC}-second tumbling
     bucket — the retry/at-least-once-delivery collapse every event
-    pipeline needs. Exact twin of the streaming dedup-within-watermark
-    operator (streaming/stateful.py), so backfill (this) and live
-    (that) produce the same keep-set.
+    pipeline needs. The BATCH ANALOG of the streaming
+    dedup-within-watermark stage (streaming/stateful.py) — analog, not
+    twin: the stream dedups on event_id alone keeping the FIRST ARRIVAL
+    (the exactly-once idiom for retried sends of the same event), while
+    this backfill collapses distinct event_ids that land in the same
+    (user, type, bucket) cell, keeping the (ts, event_id)-minimum. A
+    replayed event_id is dropped by both; two DIFFERENT event_ids in
+    one bucket survive the stream but collapse here (round-10 review
+    finding — the old docstring claimed identical keep-sets).
 
     The bucket is computed ARITHMETICALLY (epoch-micros div) rather than
     via each engine's window/time_bucket function, so both engines bin
@@ -413,7 +430,7 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{epoch_us_sql('ts')} div {DEDUP_BUCKET_SEC * 1_000_000}"
     )
     w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
-        "ts", "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     return (
         ev.withColumn("bucket", bucket)
@@ -425,12 +442,12 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q106_session_concurrency",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                          OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL '30 minutes'
+                            >= INTERVAL '{SESSION_GAP_MIN} minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WHERE ts IS NOT NULL
@@ -444,7 +461,7 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM marked
     ),
     sess AS (
-        SELECT MIN(ts) AS s, MAX(ts) + INTERVAL '30 minutes' AS e
+        SELECT MIN(ts) AS s, MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS e
         FROM numbered GROUP BY user_id, session_id
     ),
     cal AS (
@@ -500,7 +517,7 @@ def q106_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         # delta branches, carry, cal); exchange reuse dedupes the scan
         # but NOT the post-shuffle session aggregation.
         events.where(F.col("ts").isNotNull())
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"))
         .persist()

@@ -293,8 +293,12 @@ def stream_session_windows(events: DataFrame) -> DataFrame:
 
 
 def stream_dedup_events(events: DataFrame) -> DataFrame:
-    """Streaming exact dedup — q85's window-dedup twin for the ingest
-    edge (at-least-once sources redeliver; this makes the downstream
+    """Streaming exact dedup — the ingest-edge COMPANION of q85's batch
+    window-dedup, not its twin: this stage keys on event_id alone
+    (exactly-once for redelivered sends), while q85's backfill also
+    collapses DISTINCT event_ids sharing a (user, type, bucket) cell —
+    see q85's docstring for the precise keep-set difference.
+    (At-least-once sources redeliver; this makes the downstream
     exactly-once on event_id): ``dropDuplicatesWithinWatermark`` keeps
     the first arrival of each event_id and ages its dedup state out
     once the watermark passes, so state is bounded by rate x watermark
