@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SMOKE_SF_DIR
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.operators.windows import sliding_window_agg
+from trafficteach_spark.operators.windows import SESSION_GAP_MIN
 from trafficteach_spark.sources.tables import load_table
 from trafficteach_spark.streaming import demo
 
@@ -212,7 +213,9 @@ def test_stream_session_windows_match_batch_upto_watermark(spark, tmp_path):
 
     batch_events = load_table(spark, SMOKE_SF_DIR, "events")
     batch = (
-        batch_events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        batch_events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",

@@ -225,7 +225,7 @@ def test_crash_between_state_write_and_pointer_swap(spark, tmp_path):
     # swap never reached
     real_commit = R._commit
 
-    def crashing_commit(state_dir, batch_id, merged, lineage=None):
+    def crashing_commit(state_dir, batch_id, merged, lineage=None, prev_id=None):
         out = os.path.join(state_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(out)
         raise RuntimeError("injected crash between state write and pointer swap")
@@ -305,3 +305,45 @@ def test_merge_upsert_null_key_component(spark):
     by_k = {r["k"]: r for r in rows}
     assert by_k[None]["v"] == 10 and by_k[None]["tag"] == "a2"
     assert by_k[2]["v"] == 2
+
+
+def test_prune_keeps_previous_committed_version_across_id_gaps(spark, tmp_path):
+    """Empty batches skip committing, so committed ids GAP: pruning by
+    batch_id - 1 would delete the immediately previous COMMITTED version
+    (v3 here) the moment v5 lands — yanking the directory a concurrent
+    reader may have just resolved through _LATEST. The prune floor must
+    be the previously committed id (round-10 review finding)."""
+    import os
+
+    from trafficteach_spark import schemas
+    from trafficteach_spark.streaming import rollup as R
+    from trafficteach_spark.streaming.rollup import (
+        merge_rollup_state,
+        read_rollup_state,
+    )
+
+    state = tmp_path / "state"
+    state.mkdir()
+    batch_df = spark.createDataFrame(ROWS_1, schemas.EVENTS_PHYSICAL).select(
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    partial = R._daily_partial(batch_df)
+
+    def commit(bid):
+        last_id, _, _ = R._latest(str(state))
+        R._commit(
+            str(state),
+            bid,
+            merge_rollup_state(read_rollup_state(spark, str(state)), partial),
+            prev_id=last_id,
+        )
+
+    commit(3)          # first commit (batches 0-2 notionally empty)
+    commit(5)          # batch 4 was empty -> committed ids gap
+    versions = sorted(n for n in os.listdir(state) if n.startswith("v"))
+    assert versions == ["v3", "v5"], versions  # v3 survives as the keep-back
+    commit(6)          # next commit prunes everything below v5
+    versions = sorted(n for n in os.listdir(state) if n.startswith("v"))
+    assert versions == ["v5", "v6"], versions

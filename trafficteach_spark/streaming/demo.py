@@ -36,11 +36,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from trafficteach_spark import schemas
-from trafficteach_spark.operators.windows import sliding_window_agg
+from trafficteach_spark.operators.windows import SESSION_GAP_MIN, sliding_window_agg
 from trafficteach_spark.session import ensure_session_confs
 from trafficteach_spark.functions.exprs import ns_long_to_ntz_us
 
 WATERMARK = "2 hours"
+
+
+def watermarked(events: DataFrame, horizon: str = WATERMARK) -> DataFrame:
+    """The parity-critical NTZ->TIMESTAMP + withWatermark idiom, ONE
+    definition for every streaming operator (sliding avg, sessionizer,
+    dedup): the cast is value-identity ONLY under the pinned-UTC session
+    tz, so three hand copies of it were three chances to drift
+    (round-10 review finding). Callers cast their outputs back to NTZ."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", horizon
+    )
 
 
 def _with_event_time(raw: DataFrame) -> DataFrame:
@@ -204,9 +215,7 @@ def stream_sliding_avg(events: DataFrame) -> DataFrame:
     through TIMESTAMP and back is value-identity and the stream's output
     schema stays bit-identical to batch q20's.
     """
-    marked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-        "ts", WATERMARK
-    )
+    marked = watermarked(events)
     return sliding_window_agg(marked).withColumns(
         {
             "window_start": F.col("window_start").cast("timestamp_ntz"),
@@ -250,7 +259,7 @@ def start_demo(
     micro-batch; a production job would writeStream to parquet/Kafka in
     update mode and let the watermark expire state.
     """
-    staged = stage_events_dir(sf_dir, os.path.join(checkpoint_dir + "-in"))
+    staged = stage_events_dir(sf_dir, checkpoint_dir + "-in")
     events = read_event_stream(spark, staged)
     agg = stream_sliding_avg(events)
     writer = (
@@ -266,7 +275,7 @@ def start_demo(
 
 def stream_session_windows(events: DataFrame) -> DataFrame:
     """O39 streaming form: native ``session_window`` sessionization on
-    the watermarked event-time stream, same 30-minute gap and output
+    the watermarked event-time stream, same SESSION_GAP_MIN gap and output
     shape as batch q22 (the NTZ casts mirror :func:`stream_sliding_avg`
     — watermarks attach only to TIMESTAMP, and the pinned-UTC session tz
     makes the round-trip a value identity).
@@ -277,11 +286,12 @@ def stream_session_windows(events: DataFrame) -> DataFrame:
     open against the final watermark stay in state and do NOT emit; the
     parity test asserts exactly that subset relation against batch q22.
     """
-    marked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-        "ts", WATERMARK
-    )
+    marked = watermarked(events)
     return (
-        marked.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        marked.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",

@@ -113,7 +113,24 @@ def streaming_heavy_hitters(
     """Streaming Misra-Gries heavy hitters over ``key_col``: one <= k-row
     summary per hash bucket, re-emitted whenever the bucket is touched.
     ``pmod(hash, B)`` buckets deterministically, so a key's counters
-    never split across buckets and restarts land keys identically."""
+    never split across buckets and restarts land keys identically.
+
+    INTEGER keys only (the batch ``misra_gries`` contract): the state
+    and output schemas carry the key as LongType, so a string key would
+    only fail deep inside the Arrow worker at runtime — validated
+    eagerly here instead (round-10 review finding). A non-user_id
+    integer key still emits under the ``user_id`` output column (the
+    fixed schema); alias downstream if that reads oddly."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    key_type = events.schema[key_col].dataType
+    if not isinstance(key_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"streaming_heavy_hitters needs an integer key column; "
+            f"{key_col!r} is {key_type.simpleString()} (the LongType "
+            "state/output schemas cannot carry it — hash or dictionary-"
+            "encode the key first)"
+        )
     bucketed = events.withColumn(
         "_bucket", F.pmod(F.hash(F.col(key_col)), F.lit(buckets)).cast("long")
     )

@@ -144,12 +144,21 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
 
 
 def _commit(
-    state_dir: str, batch_id: int, merged: DataFrame, lineage: str | None = None
+    state_dir: str,
+    batch_id: int,
+    merged: DataFrame,
+    lineage: str | None = None,
+    prev_id: int | None = None,
 ) -> None:
     """Write the merged state as a new version directory, then flip the
     ``_LATEST`` pointer via atomic rename. Versions older than the
-    previous one are pruned (crash between write and flip leaves an
-    orphan version dir, harmless and overwritten on replay)."""
+    PREVIOUSLY COMMITTED one (``prev_id``, defaulting to batch_id - 1)
+    are pruned — the keep-one-back margin must reference the last
+    commit, not the last batch NUMBER: empty batches skip committing,
+    so committed ids can gap and ``batch_id - 1`` would delete the very
+    version a concurrent reader just resolved through ``_LATEST``
+    (round-10 review finding). A crash between write and flip leaves an
+    orphan version dir, harmless and overwritten on replay."""
     version = f"v{batch_id}"
     out = os.path.join(state_dir, version)
     merged.write.mode("overwrite").parquet(out)
@@ -159,12 +168,13 @@ def _commit(
             {"batch_id": batch_id, "version": version, "lineage": lineage}, fh
         )
     os.replace(tmp, os.path.join(state_dir, "_LATEST"))
+    keep_floor = prev_id if prev_id is not None else batch_id - 1
     for name in os.listdir(state_dir):
         if (
             name.startswith("v")
             and name != version
             and name[1:].isdigit()
-            and int(name[1:]) < batch_id - 1
+            and int(name[1:]) < keep_floor
         ):
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
@@ -224,7 +234,7 @@ def start_incremental_rollup(
         # conflicts can't arise; materializing still keeps the commit
         # from re-running the merge twice (write + any later action).
         merged = merge_rollup_state(base, partial).localCheckpoint(eager=True)
-        _commit(state_dir, batch_id, merged, lineage)
+        _commit(state_dir, batch_id, merged, lineage, prev_id=last_id)
 
     return (
         read_event_stream(spark, source_dir)

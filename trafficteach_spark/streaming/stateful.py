@@ -62,14 +62,27 @@ def _make_update_fn():
         import pandas as pd
 
         (user_id,) = key
+        # None sentinel, not -1: -1 is a VALID epoch microsecond
+        # (1969-12-31T23:59:59.999999), and a NULL-ts row (NaT) would
+        # otherwise read as INT64_MIN and fabricate an epoch-adjacent
+        # last_ts where the batch twin q216 emits NULL (round-10
+        # review finding).
         n, total, last_us, last_type = (
-            state.get if state.exists else (0, 0.0, -1, "")
+            state.get if state.exists else (0, 0.0, None, None)
         )
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            us_series = pdf["ts"].astype("int64") // 1000
-            us = us_series.max()
+            # NULL-ts rows still count into n/sum but never become the
+            # last-seen row: an undatable event cannot be "latest".
+            # (q216's desc-nulls-last window picks SOME row's event_type
+            # when a user's ts are ALL null; the stream reports NULL
+            # there — the same documented tie-divergence class as below.)
+            valid = pdf["ts"].notna()
+            if not valid.any():
+                continue
+            us_series = pdf.loc[valid, "ts"].astype("int64") // 1000
+            us = int(us_series.max())
             # Timestamp TIE semantics (deliberate divergence from the
             # batch twin): the strict ``us > last_us`` keeps the FIRST
             # ARRIVAL on a tie — arrival order is real in a stream but is
@@ -78,9 +91,10 @@ def _make_update_fn():
             # tied corpus the two can legitimately pick different
             # last_event_type values; everything else (n, sum, last_ts)
             # is identical.
-            if us > last_us:
+            if last_us is None or us > last_us:
                 row = pdf.loc[us_series.idxmax()]
-                last_us, last_type = int(us), str(row["event_type"])
+                last_us = us
+                last_type = None if pd.isna(row["event_type"]) else str(row["event_type"])
         # Keep the UNROUNDED total in state — re-rounding every micro-batch
         # would compound drift vs the batch groupBy sum this mirrors; the
         # emitted row below rounds once for display/sink stability.
@@ -90,7 +104,13 @@ def _make_update_fn():
                 "user_id": [user_id],
                 "n_events": [n],
                 "sum_value": [round(total, 6)],
-                "last_ts": [dt.datetime.fromtimestamp(last_us / 1e6, dt.timezone.utc).replace(tzinfo=None)],
+                "last_ts": [
+                    None
+                    if last_us is None
+                    else dt.datetime.fromtimestamp(
+                        last_us / 1e6, dt.timezone.utc
+                    ).replace(tzinfo=None)
+                ],
                 "last_event_type": [last_type],
             }
         )
@@ -124,10 +144,11 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    marked = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-        "ts", watermark
+    from trafficteach_spark.streaming.demo import watermarked
+
+    deduped = watermarked(events, watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
-    deduped = marked.dropDuplicatesWithinWatermark(["event_id"])
     return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
