@@ -131,3 +131,47 @@ def test_partitioned_roundtrip_preserves_rows(spark, partitioned_events_path):
         for r in orig.select("event_id", F.to_date("ts").alias("event_date")).collect()
     }
     assert got == exp
+
+
+def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
+    """Multi-task input must still land ONE file per bucket: Spark only
+    treats a bucketed table as sorted when each bucket is a single file,
+    so tasks x buckets file counts silently void the sortBy elimination
+    (round-10 review finding — the pre-shuffle repartition pins this)."""
+    import glob
+    import os
+
+    events = load_table(spark, SMOKE_SF_DIR, "events").repartition(16)
+    out = str(tmp_path / "events_multi")
+    write_bucketed(
+        events, "events_multi_task", ["user_id"], 4, out, sort_cols=["user_id"]
+    )
+    try:
+        files = glob.glob(os.path.join(out, "part-*"))
+        # bucketBy encodes the bucket id in the file name; one per bucket
+        assert 0 < len(files) <= 4, files
+        got = read_bucketed(spark, "events_multi_task").count()
+        assert got == events.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_multi_task")
+
+
+def test_partitioned_events_probe_and_load(spark, tmp_path):
+    """The ts-encoding probe must accept the module's own recommended
+    date-partitioned layout (parquet files one directory level down) —
+    the flat listing used to raise FileNotFoundError on it (round-10
+    review finding)."""
+    from trafficteach_spark.sources.layout import write_date_partitioned
+    from trafficteach_spark.sources import tables as T
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    import pyspark.sql.functions as F
+
+    out = tmp_path / "events.parquet"
+    write_date_partitioned(
+        events.withColumn("day", F.to_date("ts")), str(out), ["day"]
+    )
+    kind = T._events_ts_kind(str(out))
+    assert kind in ("int64_ns", "timestamp")
+    back = load_table(spark, str(tmp_path), "events")
+    assert back.count() == events.count()

@@ -113,3 +113,44 @@ def test_jsonl_renamed_field_fails_instead_of_nulling(spark, tmp_path):
     # validate=False keeps the old composable action-free behavior
     rows = read_events_jsonl(spark, str(p), validate=False).collect()
     assert rows[0]["ts"] is None
+
+
+def test_csv_null_required_field_fails_like_jsonl(spark, tmp_path):
+    """The CSV twin must enforce the same required-field contract as
+    JSONL: FAILFAST only rejects malformed rows, so an EMPTY ts cell
+    parses as NULL silently (round-10 review finding)."""
+    import pytest as _pytest
+
+    from trafficteach_spark.sources.text_formats import read_events_csv
+
+    p = tmp_path / "gappy.csv"
+    p.write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        "1,,7,view,1.0,{}\n"
+    )
+    with _pytest.raises(ValueError, match="required event fields parsed as NULL"):
+        read_events_csv(spark, str(p))
+    rows = read_events_csv(spark, str(p), validate=False).collect()
+    assert rows[0]["ts"] is None
+
+
+def test_convert_to_parquet_rejects_corrupt_batch(spark, tmp_path):
+    """Compaction is the last stop before corrupt text becomes
+    authoritative parquet — it must run the same guard as the query
+    path instead of landing an all-NULL-ts table (round-10 review
+    finding)."""
+    import os
+
+    import pytest as _pytest
+
+    from trafficteach_spark.sources.text_formats import convert_events_to_parquet
+
+    p = tmp_path / "drifted.jsonl"
+    p.write_text(
+        '{"event_id": 1, "timestamp": 1704535200000000000, "user_id": 7, '
+        '"event_type": "view", "value": 1.0, "props": "{}"}\n'
+    )
+    out = tmp_path / "landed.parquet"
+    with _pytest.raises(ValueError, match="required event fields parsed as NULL"):
+        convert_events_to_parquet(spark, str(p), str(out))
+    assert not os.path.exists(out / "_SUCCESS")

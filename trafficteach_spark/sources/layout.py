@@ -41,9 +41,19 @@ def write_bucketed(
     constant — pick it so one bucket of the biggest table fits an
     executor core's working memory at target scale, and use the SAME
     count on every table that joins on the key.
+
+    The input is repartitioned to the bucket hash FIRST: without it
+    every write task emits one file per bucket it happens to hold
+    (tasks x buckets files), and Spark only treats a bucketed table as
+    SORTED when each bucket is a single file — multi-file buckets
+    silently void the sortBy sort-elimination this function promises
+    (round-10 review finding). repartition(n, cols) uses the same
+    murmur3 HashPartitioning bucketBy hashes with, so the shuffle lands
+    each bucket wholly in one task.
     """
     writer = (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
         .option("path", path)
         .bucketBy(n_buckets, *bucket_cols)
     )
@@ -64,6 +74,7 @@ def write_date_partitioned(
     path: str,
     partition_cols: list[str],
     sort_cols: list[str] | None = None,
+    files_per_partition: int = 1,
 ) -> None:
     """Write ``df`` hive-style directory-partitioned by ``partition_cols``
     (the 100 TB fact-table layout: one directory per day/hour, so a
@@ -80,9 +91,17 @@ def write_date_partitioned(
     # emits a file per partition value it happens to hold — a tasks x
     # partition-values small-file explosion (200 tasks x 365 days = up
     # to 73k tiny files) that melts exactly the listing the layout is
-    # supposed to protect (round-6 review finding). After the shuffle,
-    # each partition value lives in one task -> one file per value.
-    df = df.repartition(*[F.col(c) for c in partition_cols])
+    # supposed to protect (round-6 review finding). But ONE task per
+    # value overshoots at the module's own 100 TB target (~280 GB/day
+    # through a single sorting task = spill/OOM and one monolithic file
+    # per day): ``files_per_partition`` adds a deterministic salt so a
+    # fat partition value splits across a bounded task/file count
+    # (round-10 review finding). Default 1 keeps the small-corpus
+    # one-file-per-value behavior.
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        keys.append(F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)))
+    df = df.repartition(*keys)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

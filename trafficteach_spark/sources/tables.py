@@ -54,16 +54,33 @@ def _events_ts_kind(path: str) -> str:
     # on entry add/remove/rename, so an IN-PLACE part-file rewrite with
     # the other encoding would otherwise serve the stale verdict and
     # skip the mixed-encoding guard (round-6 review finding).
+    # Local-filesystem probe by design (pyarrow footer reads): a remote
+    # URI (s3://, hdfs://) fails here with a clear message — a real
+    # deployment enforces one encoding at write time instead of probing.
+    if "://" in path:
+        raise ValueError(
+            f"events encoding probe needs a local path, got {path!r}: "
+            "remote datasets must commit to one ts encoding at write "
+            "time (see _events_ts_kind docstring)"
+        )
     try:
         if os.path.isdir(path):
-            with os.scandir(path) as it:
-                stamp = tuple(
-                    sorted(
-                        (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                        for e in it
-                        if e.name.endswith(".parquet")
-                    )
-                )
+            # RECURSIVE walk, not a top-level scandir: the recommended
+            # fact layout is date-partitioned (.../date=YYYY-MM-DD/
+            # part-*.parquet), whose parquet files all live one level
+            # down — the flat listing found none and raised on a layout
+            # Spark reads fine (round-10 review finding). Paths are
+            # stamped relative so the cache key stays stable.
+            stamp_list = []
+            for dirpath, _dirs, files in os.walk(path):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        full = os.path.join(dirpath, fname)
+                        st = os.stat(full)
+                        stamp_list.append(
+                            (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+                        )
+            stamp = tuple(sorted(stamp_list))
         else:
             st = os.stat(path)
             stamp = ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
@@ -144,23 +161,36 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in schemas.TABLE_NAMES}
 
 
+def _parse_ts(ts: str):
+    """ONE parser for the accepted 'YYYY-MM-DD[ HH:MM:SS]' literal forms
+    — shared by the int64-ns and native-TIMESTAMP branches so a format
+    change can never desynchronize them (round-10 review finding)."""
+    import datetime as dt
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in ts else "%Y-%m-%d"
+    return dt.datetime.strptime(ts, fmt)
+
+
 def _ts_norm(ts: str) -> str:
     """Normalize a 'YYYY-MM-DD[ HH:MM:SS]' string to full timestamp form
     (validates the literal before it is spliced into a TIMESTAMP_NTZ expr)."""
+    return _parse_ts(ts).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _ts_to_ns_bound(ts: str) -> int:
+    """Naive-UTC timestamp string -> the raw int64-ns value b such that
+    ``ns >= b`` is EXACTLY ``(ns div 1000) >= ts_us`` (and ``ns < b`` is
+    exactly ``(ns div 1000) < ts_us``) under the loader's truncate-
+    toward-zero conversion. For ts >= epoch that is plain ts_us * 1000;
+    for PRE-1970 bounds the truncation rounds toward zero, so the raw
+    bound shifts by -999 ns — without it the pushed predicate and the
+    logical filter disagree on sub-microsecond pre-epoch rows
+    (round-10 review finding)."""
     import datetime as dt
 
-    fmt = "%Y-%m-%d %H:%M:%S" if " " in ts else "%Y-%m-%d"
-    return dt.datetime.strptime(ts, fmt).strftime("%Y-%m-%d %H:%M:%S")
-
-
-def _ts_to_ns(ts: str) -> int:
-    """Naive-UTC timestamp string -> int64 epoch nanoseconds (the events
-    physical ts encoding)."""
-    import datetime as dt
-
-    fmt = "%Y-%m-%d %H:%M:%S" if " " in ts else "%Y-%m-%d"
-    parsed = dt.datetime.strptime(ts, fmt).replace(tzinfo=dt.timezone.utc)
-    return int(parsed.timestamp()) * 1_000_000_000
+    parsed = _parse_ts(ts).replace(tzinfo=dt.timezone.utc)
+    ns = int(parsed.timestamp()) * 1_000_000_000
+    return ns if ns > 0 else ns - 999
 
 
 def load_events_range(spark: SparkSession, sf_dir: str, start: str, end: str) -> DataFrame:
@@ -172,9 +202,11 @@ def load_events_range(spark: SparkSession, sf_dir: str, start: str, end: str) ->
     For the int64-ns encoding the predicate must be on the raw long —
     filtering the *converted* timestamp instead leaves only IsNotNull
     pushable, which at 100 TB forfeits all scan pruning on the fact table.
-    Exact equivalence: the loader's conversion truncates `ns div 1000`,
-    and ``ns div 1000 >= start_us  <=>  ns >= start_us * 1000`` (ditto
-    strict `<` on the end bound), so this equals filtering the logical ts.
+    Exact equivalence: the loader's conversion truncates `ns div 1000`
+    TOWARD ZERO, and :func:`_ts_to_ns_bound` picks the raw bound that
+    makes the pushed integer predicate identical to the logical-ts
+    filter on both sides of the epoch (plain us*1000 post-1970, shifted
+    by -999 ns for pre-1970 bounds).
     For the native TIMESTAMP encoding the timestamp predicate itself is
     pushdown-eligible, so it is applied directly.
     """
@@ -183,8 +215,8 @@ def load_events_range(spark: SparkSession, sf_dir: str, start: str, end: str) ->
     if _events_ts_kind(path) == "int64_ns":
         df = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
         df = df.where(
-            (F.col("ts") >= F.lit(_ts_to_ns(start)))
-            & (F.col("ts") < F.lit(_ts_to_ns(end)))
+            (F.col("ts") >= F.lit(_ts_to_ns_bound(start)))
+            & (F.col("ts") < F.lit(_ts_to_ns_bound(end)))
         )
         return df.withColumn(
             "ts", ns_long_to_ntz_us("ts")

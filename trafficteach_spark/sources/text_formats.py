@@ -98,7 +98,9 @@ def read_events_jsonl(
     return _normalize(raw)
 
 
-def read_events_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+def read_events_csv(
+    spark: SparkSession, path: str, header: bool = True, validate: bool = True
+) -> DataFrame:
     """Read CSV events with the same declared physical schema and
     FAILFAST posture. With ``header=True``, ``enforceSchema`` is turned
     OFF so Spark actually validates the header names against the
@@ -106,7 +108,12 @@ def read_events_csv(spark: SparkSession, path: str, header: bool = True) -> Data
     and maps columns POSITIONALLY, which silently transposes same-typed
     columns in a reordered file (event_id/user_id are both int64 —
     round-6 review finding). ``header=False`` necessarily trusts
-    position: column order must match ``schemas.EVENTS_PHYSICAL``."""
+    position: column order must match ``schemas.EVENTS_PHYSICAL``.
+
+    ``validate`` applies the same required-field NULL guard as the JSONL
+    twin: FAILFAST only catches MALFORMED rows, so an empty ts/event_id
+    cell parses to NULL silently — the two batch ingestion paths must
+    enforce one contract (round-10 review finding)."""
     ensure_session_confs(spark)
     raw = (
         spark.read.schema(schemas.EVENTS_PHYSICAL)
@@ -115,6 +122,8 @@ def read_events_csv(spark: SparkSession, path: str, header: bool = True) -> Data
         .option("mode", "FAILFAST")
         .csv(path)
     )
+    if validate:
+        raw = validate_event_fields(raw, path)
     return _normalize(raw)
 
 
@@ -129,5 +138,13 @@ def convert_events_to_parquet(
 ) -> None:
     """The ingestion-edge compaction step: land text -> columnar. After
     this, every query runs against parquet with pushdown/pruning; the
-    text files are an archival input, not a query target."""
-    _read_raw_jsonl(spark, jsonl_path).write.mode("overwrite").parquet(parquet_path)
+    text files are an archival input, not a query target.
+
+    Validated like the query-path reader: compaction is the LAST stop
+    before corrupt text becomes authoritative parquet — skipping the
+    required-field guard here would land an all-NULL-ts table silently,
+    the exact failure the guard's docstring warns about (round-10
+    review finding)."""
+    validate_event_fields(
+        _read_raw_jsonl(spark, jsonl_path), jsonl_path
+    ).write.mode("overwrite").parquet(parquet_path)
