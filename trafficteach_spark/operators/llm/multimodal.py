@@ -4,10 +4,13 @@
 North-star LLM-pipeline block: the text⋈vector join every multimodal
 dataset needs, plus the binary-payload plumbing (typed metadata, Arrow
 batch transfer, ``mapInPandas`` feature extraction) that real image/audio
-pipelines hang decode/resize/frame-sample stages on. The actual codecs are
-NOT in this container, so the decode step is a clearly-marked stub
-(:func:`decode_image`) and the pipeline runs a deterministic fake — the
-Spark-side plumbing (schema, batching, UDF signature) is real and tested.
+pipelines hang decode/resize/frame-sample stages on. :func:`decode_image`
+dispatches REAL stdlib-only decoders for BMP, P6 PPM, and non-interlaced
+8-bit RGB/RGBA PNG; formats needing an external codec (JPEG/WebP) go
+through the pluggable ``decode_fn`` slot (:func:`decode_with_pillow` when
+pillow is installed, a contract-tested stub otherwise), while the q40
+oracle pipeline runs deterministic md5/length features — the Spark-side
+plumbing (schema, batching, UDF signature) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -112,6 +115,16 @@ def decode_bmp(payload: bytes) -> dict:
             f"compression={compression})"
         )
     row_bytes = (width * 3 + 3) & ~3
+    # Bounds-check the declared pixel extent BEFORE reading: a bogus
+    # bfOffBits (0 passes every other guard) would silently "decode" the
+    # file headers as pixels, and a truncated payload would die with a
+    # bare IndexError instead of the decoder's diagnostic contract
+    # (round-10 review finding).
+    if data_offset < 54 or data_offset + height * row_bytes > len(payload):
+        raise ValueError(
+            f"BMP pixel array [{data_offset}, {data_offset + height * row_bytes})"
+            f" out of bounds for {len(payload)}-byte payload"
+        )
     rows = []
     for y in range(height):
         # Bottom-up (the default) flips to top-down; top-down reads as-is.
@@ -148,6 +161,17 @@ def decode_ppm(payload: bytes) -> dict:
     width, height, maxval = tokens
     if maxval != 255:
         raise NotImplementedError(f"only maxval 255 PPM supported (got {maxval})")
+    # Same diagnostic contract as decode_bmp/decode_png: zero/negative
+    # dimensions or a truncated pixel section must raise, not return
+    # empty/partial rows as a "successful" decode (round-10 review
+    # finding).
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PPM dimensions {width}x{height}")
+    if pos + height * width * 3 > len(payload):
+        raise ValueError(
+            f"PPM pixel section needs {height * width * 3} bytes at {pos}, "
+            f"payload has {len(payload)}"
+        )
     rows = []
     for y in range(height):
         off = pos + y * width * 3
@@ -340,8 +364,20 @@ def image_features(payloads: DataFrame, decode_fn=None) -> DataFrame:
     """Decode real image payloads (columns: doc_id, payload binary) into
     geometry + pixel-digest features via Arrow-batched ``mapInPandas`` —
     the honest end-to-end form of q40's pipeline for containers the
-    in-tree decoders handle (BMP, P6 PPM); pass a production ``decode_fn``
-    for everything else."""
+    in-tree decoders handle (BMP, P6 PPM, and non-interlaced 8-bit
+    RGB/RGBA PNG); pass a production ``decode_fn`` for everything else."""
+    # MODULE-level decode functions (decode_image and the decoders it
+    # dispatches to) are pickled BY REFERENCE even when captured in the
+    # closure cell — the executor would re-import this package, exactly
+    # the no-package-on-worker path the closure factories exist to
+    # survive. Registering the module for by-value pickling makes the
+    # whole dispatch graph travel inside the task like the closures do
+    # (idempotent; scoped to this module; round-10 review finding).
+    import sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
     return payloads.mapInPandas(
         _make_decode_features(decode_fn or decode_image), schema=_DECODED_SCHEMA
     )
@@ -446,9 +482,10 @@ def _make_sample_frames(stride: int, frame_chars: int):
                 pdf["doc_id"], pdf["payload"], pdf["n_frames"]
             ):
                 text = bytes(payload).decode("utf-8")
+                doubled = text + text  # hoisted: one copy per doc, not per frame
                 for idx in range(0, int(n_frames), stride):
                     start = (idx * frame_chars) % len(text)
-                    frame = (text + text)[start : start + frame_chars]
+                    frame = doubled[start : start + frame_chars]
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["n_frames"].append(n_frames)
