@@ -4583,13 +4583,21 @@ def test_dedup_method_agreement_matches_constituents(spark):
 def test_sample_representativeness_matches_python_reference(spark):
     """q203 against direct recomputation from the q08 sample and the
     raw events; a deterministic hash sample must not skew event_type
-    (|z| small for sampled types)."""
+    (|z| small for sampled types). The population is the SAME
+    [TS_START, TS_END) window q08 samples from — auditing against the
+    full calendar measured window drift, not sampling bias (round-10
+    review finding)."""
     import statistics
 
-    from trafficteach_spark.sources.tables import load_table
+    from trafficteach_spark.operators.relational import TS_END, TS_START
+    from trafficteach_spark.sources.tables import load_events_range
 
     sf = "/root/testdata/sf0.001"
-    pdf = load_table(spark, sf, "events").select("event_type", "value").toPandas()
+    pdf = (
+        load_events_range(spark, sf, TS_START, TS_END)
+        .select("event_type", "value")
+        .toPandas()
+    )
     smp = Q["q08_stratified_sample"](spark, sf).select(
         "event_type", "value"
     ).toPandas()

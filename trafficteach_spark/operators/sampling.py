@@ -32,7 +32,15 @@ _QUOTA = 2
 # in DuckDB — once ids pass 2^63/1103515245 ~ 8.36e9, which the repo's own
 # 10x/100x gen_scale replicas reach (EVENT_ID_STRIDE = 1e9). Same values,
 # overflow-free at any id.
-_MIX = "(((event_id % 2147483648) * 1103515245 + 12345) % 2147483648)"
+def _lcg(col: str) -> str:
+    """The deterministic LCG mix, ONE construction for every sampler
+    column: the pre-mod keeps (col % 2^31) * a + c inside int64 under
+    ANSI (the overflow fix that previously had to be applied to two
+    hand copies — round-10 review finding)."""
+    return f"((({col} % 2147483648) * 1103515245 + 12345) % 2147483648)"
+
+
+_MIX = _lcg("event_id")
 
 
 @register(
@@ -111,9 +119,17 @@ def q09_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         events
         .groupBy("event_type")
         .agg(
+            # NULL, not '', when the set is empty (a group whose every
+            # user_id is NULL): concat_ws never returns NULL but the
+            # oracle's string_agg over zero non-NULL inputs does —
+            # user_id is a LONG, so no empty-string corner exists and
+            # the CASE aligns the engines exactly (round-10 review
+            # finding).
             F.expr(
-                "concat_ws('|', transform(sort_array(collect_set(user_id)),"
-                " x -> cast(x as string)))"
+                "CASE WHEN size(collect_set(user_id)) = 0 THEN"
+                " CAST(NULL AS STRING)"
+                " ELSE concat_ws('|', transform(sort_array(collect_set(user_id)),"
+                " x -> cast(x as string))) END"
             ).alias("users"),
             F.countDistinct("user_id").alias("n_users"),
         )
@@ -122,7 +138,7 @@ def q09_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Weighted sample size and the LCG mix reapplied to o_orderkey.
 _WSAMPLE_K = 100
-_WMIX = "(((o_orderkey % 2147483648) * 1103515245 + 12345) % 2147483648)"  # pre-mod: see _MIX
+_WMIX = _lcg("o_orderkey")
 
 
 @register(
@@ -229,14 +245,22 @@ def q165_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = F.sqrt(F.greatest(F.lit(0.0), F.col("s2").cast("double") / nd - m * m))
     d = s.select("event_type", "n_rows", sh.alias("sh"))
     norm = F.sum(F.col("n_rows") * F.col("sh")).over(Window.partitionBy())
+    # try_divide: an all-constant corpus zeroes EVERY stratum's sh, so
+    # the normalizer is 0 — the oracle's division yields NULL shares
+    # where a bare / would be NaN and FLOOR(NaN) an ANSI cast crash
+    # (round-10 review finding).
     return d.select(
         "event_type",
         "n_rows",
         F.round("sh", 6).alias("stddev"),
-        F.round(F.col("n_rows") * F.col("sh") / norm, 6).alias("neyman_share"),
-        F.floor(_NEYMAN_BUDGET * F.col("n_rows") * F.col("sh") / norm)
-        .cast("long")
-        .alias("allocated_n"),
+        F.round(
+            F.try_divide(F.col("n_rows") * F.col("sh"), norm), 6
+        ).alias("neyman_share"),
+        # operand order mirrors the oracle exactly ((B*n)*sh)/norm — a
+        # re-association could flip FLOOR at an integer boundary
+        F.floor(
+            F.try_divide(_NEYMAN_BUDGET * F.col("n_rows") * F.col("sh"), norm)
+        ).cast("long").alias("allocated_n"),
     )
 
 
@@ -249,9 +273,14 @@ def _q203_oracle() -> str:
     return f"""
     WITH sample AS ({sample}),
     pop AS (
+        -- the SAME [TS_START, TS_END) window q08 samples from: without
+        -- it the audit compared the sample against weeks of events the
+        -- sampler can never draw, understating sampling_frac and
+        -- measuring calendar drift instead of sampling bias (round-10
+        -- review finding)
         SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n_pop,
                AVG(value) AS mean_pop, var_samp(value) AS var_pop
-        FROM events GROUP BY event_type
+        FROM events WHERE {_ORACLE_RANGE} GROUP BY event_type
     ),
     smp AS (
         SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n_smp,
@@ -294,7 +323,8 @@ def q203_sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFram
     from trafficteach_spark.registry import all_specs
 
     sample = all_specs()["q08_stratified_sample"].fn(spark, sf_dir)
-    ev = load_table(spark, sf_dir, "events")
+    # population = the same window q08 samples from (see the oracle)
+    ev = load_events_range(spark, sf_dir, TS_START, TS_END)
     pop = ev.groupBy("event_type").agg(
         F.count("*").cast("double").alias("n_pop"),
         F.avg("value").alias("mean_pop"),

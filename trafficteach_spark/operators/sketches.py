@@ -35,7 +35,10 @@ HH_MULT = 1.15
     SELECT c.user_id, c.freq,
            ROUND(c.freq / CAST(t.n AS DOUBLE), 6) AS share
     FROM c, t
-    WHERE c.freq > {HH_MULT} * t.n / t.nd
+    -- CAST to DOUBLE: a bare 1.15 literal is exact DECIMAL in DuckDB
+    -- while Spark computes in double — a knife-edge membership cut
+    -- could differ by one ulp (round-10 review finding)
+    WHERE c.freq > CAST({HH_MULT} AS DOUBLE) * t.n / t.nd
     """,
     tags=("analytics", "sketch", "O15"),
 )
@@ -91,7 +94,18 @@ def mg_fold(counters: dict[int, int], pdf, key_col: str, k: int) -> dict[int, in
     per-micro-batch state update both call it, which is what makes the
     documented batch/stream equivalence a property of the code rather
     than of two copies staying in sync."""
-    for key, c in pdf[key_col].dropna().value_counts().items():
+    ser = pdf[key_col].dropna()
+    # Arrow->pandas converts int64-with-NULLs to float64, which silently
+    # collapses distinct keys above 2^53 — the estimate<=true_freq
+    # invariant would break with no error (round-10 review finding).
+    # Detect the only lossy combination and refuse it loudly.
+    if ser.dtype.kind == "f" and (ser.abs() >= 2**53).any():
+        raise ValueError(
+            f"{key_col} arrived as float64 (NULLs present) with values "
+            ">= 2^53: integer identity is not preserved — filter NULLs "
+            "before the sketch or re-key below 2^53"
+        )
+    for key, c in ser.value_counts().items():
         key = int(key)
         counters[key] = counters.get(key, 0) + int(c)
     if len(counters) > k:
@@ -172,11 +186,11 @@ _CMS_W = 64
 _CMS_TOPK = 10
 
 
-def _cms_bucket_duck(j: int) -> str:
+def _cms_bucket_duck(j: int, col: str = "user_id") -> str:
     from trafficteach_spark.functions.exprs import md5_prefix_int_duck
 
     return (
-        md5_prefix_int_duck(f"'{j}:' || CAST(user_id AS VARCHAR)", 7)
+        md5_prefix_int_duck(f"'{j}:' || CAST({col} AS VARCHAR)", 7)
         + f" % {_CMS_W}"
     )
 
@@ -194,6 +208,12 @@ def _cms_oracle() -> str:
     rows = ", ".join(
         f"({j}, {_cms_bucket_duck(j)})" for j in range(_CMS_D)
     )
+    # probe side parameterized by column, not text surgery over the
+    # generated SQL (a future 'user_id' occurrence inside the bucket
+    # expression would get rewritten too — round-10 review finding)
+    probe_rows = ", ".join(
+        f"({j}, {_cms_bucket_duck(j, col='e.user_id')})" for j in range(_CMS_D)
+    )
     return f"""
     WITH hashed AS (
         SELECT user_id, t.j AS j, t.b AS b
@@ -208,7 +228,7 @@ def _cms_oracle() -> str:
     ),
     est AS (
         SELECT e.user_id, e.freq, MIN(s.c) AS cms_est
-        FROM exact e, LATERAL (VALUES {rows.replace('user_id', 'e.user_id')}) t(j, b)
+        FROM exact e, LATERAL (VALUES {probe_rows}) t(j, b)
         JOIN sketch s ON s.j = t.j AND s.b = t.b
         GROUP BY e.user_id, e.freq
     )
@@ -252,7 +272,7 @@ def q137_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), "user_id")
+        .orderBy(F.desc("freq"), F.asc_nulls_last("user_id"))
         .limit(_CMS_TOPK)
     )
     probes = exact.select(
@@ -268,4 +288,4 @@ def q137_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.col("cms_est").cast("long").alias("cms_est"),
         (F.col("cms_est") - F.col("freq")).cast("long").alias("overestimate"),
-    ).orderBy(F.desc("freq"), "user_id")
+    ).orderBy(F.desc("freq"), F.asc_nulls_last("user_id"))
