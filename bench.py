@@ -124,13 +124,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
-    # The parity digest re-executes its constituent queries, which are
-    # each timed individually right here — benching it would double-count.
-    qs.pop("q80_parity_digest", None)
 
     # Optional key filter (comma-separated), used for same-protocol
     # comparisons against an earlier round's registry subset — e.g. the
-    # round-7 capstone backfill over the 147 r7-era keys.
+    # round-7 capstone backfill over the 147 r7-era keys. Validated
+    # BEFORE the digest pop so asking for q80 gets the honest "excluded
+    # by design" message, not "unknown key" (round-10 review finding).
     only = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
     if only:
         wanted = {k.strip() for k in only.split(",") if k.strip()}
@@ -138,7 +137,18 @@ def main() -> None:
         if missing:
             print(f"unknown bench keys: {sorted(missing)}", file=sys.stderr)
             sys.exit(2)
+        if "q80_parity_digest" in wanted:
+            print(
+                "q80_parity_digest is excluded from benching by design "
+                "(it re-executes constituents timed individually here)",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         qs = {k: fn for k, fn in qs.items() if k in wanted}
+
+    # The parity digest re-executes its constituent queries, which are
+    # each timed individually right here — benching it would double-count.
+    qs.pop("q80_parity_digest", None)
 
     # Warmup: run everything once untimed (JVM JIT, codegen cache, parquet
     # footer cache) so timed rounds measure the query, not the cold start.
@@ -249,6 +259,10 @@ def main() -> None:
         # over budget) stays self-consistent; each accepted candidate
         # recomputes it below.
         "queries_omitted": len(timings),
+        # Crashed queries must be VISIBLE in the recorded line: the total
+        # excludes them, so without this a new failure reads as a speedup
+        # (round-10 review finding).
+        "failed": sorted(k for k, v in timings.items() if v < 0),
         "sf": sf,
     }
     for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):

@@ -12,7 +12,8 @@ one-row fingerprint computed identically in Spark and DuckDB:
   fp_int — sum over integer columns of the raw values
   fp_num — sum over double columns of ROUND(x*1000) as exact integers
   fp_str — sum over string columns of character lengths
-  fp_ts  — sum over timestamp columns of epoch microseconds
+  fp_ts  — sum over timestamp columns of epoch MILLIseconds (micros
+           would overflow the BIGINT sum at ~5k rows; see _fp_aggs)
            (+ date columns as days-since-epoch)
   fp_md5 — sum over rows of the top 36 bits of md5(canonical row string)
 
@@ -44,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trafficteach_spark import registry
+from trafficteach_spark.functions.exprs import epoch_us_sql
 
 # key -> [(column, simpleString dtype)] for every demoted oracle-backed
 # query (positions 51+ of the driver order; see registry.DRIVER_ORDER).
@@ -249,7 +251,6 @@ _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
 
 # 36-bit md5 prefix (9 hex chars): sum stays inside BIGINT to ~1e8 rows.
 _MD5_HEX_CHARS = 9
-_MD5_DROP_BITS = 64 - 4 * _MD5_HEX_CHARS  # low bits of the first-8-byte word
 
 
 def _md5_int_expr(s: str, engine: str) -> str:
@@ -296,8 +297,13 @@ def _canon_token(c: str, dtype: str, spark: bool) -> str:
     elif dtype == "string":
         val = c
     elif dtype in ("timestamp", "timestamp_ntz"):
+        # tz-FREE millis (epoch_us_sql div 1000), not
+        # unix_millis(CAST(..AS TIMESTAMP)): the NTZ->LTZ cast shifts by
+        # the session zone if the pinned-UTC conf is ever refused — the
+        # exact hazard epoch_us_sql was built to remove (round-10 review
+        # finding); identical values under UTC, oracle-matching always.
         val = (
-            f"CAST(unix_millis(CAST({c} AS TIMESTAMP)) AS {to_str})"
+            f"CAST(({epoch_us_sql(c)}) div 1000 AS {to_str})"
             if spark
             else f"CAST(epoch_ms({c}) AS {to_str})"
         )
@@ -356,8 +362,9 @@ def _terms(cols: list[tuple[str, str]], engine: str) -> dict[str, list[str]]:
             # Millis, not micros: an epoch-micros SUM overflows BIGINT at
             # ~5k rows (1.7e15 each); millis keeps >100x headroom at sf0.1.
             if spark:
+                # tz-free like the canonical token above
                 out["fp_ts"].append(
-                    f"COALESCE(unix_millis(CAST({c} AS TIMESTAMP)), 0)"
+                    f"COALESCE(({epoch_us_sql(c)}) div 1000, 0)"
                 )
             else:
                 out["fp_ts"].append(f"COALESCE(epoch_ms({c}), 0)")
@@ -376,7 +383,8 @@ def _terms(cols: list[tuple[str, str]], engine: str) -> dict[str, list[str]]:
 
 
 def _fp_aggs(cols: list[tuple[str, str]], engine: str) -> list[tuple[str, str]]:
-    """(aggregate expression, alias) pairs for the four fingerprints."""
+    """(aggregate expression, alias) pairs for the five fingerprints
+    (fp_int, fp_num, fp_str, fp_ts, fp_md5)."""
     terms = _terms(cols, engine)
     out = []
     for fp in ("fp_int", "fp_num", "fp_str", "fp_ts", "fp_md5"):

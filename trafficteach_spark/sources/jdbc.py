@@ -78,13 +78,18 @@ def write_jdbc(
     df: DataFrame,
     url: str,
     table: str,
-    mode: str = "overwrite",
+    mode: str = "errorifexists",
     driver: str | None = None,
     batchsize: int = 1000,
 ) -> None:
     """O4: result sink. Executor-parallel batched inserts — the
     declarative replacement for the reference's foreachPartition + DAO
-    loops; ``mode="append"`` for incremental result tables."""
+    loops; ``mode="append"`` for incremental result tables.
+
+    The default is Spark's own ``errorifexists``, NOT overwrite: the
+    drop-and-recreate path destroys the remote table's prior rows,
+    indexes, and grants, so data loss must be opted into explicitly
+    (round-10 review finding — the old default silently overwrote)."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
