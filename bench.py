@@ -50,21 +50,25 @@ DRIFT_REF_KEYS: tuple[str, ...] = (
     "q146_degree_distribution", "q87_bigram_pmi", "q120_skew_audit",
     "q139_ols_regression", "q86_feature_normalize",
 )
-# Median over 5 sequence passes per key at sf0.1 (tools/
-# calibrate_drift.py, round 10, recalibrated after the mid-round host
-# reboot — the boot changed per-key readings ±10-15% and the job floor,
-# so anchors follow the boot they run on).
+# Median over 7 sequence passes per key at sf0.1 (tools/
+# calibrate_drift.py, round 11 — recalibrated because the round-11
+# runtime changed what a pass measures: the 4096-entry codegen cache
+# (session.py) keeps ref-key classes resident across the whole run,
+# and the shared jvm_prelude pins the JIT state anchors are taken in.
+# Per-key per-pass ambient noise on this host is ±15-30% (spreads in
+# the calibration output); the published drift factor is a median of
+# 20 ratios, which is what makes it usable despite that).
 DRIFT_REF_ANCHOR_SEC: dict[str, float] = {
-    "q126_bigram_lm_logprob": 1.183,
-    "q32_knn_ivf": 1.197,
-    "q84_feature_bins_sketch": 1.248,
-    "q171_dup_span_fraction": 2.464,
-    "q185_rrf_fusion": 1.018,
-    "q146_degree_distribution": 1.476,
-    "q87_bigram_pmi": 0.816,
-    "q120_skew_audit": 2.117,
-    "q139_ols_regression": 1.156,
-    "q86_feature_normalize": 0.963,
+    "q126_bigram_lm_logprob": 1.012,
+    "q32_knn_ivf": 0.962,
+    "q84_feature_bins_sketch": 1.126,
+    "q171_dup_span_fraction": 1.604,
+    "q185_rrf_fusion": 0.794,
+    "q146_degree_distribution": 0.950,
+    "q87_bigram_pmi": 0.661,
+    "q120_skew_audit": 1.725,
+    "q139_ols_regression": 1.036,
+    "q86_feature_normalize": 0.939,
 }
 _DRIFT_SF = 0.1
 
@@ -78,8 +82,29 @@ _DRIFT_SF = 0.1
 # ``floor_ms`` + ``drift_floor`` (observed/anchor). Interpretation
 # rule: `drift` normalizes scan-bound keys; keys dominated by job
 # count follow `drift_floor`. Anchor is host-specific like the refs.
-FLOOR_ANCHOR_SEC = 0.0251  # round-10 host post-reboot (calibrate_drift.py)
-_FLOOR_RUNS = 7
+FLOOR_ANCHOR_SEC = 0.0240  # round-11 recalibration (calibrate_drift.py)
+_FLOOR_RUNS = 15
+
+
+def jvm_prelude(spark, sf_dir: str, specs) -> None:
+    """Bring the JVM to measurement steady-state before the START-of-run
+    drift/floor passes: repeat the trivial floor job (JIT of the
+    submit/schedule path — a cold JVM reads it 5-8x high) and run each
+    drift ref key THREE times untimed (measured warming curve on this
+    host: a post-1-warm pass reads ~1.4x steady state, post-2 ~1.1x,
+    post-3 within the ambient noise band — see BASELINE round-11
+    notes). The old suite-wide warmup gave this for free; the per-key
+    warmup protocol (round-11) must buy it explicitly, and
+    tools/calibrate_drift.py runs the SAME prelude so anchors and bench
+    passes measure the same state."""
+    for _ in range(40):
+        spark.range(32, numPartitions=32).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    for _ in range(3):
+        for key in DRIFT_REF_KEYS:
+            with cache_scope(spark):
+                _force(specs[key].fn(spark, sf_dir))
 
 
 def _time_job_floor(spark) -> float:
@@ -150,38 +175,42 @@ def main() -> None:
     # each timed individually right here — benching it would double-count.
     qs.pop("q80_parity_digest", None)
 
-    # Warmup: run everything once untimed (JVM JIT, codegen cache, parquet
-    # footer cache) so timed rounds measure the query, not the cold start.
-    for key, fn in qs.items():
-        try:
-            _force(fn(spark, sf_dir))
-        except Exception as exc:  # pragma: no cover - surfaced in timings
-            print(f"warmup {key} failed: {exc}", file=sys.stderr)
-    # Drop every intra-query persist the warmup stacked up: the first
-    # timed round must start from the same cold-cache state as every
-    # other (round-6 review finding — with ROUNDS=1 a contaminated
-    # first sample IS the recorded median).
-    spark.catalog.clearCache()
-
-    # Drift reference, pass 1 (see DRIFT_REF_KEYS). Under a key filter
-    # the ref keys may not have been warmed above — warm them now so
-    # both passes measure steady-state ambient load, not codegen.
+    # Warmup protocol (reworked round 11, round-10 verdict item 2): each
+    # key gets ONE untimed warm run IMMEDIATELY before its timed runs,
+    # instead of one suite-wide warmup pass up front. The old shape left
+    # minutes — and a couple hundred other queries' codegen stages —
+    # between a key's warmup and its first timed sample, so anything
+    # evictable (generated-class cache, JIT profiles) could silently
+    # expire and the "warmed" sample re-paid compilation: the driver's
+    # r10 run read q144_cuped_lift at 9.4x the same-HEAD capstone on a
+    # calm host. Adjacent warm+time closes that window by construction
+    # (and the static codegen cache is also sized to the suite now —
+    # session.py). Total work is unchanged: 1 warm + N timed per key,
+    # same as the old global pass + N.
     do_drift = bool(DRIFT_REF_ANCHOR_SEC) and abs(sf - _DRIFT_SF) < 1e-9
     ref_start: dict[str, float] = {}
     floor_start = None
     if do_drift:
-        if only:
-            specs = registry.all_specs()
-            for key in DRIFT_REF_KEYS:
-                _force(specs[key].fn(spark, sf_dir))
-            spark.catalog.clearCache()
-        floor_start = _time_job_floor(spark)
+        # The drift reference keys must measure steady-state ambient
+        # load, not cold codegen/JVM start — run the shared prelude
+        # before pass 1 (see jvm_prelude).
+        jvm_prelude(spark, sf_dir, registry.all_specs())
+        # Refs first, floor second — the floor anchor is calibrated in
+        # the deeply-warm state AFTER ref passes (calibrate_drift.py
+        # measures floors last), and a floor taken straight off the
+        # prelude still read 2-3x high on a calm host (r11 runs).
         ref_start = _time_drift_refs(spark, sf_dir)
+        floor_start = _time_job_floor(spark)
 
     timings: dict[str, float] = {}
     for key, fn in qs.items():
         samples = []
         try:
+            # Per-key untimed warmup, adjacent to its timed runs (see
+            # protocol note above). cache_scope keeps its persists from
+            # leaking into the timed samples.
+            with cache_scope(spark):
+                _force(fn(spark, sf_dir))
             for _ in range(rounds):
                 # Intra-query persist() is part of a query's honest cost;
                 # letting it survive into the next round (or the next

@@ -42,6 +42,23 @@ def main() -> None:
     print(f"\n== windowed congestion: {windows.count()} windows ==")
     windows.orderBy("window_start", "event_type").show(10, truncate=False)
 
+    # 3. the FULL Job-8 lifecycle: source -> watermark -> Spark-stateful
+    # sliding-window agg (append mode) -> exactly-once parquet sink.
+    # Each finalized window lands exactly once in table/batch_id=N; a
+    # crash-replayed batch overwrites its own partition (see
+    # tests/test_streaming_sink.py::test_windowed_sink_full_lifecycle_
+    # exactly_once for the kill-restart proof).
+    from trafficteach_spark.streaming import sink
+
+    staged = demo.stage_events_dir(sf_dir, f"{work}/lifecycle-in")
+    q3 = sink.start_windowed_parquet_sink(
+        spark, staged, f"{work}/lifecycle-table", f"{work}/ckpt-lifecycle"
+    )
+    q3.awaitTermination(300)
+    committed = sink.read_windowed_sink(spark, f"{work}/lifecycle-table")
+    print(f"== lifecycle sink: {committed.count()} finalized windows committed ==")
+    committed.orderBy("window_start", "event_type").show(5, truncate=False)
+
     profiles: list = []
     q2 = stateful.start_state_demo(
         spark,

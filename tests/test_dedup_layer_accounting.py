@@ -147,3 +147,25 @@ def test_dead_app_ledger_entries_are_purged_not_unpersisted(spark):
     assert stale_key not in dedup._LAYER_LEDGER
     # And the live frame must still be usable (nothing was unpersisted).
     assert df.count() > 0
+
+
+def test_prebuild_entry_point_builds_layer_and_is_idempotent(spark):
+    """prebuild_dedup_layer is the scheduled (explicit) form of the lazy
+    layer build: one call leaves every memo warm with a truthful report,
+    and a second call is a near-free no-op returning the SAME counts —
+    the contract a 100 TB deployment relies on when it schedules the
+    build at ingest time instead of letting q202 trip over it."""
+    report = dedup.prebuild_dedup_layer(spark, SF_SMALL)
+    assert report["n_docs"] > 0
+    assert report["n_pairs"] > 0
+    assert report["n_cluster_rows"] > 0
+    assert report["layer_bytes"] > 0
+    key = dedup._memo_key(spark, SF_SMALL)
+    assert key in dedup._PAIRS_MEMO and key in dedup._CLUSTERS_MEMO
+
+    again = dedup.prebuild_dedup_layer(spark, SF_SMALL)
+    for field in ("n_docs", "n_pairs", "n_cluster_rows"):
+        assert again[field] == report[field]
+    # Warm call re-counts three materialized frames — no rebuild. The
+    # generous wall bound only has to catch a full relayering (seconds).
+    assert again["total_sec"] < report["total_sec"] + 2.0

@@ -182,3 +182,111 @@ def test_read_parquet_sink_empty_before_first_batch(spark, tmp_path):
     df = read_parquet_sink(spark, str(table_dir))
     assert df.count() == 0
     assert "batch_id" in df.columns and "event_id" in df.columns
+
+
+# -- Full Job-8 lifecycle: watermark + STATEFUL window agg -> sink ----------
+
+# File A: 10:00-16:00. After draining it the watermark sits at 14:00
+# (max event time - 2h horizon), so only windows ending at or before
+# 14:00 have been emitted/committed.
+ROWS_WIN_A = [
+    (1, _ns(2024, 1, 6, 10, 5, 0), 1, "view", 10.0, "{}"),
+    (2, _ns(2024, 1, 6, 10, 20, 0), 2, "view", 30.0, "{}"),
+    (3, _ns(2024, 1, 6, 11, 40, 0), 1, "click", 6.0, "{}"),
+    (4, _ns(2024, 1, 6, 13, 10, 0), 3, "view", 8.0, "{}"),
+    (5, _ns(2024, 1, 6, 16, 0, 0), 2, "click", 4.0, "{}"),
+]
+# File B: later rows push the watermark to 20:00, finalizing more
+# windows — plus ONE LATE row (9:00, far behind the recovered 14:00
+# watermark) that the stateful agg must DROP, leaving the already-
+# committed 9-10h-covering windows untouched.
+ROWS_WIN_B = [
+    (6, _ns(2024, 1, 6, 18, 30, 0), 1, "view", 12.0, "{}"),
+    (7, _ns(2024, 1, 6, 22, 0, 0), 4, "view", 2.0, "{}"),
+    (8, _ns(2024, 1, 6, 9, 0, 0), 5, "view", 1000.0, "{}"),  # late
+]
+
+
+def _win_key(r):
+    return (r["window_start"], r["window_end"], r["event_type"])
+
+
+def _batch_windows(spark, rows):
+    """The batch-side reference: the SAME aggregation body the stream
+    runs (stream_sliding_avg reuses q20's sliding_window_agg), over the
+    given physical rows."""
+    from trafficteach_spark.operators.windows import sliding_window_agg
+    from trafficteach_spark.streaming.demo import _with_event_time
+
+    events = _with_event_time(
+        spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL)
+    )
+    out = {}
+    for r in sliding_window_agg(events).collect():
+        out[(r["window_start"], r["window_end"], r["event_type"])] = (
+            r["n_events"],
+            r["sum_value"],
+            r["avg_value"],
+        )
+    return out
+
+
+def test_windowed_sink_full_lifecycle_exactly_once(spark, tmp_path):
+    """Round-10 verdict item 7: source -> watermark -> Spark-stateful
+    sliding-window agg (append mode) -> idempotent parquet sink, across
+    a clean restart, a late row, and a crash-replay. Every committed
+    window must appear exactly once and carry values identical to the
+    batch aggregation over the non-late rows."""
+    from trafficteach_spark.streaming.sink import (
+        read_windowed_sink,
+        start_windowed_parquet_sink,
+    )
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    table = str(tmp_path / "wtable")
+    ckpt = str(tmp_path / "wckpt")
+
+    _drop_file(spark, tmp_path, watch, ROWS_WIN_A, "wf1")
+    q = start_windowed_parquet_sink(spark, str(watch), table, ckpt)
+    q.awaitTermination(120)
+    got1 = read_windowed_sink(spark, table).collect()
+    assert got1, "no windows finalized after draining file A"
+    keys1 = [_win_key(r) for r in got1]
+    assert len(keys1) == len(set(keys1)), "duplicate window emitted"
+    expected_a = _batch_windows(spark, ROWS_WIN_A)
+    for r in got1:
+        assert expected_a[_win_key(r)] == (
+            r["n_events"], r["sum_value"], r["avg_value"]
+        )
+    # the 16:00 row's own window cannot have finalized (watermark 14:00)
+    assert all(r["window_end"].hour <= 16 for r in got1)
+
+    # Clean restart with file B: state + watermark recover from the
+    # checkpoint, the late 9:00 row is dropped, more windows finalize.
+    _drop_file(spark, tmp_path, watch, ROWS_WIN_B, "wf2")
+    q = start_windowed_parquet_sink(spark, str(watch), table, ckpt)
+    q.awaitTermination(120)
+    got2 = read_windowed_sink(spark, table).collect()
+    keys2 = [_win_key(r) for r in got2]
+    assert len(keys2) == len(set(keys2)), "restart re-emitted a window"
+    assert set(keys2) > set(keys1), "no new windows finalized after file B"
+    # Reference EXCLUDES the late row: had it leaked into the stateful
+    # agg, its 1000.0 value would corrupt sum/avg of some window.
+    expected = _batch_windows(spark, ROWS_WIN_A + ROWS_WIN_B[:2])
+    for r in got2:
+        assert expected[_win_key(r)] == (
+            r["n_events"], r["sum_value"], r["avg_value"]
+        ), f"window {_win_key(r)} diverged from batch reference"
+
+    # Crash-replay of the last commit: the replayed batch id overwrites
+    # its own partition — table content must be IDENTICAL.
+    crash_ckpt, _replayed = _crash_last_commit(ckpt)
+    q = start_windowed_parquet_sink(spark, str(watch), table, crash_ckpt)
+    q.awaitTermination(120)
+    got3 = read_windowed_sink(spark, table).collect()
+    as_set = lambda rows: {  # noqa: E731
+        (_win_key(r), r["n_events"], r["sum_value"], r["avg_value"], r["batch_id"])
+        for r in rows
+    }
+    assert as_set(got3) == as_set(got2)

@@ -64,9 +64,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_specs()
 
-    for key in bench.DRIFT_REF_KEYS:
-        bench._force(specs[key].fn(spark, sf_dir))  # warmup
-    spark.catalog.clearCache()
+    # Same JVM steady-state prelude a real bench run uses before its
+    # pass 1 — anchors calibrated in a different JIT/codegen-cache state
+    # than the passes they normalize would bake in a constant phantom.
+    bench.jvm_prelude(spark, sf_dir, specs)
 
     passes: list[dict[str, float]] = []
     for _ in range(rounds):

@@ -191,6 +191,24 @@ def check_capstone(round_no: int) -> list[str]:
             f"{m.group(1)} keys but the registry has {timed} timed keys — "
             "re-run the capstone at final HEAD"
         ]
+    # The capstone must carry the in-protocol ambient readings (round-10
+    # verdict item 8): a bench run predating the drift/floor protocol —
+    # or one whose output was pasted without them — reads as "calm host"
+    # by omission, exactly the phantom class the protocol exists to
+    # expose. Require both factors in the section body.
+    end = src.find("\n## ", m.end())
+    section = src[m.start() : end if end != -1 else len(src)]
+    missing = [
+        name
+        for name, pat in (("drift", r"\bdrift[ =]"), ("drift_floor", r"\bdrift_floor\b"))
+        if not re.search(pat, section)
+    ]
+    if missing:
+        return [
+            f"CAPSTONE: round-{round_no} capstone section lacks the "
+            f"{'/'.join(missing)} ambient reading(s) — re-run bench.py "
+            "with the drift/floor protocol and record both"
+        ]
     return []
 
 

@@ -53,15 +53,6 @@ from trafficteach_spark.functions.exprs import epoch_us_sql
 # this dict, demoted keys enter it with their live Spark schemas.
 DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     # Round-6 demotions: full-hash green in round 5 (CORRECTNESS_r05)
-    "q57_edit_distance": [("doc_a", "bigint"), ("doc_b", "bigint"), ("edit_dist", "int")],
-    "q61_merge_upsert": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string")],
-    "q63_range_join": [("o_orderpriority", "string"), ("n_pairs", "bigint"), ("n_orders", "bigint"), ("sum_qty", "double")],
-    "q67_basket_pairs": [("part_a", "bigint"), ("part_b", "bigint"), ("n_orders", "bigint")],
-    "q70_trailing_range": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("trailing_30d", "double"), ("n_30d", "bigint")],
-    "q72_corr_stats": [("l_returnflag", "string"), ("n", "bigint"), ("qty_price_corr", "double"), ("qty_disc_covar", "double"), ("price_stddev", "double")],
-    "q75_bm25": [("doc_id", "bigint"), ("score", "double")],
-    "q83_feature_bins": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
-    "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
     # Round-8 demotions: doubly evidenced (full-hash green in r6 AND r7),
     # plus the r7-evidenced q112+ block demoted one-for-one as round-8
     # additions landed (q115 is rows-only — no oracle, so no digest row;
@@ -128,26 +119,6 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q173_length_retention_sweep": [("threshold", "int"), ("n_docs", "bigint"), ("n_chars_kept", "bigint"), ("doc_frac", "double"), ("char_frac", "double")],
     "q141_association_rules": [("antecedent", "string"), ("consequent", "string"), ("n_pair", "bigint"), ("support", "double"), ("confidence", "double"), ("lift", "double")],
     "q142_autocorrelation": [("lag", "int"), ("n", "bigint"), ("acf", "double")],
-    "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
-    "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
-    "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
-    "q116_gap_fill_locf": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("avg_value", "double"), ("locf_avg", "double"), ("is_gap", "int")],
-    "q117_feature_hashing": [("doc_id", "bigint"), ("bucket", "int"), ("n", "bigint")],
-    "q118_chunk_dedup": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_dup_chunks", "bigint"), ("dup_frac", "double")],
-    "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
-    "q120_skew_audit": [("child_table", "string"), ("key_col", "string"), ("n_rows", "bigint"), ("n_keys", "bigint"), ("max_per_key", "bigint"), ("p99_per_key", "double"), ("top_share", "double")],
-    "q121_session_paths": [("path", "string"), ("n", "bigint")],
-    "q122_pit_join": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_shipdate", "timestamp_ntz"), ("ck", "bigint"), ("version", "bigint"), ("status_at_ship", "string")],
-    "q123_code_detect": [("doc_id", "bigint"), ("n_tokens", "int"), ("kw_ratio", "double"), ("sym_ratio", "double"), ("is_code", "int")],
-    "q124_mad_outliers": [("event_type", "string"), ("n_events", "bigint"), ("median_value", "double"), ("mad", "double"), ("n_outliers", "bigint"), ("outlier_rate", "double")],
-    "q125_lsh_recall_eval": [("n_truth", "bigint"), ("n_cand", "bigint"), ("n_hits", "bigint"), ("recall", "double"), ("precision", "double")],
-    "q126_bigram_lm_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
-    "q127_changepoint": [("event_type", "string"), ("cp_day", "date"), ("n_days", "bigint"), ("mean_daily", "double"), ("cusum_dev", "double")],
-    "q128_seasonal_decompose": [("event_type", "string"), ("dow", "int"), ("n_days", "bigint"), ("avg_count", "double"), ("seasonal_index", "double")],
-    "q129_window_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
-    "q131_embedding_margin": [("label", "int"), ("n_vectors", "bigint"), ("avg_margin", "double"), ("n_misassigned", "bigint"), ("misassign_rate", "double")],
-    "q132_user_lifecycle": [("wk", "date"), ("n_new", "bigint"), ("n_retained", "bigint"), ("n_resurrected", "bigint"), ("n_churned", "bigint")],
-    "q130_ngram_novelty": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_novel", "bigint"), ("novelty", "double")],
     "q133_boilerplate_chunks": [("h", "string"), ("chunk_text", "string"), ("n_docs", "bigint"), ("n_occ", "bigint"), ("n_sources", "bigint")],
     "q134_dedup_impact": [("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("tokens_total", "bigint"), ("tokens_kept", "bigint"), ("pct_tokens_dropped", "double")],
     "q135_time_weighted_avg": [("event_type", "string"), ("n_segments", "bigint"), ("span_sec", "double"), ("twa_value", "double"), ("plain_avg", "double")],
@@ -170,22 +141,6 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
     # (q53/q54/q56/q59/q62/q66/q69/q73/q86/q92/q99 promoted back into
     # the round-8 window — r6-only evidence, stalest first.)
-    "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
-    "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
-    "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],
-    "q52_percentiles": [("event_type", "string"), ("n", "bigint"), ("p50", "double"), ("p90", "double"), ("p99", "double")],
-    "q55_salted_distinct": [("event_type", "string"), ("n_distinct", "bigint")],
-    "q60_histogram": [("event_type", "string"), ("bin_id", "int"), ("n", "bigint"), ("lo_seen", "double"), ("hi_seen", "double")],
-    "q64_cumulative": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("seq", "bigint"), ("running_total", "double"), ("mov_avg3", "double")],
-    "q65_cube": [("o_orderstatus", "string"), ("o_orderpriority", "string"), ("gid", "bigint"), ("n", "bigint"), ("sum_price", "double")],
-    "q71_full_outer": [("d", "date"), ("n_orders", "bigint"), ("n_ships", "bigint"), ("presence", "string")],
-    "q74_rank_distribution": [("event_id", "bigint"), ("event_type", "string"), ("quartile", "int"), ("pct_rank", "double"), ("cume", "double")],
-    "q76_set_ops_bag": [("o_custkey", "bigint"), ("kind", "string"), ("n", "bigint")],
-    "q78_id_gaps": [("event_type", "string"), ("gap_start", "bigint"), ("gap_end", "bigint"), ("n_missing", "bigint")],
-    "q79_weighted_sample": [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("o_orderpriority", "string")],
-    "q09_group_concat": [("event_type", "string"), ("users", "string"), ("n_users", "bigint")],
-    "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
-    "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
     # Long-demoted keys (full-hash green in rounds 1-4)
     # Mid-round-9 demotions: 8 of the 11 r4-stale rotation keys ceded
     # their window slots to the q212-q219 additions (first-time
@@ -245,6 +200,62 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
     "q14_intersect": [("user_id", "bigint")],
     "q16_string_funcs": [("doc_id", "bigint"), ("n_tokens", "int"), ("first_word", "string"), ("last_word", "string"), ("head_upper", "string"), ("lang_src", "string"), ("text_len", "int")],
+    # Round-11 demotions: the whole round-10 window (the 9 r4-stale +
+    # 40 r5-stale freshness rotations) - all full-hash green in
+    # CORRECTNESS_r10 (50/50, zero err rows); demoted to clear the
+    # window for the round-11 rotation (the 9 deferred r5-stale keys,
+    # the 16 r6-stale keys, and 20 single-r7-evidence keys promoted
+    # out of this dict; q84/q31_simhash/q10_approx/q77 enter the
+    # window too but are rows-only by design - never digest rows).
+    "q15_union": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q17_date_funcs": [("event_date", "date"), ("hr", "int"), ("day_name", "string"), ("n_events", "bigint"), ("n_users", "bigint")],
+    "q18_json_funcs": [("event_type", "string"), ("n_events", "bigint"), ("max_k", "bigint"), ("sum_k", "bigint"), ("avg_k", "double"), ("n_high", "bigint")],
+    "q23_pandas_udf": [("event_type", "string"), ("speed_decile", "bigint"), ("n_events", "bigint")],
+    "q23_pandas_udaf": [("event_type", "string"), ("value_spread", "double")],
+    "q24_explode": [("label", "int"), ("pos", "int"), ("n_vals", "bigint"), ("min_val", "double"), ("max_val", "double"), ("avg_val", "double")],
+    "q33_text_stats": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("avg_tokens", "double"), ("avg_chars", "double"), ("min_chars", "bigint"), ("max_chars", "bigint")],
+    "q37_token_count": [("lang", "string"), ("n_docs", "bigint"), ("ws_tokens", "bigint"), ("alpha_tokens", "bigint"), ("num_tokens", "bigint"), ("punct_tokens", "bigint")],
+    "q38_fingerprint": [("doc_id", "bigint"), ("fingerprint", "string"), ("n_uniq_tokens", "int")],
+    "q01_filter_range": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q02_group_count": [("event_type", "string"), ("n_events", "bigint"), ("n_users", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
+    "q03_star_join": [("r_name", "string"), ("n_name", "string"), ("revenue", "double"), ("n_orders", "bigint")],
+    "q04_monitor_state": [("n_name", "string"), ("n_suppliers", "bigint"), ("n_active", "bigint"), ("n_silent", "bigint")],
+    "q05_missing_cameras": [("s_suppkey", "bigint"), ("s_name", "string")],
+    "q06_topn": [("user_id", "bigint"), ("n_events", "bigint")],
+    "q06_topn_details": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q07_speed_buckets": [("event_type", "string"), ("n_high", "bigint"), ("n_medium", "bigint"), ("n_normal", "bigint"), ("n_low", "bigint")],
+    "q08_stratified_sample": [("stratum_hour", "timestamp"), ("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q11_topk_per_group": [("event_type", "string"), ("user_id", "bigint"), ("n_events", "bigint"), ("rn", "int")],
+    "q13_follow_within": [("leader_id", "bigint"), ("follower_id", "bigint"), ("n_follow", "bigint")],
+    "q19_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
+    "q20_sliding_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
+    "q22_session_window": [("user_id", "bigint"), ("session_start", "timestamp_ntz"), ("session_end", "timestamp_ntz"), ("n_events", "bigint")],
+    "q_stream_avg": [("event_type", "string"), ("n_events", "bigint"), ("avg_speed", "double")],
+    "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
+    "q51_asof_join": [("event_id", "bigint"), ("user_id", "bigint"), ("ts", "timestamp_ntz"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz")],
+    "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
+    "q30_exact_dedup": [("content_hash", "string"), ("doc_id", "bigint"), ("n_copies", "bigint")],
+    "q31_near_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
+    "q31_minhash_lsh": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
+    "q31_simhash_md5": [("doc_a", "bigint"), ("doc_b", "bigint"), ("hamming", "int")],
+    "q46_dedup_clusters": [("doc_id", "bigint"), ("canonical_id", "bigint"), ("is_canonical", "int")],
+    "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
+    "q32_knn_cosine": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q32_knn_ivf": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q32_knn_lsh": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q35_embed_near_dup": [("vec_a", "bigint"), ("vec_b", "bigint"), ("cosine", "double")],
+    "q44_int8_quantize": [("vec_id", "bigint"), ("label", "int"), ("scale", "double"), ("qv", "string"), ("max_abs_err", "double")],
+    "q36_langid": [("actual_lang", "string"), ("predicted_lang", "string"), ("n_docs", "bigint")],
+    "q39_quality_score": [("doc_id", "bigint"), ("n_tokens", "int"), ("uniq_ratio", "double"), ("avg_token_len", "double"), ("stop_ratio", "double"), ("quality", "string")],
+    "q43_chunk_split": [("doc_id", "bigint"), ("chunk_idx", "bigint"), ("chunk_text", "string"), ("n_tokens", "bigint")],
+    "q45_repetition": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_dup_grams", "bigint"), ("dup_ratio", "double"), ("is_repetitive", "int")],
+    "q34_multimodal_join": [("label", "int"), ("lang", "string"), ("n_docs", "bigint"), ("sum_chars", "bigint"), ("avg_chars", "double"), ("min_doc_id", "bigint")],
+    "q47_pii_redact": [("doc_id", "bigint"), ("n_emails", "int"), ("n_phones", "int"), ("redacted", "string")],
+    "q48_tfidf": [("doc_id", "bigint"), ("term", "string"), ("tf", "bigint"), ("df", "bigint"), ("tfidf", "double"), ("term_rank", "int")],
+    "q49_pack_sequences": [("doc_id", "bigint"), ("source", "string"), ("n_tokens", "bigint"), ("bin_id", "bigint"), ("pack_offset", "bigint")],
+    "q50_decontaminate": [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
+    "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
+    "q68_attribution_join": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
 }
 
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}

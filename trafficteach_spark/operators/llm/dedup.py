@@ -299,6 +299,53 @@ def materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def prebuild_dedup_layer(spark: SparkSession, sf_dir: str) -> dict:
+    """Explicitly build the whole materialized dedup layer for a dataset
+    and report its cost — the SCHEDULED form of the lazy memoization
+    above (round-10 verdict item 4).
+
+    The layer (persisted shingle frame + localCheckpoint'ed pair and
+    cluster frames) is otherwise built lazily by whichever downstream
+    query touches it first, which hands that query an unamortized
+    cold-start (measured at sf0.1: cold q202 12.9 s vs 3.1 s warm). A
+    100 TB deployment should schedule THIS call once per dataset
+    ingest — e.g. as the last step of the land→compact pipeline — so
+    every consumer (q31 family, q46/q88/q99/q134, q202...) runs against
+    the warm layer and pays only its own marginal plan.
+
+    Returns a small report dict: per-stage wall seconds, pair/cluster
+    row counts (the counts double as the forcing action for each
+    stage), and the byte-accounted layer residue against its cap (see
+    ``materialized_layer_bytes`` / $SPARK_GRAFT_DEDUP_LAYER_CAP_BYTES).
+    Idempotent: a second call finds every memo warm and returns in
+    milliseconds with the same counts.
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    # Stage 1: the shingle frame (persist + force via count of doc ids;
+    # count() alone would let Catalyst skip materializing the shingle
+    # arrays, so touch the cached frame the way consumers do).
+    shingles = shared_shingle_sets(spark, sf_dir)
+    n_docs = shingles.count()
+    t1 = _time.perf_counter()
+    n_pairs = materialized_pairs(spark, sf_dir).count()
+    t2 = _time.perf_counter()
+    n_clusters = materialized_clusters(spark, sf_dir).count()
+    t3 = _time.perf_counter()
+    return {
+        "sf_dir": sf_dir,
+        "n_docs": n_docs,
+        "n_pairs": n_pairs,
+        "n_cluster_rows": n_clusters,
+        "shingle_sec": round(t1 - t0, 3),
+        "pairs_sec": round(t2 - t1, 3),
+        "clusters_sec": round(t3 - t2, 3),
+        "total_sec": round(t3 - t0, 3),
+        "layer_bytes": materialized_layer_bytes(spark),
+    }
+
+
 # Shared oracle: exact shingle-Jaccard over all pairs (DuckDB is fine with
 # the O(n^2) form at sf0.01; the Spark side must never be).
 _NEAR_DUP_ORACLE = f"""
@@ -837,10 +884,16 @@ def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one-per-cluster step a production dedup pipeline runs after
     pair generation. Library form with an injectable pair frame:
     :func:`dedup_clusters`; the registered query consumes the
-    once-materialized pair frame (:func:`materialized_pairs`) so the
-    chain never recomputes the shingle join (round-4 verdict item 4).
+    once-materialized CLUSTER frame (:func:`materialized_clusters`) —
+    the same layer entry every other assignment consumer (q88, q99,
+    q134, q202) reads, so the chain computes the shingle join AND the
+    iterative contraction once per (app, dataset), not once per caller
+    (round-10 verdict item 3: the old body re-ran the contraction's
+    ~20 driver-coordinated jobs on every call — 25 jobs/2.1 s warm,
+    now 1 job reading the checkpoint; the honest build cost is
+    published by :func:`prebuild_dedup_layer` and the cold path).
 
-    The engine's one driver-coordinated iterative algorithm, now the
+    The engine's one driver-coordinated iterative algorithm, the
     large-star/small-star alternating contraction
     (:func:`alternating_components`): O(log n) rounds on ANY component
     shape — the old min-label propagation needed diameter(graph) rounds,
@@ -849,7 +902,7 @@ def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent recursive CTE, so the iterative operator stays
     oracle-checked end to end.
     """
-    return dedup_clusters(spark, sf_dir, pairs=materialized_pairs(spark, sf_dir))
+    return materialized_clusters(spark, sf_dir)
 
 
 def dedup_clusters(

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_table
 
+# One-shot guard for image_features' cloudpickle by-value registration —
+# the registration is process-global and permanent, so apply it once.
+_PICKLE_BY_VALUE_REGISTERED = False
+
 
 @register(
     "q34_multimodal_join",
@@ -120,7 +124,11 @@ def decode_bmp(payload: bytes) -> dict:
     # file headers as pixels, and a truncated payload would die with a
     # bare IndexError instead of the decoder's diagnostic contract
     # (round-10 review finding).
-    if data_offset < 54 or data_offset + height * row_bytes > len(payload):
+    # Floor is 14 + header_size, not a hardcoded 54: V4/V5 headers are
+    # 108/124 bytes, so a bogus bfOffBits inside [54, 14+header_size)
+    # would otherwise silently decode header bytes as pixels (any
+    # palette would push the true offset higher still; 24bpp needs none).
+    if data_offset < 14 + header_size or data_offset + height * row_bytes > len(payload):
         raise ValueError(
             f"BMP pixel array [{data_offset}, {data_offset + height * row_bytes})"
             f" out of bounds for {len(payload)}-byte payload"
@@ -372,12 +380,20 @@ def image_features(payloads: DataFrame, decode_fn=None) -> DataFrame:
     # the no-package-on-worker path the closure factories exist to
     # survive. Registering the module for by-value pickling makes the
     # whole dispatch graph travel inside the task like the closures do
-    # (idempotent; scoped to this module; round-10 review finding).
-    import sys
+    # (scoped to this module; round-10 review finding). The registration
+    # is PROCESS-GLOBAL cloudpickle state — once set, any later pickle
+    # that references this module ships its code by value — so it
+    # happens exactly once behind a module flag instead of on every
+    # call (round-11 advice): the side effect is bounded to this one
+    # module and documented here rather than re-applied per invocation.
+    global _PICKLE_BY_VALUE_REGISTERED
+    if not _PICKLE_BY_VALUE_REGISTERED:
+        import sys
 
-    from pyspark import cloudpickle as _cloudpickle
+        from pyspark import cloudpickle as _cloudpickle
 
-    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        _PICKLE_BY_VALUE_REGISTERED = True
     return payloads.mapInPandas(
         _make_decode_features(decode_fn or decode_image), schema=_DECODED_SCHEMA
     )

@@ -120,35 +120,44 @@ _OPERATOR_MODULES = (
 # and are fingerprinted per-round by the digest. OPERATORS.md tracks
 # each key's last driver-hash round.
 DRIVER_ORDER: tuple[str, ...] = (
-    # Round 10 is a pure freshness rotation (round-9 verdict item 1):
-    # zero new keys, so all 49 slots go to the stalest evidence.
-    # Tier 1 — the 9 r4-stale keys (last driver-hashed in round 4; 8 of
-    # them ceded their round-9 slots to the q212-q219 additions).
-    "q15_union", "q17_date_funcs", "q18_json_funcs",
-    "q23_pandas_udf", "q23_pandas_udaf", "q24_explode",
-    "q33_text_stats", "q37_token_count", "q38_fingerprint",
-    # Tier 2 — 40 of the 49 r5-stale keys (last driver-hashed round 5).
-    # The 9 deferred to round 11 (q57, q61, q63, q67, q70, q72, q75,
-    # q83, q87) are those with an extra r3 driver pass or a by-design
-    # exact-anchor twin (q83); all stay digest-pinned + local-parity
-    # every round in the meantime.
-    "q01_filter_range", "q02_group_count", "q03_star_join",
-    "q04_monitor_state", "q05_missing_cameras", "q06_topn",
-    "q06_topn_details", "q07_speed_buckets", "q08_stratified_sample",
-    "q11_topk_per_group", "q13_follow_within", "q19_funnel",
-    "q20_sliding_window", "q22_session_window", "q_stream_avg",
-    "q85_window_dedup", "q51_asof_join", "q89_asof_forward",
-    "q30_exact_dedup", "q31_near_dedup", "q31_minhash_lsh",
-    "q31_simhash_md5", "q46_dedup_clusters", "q90_containment_dedup",
-    "q32_knn_cosine", "q32_knn_ivf", "q32_knn_lsh",
-    "q35_embed_near_dup", "q44_int8_quantize", "q36_langid",
-    "q39_quality_score", "q43_chunk_split", "q45_repetition",
-    "q34_multimodal_join", "q47_pii_redact", "q48_tfidf",
-    "q49_pack_sequences", "q50_decontaminate",
-    "q88_keep_best_per_cluster", "q68_attribution_join",
-    # (The whole round-9 window — q174-q203, the q204-q219 additions,
-    # q10/q14/q16 — demoted into the digest with r9 full-hash evidence,
-    # CORRECTNESS_r09 50/50 zero err rows.)
+    # Round 11 closes the evidence ledger (round-10 verdict item 1):
+    # zero new keys; after this window no registered key's latest
+    # driver evidence predates round 7.
+    # Tier 1 — the 9 r5-stale keys deferred from the round-10 rotation
+    # (last full-hashed round 5, with an extra r3 pass or an exact-
+    # anchor twin; hand re-verified green by the r10 judge).
+    "q57_edit_distance", "q61_merge_upsert", "q63_range_join",
+    "q67_basket_pairs", "q70_trailing_range", "q72_corr_stats",
+    "q75_bm25", "q83_feature_bins", "q87_bigram_pmi",
+    # Tier 2 — the stalest rows-only-by-design keys: q84 has never had
+    # a driver row (the one ledger hole); the other three last got
+    # their rows-only driver check in r2/r3. Rows-only is the maximum
+    # attainable evidence for these (sketches aren't DuckDB-
+    # reproducible); their exact oracle-backed twins stay hash-pinned.
+    "q84_feature_bins_sketch", "q31_simhash",
+    "q10_distinct_users_approx", "q77_approx_percentiles",
+    # Tier 3 — the 16 r6-stale keys (last driver-hashed round 6).
+    "q09_group_concat", "q12_trajectory", "q21_tumbling_window",
+    "q40_binary_pipeline", "q41_frame_sample", "q42_resize",
+    "q52_percentiles", "q55_salted_distinct", "q60_histogram",
+    "q64_cumulative", "q65_cube", "q71_full_outer",
+    "q74_rank_distribution", "q76_set_ops_bag", "q78_id_gaps",
+    "q79_weighted_sample",
+    # Tier 4 — 20 of the 28 keys whose only driver hash is round 7
+    # (lowest-numbered first; q133-q140 defer to round 12 and stay
+    # digest-pinned + local-parity in the meantime).
+    "q112_incremental_dedup", "q113_linear_attribution",
+    "q114_snapshot_diff", "q116_gap_fill_locf", "q117_feature_hashing",
+    "q118_chunk_dedup", "q119_python_udtf", "q120_skew_audit",
+    "q121_session_paths", "q122_pit_join", "q123_code_detect",
+    "q124_mad_outliers", "q125_lsh_recall_eval",
+    "q126_bigram_lm_logprob", "q127_changepoint",
+    "q128_seasonal_decompose", "q129_window_funnel",
+    "q130_ngram_novelty", "q131_embedding_margin",
+    "q132_user_lifecycle",
+    # (The whole round-10 window — the 9 r4-stale + 40 r5-stale
+    # rotations — demoted into the digest with r10 full-hash evidence,
+    # CORRECTNESS_r10 50/50 zero err rows.)
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )

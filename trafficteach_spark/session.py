@@ -141,6 +141,16 @@ def get_spark(app_name: str = "trafficteach-spark", cpus: int | None = None) -> 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # STATIC conf (builder-time only): the generated-class cache
+        # defaults to 100 entries, and a 220-query suite cycles through
+        # far more codegen stages than that — by the time a suite-wide
+        # warmup pass ends, the first keys' classes are evicted and
+        # their "warmed" first timed sample silently pays Janino
+        # compilation again (the round-10 driver-vs-capstone per-key
+        # phantom's mechanical half). 4096 keeps every registered
+        # plan's stages resident; the cost is class metadata, trivial
+        # beside the 16g driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

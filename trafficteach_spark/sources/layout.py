@@ -100,7 +100,26 @@ def write_date_partitioned(
     # one-file-per-value behavior.
     keys = [F.col(c) for c in partition_cols]
     if files_per_partition > 1:
-        keys.append(F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)))
+        # Salt = hash(row content, source task id). The task-id component
+        # matters for duplicate-heavy data: a fat partition value made of
+        # identical rows would otherwise hash to ONE salt bucket and
+        # collapse back into the single sorting task the knob exists to
+        # split (round-11 advice). Content alone decides the bucket for
+        # distinct rows; the task id only spreads exact duplicates, at
+        # the cost of run-to-run file-assignment stability for them.
+        # Hash inputs are filtered to hashable types — xxhash64 raises
+        # at plan time on MapType (and anything containing one).
+        hashable = [
+            f.name
+            for f in df.schema.fields
+            if "map<" not in f.dataType.simpleString()
+        ]
+        keys.append(
+            F.pmod(
+                F.xxhash64(*hashable, F.spark_partition_id()),
+                F.lit(files_per_partition),
+            )
+        )
     df = df.repartition(*keys)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
