@@ -86,6 +86,17 @@ FLOOR_ANCHOR_SEC = 0.0240  # round-11 recalibration (calibrate_drift.py)
 _FLOOR_RUNS = 15
 
 
+def _floor_job(spark) -> None:
+    """THE calibration unit behind FLOOR_ANCHOR_SEC: one trivial 32-task
+    noop job (pure submit/schedule/collect-status cost, no data). One
+    definition shared by the prelude warmups and the timed floor — two
+    hand copies drifting apart (e.g. a partition-count tweak in one)
+    would silently de-calibrate drift_floor (round-11 review finding)."""
+    spark.range(32, numPartitions=32).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def jvm_prelude(spark, sf_dir: str, specs) -> None:
     """Bring the JVM to measurement steady-state before the START-of-run
     drift/floor passes: repeat the trivial floor job (JIT of the
@@ -98,9 +109,7 @@ def jvm_prelude(spark, sf_dir: str, specs) -> None:
     tools/calibrate_drift.py runs the SAME prelude so anchors and bench
     passes measure the same state."""
     for _ in range(40):
-        spark.range(32, numPartitions=32).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        _floor_job(spark)
     for _ in range(3):
         for key in DRIFT_REF_KEYS:
             with cache_scope(spark):
@@ -113,9 +122,7 @@ def _time_job_floor(spark) -> float:
     ts = []
     for _ in range(_FLOOR_RUNS):
         t0 = time.perf_counter()
-        spark.range(32, numPartitions=32).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        _floor_job(spark)
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts)
 

@@ -175,3 +175,62 @@ def test_partitioned_events_probe_and_load(spark, tmp_path):
     assert kind in ("int64_ns", "timestamp")
     back = load_table(spark, str(tmp_path), "events")
     assert back.count() == events.count()
+
+
+def test_files_per_partition_splits_duplicate_heavy_partition(spark, tmp_path):
+    """The files_per_partition salt must split a fat partition value even
+    when it is made of EXACT-DUPLICATE rows landing in one upstream task
+    — the spill/OOM shape the knob exists for, and precisely what a
+    content-derived salt cannot split (identical rows hash identically;
+    round-11 review finding). Positional salt contract: >1 file in the
+    fat value's directory, and the round-trip rows are unchanged."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from trafficteach_spark.sources.layout import (
+        read_date_partitioned,
+        write_date_partitioned,
+    )
+
+    # 1 upstream partition, one partition value ('d'), all rows identical.
+    df = (
+        spark.range(1)
+        .select(F.explode(F.array_repeat(F.lit("dup-row"), 400)).alias("v"))
+        .withColumn("d", F.lit("2024-01-06"))
+        .coalesce(1)
+    )
+    # The salt only creates the OPPORTUNITY to split; AQE's partition
+    # coalescing re-merges buckets under the advisory size (the designed
+    # small-value behavior). Emulate a FAT value by shrinking the
+    # advisory so the 400-row buckets count as fat.
+    advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    min_size = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256b")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64b")
+    try:
+        out = str(tmp_path / "fact")
+        write_date_partitioned(df, out, ["d"], files_per_partition=4)
+        parts = glob.glob(out + "/d=2024-01-06/part-*.parquet")
+        assert 1 < len(parts) <= 4, (
+            f"fat duplicate-only partition value wrote {len(parts)} files; "
+            "expected a split bounded by files_per_partition"
+        )
+        back = read_date_partitioned(spark, out)
+        assert back.count() == 400
+        assert back.where(F.col("v") != "dup-row").count() == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", min_size
+        )
+
+    # Default (files_per_partition=1) keeps one file per value, and a
+    # SMALL salted value coalesces back to one file under the normal
+    # advisory size — the cap is a cap, not an exact count.
+    out1 = str(tmp_path / "fact1")
+    write_date_partitioned(df, out1, ["d"])
+    assert len(glob.glob(out1 + "/d=2024-01-06/part-*.parquet")) == 1
+    out2 = str(tmp_path / "fact2")
+    write_date_partitioned(df, out2, ["d"], files_per_partition=4)
+    assert len(glob.glob(out2 + "/d=2024-01-06/part-*.parquet")) == 1

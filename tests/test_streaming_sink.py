@@ -259,8 +259,12 @@ def test_windowed_sink_full_lifecycle_exactly_once(spark, tmp_path):
         assert expected_a[_win_key(r)] == (
             r["n_events"], r["sum_value"], r["avg_value"]
         )
-    # the 16:00 row's own window cannot have finalized (watermark 14:00)
-    assert all(r["window_end"].hour <= 16 for r in got1)
+    # Finalization bound: the watermark after draining file A is exactly
+    # 14:00 (max event 16:00 - 2h), so NO committed window may end past
+    # it — a premature emission of the 16:00 row's windows (ends 16:15+)
+    # must fail here, not slide through a loose bound.
+    wm_a = dt.datetime(2024, 1, 6, 14, 0, 0)
+    assert all(r["window_end"] <= wm_a for r in got1)
 
     # Clean restart with file B: state + watermark recover from the
     # checkpoint, the late 9:00 row is dropped, more windows finalize.

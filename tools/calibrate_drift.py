@@ -8,17 +8,24 @@ pinned set of stable reference keys at the START and END of every run
 and publishes the run's drift factor: the median of observed/anchor
 ratios. This tool measures those anchors.
 
-Protocol (identical to a bench ref pass): build the bench session,
-warm each ref key once untimed, ``clearCache()``, then run the WHOLE
-ref set as a sequence pass (one timed run per key, like bench's
-start/end passes) ``--rounds`` times (default 5) and print each key's
-median across passes — as the ``DRIFT_REF_ANCHOR_SEC`` dict literal to
-paste into ``bench.py``. Sequence passes, not per-key repeats: five
-back-to-back runs of one key sit in a warmer JIT/page-cache state than
-the single interleaved run a real bench pass sees, and that mismatch
-showed up as a phantom 1.3-1.4x "drift" on a calm host. Anchors are
-host+SF specific: re-run this tool (and update the dict) whenever the
-host or the sf0.1 fixture changes.
+Protocol (identical to a bench ref pass, round-11 form): build the
+bench session, run ``bench.jvm_prelude`` (the SAME steady-state warmup
+a real bench run executes before its pass 1 — floor-job repeats plus
+three untimed passes over the ref set), then run the WHOLE ref set as
+a sequence pass (one timed run per key, like bench's start/end passes)
+``--rounds`` times (default 5) and print each key's median across
+passes — as the ``DRIFT_REF_ANCHOR_SEC`` dict literal to paste into
+``bench.py``, plus ``FLOOR_ANCHOR_SEC`` measured LAST (bench likewise
+times the floor after a ref pass). Sequence passes, not per-key
+repeats: five back-to-back runs of one key sit in a warmer
+JIT/page-cache state than the single interleaved run a real bench pass
+sees, and that mismatch showed up as a phantom 1.3-1.4x "drift" on a
+calm host; the shared prelude exists for the same reason in the other
+direction (anchors taken colder than bench passes bake in a constant
+phantom). Anchors are host+SF specific AND runtime-specific: re-run
+this tool (and update both literals) whenever the host, the sf0.1
+fixture, or measurement-relevant session confs (e.g. the codegen cache
+size) change.
 
 Usage: python tools/calibrate_drift.py [sf_dir] [--rounds N]
 """

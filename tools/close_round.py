@@ -198,9 +198,19 @@ def check_capstone(round_no: int) -> list[str]:
     # expose. Require both factors in the section body.
     end = src.find("\n## ", m.end())
     section = src[m.start() : end if end != -1 else len(src)]
+    # Each pattern requires the word followed (within a few punctuation
+    # chars) by a DIGIT — an actual reading like `drift 1.085`,
+    # `drift=1.06` or `"drift":1.085` — because protocol PROSE ("drift +
+    # job-floor reference passes...") satisfies a bare word match and
+    # would let a reading-less capstone close (round-11 review finding).
+    # \bdrift\b does not match inside drift_floor (underscore is a word
+    # char), so the two checks stay independent.
     missing = [
         name
-        for name, pat in (("drift", r"\bdrift[ =]"), ("drift_floor", r"\bdrift_floor\b"))
+        for name, pat in (
+            ("drift", r"\bdrift\b[^a-zA-Z0-9_]{0,4}[0-9]"),
+            ("drift_floor", r"\bdrift_floor\b[^a-zA-Z0-9_]{0,4}[0-9]"),
+        )
         if not re.search(pat, section)
     ]
     if missing:

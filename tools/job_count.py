@@ -27,6 +27,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from bench import _force  # noqa: E402 - the bench's noop-sink forcer
 from trafficteach_spark import registry  # noqa: E402
 from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
 
@@ -46,7 +47,7 @@ def count_jobs(spark, fn, sf_dir: str, key: str) -> tuple[int, int, int, float]:
     sc.setJobGroup(group, key)
     try:
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _force(fn(spark, sf_dir))
         wall = time.perf_counter() - t0
     finally:
         sc.setJobGroup(None, None)
@@ -79,7 +80,7 @@ def main() -> None:
     for key in keys:
         fn = specs[key].fn
         with cache_scope(spark):  # untimed warmup execution
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            _force(fn(spark, sf_dir))
         with cache_scope(spark):
             jobs, stages, tasks, wall = count_jobs(spark, fn, sf_dir, key)
         print(f"{key:32s} {jobs:5d} {stages:7d} {tasks:6d} {wall:8.3f}")

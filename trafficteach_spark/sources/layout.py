@@ -94,31 +94,35 @@ def write_date_partitioned(
     # supposed to protect (round-6 review finding). But ONE task per
     # value overshoots at the module's own 100 TB target (~280 GB/day
     # through a single sorting task = spill/OOM and one monolithic file
-    # per day): ``files_per_partition`` adds a deterministic salt so a
+    # per day): ``files_per_partition`` adds a positional salt so a
     # fat partition value splits across a bounded task/file count
-    # (round-10 review finding). Default 1 keeps the small-corpus
-    # one-file-per-value behavior.
+    # (round-10 review finding; salt design revised round 11 — see
+    # below). Default 1 keeps the small-corpus one-file-per-value
+    # behavior.
     keys = [F.col(c) for c in partition_cols]
     if files_per_partition > 1:
-        # Salt = hash(row content, source task id). The task-id component
-        # matters for duplicate-heavy data: a fat partition value made of
-        # identical rows would otherwise hash to ONE salt bucket and
-        # collapse back into the single sorting task the knob exists to
-        # split (round-11 advice). Content alone decides the bucket for
-        # distinct rows; the task id only spreads exact duplicates, at
-        # the cost of run-to-run file-assignment stability for them.
-        # Hash inputs are filtered to hashable types — xxhash64 raises
-        # at plan time on MapType (and anything containing one).
-        hashable = [
-            f.name
-            for f in df.schema.fields
-            if "map<" not in f.dataType.simpleString()
-        ]
+        # POSITIONAL salt, not a content hash: a fat partition value made
+        # of exact-duplicate rows would hash to ONE bucket under any
+        # content-derived salt (identical rows are indistinguishable by
+        # content, wherever they sit upstream) and collapse back into the
+        # single sorting task the knob exists to split (round-11 review —
+        # which also showed the content hash's claimed determinism was
+        # already void, since file assignment shifted with the upstream
+        # split count). monotonically_increasing_id() is consecutive
+        # within each upstream task, so pmod round-robins every row —
+        # duplicates included — evenly across the bucket count. The
+        # documented trade: with files_per_partition > 1 the row->file
+        # assignment depends on the input's partitioning/order (file
+        # CONTENTS still sort by sort_cols); callers needing stable file
+        # assignment keep the default of one file per partition value.
+        # AQE interplay (by design): the salt creates the OPPORTUNITY to
+        # split — up to files_per_partition tasks/files per value — and
+        # AQE's partition coalescing then merges buckets that come in
+        # under spark.sql.adaptive.advisoryPartitionSizeInBytes, so small
+        # values still produce one file while a genuinely fat value
+        # splits. files_per_partition is the CAP, not an exact count.
         keys.append(
-            F.pmod(
-                F.xxhash64(*hashable, F.spark_partition_id()),
-                F.lit(files_per_partition),
-            )
+            F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
         )
     df = df.repartition(*keys)
     if sort_cols:

@@ -8,8 +8,10 @@ whose idempotence comes from DETERMINISTIC BATCH IDENTITY: every write
 lands under the batch id, and a crash-replayed batch REPLACES its own
 output instead of appending next to it.
 
-Two sinks, one strategy (:mod:`rollup` is the upsert/merge sibling;
-this module is the append-table analog):
+Three sinks, one strategy (:mod:`rollup` is the upsert/merge sibling;
+this module is the append-table analog; the third wires the full
+Job-8 lifecycle — watermark + Spark-stateful window agg — into the
+same idempotent commit, :func:`start_windowed_parquet_sink`):
 
 - **parquet** (:func:`start_parquet_append_sink`): each micro-batch
   overwrites exactly the directory partition ``batch_id=N`` of the
@@ -68,14 +70,31 @@ def _lineage_guard(meta_dir: str, lineage: str) -> None:
     os.replace(tmp, ptr)
 
 
-def read_parquet_sink(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The sink table (all committed batches). Before the first
-    non-empty batch commits there are no ``batch_id=N`` partitions to
-    glob (empty batches write nothing), so that case returns an empty
-    frame with the sink schema — event stream columns + ``batch_id`` —
-    instead of raising PATH_NOT_FOUND at a monitoring reader."""
+def _read_batch_partitioned(spark: SparkSession, table_dir: str, schema) -> DataFrame:
+    """Shared reader contract for every batch-id-partitioned sink table:
+    before the first non-empty batch commits there are no ``batch_id=N``
+    partitions to glob (empty batches write nothing), so that case
+    returns an empty frame with the declared schema instead of raising
+    PATH_NOT_FOUND at a monitoring reader; afterwards the EXPLICIT
+    schema pins the partition column's type — left to partition
+    discovery, small 'batch_id=N' directory names infer IntegerType, so
+    the sink's schema would flip int<->bigint across the first committed
+    batch (round-10 review finding)."""
     import glob as _glob
 
+    if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .option("basePath", table_dir)
+        .parquet(os.path.join(table_dir, "batch_id=*"))
+    )
+
+
+def read_parquet_sink(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The raw-event sink table (all committed batches): event stream
+    columns + ``batch_id`` (see :func:`_read_batch_partitioned` for the
+    empty-table and pinned-partition-type contract)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     from trafficteach_spark import schemas
@@ -85,17 +104,7 @@ def read_parquet_sink(spark: SparkSession, table_dir: str) -> DataFrame:
     schema = StructType(
         list(schemas.EVENTS.fields) + [StructField("batch_id", LongType())]
     )
-    if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
-        return spark.createDataFrame([], schema)
-    # The explicit schema also pins the PARTITION column's type: left to
-    # partition discovery, small 'batch_id=N' directory names infer
-    # IntegerType, so the sink's schema would flip int<->bigint across
-    # the first committed batch (round-10 review finding).
-    return (
-        spark.read.schema(schema)
-        .option("basePath", table_dir)
-        .parquet(os.path.join(table_dir, "batch_id=*"))
-    )
+    return _read_batch_partitioned(spark, table_dir, schema)
 
 
 def start_parquet_append_sink(
@@ -130,10 +139,8 @@ def start_parquet_append_sink(
 
 def read_windowed_sink(spark: SparkSession, table_dir: str) -> DataFrame:
     """The windowed-rollup sink table (all finalized windows committed
-    so far). Same empty-before-first-commit and pinned-partition-type
-    contracts as :func:`read_parquet_sink`, with the window-agg schema."""
-    import glob as _glob
-
+    so far): the window-agg schema + ``batch_id`` (see
+    :func:`_read_batch_partitioned` for the shared reader contract)."""
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -154,13 +161,7 @@ def read_windowed_sink(spark: SparkSession, table_dir: str) -> DataFrame:
             StructField("batch_id", LongType()),
         ]
     )
-    if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .option("basePath", table_dir)
-        .parquet(os.path.join(table_dir, "batch_id=*"))
-    )
+    return _read_batch_partitioned(spark, table_dir, schema)
 
 
 def start_windowed_parquet_sink(
