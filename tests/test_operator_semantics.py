@@ -5485,6 +5485,88 @@ def test_asof_join_excludes_null_times(spark):
     assert orows == {"L5": None, "L20": "R10"}
 
 
+def test_asof_join_excludes_null_by_keys(spark):
+    """NULL-by-key contract (round-11 review finding): the window's
+    partitionBy groups ALL NULL keys into one partition, so without the
+    filter a NULL-key left row asof-matches a NULL-key right row — a
+    phantom match under the pinned equi-join semantics (DuckDB ASOF
+    `ON l.k = r.k` and pandas merge_asof never match NULL keys). NULL-
+    key rows must vanish from inner output and stay unmatched nowhere
+    (excluded entirely, like NULL times)."""
+    import datetime as dt
+
+    from trafficteach_spark.operators.sequences import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(None, t(10), "LNULLKEY"), (1, t(10), "L1")],
+        "k int, ts timestamp_ntz, lv string",
+    )
+    right = spark.createDataFrame(
+        [(None, t(5), "RNULLKEY"), (1, t(5), "R1")],
+        "k int, ts timestamp_ntz, rv string",
+    )
+    inner = asof_join(left, right, on="ts", by="k", direction="backward")
+    rows = {r["lv"]: r["rv"] for r in inner.collect()}
+    assert rows == {"L1": "R1"}, rows
+    outer = asof_join(
+        left, right, on="ts", by="k", direction="backward", how="left"
+    )
+    orows = {r["lv"]: r["rv"] for r in outer.collect()}
+    # NULL-key left rows are excluded even under how='left' — the same
+    # treatment as NULL times (they cannot equi-match anything).
+    assert orows == {"L1": "R1"}, orows
+
+
+def test_ab_counts_mirror_oracle_filter_semantics_on_empty_arm(spark, tmp_path):
+    """q110/q138 empty-arm and empty-corpus NULL semantics (round-11
+    review finding): the oracle's COUNT(*) FILTER reads 0 on an empty
+    corpus and SUM(conv) FILTER reads NULL on an empty arm; the Spark
+    side must agree cell-for-cell. Planted fixture: user_ids chosen so
+    BOTH land in arm 1 (md5 bucketing), leaving arm 0 empty."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+    from trafficteach_spark.operators.sequences import _AB_HASH_SPARK
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ns = int(base.timestamp()) * 10**9
+    # find two user ids that hash to arm 1
+    cand = spark.createDataFrame([(i,) for i in range(1, 40)], "user_id long")
+    arm1 = [
+        r["user_id"]
+        for r in cand.select("user_id", F.expr(_AB_HASH_SPARK).alias("v"))
+        .where(F.col("v") == 1)
+        .collect()
+    ][:2]
+    assert len(arm1) == 2
+    rows = [
+        (1, ns, arm1[0], "purchase", 5.0, None),
+        (2, ns, arm1[1], "view", 1.0, None),
+    ]
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r110 = Q["q110_ab_lift"](spark, str(tmp_path)).collect()[0]
+    assert r110["n_a"] == 0 and r110["n_b"] == 2
+    assert r110["conv_a"] is None  # SUM FILTER over an empty arm
+    assert r110["conv_b"] == 1
+    assert r110["rate_a"] is None and r110["z"] is None
+    r138 = Q["q138_srm_check"](spark, str(tmp_path)).collect()[0]
+    assert r138["n_a"] == 0 and r138["n_b"] == 2
+    # empty corpus: counts must read 0 (not NULL), like COUNT(*) FILTER
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    spark.createDataFrame([], schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(empty / "events.parquet")
+    )
+    e110 = Q["q110_ab_lift"](spark, str(empty)).collect()[0]
+    assert e110["n_a"] == 0 and e110["n_b"] == 0
+    assert e110["conv_a"] is None and e110["conv_b"] is None
+    e138 = Q["q138_srm_check"](spark, str(empty)).collect()[0]
+    assert e138["n_a"] == 0 and e138["n_b"] == 0
+
+
 def test_funnel_chain_step_with_quote_is_escaped(spark, tmp_path):
     """funnel() is the parameterized library entry: a chain step
     containing a single quote (or backslash) must be escaped into the
@@ -5786,6 +5868,53 @@ def test_length_retention_sweep_ignores_null_n_chars(spark, tmp_path):
     # doc 3 never counted: threshold 50/100 keep docs 1+2, 150..250 doc 2
     assert by_thr[50][1] == 2 and by_thr[50][2] == 360
     assert by_thr[250][1] == 1 and by_thr[250][2] == 260
+
+
+def test_ivf_and_kmeans_survive_zero_norm_vectors(spark, tmp_path):
+    """The round-10 zero-norm sweep missed two division sites (round-11
+    review finding): _ivf_assign's centroid cosine used bare `/` (ANSI
+    DIVIDE_BY_ZERO the moment a zero vector appears — and EVERY row
+    crashes if the zero vector lands among the centroid ids), and
+    kmeans_train's normalize crashed at its eager checkpoint. Planted
+    fixture: a zero vector INSIDE the centroid-id range plus normal
+    vectors; q32_knn_ivf must run and match its oracle, kmeans_train
+    must train on the non-degenerate rows."""
+    from trafficteach_spark import registry, schemas
+    from trafficteach_spark.operators.llm.similarity import IVF_K, kmeans_train
+
+    def vec(base):
+        return [float(base + 0.01 * i) for i in range(schemas.EMBEDDING_DIM)]
+
+    rows_ = [(i, vec(float(i)), i % 2) for i in range(1, IVF_K + 6)]
+    # overwrite one centroid-range vector and one tail vector with zeros
+    rows_[2] = (3, [0.0] * schemas.EMBEDDING_DIM, 1)
+    rows_[-1] = (IVF_K + 5, [0.0] * schemas.EMBEDDING_DIM, 0)
+    spark.createDataFrame(rows_, schemas.EMBEDDINGS).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    con = _duck_view(tmp_path, "embeddings")
+    sdf = Q["q32_knn_ivf"](spark, str(tmp_path))
+    cols = sdf.columns
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in sdf.collect()),
+        key=lambda t: tuple(map(repr, t)),
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in con.execute(
+                registry.all_specs()["q32_knn_ivf"].oracle
+            ).fetchall()
+        ),
+        key=lambda t: tuple(map(repr, t)),
+    )
+    assert got == want, (got[:4], want[:4])
+    # k=3 seeds from vec_id < 3 = {1, 2, 3}; the zero vector (id 3) is
+    # excluded from training, so 2 centroids train — the call must
+    # SURVIVE, not crash at the normalize checkpoint.
+    cents, history = kmeans_train(spark, str(tmp_path), k=3, iters=2)
+    assert cents.count() == 2
+    assert len(history) == 2
 
 
 def test_embed_near_dup_drops_null_and_zero_vectors(spark, tmp_path):

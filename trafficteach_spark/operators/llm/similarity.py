@@ -44,6 +44,24 @@ def _rank_topk(pairs: DataFrame) -> DataFrame:
     )
 
 
+def cosine6(a: str, b: str, na: str, nb: str):
+    """ROUND(try_divide(dot(a, b), na * nb), 6) — THE engine cosine
+    idiom, one definition for every norm-column site (q35's block
+    worker, q170, q185's dense arm, q219). try_divide: a zero-norm
+    divisor is NULL in the DuckDB oracle but an ANSI crash under bare
+    `/`; round 6 BEFORE any max/top-k so both engines select identical
+    winners. One definition so a guard or rounding change can never
+    desynchronize one consumer from its oracle (round-11 review
+    finding: an unshared eighth division site had missed the
+    try_divide sweep)."""
+    return F.round(
+        F.try_divide(
+            F.expr(_DOT.format(a=a, b=b)), F.col(na) * F.col(nb)
+        ),
+        6,
+    )
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, v: array<double>, nrm: double) with L2 norms."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -375,8 +393,15 @@ def _ivf_assign(vecs: DataFrame, nprobe: int) -> tuple[DataFrame, DataFrame]:
     scored = (
         vecs.crossJoin(F.broadcast(cent))
         .withColumn(
+            # try_divide: a zero-norm vector (or centroid) makes the
+            # divisor 0, which is NULL in the DuckDB oracle but an ANSI
+            # DIVIDE_BY_ZERO crash under bare `/` — the one cosine
+            # division the round-10 zero-norm sweep missed (round-11
+            # review finding). NULL csim ranks last under desc().
             "csim",
-            F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn")),
+            F.try_divide(
+                F.expr(_DOT.format(a="v", b="cv")), F.col("nrm") * F.col("cn")
+            ),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
@@ -690,7 +715,12 @@ def kmeans_train(
     history, one float per iteration).
     """
     vecs = _vectors(spark, sf_dir)
-    norm = vecs.select(
+    # Zero-norm vectors are excluded from training (x/0 is an ANSI
+    # DIVIDE_BY_ZERO crash at the eager checkpoint; they carry no
+    # direction to cluster on) — the same guard q35's normalize uses
+    # (round-11 review finding). Assignment of such vectors is the
+    # consumer's concern (_ivf_assign's try_divide ranks them last).
+    norm = vecs.where(F.col("nrm") > 0).select(
         "vec_id", F.expr("transform(v, x -> x / nrm)").alias("nv")
     ).localCheckpoint(eager=True)
     cent = (
@@ -959,7 +989,11 @@ def q136_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query SAMPLE (as here: qid < N_QUERIES) — ground truth over
     everything is exactly what ANN exists to avoid.
     """
-    exact = q32_knn_cosine(spark, sf_dir).select("qid", "nid")
+    # persist (O43): the brute-force frame feeds BOTH variant joins —
+    # two subtrees sharing no exchange — so without the cache the
+    # dominant-cost BNLJ scan executes twice per action (round-11
+    # review finding; same pattern as q35/q170's persists).
+    exact = q32_knn_cosine(spark, sf_dir).select("qid", "nid").persist()
     out = []
     for name, fn in (("lsh", q32_knn_lsh), ("ivf", q32_knn_ivf)):
         approx = fn(spark, sf_dir).select(
@@ -1064,12 +1098,7 @@ def q170_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a_id") < F.col("vec_id"))
         .select(
             "vec_id",
-            F.round(
-                F.try_divide(
-                    F.expr(_DOT.format(a="av", b="bv")), F.col("an") * F.col("bn")
-                ),
-                6,
-            ).alias("cos"),
+            cosine6("av", "bv", "an", "bn").alias("cos"),
         )
     )
     mx = pairs.groupBy("vec_id").agg(F.max("cos").alias("max_lower_cos"))
@@ -1412,40 +1441,17 @@ _RRF_QVEC = 0  # query = embedding of vec_id 0 (doc_id and vec_id align)
 
 
 def _bm25_oracle_cte() -> str:
-    """The q75 scoring CTEs (scored, stats) — shared with q185's oracle
-    so the lexical arm cannot drift from q75_bm25."""
-    from trafficteach_spark.operators.llm.text import (
-        _BM25_B,
-        _BM25_K1,
-        _BM25_QUERY,
-    )
+    """The q75 scoring CTEs (scored, stats) — the TEXT is imported from
+    text.bm25_oracle_parts(), one definition for both oracles, so the
+    lexical arm literally cannot drift from q75_bm25 (it had: this
+    module's former re-implementation used a double AVG avgdl where
+    q75 deliberately uses the exact SUM/COUNT form — round-11 review
+    finding)."""
+    from trafficteach_spark.operators.llm.text import bm25_oracle_parts
 
-    tf_cols = ", ".join(
-        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
-        f" AS tf_{i}"
-        for i, t in enumerate(_BM25_QUERY)
-    )
-    df_cols = ", ".join(
-        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(_BM25_QUERY))
-    )
-    term_score = " + ".join(
-        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
-        f" * (tf_{i} * ({_BM25_K1} + 1.0))"
-        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
-        for i in range(len(_BM25_QUERY))
-    )
-    any_tf = " + ".join(f"tf_{i}" for i in range(len(_BM25_QUERY)))
+    ctes, term_score, any_tf = bm25_oracle_parts()
     return f"""
-    scored AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
-        FROM documents WHERE text IS NOT NULL
-    ),
-    stats AS (
-        SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl,
-               {df_cols}
-        FROM scored
-    ),
+    {ctes},
     bm AS (
         SELECT doc_id, ROUND({term_score}, 6) AS score
         FROM scored, stats
@@ -1540,12 +1546,7 @@ def q185_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(
-                F.try_divide(
-                    F.expr(_DOT.format(a="qv", b="v")), F.col("qn") * F.col("nrm")
-                ),
-                6,
-            ).alias("cosine"),
+            cosine6("qv", "v", "qn", "nrm").alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "doc_id")
         .limit(_RRF_POOL)
@@ -1684,12 +1685,7 @@ def q219_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "nid",
             "nlabel",
-            F.round(
-                F.try_divide(
-                    F.expr(_DOT.format(a="v", b="bv")), F.col("an") * F.col("bn")
-                ),
-                6,
-            ).alias("cos"),
+            cosine6("v", "bv", "an", "bn").alias("cos"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nid"))

@@ -472,34 +472,58 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q75_bm25",
-    oracle=f"""
-    WITH scored AS (
+def bm25_oracle_parts() -> tuple[str, str, str]:
+    """(scored/stats CTE text, per-doc score expression, any-tf guard)
+    for the DuckDB BM25 oracle — ONE definition consumed by BOTH q75's
+    oracle and q185's (_bm25_oracle_cte in similarity.py). The q185
+    copy had silently drifted to a double AVG(avgdl) while this side
+    deliberately uses the exact SUM/COUNT form (a partial-merge-order
+    ulp in a double AVG can flip a ROUND(score, 6) boundary and with it
+    top-k membership) — sharing the text makes that drift impossible
+    (round-11 review finding)."""
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        f" AS tf_{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_QUERY))
+    )
+    ctes = f"""scored AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS dl,
-               {', '.join(
-                   f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
-                   f" AS tf_{i}" for i, t in enumerate(_BM25_QUERY))}
+               {tf_cols}
         FROM documents WHERE text IS NOT NULL
     ),
     stats AS (
         SELECT COUNT(*) AS n_docs,
                -- exact integer sum / one divide (see the Spark side)
                CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-               {', '.join(
-                   f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-                   for i in range(len(_BM25_QUERY)))}
+               {df_cols}
         FROM scored
+    )"""
+    score = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_QUERY))
     )
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(_BM25_QUERY)))
+    return ctes, score, any_tf
+
+
+_BM25_CTES, _BM25_SCORE_SQL, _BM25_ANY_TF = bm25_oracle_parts()
+
+
+@register(
+    "q75_bm25",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT doc_id,
-           ROUND({' + '.join(
-               f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
-               f" * (tf_{i} * ({_BM25_K1} + 1.0))"
-               f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
-               for i in range(len(_BM25_QUERY)))}, 6) AS score
+           ROUND({_BM25_SCORE_SQL}, 6) AS score
     FROM scored, stats
-    WHERE {' + '.join(f"tf_{i}" for i in range(len(_BM25_QUERY)))} > 0
+    WHERE {_BM25_ANY_TF} > 0
     ORDER BY score DESC, doc_id
     LIMIT {_BM25_TOPK}
     """,

@@ -619,11 +619,17 @@ def q110_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.groupBy("user_id").agg(
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
     ).select(F.expr(_AB_HASH_SPARK).alias("v"), "conv")
+    # COUNT over a CASE (0 on empty input) and SUM with no otherwise
+    # (NULL when an arm is empty) mirror the oracle's COUNT(*)/SUM
+    # FILTER exactly — .otherwise(0) on the SUMs read an empty arm as
+    # 0 where the oracle reads NULL, and a bare SUM for the counts read
+    # an empty corpus as NULL where the oracle reads 0 (round-11 review
+    # finding; same empty-frame class funnel() fixed in round 10).
     g = u.agg(
-        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0)).cast("long").alias("conv_a"),
-        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0)).cast("long").alias("conv_b"),
+        F.count(F.when(F.col("v") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv"))).cast("long").alias("conv_a"),
+        F.count(F.when(F.col("v") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv"))).cast("long").alias("conv_b"),
     )
     rate_a = F.try_divide(F.col("conv_a"), F.col("n_a").cast("double"))
     rate_b = F.try_divide(F.col("conv_b"), F.col("n_b").cast("double"))
@@ -714,9 +720,15 @@ def asof_join(
     # (struct of NULLs), and last(ignorenulls) carries it to every left
     # row before the first real right row — spurious inner matches a
     # real ASOF engine would drop; symmetrically a NULL-time left row
-    # would match the earliest right row in forward mode.
-    left = left.where(F.col(on).isNotNull())
-    right = right.where(F.col(on).isNotNull())
+    # would match the earliest right row in forward mode. NULL `by`
+    # KEYS are out for the same reason: the window's partitionBy groups
+    # all NULL keys into ONE partition, so NULL-key left rows would
+    # silently asof-match NULL-key right rows — phantom matches under
+    # the equi-join semantics the contract pins (NULL never equals
+    # NULL in DuckDB's ASOF ... ON l.k = r.k or pandas merge_asof;
+    # round-11 review finding).
+    left = left.where(F.col(on).isNotNull() & F.col(by).isNotNull())
+    right = right.where(F.col(on).isNotNull() & F.col(by).isNotNull())
     l_side = left.select(
         F.col(by).alias("_by"),
         F.col(on).alias("_t"),
@@ -984,12 +996,20 @@ def q138_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     u = ev.select("user_id").distinct().select(F.expr(_AB_HASH_SPARK).alias("v"))
+    # COUNT over a CASE, not SUM(0/1): the oracle's COUNT(*) FILTER
+    # reads an empty corpus as 0 where a bare SUM reads NULL (round-11
+    # review finding, q110's class).
     g = u.agg(
-        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.count(F.when(F.col("v") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("v") == 1, 1)).alias("n_b"),
     )
     e = (F.col("n_a") + F.col("n_b")) / 2.0
-    chi2 = F.pow(F.col("n_a") - e, 2) / e + F.pow(F.col("n_b") - e, 2) / e
+    # try_divide: on an EMPTY corpus both counts are 0 (COUNT semantics
+    # above), e = 0, and DuckDB's x/0 reads NULL where a bare `/` is an
+    # ANSI divide-by-zero error; srm's CASE then reads 0 in both engines.
+    chi2 = F.try_divide(F.pow(F.col("n_a") - e, 2), e) + F.try_divide(
+        F.pow(F.col("n_b") - e, 2), e
+    )
     return g.select(
         "n_a",
         "n_b",
@@ -1719,8 +1739,8 @@ def q181_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH u AS (
         SELECT {_AB_HASH_DUCK} AS arm,
-               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
-                              ELSE 0 END), 6) AS metric
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS metric
         FROM events GROUP BY user_id
     ),
     g AS (
@@ -1783,16 +1803,19 @@ def q184_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is the point of this key.
     """
     ev = load_table(spark, sf_dir, "events")
+    # Tie-group key = EXACT decimal sum, not ROUND over a double SUM: a
+    # double sum is order-dependent, and a boundary ulp flipping the
+    # 6-dp rounding moves a user to a different tie GROUP — a discrete
+    # rank shift, not an ulp wobble (round-11 review finding; the
+    # registry's AMPLIFIED-rounding rule, q144's established pattern).
     u = (
         ev.groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(F.lit(0.0))
-                ),
-                6,
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
             ).alias("metric")
         )
         .select(F.expr(_AB_HASH_SPARK).alias("arm"), "metric")
