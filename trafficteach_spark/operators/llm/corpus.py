@@ -7,6 +7,13 @@ Design rules as everywhere in the engine: built-in column expressions
 (codegen'd, zero Python in the hot path), every candidate generator an
 equi-join (never all-pairs), every query deterministic with a DuckDB
 oracle.
+
+Docstring convention: ``{NAME}`` inside a function docstring names the
+module-level constant of that name (e.g. ``{TFIDF_TOP_K}``,
+``{DECON_K}``) — a deliberate cross-reference, NOT a failed
+interpolation: an f-string in docstring position would not bind to
+``__doc__`` at all, and hardcoding the value would go stale when the
+constant moves.
 """
 
 from __future__ import annotations
@@ -234,6 +241,29 @@ DECON_BENCH_MOD = 7
 _DUCK_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(DECON_K))
 
 
+def adjacent_bigrams_spark(col: str) -> str:
+    """Spark SQL expr: the adjacent word-bigram list of array column
+    ``col`` — ONE construction for every consumer (q87's PMI, q169's
+    DSIR features). Four hand copies of this boundary-sensitive
+    arithmetic existed across the two dialects; a whitespace/off-by-one
+    fix of the q82-round-10 kind must land once, not four times
+    (round-11 review finding). Pairs with :func:`adjacent_bigrams_duck`.
+    """
+    return (
+        f"transform(sequence(1, size({col}) - 1),"
+        f" i -> concat(element_at({col}, i), ' ', element_at({col}, i + 1)))"
+    )
+
+
+def adjacent_bigrams_duck(col: str) -> str:
+    """DuckDB twin of :func:`adjacent_bigrams_spark` (1-based list
+    indexing; range(1, len) stops at the last adjacent pair)."""
+    return (
+        f"list_transform(range(1, len({col})),"
+        f" i -> {col}[CAST(i AS INTEGER)] || ' ' || {col}[CAST(i AS INTEGER) + 1])"
+    )
+
+
 def word_kgrams(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, gram): distinct word k-grams per document with >= k
     tokens — the inverted-index feed shared by decontamination (q50)
@@ -316,12 +346,17 @@ def q50_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shared-gram count (clean docs produce no row; at 100 TB
     you anti-join this against the corpus to drop or flag).
 
-    Plan: explode distinct {DECON_K}-grams, distinct the benchmark side
-    (tiny — eval sets are fixed-size), broadcast it, count matches per
-    doc. Same inverted-index discipline as near-dedup: candidates come
-    from an equi-join on the gram, never an all-pairs scan; the
-    benchmark gram set is the only global state and it's
-    broadcast-sized by definition.
+    Plan: explode distinct {DECON_K}-grams, distinct the benchmark
+    side, count matches per doc. Same inverted-index discipline as
+    near-dedup: candidates come from an equi-join on the gram, never an
+    all-pairs scan. NO pinned broadcast hint on the benchmark side: a
+    REAL eval set is fixed-size and AQE broadcasts it at runtime every
+    time, but the registered stand-in (every {DECON_BENCH_MOD}th doc)
+    grows WITH the corpus, and a pinned hint cannot be demoted — at
+    scale it dies on the 8 GB broadcast ceiling exactly like the q87
+    vocab join the round-10 sweep fixed (round-11 review finding).
+    AQE picks broadcast while the measured side is small and falls
+    back to a gram-key shuffle join past that.
     """
     # shared memoized gram frame (one persisted instance per app/dataset;
     # the explode feeds both the benchmark side and the corpus side, and
@@ -334,7 +369,7 @@ def q50_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grams.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
-        .join(F.broadcast(bench), "gram")
+        .join(bench, "gram")
         .groupBy("doc_id")
         # (doc_id, gram) is unique by construction (array_distinct per
         # doc; bench side distinct), so a plain count IS the distinct
@@ -599,7 +634,12 @@ def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
             "pos", "x"
         ),
-    )
+        # pos < EMBEDDING_DIM: the oracle's fixed grid enumerates only
+        # the declared dimensionality, so an over-long embedding (the
+        # array schema carries no length bound) would contribute
+        # phantom centroid components on the Spark side only (round-11
+        # review finding).
+    ).where(F.col("pos") < schemas.EMBEDDING_DIM)
     means = dims.groupBy("label", "pos").agg(
         # Exact integer-unit sum — order-independent where a parallel
         # double AVG is not (q131's determinism contract).
@@ -767,8 +807,7 @@ PMI_TOP_K = 30
     uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
     n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uc),
     bi AS (
-        SELECT unnest(list_transform(range(1, len(ws)),
-                      i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1])) AS bg
+        SELECT unnest({adjacent_bigrams_duck('ws')}) AS bg
         FROM docs_w WHERE len(ws) >= 2
     ),
     bc AS (SELECT bg, COUNT(*) AS cab FROM bi GROUP BY bg),
@@ -811,12 +850,7 @@ def q87_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc = uni.groupBy("w").agg(F.count("*").alias("c"))
     n_uni = uc.agg(F.sum("c").cast("long").alias("nu"))
     bi = ws.where(F.size("ws") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws) - 1),"
-                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
-            )
-        ).alias("bigram")
+        F.explode(F.expr(adjacent_bigrams_spark("ws"))).alias("bigram")
     )
     bc = bi.groupBy("bigram").agg(F.count("*").alias("cab"))
     n_bi = bc.agg(F.sum("cab").cast("long").alias("nb"))
@@ -916,20 +950,31 @@ def q88_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def keep_best_per_cluster(
-    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    clusters: DataFrame | None = None,
+    quality: DataFrame | None = None,
 ) -> DataFrame:
     """Representative selection over an arbitrary ``clusters`` frame
     (columns doc_id, canonical_id; defaults to computing the cluster
     chain fresh). Pipelines holding a cluster assignment — from a
     different pairing variant or a prior materialized run — inject it
-    here (the `funnel()` chain-parameter pattern)."""
+    here (the `funnel()` chain-parameter pattern); likewise a
+    ``quality`` frame (doc_id, quality, n_tokens) a composition has
+    already computed, so q39's per-row feature scan runs once per
+    pipeline, not once per consumer (round-11 review finding: q91 paid
+    it twice)."""
     from trafficteach_spark.operators.llm.dedup import dedup_clusters
     from trafficteach_spark.operators.llm.text import q39_quality_score
 
     if clusters is None:
         clusters = dedup_clusters(spark, sf_dir)
     clusters = clusters.select("doc_id", "canonical_id")
-    qual = q39_quality_score(spark, sf_dir).select("doc_id", "quality", "n_tokens")
+    qual = (
+        quality
+        if quality is not None
+        else q39_quality_score(spark, sf_dir)
+    ).select("doc_id", "quality", "n_tokens")
     joined = clusters.join(qual, "doc_id")
     qnum = (
         F.when(F.col("quality") == "high", 3)
@@ -1003,17 +1048,31 @@ def q91_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-partitioned aggregate — no new shuffle wider than the
     vocabulary of (lang, source) strata.
     """
+    from trafficteach_spark.operators.llm.dedup import materialized_clusters
     from trafficteach_spark.operators.llm.text import q39_quality_score
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    qual = q39_quality_score(spark, sf_dir).select("doc_id", "n_tokens")
+    # ONE q39 evaluation feeds both consumers (the keep-best rank and
+    # the per-stratum token sums) — persisted because the two subtrees
+    # share no exchange, so the per-row HOF feature scan would
+    # otherwise run twice per action (round-11 review finding; O43
+    # contract, released by the caller's clearCache like every
+    # intra-query persist).
+    qual = q39_quality_score(spark, sf_dir).select(
+        "doc_id", "quality", "n_tokens"
+    ).persist()
     kept = (
-        q88_keep_best_per_cluster(spark, sf_dir)
+        keep_best_per_cluster(
+            spark,
+            sf_dir,
+            clusters=materialized_clusters(spark, sf_dir),
+            quality=qual,
+        )
         .where(F.col("best_quality") != "low")
         .select(F.col("best_doc_id").alias("doc_id"), F.lit(1).alias("is_kept"))
     )
     return (
-        docs.join(qual, "doc_id")
+        docs.join(qual.select("doc_id", "n_tokens"), "doc_id")
         .join(kept, "doc_id", "left")
         .groupBy("lang", "source")
         .agg(
@@ -1290,10 +1349,21 @@ def bpe_encode(
             cache[w] = syms
             return syms
 
+        # SAME whitespace class as bpe_train/q82's pinned engine split
+        # ([ \t\n\f\r]+), NOT Python str.split(): str.split() breaks on
+        # \x0B and Unicode spaces too, so a training word containing one
+        # would be segmented differently at encode time and emit symbol
+        # sequences outside the trained vocab — the \x0B divergence
+        # class q82's round-10 note documents (round-11 review finding).
+        import re as _re
+
+        _ws = _re.compile("[ \t\n\f\r]+")
+
         return texts.map(
             lambda t: [
                 s
-                for w in str(t).lower().split()
+                for w in _ws.split(str(t).lower())
+                if w
                 for s in enc_word(w)
             ]
             if t is not None
@@ -1648,8 +1718,7 @@ _DSIR_BG_DUCK = md5_prefix_int_duck("bg")
                ({_DSIR_BG_DUCK}) % {_DSIR_BUCKETS} AS bucket
         FROM (
             SELECT doc_id, is_target,
-                   unnest([w[i] || ' ' || w[i+1]
-                           for i in range(1, len(w))]) AS bg
+                   unnest({adjacent_bigrams_duck('w')}) AS bg
             FROM tok WHERE len(w) >= 2
         )
     ),
@@ -1717,12 +1786,7 @@ def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "is_target",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1),"
-                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
-                )
-            ).alias("bg"),
+            F.explode(F.expr(adjacent_bigrams_spark("w"))).alias("bg"),
         )
         .select(
             "doc_id",
@@ -1803,10 +1867,14 @@ def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM terms GROUP BY source
     )
     SELECT source,
-           ROUND((kl_pm
-                  + kl_qm_support + q_missing * ln(2.0)) / 2, 6) AS jsd,
-           ROUND(sqrt((kl_pm
-                  + kl_qm_support + q_missing * ln(2.0)) / 2 / ln(2.0)), 6)
+           -- GREATEST(_, 0): on an identical-distribution source the
+           -- exact JSD is 0 and the FP sum can land an ulp BELOW it;
+           -- DuckDB's sqrt then raises Out of Range where Spark reads
+           -- NaN (round-11 review finding) — clamp in BOTH engines.
+           ROUND(GREATEST((kl_pm
+                  + kl_qm_support + q_missing * ln(2.0)) / 2, 0), 6) AS jsd,
+           ROUND(sqrt(GREATEST((kl_pm
+                  + kl_qm_support + q_missing * ln(2.0)) / 2, 0) / ln(2.0)), 6)
                AS jsd_distance
     FROM kl
     """,
@@ -1856,9 +1924,19 @@ def q179_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("q") * F.log(F.col("q") / m)).alias("kl_qm_support"),
         (1 - F.sum("q")).alias("q_missing"),
     )
-    jsd = (
-        F.col("kl_pm") + F.col("kl_qm_support") + F.col("q_missing") * F.log(F.lit(2.0))
-    ) / 2
+    # greatest(_, 0): exact-0 JSD can drift an ulp negative in FP —
+    # NaN through Spark's sqrt, an Out of Range ERROR through the
+    # DuckDB oracle's (round-11 review finding); clamped identically
+    # in both dialects.
+    jsd = F.greatest(
+        (
+            F.col("kl_pm")
+            + F.col("kl_qm_support")
+            + F.col("q_missing") * F.log(F.lit(2.0))
+        )
+        / 2,
+        F.lit(0.0),
+    )
     return kl.select(
         "source",
         F.round(jsd, 6).alias("jsd"),
