@@ -5567,6 +5567,70 @@ def test_ab_counts_mirror_oracle_filter_semantics_on_empty_arm(spark, tmp_path):
     assert e138["n_a"] == 0 and e138["n_b"] == 0
 
 
+def test_analytics_null_dirt_matches_oracle(spark, tmp_path):
+    """Round-11 analytics sweep: six queries diverged from their oracles
+    on dirty rows the clean fixture never exercises — NULL ts (half-
+    split side counts, cohort weeks, lifecycle lag, KM durations), NULL
+    value (ECDF bins, Wilson successes), NULL user_id (cohort join).
+    One planted fixture drives all of them through the DuckDB oracle
+    side-by-side; values must match cell-for-cell (repr-canonicalized,
+    floats pre-rounded by the queries themselves)."""
+    import datetime as dt
+
+    from trafficteach_spark import registry, schemas
+
+    base = dt.datetime(2024, 1, 8, 12, 0, 0, tzinfo=dt.timezone.utc)
+
+    def ns(days, hours=0):
+        return int((base + dt.timedelta(days=days, hours=hours)).timestamp()) * 10**9
+
+    rows = [
+        # (event_id, ts_ns, user_id, event_type, value, props)
+        (1, ns(0), 1, "view", 10.0, None),
+        (2, ns(1), 1, "purchase", 250.0, None),
+        (3, ns(7), 1, "view", 50.0, None),
+        (4, ns(0, 6), 2, "view", None, None),      # NULL value
+        (5, None, 2, "view", 30.0, None),           # NULL ts, mixed user
+        (6, None, 3, "purchase", 500.0, None),      # user with ONLY NULL ts
+        (7, ns(14), None, "click", 20.0, None),     # NULL user_id
+        (8, ns(21), 4, "click", 125.0, None),
+        (9, ns(2), 4, "view", 1.0, None),
+    ]
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    con = _duck_view(tmp_path, "events")
+    # DuckDB reads the hand-written file's raw int64-ns ts column;
+    # mirror the loader's ns->timestamp view (the q101 test's pattern).
+    con.execute(
+        "CREATE VIEW events_ts AS SELECT event_id, "
+        "make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts, "
+        "user_id, event_type, value, props FROM events"
+    )
+    for key in (
+        "q156_ks_drift",
+        "q209_cvm_drift",
+        "q105_cohort_retention",
+        "q132_user_lifecycle",
+        "q177_kaplan_meier",
+        "q149_wilson_ctr",
+    ):
+        sdf = Q[key](spark, str(tmp_path))
+        cols = sdf.columns
+        got = sorted(
+            (tuple(r[c] for c in cols) for r in sdf.collect()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        osql = registry.all_specs()[key].oracle.replace("FROM events", "FROM events_ts")
+        want = sorted(
+            (tuple(r) for r in con.execute(osql).fetchall()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        assert len(got) == len(want), (key, len(got), len(want))
+        for g, w in zip(got, want):
+            assert tuple(map(repr, g)) == tuple(map(repr, w)), (key, g, w)
+
+
 def test_funnel_chain_step_with_quote_is_escaped(spark, tmp_path):
     """funnel() is the parameterized library entry: a chain step
     containing a single quote (or backslash) must be escaped into the

@@ -14,6 +14,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from trafficteach_spark.functions.exprs import epoch_us_expr
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_table
 
@@ -973,8 +974,12 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         elif c in _PROFILE_TS:
             aggs += [
-                F.round(F.unix_millis(F.min(c).cast("timestamp")) / 1000.0, 6).alias(f"mn_{c}"),
-                F.round(F.unix_millis(F.max(c).cast("timestamp")) / 1000.0, 6).alias(f"mx_{c}"),
+                # tz-free epoch (functions/exprs helper), not
+                # unix_millis(CAST .. AS TIMESTAMP): the NTZ->LTZ cast
+                # shifts with the session zone if the pinned-UTC conf
+                # is refused (round-11 review finding).
+                F.round(epoch_us_expr(f"min({c})") / 1_000_000.0, 6).alias(f"mn_{c}"),
+                F.round(epoch_us_expr(f"max({c})") / 1_000_000.0, 6).alias(f"mx_{c}"),
             ]
     num_cols = _PROFILE_NUM + _PROFILE_TS
     melted_n = li.select(
@@ -1065,6 +1070,12 @@ def rollup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ROLLUP_CUTOVER`` — computed once per (app, dataset) and
     localCheckpoint-materialized, the stand-in for the persisted
     aggregate table an incremental pipeline maintains."""
+    from trafficteach_spark.session import evict_stale_memo
+
+    # Dead-application entries pin checkpointed frames for process
+    # lifetime otherwise — same eviction discipline as every other
+    # operator-level memo (round-11 review finding).
+    evict_stale_memo(_ROLLUP_BASE_MEMO, spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _ROLLUP_BASE_MEMO.get(key)
     if df is None:
@@ -1424,8 +1435,31 @@ def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
         )
+        # NULL user_id is OUT — the oracle's JOIN ... USING (user_id)
+        # never matches it (round-11 review finding).
+        .where(F.col("user_id").isNotNull())
         .groupBy("user_id")
-        .agg(F.collect_set("wk").alias("wks"))
+        # collect_set silently DROPS NULL weeks, but the oracle's
+        # DISTINCT user-week frame keeps them (a NULL-ts event = a
+        # NULL-week_offset retention row; an all-NULL user = a NULL
+        # cohort) — carry them through an explicit has-null flag so the
+        # single-exchange plan shape survives (round-11 review finding).
+        .agg(
+            F.collect_set("wk").alias("wks"),
+            F.max(F.col("wk").isNull().cast("int")).alias("has_null_wk"),
+        )
+        .select(
+            F.concat(
+                "wks",
+                F.when(
+                    F.col("has_null_wk") == 1,
+                    F.array(F.lit(None).cast("date")),
+                ).otherwise(F.array().cast("array<date>")),
+            ).alias("wks")
+        )
+        # array_min skips NULL elements, so the cohort stays the first
+        # REAL week (NULL only for an all-NULL user), like the oracle's
+        # MIN(wk).
         .select(F.array_min("wks").alias("cohort_wk"), F.explode("wks").alias("wk"))
     )
     act = per_user.groupBy(
@@ -1959,7 +1993,11 @@ def q132_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
     ).distinct()
     bounds = act.agg(F.max("wk").alias("max_wk"))
-    w = Window.partitionBy("user_id").orderBy("wk")
+    # asc_nulls_last: a NULL week (NULL-ts event) must sort AFTER the
+    # real weeks like DuckDB's default, or its lag/lead neighbors — and
+    # with them the new/retained/resurrected classes — differ between
+    # engines (round-11 review finding).
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("wk"))
     seq = act.select(
         "user_id",
         "wk",
@@ -2136,6 +2174,22 @@ def _rfm_metric_cte(metric: str) -> str:
             FROM (SELECT {metric} AS v, COUNT(*) AS cnt FROM rfm GROUP BY 1)
         )
     """
+
+
+def _customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, spend DECIMAL(38,6)): per-customer lifetime spend as
+    an exact decimal sum — ONE construction for every consumer of the
+    frame (q152 Theil, q157 Lorenz/Gini; q140/q148 derive richer
+    per-customer aggregates from the same exact-decimal price cast).
+    Factored so the decimal precision / null policy can never drift
+    between the inequality metrics that must agree on the same spend
+    distribution (round-11 review finding)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(30,6)").alias("price")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.sum("price").cast("decimal(38,6)").alias("spend")
+    )
 
 
 @register(
@@ -2742,7 +2796,7 @@ _WILSON_SUCCESS_MIN = 120.0  # value threshold defining a "success" event
            ROUND(((CAST(s AS DOUBLE) / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
                   - {_WILSON_Z} * SQRT((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
                                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
-                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) + 0.0 AS wilson_lo,
            ROUND(((CAST(s AS DOUBLE) / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
                   + {_WILSON_Z} * SQRT((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
                                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
@@ -2767,7 +2821,11 @@ def q149_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum((F.col("value") >= _WILSON_SUCCESS_MIN).cast("int"))
+        # when/otherwise, not a bare boolean cast: a group whose every
+        # value is NULL must read s=0 like the oracle's SUM(CASE ...
+        # ELSE 0 END), not a NULL that poisons the whole interval
+        # (round-11 review finding).
+        F.sum(F.when(F.col("value") >= _WILSON_SUCCESS_MIN, 1).otherwise(0))
         .cast("long")
         .alias("s"),
     )
@@ -2782,7 +2840,12 @@ def q149_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "s",
         F.round(p, 6).alias("p_hat"),
-        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        # + 0.0 in BOTH dialects: at p=0 the lower bound is exactly 0
+        # and FP cancellation can land on IEEE -0.0 in one engine only
+        # (observed: DuckDB -0.0 vs Spark 0.0 on an all-NULL-value
+        # group) — adding +0.0 normalizes the sign bit identically
+        # (round-11 dirty-fixture finding).
+        (F.round((center - half) / denom, 6) + 0.0).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
 
@@ -3029,12 +3092,7 @@ def q152_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction, but NULLIF keeps a zero-revenue degenerate corpus
     from dividing by zero.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", F.col("o_totalprice").cast("decimal(30,6)").alias("price")
-    )
-    cust = orders.groupBy("o_custkey").agg(
-        F.sum("price").cast("decimal(38,6)").alias("spend")
-    )
+    cust = _customer_spend(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("segment"),
@@ -3076,23 +3134,25 @@ def _half_split_side_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Factored so the split instant and bin width can never
     desynchronize between the two tests that document themselves as
     sharing them (round-10 review finding)."""
+    # epoch_us_expr, not unix_micros(CAST .. AS TIMESTAMP): the NTZ->LTZ
+    # cast shifts with the session zone if the pinned-UTC conf is ever
+    # refused — the exact round-6 hazard the helper was factored for
+    # (round-11 review finding).
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     bounds = ev.agg(
-        F.floor(
-            (
-                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
-                + F.max(F.unix_micros(F.col("ts").cast("timestamp")))
-            )
-            / 2
-        )
+        F.floor((F.min(epoch_us_expr("ts")) + F.max(epoch_us_expr("ts"))) / 2)
         .cast("long")
         .alias("mid")
     )
     e = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.floor(F.col("value") / _KS_VALUE_BIN).cast("long").alias("bin"),
-        (F.unix_micros(F.col("ts").cast("timestamp")) < F.col("mid"))
-        .cast("int")
+        # when/otherwise, not a bare boolean cast: a NULL ts must land
+        # in the SECOND half like the oracles' CASE ... ELSE 0 END —
+        # the cast form dropped such rows from BOTH halves (round-11
+        # review finding).
+        F.when(epoch_us_expr("ts") < F.col("mid"), 1)
+        .otherwise(0)
         .alias("first_half"),
     )
     return e.groupBy("event_type", "bin").agg(
@@ -3261,7 +3321,12 @@ def q156_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     g = _half_split_side_counts(spark, sf_dir)
     wp = Window.partitionBy("event_type")
-    wc = wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # asc_nulls_last: a NULL value bin must enter the ECDF LAST like
+    # DuckDB's default ordering, not first (round-11 review finding —
+    # the windows.py:356 convention).
+    wc = wp.orderBy(F.asc_nulls_last("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     c = g.select(
         "event_type",
         F.sum("c1").over(wc).alias("cum1"),
@@ -3290,7 +3355,9 @@ def q156_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_second",
         F.round("ks_raw", 6).alias("ks_stat"),
         F.round(crit, 6).alias("ks_crit"),
-        (F.col("ks_raw") > crit).cast("int").alias("drift_flag"),
+        # when/otherwise: a one-sided group (NULL ks) reads flag 0 like
+        # the oracle's CASE ... ELSE 0, not NULL (round-11 dirty-fixture).
+        F.when(F.col("ks_raw") > crit, 1).otherwise(0).alias("drift_flag"),
     )
 
 
@@ -3486,12 +3553,7 @@ def q157_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the bin width that error is < 1/n_bins, and it is IDENTICAL in
     both engines by construction.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", F.col("o_totalprice").cast("decimal(30,6)").alias("price")
-    )
-    cust = orders.groupBy("o_custkey").agg(
-        F.sum("price").cast("decimal(38,6)").alias("spend")
-    )
+    cust = _customer_spend(spark, sf_dir)
     b = cust.groupBy(
         F.floor(F.col("spend") / _GINI_SPEND_BIN).cast("long").alias("bin")
     ).agg(
@@ -4014,8 +4076,16 @@ def q177_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.groupBy("duration").agg(
         F.sum("observed").alias("d_obs"), F.count("*").alias("n_all")
     )
-    w_desc = Window.orderBy("duration").rowsBetween(0, Window.unboundedFollowing)
-    w_asc = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    # asc_nulls_last on BOTH frames: a NULL duration (all-NULL-ts user)
+    # sorts first in Spark but last in DuckDB, which would exclude it
+    # from every Spark n_risk frame while the oracle counts it in all
+    # of them (round-11 review finding).
+    w_desc = Window.orderBy(F.asc_nulls_last("duration")).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    w_asc = Window.orderBy(F.asc_nulls_last("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     r = g.withColumn("n_risk", F.sum("n_all").over(w_desc))
     s = r.select(
         "duration",
@@ -4348,7 +4418,12 @@ def q209_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     g = _half_split_side_counts(spark, sf_dir)
     wp = Window.partitionBy("event_type")
-    wc = wp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # asc_nulls_last: a NULL value bin must enter the ECDF LAST like
+    # DuckDB's default ordering, not first (round-11 review finding —
+    # the windows.py:356 convention).
+    wc = wp.orderBy(F.asc_nulls_last("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     c = g.select(
         "event_type",
         (F.col("c1") + F.col("c2")).alias("ct"),
@@ -4378,7 +4453,7 @@ def q209_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_first",
         "n_second",
         F.round("t_raw", 6).alias("cvm_stat"),
-        (F.col("t_raw") > _CVM_CRIT).cast("int").alias("drift_flag"),
+        F.when(F.col("t_raw") > _CVM_CRIT, 1).otherwise(0).alias("drift_flag"),
     )
 
 
