@@ -5614,6 +5614,13 @@ def test_analytics_null_dirt_matches_oracle(spark, tmp_path):
         "q132_user_lifecycle",
         "q177_kaplan_meier",
         "q149_wilson_ctr",
+        # timeseries siblings of the same NULL-ordering class
+        "q92_ewma",
+        "q100_scd2_history",
+        "q201_asof_snapshot",
+        "q127_changepoint",
+        "q135_time_weighted_avg",
+        "q194_forecast_baselines",
     ):
         sdf = Q[key](spark, str(tmp_path))
         cols = sdf.columns

@@ -451,8 +451,14 @@ def q92_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
     packed = events.groupBy("user_id").agg(
+        # Leading (ts IS NULL) sort key: Spark's struct comparison sorts
+        # a NULL field FIRST while the oracle's ROW_NUMBER ... ORDER BY
+        # ts puts NULL-ts rows LAST — without the key the EWMA
+        # recurrence folds a user's NULL-ts events in a different
+        # position per engine (round-11 review finding). The extra
+        # field rides the struct and is simply never selected.
         F.expr(
-            "array_sort(collect_list(struct(ts, event_id, value)))"
+            "array_sort(collect_list(struct(isnull(ts) as znull, ts, event_id, value)))"
         ).alias("seq")
     )
     folded = packed.select(
@@ -533,7 +539,12 @@ def q100_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last: the oracle's ORDER BY ts puts NULL-ts events at
+    # the END of a user's version chain; Spark's plain asc would start
+    # the chain with them (round-11 review finding; q201 inherits).
+    wo = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     chg = F.when(
         ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")), 1
     ).otherwise(0)
@@ -968,9 +979,13 @@ def q127_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     daily = _daily_type_counts(spark, sf_dir)
     w_type = Window.partitionBy("event_type")
+    # asc_nulls_last: a NULL-day rollup row (NULL-ts events) enters the
+    # CUSUM prefix last like DuckDB's default, not first — a leading
+    # NULL deviation would offset every running sum (round-11 review
+    # finding); same ordering in the argmax tie-break below.
     w_cum = (
         Window.partitionBy("event_type")
-        .orderBy("day")
+        .orderBy(F.asc_nulls_last("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cusum = daily.select(
@@ -981,7 +996,7 @@ def q127_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w_type).alias("n_days"),
     ).withColumn("s", F.sum(F.col("n") - F.col("mean_n")).over(w_cum))
     w_rank = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("s")).desc(), F.col("day")
+        F.abs(F.col("s")).desc(), F.asc_nulls_last("day")
     )
     return (
         cusum.withColumn("rn", F.row_number().over(w_rank))
@@ -1106,7 +1121,13 @@ def q135_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_type", "value", "ts", "event_id"
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # asc_nulls_last: a NULL-ts event must sort after the real ones
+    # like the oracle, or it steals the first real timestamp as its
+    # next_ts and survives the segment filter while the true last
+    # segment is dropped (round-11 review finding).
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     seq = events.withColumn("next_ts", F.lead("ts").over(w)).where(
         F.col("next_ts").isNotNull()
     )
@@ -1471,7 +1492,11 @@ def q194_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("y"))
     )
-    w = Window.orderBy("day")
+    # asc_nulls_last: the NULL-day bucket (NULL-ts purchases) is the
+    # lag-chain TAIL in DuckDB; plain asc would make it the head and
+    # shift every lag on short series (round-11 review finding). The
+    # desc window already agrees (both engines put NULLs last on desc).
+    w = Window.orderBy(F.asc_nulls_last("day"))
     wd = Window.orderBy(F.desc("day"))
     lagged = d.select(
         "day",
