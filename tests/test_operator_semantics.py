@@ -5638,6 +5638,50 @@ def test_analytics_null_dirt_matches_oracle(spark, tmp_path):
             assert tuple(map(repr, g)) == tuple(map(repr, w)), (key, g, w)
 
 
+def test_gopher_alpha_frac_rejects_line_terminator_tokens(spark, tmp_path):
+    """Round-11 review: Spark's `^[a-z]+$` counted tokens ending in a
+    line terminator ('ab\n', 'cd\r') as alphabetic because Java's $
+    matches BEFORE a trailing terminator, while the oracle's
+    regexp_full_match rejects them — alpha_frac (and at the 0.8
+    boundary the pass flags) diverged. Pinned with a planted fixture
+    through BOTH consumers of the shared feature columns."""
+    from trafficteach_spark import registry, schemas
+
+    words = ["the", "and", "for", "you", "that", "with", "this", "have"]
+    rows_ = [
+        (1, " ".join(words * 40) + " ab\n cd\r", "en", "web", 1),
+        (2, " ".join(words * 45), "en", "web", 0),
+        (3, "short doc", "en", "news", 1),
+    ]
+    spark.createDataFrame(rows_, schemas.DOCUMENTS).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = _duck_view(tmp_path, "documents")
+    for key in ("q174_gopher_rules", "q213_filter_agreement"):
+        sdf = Q[key](spark, str(tmp_path))
+        cols = sdf.columns
+        got = sorted(
+            (tuple(r[c] for c in cols) for r in sdf.collect()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(registry.all_specs()[key].oracle).fetchall()
+            ),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        assert len(got) == len(want), (key, len(got), len(want))
+        for g, w in zip(got, want):
+            assert tuple(map(repr, g)) == tuple(map(repr, w)), (key, g, w)
+    # and the doc with terminator tokens is NOT fully alphabetic
+    r1 = {
+        r["doc_id"]: r["alpha_frac"]
+        for r in Q["q174_gopher_rules"](spark, str(tmp_path)).collect()
+    }
+    assert r1[1] < 1.0
+
+
 def test_funnel_chain_step_with_quote_is_escaped(spark, tmp_path):
     """funnel() is the parameterized library entry: a chain step
     containing a single quote (or backslash) must be escaped into the

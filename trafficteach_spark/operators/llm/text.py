@@ -867,6 +867,20 @@ def q123_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Jelinek-Mercer interpolation weight for the bigram LM (q126): standard
 # held-out-tuned range is 0.5-0.9; fixed here so both engines share it.
+# Adjacent-bigram STRUCT-PAIR fanout — ONE construction per dialect,
+# shared by the two bigram language models (q126 Jelinek-Mercer, q178
+# Kneser-Ney), so an index fix can never desynchronize them (round-11
+# review finding; the string-bigram sibling lives in
+# corpus.adjacent_bigrams_spark/duck). 1-based element_at, pairs
+# (w[i], w[i+1]) for i in 1..len-1.
+_BIGRAM_PAIRS_EXPR = (
+    "transform(sequence(1, size(w) - 1),"
+    " i -> named_struct('w1', element_at(w, i), 'w2', element_at(w, i + 1)))"
+)
+_BIGRAM_PAIRS_DUCK = (
+    "unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))])"
+)
+
 _JM_LAMBDA = 0.7
 _BIGRAM_TOPK = 20
 
@@ -879,8 +893,7 @@ _BIGRAM_TOPK = 20
         WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
     ),
     big AS (
-        SELECT doc_id, unnest([{{'w1': w[i], 'w2': w[i+1]}}
-                               for i in range(1, len(w))]) AS bg
+        SELECT doc_id, {_BIGRAM_PAIRS_DUCK} AS bg
         FROM tok
     ),
     pairs AS (
@@ -944,15 +957,15 @@ def q126_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.where(F.col("text").isNotNull()).select("doc_id", w.alias("w")).where(
         F.size("w") >= 2
     )
-    pairs = tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(w) - 2),"
-                " i -> named_struct('w1', w[i], 'w2', w[i+1]))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # persist (O43): the pair stream feeds the bigram-count aggregate
+    # AND the scoring stream — two subtrees sharing no exchange, so the
+    # doc scan + explode would otherwise run twice per action (round-11
+    # review finding; cache_scope reclaims it).
+    pairs = (
+        tok.select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS_EXPR)).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .persist()
+    )
     uni = (
         tok.select(F.explode("w").alias("t"))
         .groupBy("t")
@@ -1196,6 +1209,7 @@ _BUDGET_TOKENS = 2_000_000
                           / len(string_split(text, ' ')), 6)
                     AS DECIMAL(10,6)) AS uniq
         FROM documents
+        WHERE text IS NOT NULL
     ),
     s AS (
         SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -1237,7 +1251,16 @@ def q168_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    # text IS NOT NULL — the sibling-text-query convention (q167/q174/
+    # q206): without it a NULL-text doc lands in avg_quality's
+    # denominator but not its numerator, silently deflating a source's
+    # mean quality and potentially flipping which source the greedy
+    # budget truncates (round-11 review finding).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .where(F.col("text").isNotNull())
+    )
     toks = F.split("text", " ")
     d = docs.select(
         "source",
@@ -1311,7 +1334,13 @@ def _gopher_feature_cols() -> list:
         ).alias("mean_word_len"),
         F.expr(f"size(filter(split(text, ' '), x -> {_STOP_PRED}))").alias("n_stop"),
         F.round(
-            F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))")
+            # \\A..\\z anchors, not ^..$: Java's $ matches BEFORE a
+            # trailing line terminator, so a token like 'ab\n' counted
+            # as alphabetic in Spark while DuckDB's regexp_full_match
+            # rejected it — a confirmed planted-fixture parity break on
+            # alpha_frac and, at the 0.8 boundary, the pass flags
+            # (round-11 review finding).
+            F.expr("size(filter(split(text, ' '), x -> x rlike '\\\\A[a-z]+\\\\z'))")
             / n_words.cast("double"),
             6,
         ).alias("alpha_frac"),
@@ -1432,8 +1461,7 @@ _KN_TOPK = 20
     ),
     pairs AS (
         SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
-            SELECT doc_id, unnest([{{'w1': w[i], 'w2': w[i+1]}}
-                                   for i in range(1, len(w))]) AS bg
+            SELECT doc_id, {_BIGRAM_PAIRS_DUCK} AS bg
             FROM tok
         )
     ),
@@ -1491,16 +1519,14 @@ def q178_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.where(
         F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 2)
     ).select("doc_id", F.split("text", " ").alias("w"))
-    pairs = tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> struct(element_at(w, i) as w1,"
-                " element_at(w, i + 1) as w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # shared fanout + persist: same rationale as q126 (the pair stream
+    # feeds the count aggregates AND the scoring stream; round-11
+    # review finding).
+    pairs = (
+        tok.select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS_EXPR)).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .persist()
+    )
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     fwd = bi.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("n1p_fwd")
@@ -1703,7 +1729,7 @@ def q206_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(((nab + nrej) / n
                   - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)))
                  / NULLIF(1 - ((na / n) * (nb / n)
-                               + (1 - na / n) * (1 - nb / n)), 0), 6)
+                               + (1 - na / n) * (1 - nb / n)), 0), 6) + 0.0
                AS kappa
     FROM s
     """,
@@ -1752,7 +1778,13 @@ def q213_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nab").cast("long").alias("n_both_pass"),
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round(
-            F.try_divide(po - pe, F.nullif(1 - pe, F.lit(0.0))), 6
+        # + 0.0 in both dialects: at po == pe the exact kappa is 0 and
+        # FP cancellation can land on IEEE -0.0 in one engine only
+        # (round-11 dirty-fixture finding, the wilson_lo class).
+        (
+            F.round(
+                F.try_divide(po - pe, F.nullif(1 - pe, F.lit(0.0))), 6
+            )
+            + 0.0
         ).alias("kappa"),
     )
