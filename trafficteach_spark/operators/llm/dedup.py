@@ -225,7 +225,17 @@ def _materialize_accounted(
 
     _purge_dead_app_entries(spark)
     before = _storage_sizes(spark)
-    out = build().localCheckpoint(eager=True)
+    built = build()
+    out = built.localCheckpoint(eager=True)
+    # Free build-internal checkpoints the producer declared dead once a
+    # derivative is materialized (alternating_components tags its final
+    # edge frame): without this the converged CC round's edge-list-sized
+    # blocks stay pinned until nondeterministic GC AND get charged to
+    # the ledger below, inflating the cap readout against other
+    # datasets (round-11 review finding). Freed BEFORE the snapshot so
+    # they are never ledgered at all.
+    for fr in getattr(built, "_dead_after_checkpoint", ()):
+        _free_checkpoint_blocks(fr)
     ledger = _LAYER_LEDGER.setdefault(key, {})
     for rid, nbytes in _storage_sizes(spark).items():
         if rid not in before:
@@ -323,9 +333,9 @@ def prebuild_dedup_layer(spark: SparkSession, sf_dir: str) -> dict:
     import time as _time
 
     t0 = _time.perf_counter()
-    # Stage 1: the shingle frame (persist + force via count of doc ids;
-    # count() alone would let Catalyst skip materializing the shingle
-    # arrays, so touch the cached frame the way consumers do).
+    # Stage 1: the shingle frame. count() on the PERSISTED frame builds
+    # the full InMemoryRelation (cache builds materialize every column;
+    # pruning applies only at read time), so this forces the arrays too.
     shingles = shared_shingle_sets(spark, sf_dir)
     n_docs = shingles.count()
     t1 = _time.perf_counter()
@@ -845,7 +855,18 @@ def alternating_components(
             star = e.groupBy(F.col("u").alias("doc_id")).agg(
                 F.min("v").alias("canonical_id")
             )
+            # The returned star still READS e, so its blocks cannot be
+            # freed here — but once a consumer materializes a
+            # derivative (the layer's localCheckpoint), they are dead.
+            # Declare that so _materialize_accounted frees them instead
+            # of leaving an edge-list-sized copy to nondeterministic GC
+            # (round-11 review finding).
+            star._dead_after_checkpoint = (e,)
             return star, rnd
+    # The loop owns the last round's checkpoint — free it on the way
+    # out, or a failed build pins blocks no ledger entry ever sees
+    # (round-11 review finding).
+    _free_checkpoint_blocks(e)
     raise RuntimeError(
         f"alternating_components did not reach a fixed point in {max_rounds} "
         "rounds — labels would be wrong; raise max_rounds only after "
