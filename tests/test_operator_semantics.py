@@ -5682,6 +5682,61 @@ def test_gopher_alpha_frac_rejects_line_terminator_tokens(spark, tmp_path):
     assert r1[1] < 1.0
 
 
+def test_session_window_exact_gap_boundary_matches_oracle(spark, tmp_path):
+    """Round-11 review: Spark's session_window MERGES an event landing
+    exactly at last_ts + gap, but both session oracles split on >= gap
+    — a latent hash flake on round-second data. Planted exact-30-min
+    pairs through q22 and q106 against their (now strictly-greater)
+    oracles."""
+    import datetime as dt
+
+    from trafficteach_spark import registry, schemas
+    from trafficteach_spark.operators.windows import SESSION_GAP_MIN
+
+    base = dt.datetime(2024, 1, 10, 10, 0, 0, tzinfo=dt.timezone.utc)
+
+    def ns(minutes):
+        return int((base + dt.timedelta(minutes=minutes)).timestamp()) * 10**9
+
+    g = SESSION_GAP_MIN
+    rows = [
+        (1, ns(0), 1, "view", 1.0, None),
+        (2, ns(g), 1, "view", 1.0, None),        # EXACT gap -> same session
+        (3, ns(2 * g + 1), 1, "view", 1.0, None),  # > gap -> new session
+        (4, ns(5), 2, "view", 1.0, None),
+    ]
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    con = _duck_view(tmp_path, "events")
+    con.execute(
+        "CREATE VIEW events_ts AS SELECT event_id, "
+        "make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts, "
+        "user_id, event_type, value, props FROM events"
+    )
+    # sanity: the exact-gap pair really merges on the Spark side
+    q22 = Q["q22_session_window"](spark, str(tmp_path)).collect()
+    u1 = sorted(
+        (r["n_events"] for r in q22 if r["user_id"] == 1), reverse=True
+    )
+    assert u1 == [2, 1], u1
+    for key in ("q22_session_window", "q106_session_concurrency"):
+        sdf = Q[key](spark, str(tmp_path))
+        cols = sdf.columns
+        got = sorted(
+            (tuple(r[c] for c in cols) for r in sdf.collect()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        osql = registry.all_specs()[key].oracle.replace("FROM events", "FROM events_ts")
+        want = sorted(
+            (tuple(r) for r in con.execute(osql).fetchall()),
+            key=lambda t: tuple(map(repr, t)),
+        )
+        assert len(got) == len(want), (key, got, want)
+        for gg, w in zip(got, want):
+            assert tuple(map(repr, gg)) == tuple(map(repr, w)), (key, gg, w)
+
+
 def test_funnel_chain_step_with_quote_is_escaped(spark, tmp_path):
     """funnel() is the parameterized library entry: a chain step
     containing a single quote (or backslash) must be escaped into the

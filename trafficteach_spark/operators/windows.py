@@ -240,33 +240,46 @@ def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q22_session_window",
-    oracle=f"""
-    WITH r AS (
-        SELECT user_id, ts FROM events WHERE {_ORACLE_RANGE}
-    ),
-    marked AS (
+def _session_islands_sql(source: str) -> str:
+    """Gaps-and-islands sessionization CTE text (marked/numbered) over
+    ``source`` (must expose user_id, ts) — ONE definition for the q22
+    and q106 oracles, so the session-edge contract can never drift
+    between them (round-11 review finding: both copies carried the
+    same boundary bug). The split is STRICTLY-GREATER-than-gap: Spark's
+    session_window MERGES an event landing exactly at last_ts + gap
+    (verified live: events at 10:00 and 10:30 with a 30-min gap form
+    ONE session [10:00, 11:00)), so the old >= split silently diverged
+    on exact-gap pairs — likely with round-second timestamps."""
+    return f"""marked AS (
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                          OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL '{SESSION_GAP_MIN} minutes'
+                            > INTERVAL '{SESSION_GAP_MIN} minutes'
                     THEN 1 ELSE 0 END AS new_session
-        FROM r
+        FROM {source}
     ),
-    sessions AS (
+    numbered AS (
         SELECT user_id, ts,
                SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts
                    ROWS UNBOUNDED PRECEDING
                ) AS session_id
         FROM marked
-    )
+    )"""
+
+
+@register(
+    "q22_session_window",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, ts FROM events WHERE {_ORACLE_RANGE}
+    ),
+    {_session_islands_sql('r')}
     SELECT user_id,
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
            COUNT(*) AS n_events
-    FROM sessions
+    FROM numbered
     GROUP BY user_id, session_id
     """,
     tags=("window", "O39"),
@@ -276,9 +289,10 @@ def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     car separated by >= 30 min of silence.
 
     Spark's native ``session_window`` does the merge in one pass; the
-    oracle reproduces it with the classic gaps-and-islands window SQL.
-    Spark closes a session when the next event is >= gap after the last
-    one (end = last_ts + gap) — the oracle's ``>=`` matches that edge.
+    oracle reproduces it with the classic gaps-and-islands window SQL
+    (shared with q106 — _session_islands_sql). Spark MERGES an event
+    landing exactly at last_ts + gap into the running session (verified
+    live), so the oracle splits only on a STRICTLY greater gap.
     """
     events = load_events_range(spark, sf_dir, TS_START, TS_END)
     return (
@@ -443,23 +457,7 @@ def q85_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q106_session_concurrency",
     oracle=f"""
-    WITH marked AS (
-        SELECT user_id, ts,
-               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL '{SESSION_GAP_MIN} minutes'
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WHERE ts IS NOT NULL
-    ),
-    numbered AS (
-        SELECT user_id, ts,
-               SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING
-               ) AS session_id
-        FROM marked
-    ),
+    WITH {_session_islands_sql('(SELECT user_id, ts FROM events WHERE ts IS NOT NULL)')},
     sess AS (
         SELECT MIN(ts) AS s, MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS e
         FROM numbered GROUP BY user_id, session_id
