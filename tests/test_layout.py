@@ -234,3 +234,56 @@ def test_files_per_partition_splits_duplicate_heavy_partition(spark, tmp_path):
     out2 = str(tmp_path / "fact2")
     write_date_partitioned(df, out2, ["d"], files_per_partition=4)
     assert len(glob.glob(out2 + "/d=2024-01-06/part-*.parquet")) == 1
+
+
+def test_files_per_partition_salt_is_order_invariant(spark, tmp_path):
+    """The positional salt must be RETRY-deterministic (round-12, the
+    SPARK-23207 class): a retried upstream task re-emits the same row
+    multiset but possibly in a different ORDER (post-shuffle fetch
+    interleaving), and the committed attempt's rows must still land in
+    the same output buckets. The mechanism is the pre-salt local sort
+    over all columns, which makes the row->salt assignment a function of
+    the partition's row MULTISET only. Pin that: write the same single
+    input partition twice — ascending vs descending within-partition
+    order — and require the per-file row sets to be identical."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from trafficteach_spark.sources.layout import write_date_partitioned
+
+    base = (
+        spark.range(400)
+        .select(F.col("id").alias("v"))
+        .withColumn("d", F.lit("2024-01-06"))
+        .coalesce(1)
+    )
+    advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    min_size = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256b")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64b")
+    try:
+        outs = []
+        for name, ordered in (
+            ("asc", base.sortWithinPartitions(F.col("v").asc())),
+            ("desc", base.sortWithinPartitions(F.col("v").desc())),
+        ):
+            out = str(tmp_path / name)
+            write_date_partitioned(ordered, out, ["d"], files_per_partition=4)
+            files = sorted(glob.glob(out + "/d=2024-01-06/part-*.parquet"))
+            assert len(files) > 1, "need a real split to compare buckets"
+            outs.append(
+                {
+                    frozenset(r.v for r in spark.read.parquet(f).collect())
+                    for f in files
+                }
+            )
+        assert outs[0] == outs[1], (
+            "row->file assignment changed with within-partition input "
+            "order — the salt is not retry-deterministic"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", min_size
+        )

@@ -5861,6 +5861,50 @@ def test_corr_stats_zero_variance_group_matches_oracle_null(spark, tmp_path):
     assert spark_rows == _oracle_rows(con, "q72_corr_stats")
 
 
+def test_data_profile_submillisecond_timestamps_match_oracle(spark, tmp_path):
+    """q97 timestamp min/max grain (round-12 advice): the Spark side
+    profiles at MICROsecond grain (epoch_us/1e6), so the oracle must
+    too — an epoch_ms truncation diverges in decimals 4-6 whenever the
+    column's min/max carries a sub-millisecond component. Latent on the
+    day-grain testdata; pinned here with planted micros."""
+    import datetime as dt
+
+    from trafficteach_spark import registry, schemas
+
+    lo = dt.datetime(1995, 3, 1, 12, 0, 0, 123456)   # .123456 s
+    hi = dt.datetime(1995, 3, 2, 12, 0, 0, 999999)   # .999999 s
+    li = [
+        (1, 1, 1, 1, 5.0, 100.0, 0.01, 0.0, "A", "O", lo),
+        (2, 1, 1, 1, 7.0, 150.0, 0.02, 0.0, "N", "F", hi),
+    ]
+    spark.createDataFrame(li, schemas.LINEITEM).coalesce(1).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    sdf = Q["q97_data_profile"](spark, str(tmp_path))
+    got = {r["col_name"]: r for r in sdf.collect()}
+    assert got["l_shipdate"]["min_num"] == round(
+        lo.replace(tzinfo=dt.timezone.utc).timestamp(), 6
+    )
+    assert got["l_shipdate"]["max_num"] == round(
+        hi.replace(tzinfo=dt.timezone.utc).timestamp(), 6
+    )
+    con = _duck_view(tmp_path, "lineitem")
+    cols = sdf.columns
+    spark_rows = sorted(
+        (tuple(r[c] for c in cols) for r in sdf.collect()),
+        key=lambda t: tuple(map(repr, t)),
+    )
+    want = sorted(
+        (tuple(r) for r in con.execute(
+            registry.all_specs()["q97_data_profile"].oracle
+        ).fetchall()),
+        key=lambda t: tuple(map(repr, t)),
+    )
+    assert len(spark_rows) == len(want)
+    for g, w in zip(spark_rows, want):
+        assert tuple(map(repr, g)) == tuple(map(repr, w)), (g, w)
+
+
 def test_ols_constant_regressor_matches_oracle_null(spark, tmp_path):
     """A constant regressor makes the Cramer determinant 0: every beta
     and r2 must come back NULL exactly like the oracle's plain division

@@ -906,9 +906,13 @@ def _profile_oracle() -> str:
         elif c in _PROFILE_STR:
             mn = mx = av = "CAST(NULL AS DOUBLE)"
             ms, xs = f"MIN({c})", f"MAX({c})"
-        else:  # timestamp -> epoch millis / 1000
-            mn = f"ROUND(epoch_ms(MIN({c})) / 1000.0, 6)"
-            mx = f"ROUND(epoch_ms(MAX({c})) / 1000.0, 6)"
+        else:  # timestamp -> epoch MICROS / 1e6, matching the Spark side's
+            # epoch_us_expr(...) / 1_000_000.0 grain exactly: an epoch_ms
+            # truncation here would diverge in decimals 4-6 for any fixture
+            # whose min/max carries sub-millisecond precision (round-12
+            # advice; latent on day-grain l_shipdate, real on planted data).
+            mn = f"ROUND(epoch_us(MIN({c})) / 1000000.0, 6)"
+            mx = f"ROUND(epoch_us(MAX({c})) / 1000000.0, 6)"
             av = "CAST(NULL AS DOUBLE)"
             ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
         parts.append(

@@ -46,17 +46,29 @@ def _rank_topk(pairs: DataFrame) -> DataFrame:
 
 def cosine6(a: str, b: str, na: str, nb: str):
     """ROUND(try_divide(dot(a, b), na * nb), 6) — THE engine cosine
-    idiom, one definition for every norm-column site (q35's block
-    worker, q170, q185's dense arm, q219). try_divide: a zero-norm
+    idiom for sites that compute the dot product inline (q170, q185's
+    dense arm, q219, q35's block worker). try_divide: a zero-norm
     divisor is NULL in the DuckDB oracle but an ANSI crash under bare
     `/`; round 6 BEFORE any max/top-k so both engines select identical
     winners. One definition so a guard or rounding change can never
     desynchronize one consumer from its oracle (round-11 review
     finding: an unshared eighth division site had missed the
-    try_divide sweep)."""
+    try_divide sweep). Sites with a PRECOMPUTED dot column use
+    cosine6_dot below — same guard, same rounding, shared by
+    construction (round-12 advice: three KNN sites had re-inlined the
+    idiom over their dot column, outside this helper's reach)."""
+    return cosine6_dot(F.expr(_DOT.format(a=a, b=b)), na, nb)
+
+
+def cosine6_dot(dot, na: str, nb: str):
+    """cosine6's dot-column twin: ROUND(try_divide(dot, na * nb), 6)
+    over an already-computed dot product (the exact/IVF/multiprobe KNN
+    paths aggregate `dot` first, then normalize). Keep both helpers
+    delegating to this one expression."""
     return F.round(
         F.try_divide(
-            F.expr(_DOT.format(a=a, b=b)), F.col(na) * F.col(nb)
+            dot if not isinstance(dot, str) else F.col(dot),
+            F.col(na) * F.col(nb),
         ),
         6,
     )
@@ -119,7 +131,7 @@ def q32_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         vecs.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
-        .withColumn("cosine", F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("nrm")), 6))
+        .withColumn("cosine", cosine6_dot("dot", "qn", "nrm"))
     )
     return _rank_topk(pairs)
 
@@ -443,7 +455,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataF
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("vec_id") != F.col("qid"))
         .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
-        .withColumn("cosine", F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("nrm")), 6))
+        .withColumn("cosine", cosine6_dot("dot", "qn", "nrm"))
     )
     return _rank_topk(pairs)
 
@@ -595,7 +607,7 @@ def knn_lsh_multiprobe(
         vecs.join(F.broadcast(probes), "bucket")
         .where(F.col("vec_id") != F.col("qid"))
         .withColumn("dot", F.expr(_DOT.format(a="qv", b="v")))
-        .withColumn("cosine", F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("nrm")), 6))
+        .withColumn("cosine", cosine6_dot("dot", "qn", "nrm"))
     )
     return _rank_topk(pairs)
 

@@ -120,44 +120,43 @@ _OPERATOR_MODULES = (
 # and are fingerprinted per-round by the digest. OPERATORS.md tracks
 # each key's last driver-hash round.
 DRIVER_ORDER: tuple[str, ...] = (
-    # Round 11 closes the evidence ledger (round-10 verdict item 1):
-    # zero new keys; after this window no registered key's latest
-    # driver evidence predates round 7.
-    # Tier 1 — the 9 r5-stale keys deferred from the round-10 rotation
-    # (last full-hashed round 5, with an extra r3 pass or an exact-
-    # anchor twin; hand re-verified green by the r10 judge).
-    "q57_edit_distance", "q61_merge_upsert", "q63_range_join",
-    "q67_basket_pairs", "q70_trailing_range", "q72_corr_stats",
-    "q75_bm25", "q83_feature_bins", "q87_bigram_pmi",
-    # Tier 2 — the stalest rows-only-by-design keys: q84 has never had
-    # a driver row (the one ledger hole); the other three last got
-    # their rows-only driver check in r2/r3. Rows-only is the maximum
-    # attainable evidence for these (sketches aren't DuckDB-
-    # reproducible); their exact oracle-backed twins stay hash-pinned.
-    "q84_feature_bins_sketch", "q31_simhash",
-    "q10_distinct_users_approx", "q77_approx_percentiles",
-    # Tier 3 — the 16 r6-stale keys (last driver-hashed round 6).
-    "q09_group_concat", "q12_trajectory", "q21_tumbling_window",
-    "q40_binary_pipeline", "q41_frame_sample", "q42_resize",
-    "q52_percentiles", "q55_salted_distinct", "q60_histogram",
-    "q64_cumulative", "q65_cube", "q71_full_outer",
-    "q74_rank_distribution", "q76_set_ops_bag", "q78_id_gaps",
-    "q79_weighted_sample",
-    # Tier 4 — 20 of the 28 keys whose only driver hash is round 7
-    # (lowest-numbered first; q133-q140 defer to round 12 and stay
-    # digest-pinned + local-parity in the meantime).
-    "q112_incremental_dedup", "q113_linear_attribution",
-    "q114_snapshot_diff", "q116_gap_fill_locf", "q117_feature_hashing",
-    "q118_chunk_dedup", "q119_python_udtf", "q120_skew_audit",
-    "q121_session_paths", "q122_pit_join", "q123_code_detect",
-    "q124_mad_outliers", "q125_lsh_recall_eval",
-    "q126_bigram_lm_logprob", "q127_changepoint",
-    "q128_seasonal_decompose", "q129_window_funnel",
-    "q130_ngram_novelty", "q131_embedding_margin",
-    "q132_user_lifecycle",
-    # (The whole round-10 window — the 9 r4-stale + 40 r5-stale
-    # rotations — demoted into the digest with r10 full-hash evidence,
-    # CORRECTNESS_r10 50/50 zero err rows.)
+    # Round 12 freshness rotation (round-11 verdict item 3): zero new
+    # keys; after this window no registered key's latest driver
+    # evidence predates round 8.
+    # Tier 1 — the three keys whose SEMANTICS changed in the round-11
+    # review sweeps (q106 exact-gap session boundary, q110/q138
+    # empty-arm NULL-vs-0) but whose latest driver hash predates the
+    # fix (r7). They lead the window so the driver re-hashes the new
+    # semantics first.
+    "q106_session_concurrency", "q110_ab_lift", "q138_srm_check",
+    # Tier 2 — the remaining 23 keys whose latest driver evidence is
+    # round 7 (q100-q111 block, q133-q140 block deferred from the r11
+    # rotation, plus q58/q81/q82/q91/q96/q97).
+    "q58_domain_mix", "q81_hash_split", "q82_bpe_pairs",
+    "q91_corpus_pipeline", "q96_psi_drift", "q97_data_profile",
+    "q100_scd2_history", "q101_incremental_rollup", "q102_heavy_hitters",
+    "q103_corr_matrix", "q104_fk_audit", "q105_cohort_retention",
+    "q107_rolling_active_users", "q108_time_to_convert",
+    "q109_transition_matrix", "q111_fulfillment_lag",
+    "q133_boilerplate_chunks", "q134_dedup_impact",
+    "q135_time_weighted_avg", "q136_knn_recall_eval", "q137_cms_topk",
+    "q139_ols_regression", "q140_rfm_segmentation",
+    # Tier 3 — the 23 oldest r8-evidence keys: the fifteen keys whose
+    # evidence is {6,8}, the two single-r8 keys q143/q144, then the
+    # lowest-numbered single-r8 keys. The remaining r8 keys (q115,
+    # q141/q142, q151-q173) stay digest-pinned and rotate in round 13.
+    "q53_rollup", "q54_pivot", "q56_vocab_topk", "q59_label_centroids",
+    "q62_time_resample", "q66_anomaly", "q69_unpivot",
+    "q73_regex_extract", "q86_feature_normalize", "q92_ewma",
+    "q93_unigram_logprob", "q94_token_entropy", "q95_zipf_slope",
+    "q98_source_overlap", "q99_dup_rate_by_source",
+    "q143_benford_check", "q144_cuped_lift",
+    "q145_spearman_corr", "q146_degree_distribution",
+    "q147_activity_bitmap", "q148_decile_lift", "q149_wilson_ctr",
+    "q150_higher_moments",
+    # (The whole round-11 window — the evidence-ledger close — demoted
+    # into the digest with r11 full-hash evidence, CORRECTNESS_r11
+    # 46/46 oracle-backed green + 4 rows-only by design, zero err.)
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )

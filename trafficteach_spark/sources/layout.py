@@ -110,17 +110,32 @@ def write_date_partitioned(
         # already void, since file assignment shifted with the upstream
         # split count). monotonically_increasing_id() is consecutive
         # within each upstream task, so pmod round-robins every row —
-        # duplicates included — evenly across the bucket count. The
-        # documented trade: with files_per_partition > 1 the row->file
-        # assignment depends on the input's partitioning/order (file
-        # CONTENTS still sort by sort_cols); callers needing stable file
-        # assignment keep the default of one file per partition value.
+        # duplicates included — evenly across the bucket count.
+        #
+        # RETRY determinism (round-12, SPARK-23207 class): a positional
+        # salt is only retry-safe if each input task re-emits its rows
+        # in the SAME order on re-execution. When the input is itself
+        # post-shuffle, fetch interleaving makes that order unstable, so
+        # a stage retried after a fetch failure could route rows to
+        # different reducers than the committed attempt — silent
+        # dup/loss at exactly the 100 TB scale this module targets.
+        # Spark's own round-robin repartition closes this with a local
+        # sort before assigning positions (sortBeforeRepartition); we do
+        # the same: sortWithinPartitions over ALL columns pins a
+        # deterministic per-partition order (exact-duplicate ties are
+        # interchangeable, so the tie-break doesn't matter), and only
+        # then does the positional salt run. The documented trade
+        # remains: row->file assignment still depends on the input's
+        # partitioning (file CONTENTS still sort by sort_cols); callers
+        # needing stable file assignment across RUNS keep the default
+        # of one file per partition value.
         # AQE interplay (by design): the salt creates the OPPORTUNITY to
         # split — up to files_per_partition tasks/files per value — and
         # AQE's partition coalescing then merges buckets that come in
         # under spark.sql.adaptive.advisoryPartitionSizeInBytes, so small
         # values still produce one file while a genuinely fat value
         # splits. files_per_partition is the CAP, not an exact count.
+        df = df.sortWithinPartitions(*[F.col(c) for c in df.columns])
         keys.append(
             F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
         )
