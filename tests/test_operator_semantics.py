@@ -5861,6 +5861,44 @@ def test_corr_stats_zero_variance_group_matches_oracle_null(spark, tmp_path):
     assert spark_rows == _oracle_rows(con, "q72_corr_stats")
 
 
+def test_rank_distribution_null_tiebreak_matches_oracle(spark, tmp_path):
+    """q74's event_id tie-break must be NULL-pinned like its value key
+    (round-12 review finding): the schema declares event_id nullable,
+    and on a value tie a NULL id sorts FIRST under Spark's plain ASC but
+    LAST under DuckDB's default — flipping ntile/percent_rank/cume_dist
+    for every row at or after the boundary. Planted: a NULL event_id
+    tied on value with a real id, inside a 4-row partition."""
+    from trafficteach_spark import registry, schemas
+
+    ns = 1_700_000_000 * 10**9
+    rows = [
+        (None, ns, 1, "view", 5.0, None),   # NULL id, tied value
+        (7, ns, 2, "view", 5.0, None),      # real id, tied value
+        (1, ns, 3, "view", 1.0, None),
+        (9, ns, 4, "view", 9.0, None),
+    ]
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    sdf = Q["q74_rank_distribution"](spark, str(tmp_path))
+    got = sorted(
+        (tuple(r) for r in sdf.collect()), key=lambda t: tuple(map(repr, t))
+    )
+    con = _duck_view(tmp_path, "events")
+    want = sorted(
+        (tuple(r) for r in con.execute(
+            registry.all_specs()["q74_rank_distribution"].oracle
+        ).fetchall()),
+        key=lambda t: tuple(map(repr, t)),
+    )
+    assert len(got) == 4 and len(want) == 4
+    for g, w in zip(got, want):
+        assert tuple(map(repr, g)) == tuple(map(repr, w)), (g, w)
+    # the real id must rank BEFORE the tied NULL id in both engines
+    by_id = {r["event_id"]: r for r in sdf.collect()}
+    assert by_id[7]["pct_rank"] < by_id[None]["pct_rank"]
+
+
 def test_data_profile_submillisecond_timestamps_match_oracle(spark, tmp_path):
     """q97 timestamp min/max grain (round-12 advice): the Spark side
     profiles at MICROsecond grain (epoch_us/1e6), so the oracle must

@@ -22,9 +22,29 @@ this makes it mechanical):
 Usage:
   python -m tools.close_round --round 9 [--commit] [--skip-pytest]
                               [--sf-dir /root/testdata/sf0.01]
+                              [--stages plan,parity,ledger,capstone,pytest]
 
 ``--skip-pytest`` exists for iterating on the artifact stages; the
 snapshot commit REQUIRES the full suite, so --commit ignores it.
+
+Two-phase protocol (round-11 verdict item 2 — the round-11 close was
+starved by the turn budget and shipped a stale ledger, because the
+whole sweep only ran at snapshot time):
+
+  Phase 1 — MID-ROUND, run early and re-run after every fix batch:
+      python -m tools.close_round --round N --stages plan,parity,ledger
+    Regenerates PLAN_AUDIT.md + PARITY_LOCAL.md and checks the ledger
+    (~4-5 min; no bench, no pytest). COMMIT the artifacts: whatever
+    happens later in the round, a current close exists at that commit.
+
+  Phase 2 — END-OF-ROUND: run the binding bench capstone (bench.py at
+    sf0.1), record it in BASELINE.md, then the full gate:
+      python -m tools.close_round --round N --commit
+    which re-runs everything including pytest and writes the snapshot
+    commit only if all five stages are green.
+
+``--stages`` (comma list of plan,parity,ledger,capstone,pytest) is
+ignored under ``--commit`` — the snapshot always requires all five.
 """
 
 from __future__ import annotations
@@ -236,25 +256,46 @@ def run_pytest() -> list[str]:
     return []
 
 
+ALL_STAGES = ("plan", "parity", "ledger", "capstone", "pytest")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--commit", action="store_true")
     ap.add_argument("--skip-pytest", action="store_true")
+    ap.add_argument(
+        "--stages",
+        default=",".join(ALL_STAGES),
+        help="comma list of stages to run (mid-round phase 1: "
+        "plan,parity,ledger). Ignored under --commit: the snapshot "
+        "always requires all five.",
+    )
     args = ap.parse_args()
 
+    stages = set(ALL_STAGES) if args.commit else {
+        s.strip() for s in args.stages.split(",") if s.strip()
+    }
+    unknown = stages - set(ALL_STAGES)
+    if unknown:
+        ap.error(f"unknown stages {sorted(unknown)}; pick from {ALL_STAGES}")
+
     errors: list[str] = []
-    print("== 1/5 plan audit ==", flush=True)
-    errors += run_plan_audit()
-    print("== 2/5 parity sweep ==", flush=True)
-    errors += run_parity(args.sf_dir, args.round)
-    print("== 3/5 ledger staleness ==", flush=True)
-    errors += check_ledger(args.round)
-    print("== 4/5 capstone coverage ==", flush=True)
-    errors += check_capstone(args.round)
-    if args.skip_pytest and not args.commit:
-        print("== 5/5 pytest SKIPPED (--skip-pytest) ==", flush=True)
+    if "plan" in stages:
+        print("== 1/5 plan audit ==", flush=True)
+        errors += run_plan_audit()
+    if "parity" in stages:
+        print("== 2/5 parity sweep ==", flush=True)
+        errors += run_parity(args.sf_dir, args.round)
+    if "ledger" in stages:
+        print("== 3/5 ledger staleness ==", flush=True)
+        errors += check_ledger(args.round)
+    if "capstone" in stages:
+        print("== 4/5 capstone coverage ==", flush=True)
+        errors += check_capstone(args.round)
+    if "pytest" not in stages or (args.skip_pytest and not args.commit):
+        print("== 5/5 pytest SKIPPED ==", flush=True)
     else:
         print("== 5/5 pytest ==", flush=True)
         errors += run_pytest()
@@ -265,7 +306,8 @@ def main() -> int:
             print("  -", e)
         return 1
 
-    print("\nCLOSE-ROUND: all green.")
+    ran = ",".join(s for s in ALL_STAGES if s in stages)
+    print(f"\nCLOSE-ROUND: all green (stages: {ran}).")
     if args.commit:
         subprocess.run(["git", "add", "-A"], cwd=_REPO, check=True)
         staged = _git("status", "--porcelain")

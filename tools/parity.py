@@ -76,7 +76,27 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in schemas.TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+        if name == "events":
+            # Pin the oracle's ts to the engine's MICROsecond grain
+            # (round-12 review finding): the events parquet is
+            # TIMESTAMP(NANOS), which DuckDB 1.0 truncates to us at read
+            # (this expression is then a no-op) but DuckDB >= 1.1 reads
+            # as TIMESTAMP_NS at full ns precision — every ts-ordered /
+            # ts-gap oracle (q85 keep-sets, q22/q106 session edges)
+            # would then see sub-us residue Spark's loader floor-
+            # truncates away. Integer `//` keeps the epoch arithmetic
+            # exact (a double division is lossy above 2^53 ns); the
+            # post-epoch testdata makes trunc-vs-floor moot.
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT event_id, "
+                "make_timestamp(epoch_ns(ts) // 1000) AS ts, "
+                "user_id, event_type, value, props "
+                f"FROM read_parquet('{path}')"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
     return con
 
 

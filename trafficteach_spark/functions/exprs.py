@@ -32,6 +32,24 @@ def exact_sum(col: Column | str, alias: str) -> Column:
     return F.sum(money(col)).cast("double").alias(alias)
 
 
+def exact_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """The engine's rounded-average policy in ONE place: sum in DECIMAL,
+    divide by COUNT(*) once in double space, round in the final
+    projection — deterministic across engines and associative under AQE
+    re-partitioning. Previously hand-copied by the batch/stream window
+    aggregations (round-12 review finding: a rounding-policy fix applied
+    to one copy would silently desynchronize the "identical aggregation"
+    contract sliding_window_agg documents).
+
+    DuckDB oracle counterpart:
+    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*),
+    scale) AS alias``.
+    """
+    return F.round(
+        F.sum(money(col)).cast("double") / F.count("*"), scale
+    ).alias(alias)
+
+
 def epoch_us_sql(col_name: str) -> str:
     """Spark SQL text: epoch microseconds of a timestamp column derived
     from its OWN date/time fields — timezone-free on TIMESTAMP_NTZ (the

@@ -23,14 +23,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trafficteach_spark.functions.exprs import epoch_us_sql, exact_sum, money
+from trafficteach_spark.functions.exprs import (
+    epoch_us_sql,
+    exact_avg,
+    exact_sum,
+)
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_events_range, load_table
 
-_ORACLE_RANGE = (
-    f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
-)
+
+def _oracle_range(col: str = "ts") -> str:
+    """The [TS_START, TS_END) oracle predicate over ``col`` — a builder,
+    not a blind ``_ORACLE_RANGE.replace("ts", ...)``: the textual replace
+    rewrote every 'ts' SUBSTRING of the range text, which is only safe
+    while neither the literals nor the column name contain another 'ts'
+    (round-12 review finding)."""
+    return f"{col} >= TIMESTAMP '{TS_START}' AND {col} < TIMESTAMP '{TS_END}'"
+
+
+_ORACLE_RANGE = _oracle_range()
 
 # Sliding-window geometry: 1-hour windows every 15 minutes -> each event
 # belongs to exactly 4 windows (the reference used 5 min / 5 s = 60x
@@ -152,11 +164,7 @@ def sliding_window_agg(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             exact_sum("value", "sum_value"),
-            F.round(
-                F.sum(money("value")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("avg_value"),
+            exact_avg("value", "avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -178,7 +186,7 @@ def sliding_window_agg(events: DataFrame) -> DataFrame:
                               * {_SLIDE_SEC * 1_000_000}) AS window_start
         FROM events e
         CROSS JOIN (SELECT unnest(range({_WIN_SLOTS})) AS k) k
-        WHERE {_ORACLE_RANGE.replace("ts", "e.ts")}
+        WHERE {_oracle_range("e.ts")}
     )
     SELECT window_start,
            window_start + INTERVAL '{_SLIDE_SEC * _WIN_SLOTS} seconds' AS window_end,
@@ -335,11 +343,7 @@ def q_stream_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(
-                F.sum(money("value")).cast("double")
-                / F.count("*"),
-                2,
-            ).alias("avg_speed"),
+            exact_avg("value", "avg_speed", scale=2),
         )
     )
 
@@ -369,13 +373,15 @@ def q74_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (percent_rank/cume_dist then see singleton peer groups). NULL
     values: Spark ASC defaults to NULLS FIRST where DuckDB defaults to
     NULLS LAST — asc_nulls_last pins both engines to the same rank
-    order (latent on today's null-free fixture, a hash-divergence on
-    any corpus with a NULL value). One shuffle serves all three
-    (shared WINDOW spec; same profile as q64).
+    order on BOTH sort keys (the event_id tie-break too: the schema
+    declares it nullable, and an unpinned NULL id on a tie boundary
+    flips all three functions between engines — round-12 review
+    finding; latent on today's null-free fixture). One shuffle serves
+    all three (shared WINDOW spec; same profile as q64).
     """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
-        F.asc_nulls_last("value"), "event_id"
+        F.asc_nulls_last("value"), F.asc_nulls_last("event_id")
     )
     return events.select(
         "event_id",
