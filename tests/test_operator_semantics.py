@@ -5861,6 +5861,110 @@ def test_corr_stats_zero_variance_group_matches_oracle_null(spark, tmp_path):
     assert spark_rows == _oracle_rows(con, "q72_corr_stats")
 
 
+def _repr_rows(sdf):
+    cols = sdf.columns
+    return sorted(
+        (tuple(r[c] for c in cols) for r in sdf.collect()),
+        key=lambda t: tuple(map(repr, t)),
+    )
+
+
+def _repr_oracle(con, key):
+    from trafficteach_spark import registry
+
+    return sorted(
+        (tuple(r) for r in con.execute(registry.all_specs()[key].oracle).fetchall()),
+        key=lambda t: tuple(map(repr, t)),
+    )
+
+
+def _assert_engines_agree(spark, con, sf_dir, keys):
+    for key in keys:
+        got = _repr_rows(Q[key](spark, sf_dir))
+        want = _repr_oracle(con, key)
+        assert len(got) == len(want), (key, len(got), len(want))
+        for g, w in zip(got, want):
+            assert tuple(map(repr, g)) == tuple(map(repr, w)), (key, g, w)
+
+
+def test_sampling_dirty_rows_match_oracle(spark, tmp_path):
+    """Round-12 sampling sweep: q08/q79/q165/q203 diverged from their
+    oracles on dirty rows the clean fixture never exercises — NULL
+    event_id NULLing the LCG mix (Spark NULLS FIRST vs DuckDB NULLS
+    LAST sampled different rows), zero o_totalprice (ANSI crash vs NULL
+    row), negative weight (drawn FIRST — the inverse of weighted
+    sampling), NULL weight/orderkey seating in Spark's top-k only, and
+    NaN value (silent NULL cast vs DuckDB cast error). One planted
+    fixture drives all four keys through the DuckDB oracles
+    side-by-side."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ns = int(base.timestamp()) * 10**9
+    events = [
+        # one stratum hour, 4 rows: NULL event_id + three real ids ->
+        # the quota-2 draw must pick the same two rows in both engines
+        (None, ns, 1, "view", 10.0, None),
+        (3, ns + 10**9, 2, "view", 20.0, None),
+        (5, ns + 2 * 10**9, 3, "view", 30.0, None),
+        (8, ns + 3 * 10**9, 4, "view", 40.0, None),
+        # a NaN value (q165 must NULL it in BOTH engines, not crash one)
+        (9, ns + 4 * 10**9, 5, "click", float("nan"), None),
+        # a constant-valued stratum with a NULL: stddev must read 0, not
+        # a fabricated positive (moment denominator = observed values)
+        (10, ns + 5 * 10**9, 6, "purchase", 7.0, None),
+        (11, ns + 6 * 10**9, 7, "purchase", 7.0, None),
+        (12, ns + 7 * 10**9, 8, "purchase", None, None),
+    ]
+    spark.createDataFrame(events, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    d = dt.datetime(2024, 1, 10)
+    orders = [
+        (1, 1, "O", 100.0, d, "1-URGENT"),
+        (2, 1, "O", 0.0, d, "2-HIGH"),        # zero weight: ANSI crash class
+        (3, 1, "O", -50.0, d, "3-MEDIUM"),    # negative: inverts the draw
+        (4, 1, "O", None, d, "4-NOT SPEC"),   # NULL weight
+        (None, 1, "O", 200.0, d, "5-LOW"),    # NULL key NULLs the mix
+        (6, 1, "O", 300.0, d, "1-URGENT"),
+    ]
+    spark.createDataFrame(orders, schemas.ORDERS).coalesce(1).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    con = _duck_view(tmp_path, "events")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    # DuckDB reads the hand-written int64-ns ts; mirror the loader's view.
+    con.execute("DROP VIEW events")
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, "
+        "make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts, "
+        "user_id, event_type, value, props FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    _assert_engines_agree(
+        spark,
+        con,
+        str(tmp_path),
+        (
+            "q08_stratified_sample",
+            "q79_weighted_sample",
+            "q165_neyman_allocation",
+            "q203_sample_representativeness",
+        ),
+    )
+    # spot-pin the decided semantics, not just parity:
+    q79 = {r["o_orderkey"] for r in Q["q79_weighted_sample"](spark, str(tmp_path)).collect()}
+    assert 2 not in q79 and 3 not in q79 and 4 not in q79  # w <= 0 / NULL out
+    q165 = {r["event_type"]: r for r in Q["q165_neyman_allocation"](spark, str(tmp_path)).collect()}
+    assert q165["purchase"]["stddev"] == 0.0  # constant stratum, NULL ignored
+    assert q165["click"]["stddev"] is None or q165["click"]["stddev"] == 0.0
+
+
 def test_rank_distribution_null_tiebreak_matches_oracle(spark, tmp_path):
     """q74's event_id tie-break must be NULL-pinned like its value key
     (round-12 review finding): the schema declares event_id nullable,

@@ -52,7 +52,11 @@ _MIX = _lcg("event_id")
                event_id, user_id, event_type, value,
                ROW_NUMBER() OVER (
                    PARTITION BY date_trunc('hour', ts)
-                   ORDER BY {_MIX}, event_id
+                   -- explicit NULLS LAST (DuckDB's default, Spark's is
+                   -- NULLS FIRST): a NULL event_id NULLs the mix, and an
+                   -- unpinned order would let the engines sample
+                   -- different rows from that stratum (round-12 review)
+                   ORDER BY {_MIX} NULLS LAST, event_id NULLS LAST
                ) AS rn
         FROM events
         WHERE {_ORACLE_RANGE}
@@ -75,8 +79,14 @@ def q08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the per-partition sort.
     """
     events = load_events_range(spark, sf_dir, TS_START, TS_END)
+    # NULLS LAST on both keys (a NULL event_id NULLs the mix too): Spark
+    # ASC defaults NULLS FIRST vs DuckDB's NULLS LAST — unpinned, the
+    # engines would draw different rows from any stratum holding a NULL
+    # id. Quota-boundary determinism additionally relies on the ingest
+    # guarantee that event_id is unique (the tie-break is total) — the
+    # same contract q12's trajectory sort documents.
     w = Window.partitionBy("stratum_hour").orderBy(
-        F.expr(_MIX).asc(), F.asc("event_id")
+        F.expr(_MIX).asc_nulls_last(), F.asc_nulls_last("event_id")
     )
     return (
         events
@@ -146,11 +156,19 @@ _WMIX = _lcg("o_orderkey")
     oracle=f"""
     SELECT o_orderkey, o_totalprice, o_orderpriority
     FROM (
+        -- weights must be strictly positive (the priority-sampling
+        -- contract): a zero weight divided under ANSI Spark crashes
+        -- where DuckDB 1.0 reads NULL (and 1.1+ inf), and a NEGATIVE
+        -- weight would sort its order ahead of every real one in both
+        -- engines — the inverse of weighted sampling (round-12 review)
         SELECT o_orderkey, o_totalprice, o_orderpriority,
                CAST({_WMIX} AS DOUBLE) / o_totalprice AS k
-        FROM orders
+        FROM orders WHERE o_totalprice > 0
     )
-    ORDER BY k, o_orderkey
+    -- NULLS LAST explicit on both engines: a NULL o_orderkey NULLs the
+    -- mix, and Spark's ASC default (NULLS FIRST) would seat it in the
+    -- top-{_WSAMPLE_K} while DuckDB never draws it
+    ORDER BY k NULLS LAST, o_orderkey NULLS LAST
     LIMIT {_WSAMPLE_K}
     """,
     tags=("sampling", "O33", "weighted"),
@@ -175,10 +193,16 @@ def q79_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.withColumn(
+        # weight > 0: the priority-sampling contract (see the oracle's
+        # rationale — zero weight is an ANSI crash-vs-NULL divergence,
+        # negative weight inverts the draw). The filter also drops NULL
+        # weights; a NULL o_orderkey still NULLs the mix, so k is
+        # NULLS-LAST-pinned on both engines.
+        orders.where(F.col("o_totalprice") > 0)
+        .withColumn(
             "k", F.expr(_WMIX).cast("double") / F.col("o_totalprice")
         )
-        .orderBy("k", "o_orderkey")
+        .orderBy(F.asc_nulls_last("k"), F.asc_nulls_last("o_orderkey"))
         .limit(_WSAMPLE_K)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
@@ -192,10 +216,22 @@ _NEYMAN_BUDGET = 10_000
     "q165_neyman_allocation",
     oracle=f"""
     WITH s AS (
+        -- isnan->NULL BEFORE the decimal cast: Spark's ANSI cast turns a
+        -- NaN into NULL where DuckDB's raises — a crash-vs-result parity
+        -- divergence on any dirty double (round-12 review finding).
+        -- Moment denominators use COUNT(v) (observed values): dividing
+        -- NULL-excluding sums by the NULL-including COUNT(*) fabricated
+        -- a positive stddev for a constant-valued stratum with NULLs
+        -- (same round-12 finding; n_rows stays COUNT(*) as the stratum
+        -- SIZE, which is what the N_h * S_h allocation weights).
         SELECT event_type, COUNT(*) AS n_rows,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s1,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))
-                        * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s2
+               COUNT(CASE WHEN isnan(value) THEN NULL ELSE value END) AS n_vals,
+               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                             AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s1,
+               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                             AS DECIMAL(18,6))
+                        * CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                               AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s2
         FROM events GROUP BY event_type
     ),
     d AS (
@@ -203,16 +239,22 @@ _NEYMAN_BUDGET = 10_000
                -- GREATEST(0, ...): a constant-valued stratum's variance can
                -- land one ulp NEGATIVE after the two rounded divisions;
                -- DuckDB's SQRT raises out-of-range there (Spark yields NaN)
-               SQRT(GREATEST(0.0, CAST(s2 AS DOUBLE) / n_rows
-                    - (CAST(s1 AS DOUBLE) / n_rows)
-                      * (CAST(s1 AS DOUBLE) / n_rows))) AS sh
+               SQRT(GREATEST(0.0, CAST(s2 AS DOUBLE) / NULLIF(n_vals, 0)
+                    - (CAST(s1 AS DOUBLE) / NULLIF(n_vals, 0))
+                      * (CAST(s1 AS DOUBLE) / NULLIF(n_vals, 0)))) AS sh
         FROM s
     )
+    -- NULLIF(norm, 0), not bare division: DuckDB 1.0's 0/0 happens to
+    -- read NULL like Spark's try_divide, but 1.1+ follows IEEE (NaN) and
+    -- FLOOR(NaN)::BIGINT errors — pin the all-constant-corpus case to
+    -- NULL shares on every DuckDB version (round-12 review finding)
     SELECT event_type, n_rows,
            ROUND(sh, 6) AS stddev,
-           ROUND(n_rows * sh / SUM(n_rows * sh) OVER (), 6) AS neyman_share,
+           ROUND(n_rows * sh / NULLIF(SUM(n_rows * sh) OVER (), 0), 6)
+               AS neyman_share,
            CAST(FLOOR({_NEYMAN_BUDGET} * n_rows * sh
-                      / SUM(n_rows * sh) OVER ()) AS BIGINT) AS allocated_n
+                      / NULLIF(SUM(n_rows * sh) OVER (), 0)) AS BIGINT)
+               AS allocated_n
     FROM d
     """,
     tags=("sampling", "statistics", "design"),
@@ -229,20 +271,34 @@ def q165_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 5-row frame (one window for the normalizer). The budget
     floor is exact (FLOOR of identical doubles).
     """
+    # isnan->NULL before the decimal cast (mirrors the oracle: Spark's
+    # ANSI NaN->DECIMAL cast is silently NULL, DuckDB's raises), and the
+    # moment denominator counts OBSERVED values, not stratum rows — see
+    # the oracle's rationale.
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+        "event_type",
+        F.when(F.isnan("value"), F.lit(None))
+        .otherwise(F.col("value"))
+        .cast("decimal(18,6)")
+        .alias("v"),
     )
     s = ev.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
+        F.count("v").alias("n_vals"),
         F.sum("v").cast("decimal(38,6)").alias("s1"),
         F.sum(F.col("v") * F.col("v")).cast("decimal(38,12)").alias("s2"),
     )
-    nd = F.col("n_rows").cast("double")
-    m = F.col("s1").cast("double") / nd
+    nd = F.col("n_vals").cast("double")
+    m = F.try_divide(F.col("s1").cast("double"), nd)
     # greatest(0, ...) mirrors the oracle's clamp: one-ulp-negative
     # variance on a constant stratum must not become NaN here while the
-    # clamped oracle reads 0.
-    sh = F.sqrt(F.greatest(F.lit(0.0), F.col("s2").cast("double") / nd - m * m))
+    # clamped oracle reads 0. try_divide: an all-NULL stratum has
+    # n_vals = 0 where the oracle's NULLIF reads NULL.
+    sh = F.sqrt(
+        F.greatest(
+            F.lit(0.0), F.try_divide(F.col("s2").cast("double"), nd) - m * m
+        )
+    )
     d = s.select("event_type", "n_rows", sh.alias("sh"))
     norm = F.sum(F.col("n_rows") * F.col("sh")).over(Window.partitionBy())
     # try_divide: an all-constant corpus zeroes EVERY stratum's sh, so
