@@ -79,6 +79,55 @@ def test_state_accumulates_and_recovers(spark, tmp_path):
     assert 2 not in out2  # update mode: untouched profiles are not re-emitted
 
 
+def test_all_null_values_sum_to_null_like_batch(spark, tmp_path):
+    """Planted fixture (round-12 streaming sweep): a user whose events
+    all carry NULL value must report sum_value NULL — Spark/DuckDB
+    SUM(value) over all-NULL is NULL, but pandas' .sum() over all-NaN is
+    0.0, so the stream's old 0.0-seeded accumulator fabricated a zero.
+    A later real value must then seed the sum from 0.0 exactly once."""
+    watch = tmp_path / "in"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _drop_file(
+        spark,
+        tmp_path,
+        watch,
+        [
+            (1, _ns(2024, 1, 6, 10, 0, 0), 7, "view", None, "{}"),
+            (2, _ns(2024, 1, 6, 11, 0, 0), 7, "click", None, "{}"),
+            # control user: NULL value mixed with real ones still sums
+            (3, _ns(2024, 1, 6, 10, 0, 0), 8, "view", None, "{}"),
+            (4, _ns(2024, 1, 6, 11, 0, 0), 8, "click", 2.5, "{}"),
+        ],
+        "f1",
+    )
+    out1 = {r["user_id"]: r for r in _run(spark, watch, ckpt)}
+    assert out1[7]["n_events"] == 2 and out1[7]["sum_value"] is None
+    assert out1[8]["sum_value"] == 2.5
+    # batch twin agrees on the NULL
+    batch = (
+        spark.createDataFrame(
+            [(7, None), (7, None), (8, None), (8, 2.5)], "user_id long, value double"
+        )
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+        .collect()
+    )
+    assert {r["user_id"]: r["sum_value"] for r in batch} == {7: None, 8: 2.5}
+
+    # restart: the None-total state round-trips the checkpoint, and the
+    # first real value seeds it from 0.0 (not from a fabricated NULL+x)
+    _drop_file(
+        spark,
+        tmp_path,
+        watch,
+        [(5, _ns(2024, 1, 6, 12, 0, 0), 7, "purchase", 4.0, "{}")],
+        "f2",
+    )
+    out2 = {r["user_id"]: r for r in _run(spark, watch, ckpt)}
+    assert out2[7]["n_events"] == 3 and out2[7]["sum_value"] == 4.0
+
+
 def test_state_demo_matches_batch_totals(spark, tmp_path):
     """Final streamed profiles == the batch groupBy over the same files."""
     from tests.conftest import SMOKE_SF_DIR

@@ -73,6 +73,80 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     assert len(streamed) > 0
 
 
+def test_outer_attribution_emits_null_ts_views_immediately(spark, tmp_path):
+    """Planted fixture (round-12 streaming sweep): a NULL-ts view must
+    come out of the streaming LEFT OUTER join as an unmatched row, like
+    the batch form — before the fix it entered the symmetric-hash join,
+    where the watermark-based emit/evict predicates never evaluate true
+    on a NULL event time, so it was never emitted AND its state entry
+    leaked forever. NULL-ts purchases must simply vanish (they can never
+    match, and batch left-outer drops unmatched right rows)."""
+    import datetime as dt
+    import glob as _glob
+    import shutil
+
+    from trafficteach_spark import schemas
+    from trafficteach_spark.streaming import demo, joinstream
+
+    def ns(*args):
+        return int(
+            dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000
+        )
+
+    rows = [
+        # matched pair: view then purchase 10 min later
+        (1, ns(2024, 1, 6, 10, 0, 0), 1, "view", 1.0, "{}"),
+        (2, ns(2024, 1, 6, 10, 10, 0), 1, "purchase", 9.0, "{}"),
+        # the planted NULL-ts view (user 2) — must emit with NULL purchase
+        (3, None, 2, "view", 1.0, "{}"),
+        # a NULL-ts purchase — must match nothing and emit nothing
+        (4, None, 2, "purchase", 5.0, "{}"),
+        # watermark driver: late enough to close every dated window
+        (5, ns(2024, 1, 7, 12, 0, 0), 3, "view", 1.0, "{}"),
+    ]
+    watch = tmp_path / "in"
+    watch.mkdir()
+    stage = tmp_path / "stage"
+    spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    shutil.copy(
+        _glob.glob(str(stage / "part-*.parquet"))[0], watch / "f1.parquet"
+    )
+
+    events = demo.read_event_stream(spark, str(watch))
+    emitted = []
+    q = (
+        joinstream.attribution_pairs_outer(events, streaming=True)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    null_ts_rows = [r for r in emitted if r["view_ts"] is None]
+    assert [(r["view_id"], r["purchase_id"]) for r in null_ts_rows] == [(3, None)]
+    assert all(r["purchase_id"] != 4 for r in emitted)
+    got_matched = {
+        (r["view_id"], r["purchase_id"])
+        for r in emitted
+        if r["purchase_id"] is not None
+    }
+    assert got_matched == {(1, 2)}
+    # batch twin emits the same NULL-ts view as unmatched
+    from trafficteach_spark.functions.exprs import ns_long_to_ntz_us
+
+    batch_df = spark.createDataFrame(rows, schemas.EVENTS_PHYSICAL).withColumn(
+        "ts", ns_long_to_ntz_us("ts")
+    )
+    batch = joinstream.attribution_pairs_outer(batch_df).collect()
+    assert [(r["view_id"], r["purchase_id"]) for r in batch if r["view_ts"] is None] == [
+        (3, None)
+    ]
+
+
 def test_outer_attribution_emits_unmatched_views_after_watermark(spark, tmp_path):
     """LEFT OUTER stream-stream interval join: a drained run must emit
     (a) exactly the batch matched pairs and (b) NULL-purchase rows for

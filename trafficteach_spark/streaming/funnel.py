@@ -21,13 +21,30 @@ drained stream's depth histogram equals batch q19's step counts.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
 from trafficteach_spark.operators.sequences import FUNNEL_CHAIN
 
-FUNNEL_STATE = StructType([StructField("depth", LongType())])
+#: depth + the owning chain's fingerprint: recovered state is only
+#: meaningful against the chain that produced it (a depth of 2 means
+#: "waiting for chain[2]"), so restarting the same checkpoint with a
+#: different chain must fail loudly instead of silently reinterpreting
+#: depths — the same corruption class heavyhitters.py pins by storing
+#: ``buckets`` in HH_STATE.
+FUNNEL_STATE = StructType(
+    [StructField("depth", LongType()), StructField("chain_sig", LongType())]
+)
+
+
+def _chain_sig(chain: tuple[str, ...]) -> int:
+    """Deterministic 64-bit fingerprint of the chain (md5, not Python's
+    per-process-salted ``hash``) — stored in state, checked on recovery."""
+    digest = hashlib.md5("\x00".join(chain).encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "big", signed=True)
 
 FUNNEL_OUTPUT = StructType(
     [StructField("user_id", LongType()), StructField("depth", LongType())]
@@ -38,22 +55,41 @@ def _make_funnel_update(chain: tuple[str, ...]):
     """Closure (pickled by value — see similarity._make_block_pair_cosine)
     advancing one user's funnel depth through this micro-batch's rows."""
 
+    sig = _chain_sig(chain)
+
     def update(key, pdfs, state):
         import pandas as pd
 
         (user_id,) = key
-        (depth,) = state.get if state.exists else (0,)
+        if state.exists:
+            depth, stored_sig = state.get
+            if stored_sig != sig:
+                raise ValueError(
+                    "streaming_funnel_depths state was built for a "
+                    f"different chain (stored fingerprint {stored_sig}, "
+                    f"this run's chain fingerprints to {sig}): recovered "
+                    "depths would be reinterpreted against the wrong "
+                    "steps. Restart with the original chain, or use a "
+                    "fresh checkpoint for the new one."
+                )
+        else:
+            depth = 0
         frames = list(pdfs)
         if frames:
             pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
             # Same order as the batch matcher's array_sort(struct(ts,
-            # event_id, ...)): time, then event_id for sub-µs ties.
-            pdf = pdf.sort_values(["ts", "event_id"])
+            # event_id, ...)): time, then event_id for sub-µs ties —
+            # including NULLs: Spark struct comparison sorts a NULL field
+            # FIRST, while pandas' default na_position puts NaT LAST, so
+            # the explicit na_position keeps a NULL-ts event from
+            # advancing the stream's funnel in a different position than
+            # the batch matcher's (round-12 review finding).
+            pdf = pdf.sort_values(["ts", "event_id"], na_position="first")
             n = len(chain)
             for t in pdf["event_type"]:
                 if depth < n and t == chain[depth]:
                     depth += 1
-        state.update((depth,))
+        state.update((depth, sig))
         yield pd.DataFrame({"user_id": [user_id], "depth": [depth]})
 
     return update

@@ -61,9 +61,29 @@ def attribution_pairs(
         F.col("ts").cast(ts_type).alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
+    null_views = None
     if streaming:
-        views = views.withWatermark("view_ts", WATERMARK)
-        purchases = purchases.withWatermark("purchase_ts", WATERMARK)
+        # NULL event-time rows must not enter the stream-stream join: a
+        # NULL ts can never satisfy the range condition, but the OUTER
+        # join's emit-and-evict predicates (watermark passes view_ts +
+        # horizon) also never evaluate true on it — the batch form emits
+        # such a view as an unmatched row, while the streaming form
+        # would neither emit it nor evict its state entry, a silent
+        # answer gap plus a permanent per-row state leak (round-12
+        # review finding). So the streaming path splits NULL-ts views
+        # out BEFORE the join and unions them back as immediately-
+        # unmatched rows (exactly the batch answer: no purchase can
+        # match an undatable view); NULL-ts purchases are dropped on
+        # both join types, matching batch where they can never appear
+        # (condition NULL for inner, unmatched-right dropped for left).
+        if how == "left_outer":
+            null_views = views.where(F.col("view_ts").isNull())
+        views = views.where(F.col("view_ts").isNotNull()).withWatermark(
+            "view_ts", WATERMARK
+        )
+        purchases = purchases.where(
+            F.col("purchase_ts").isNotNull()
+        ).withWatermark("purchase_ts", WATERMARK)
     cond = (
         (F.col("v_user") == F.col("p_user"))
         & (F.col("purchase_ts") > F.col("view_ts"))
@@ -73,7 +93,7 @@ def attribution_pairs(
         )
     )
     joined = views.join(purchases, cond, how)
-    return joined.select(
+    out = joined.select(
         F.col("v_user").alias("user_id"),
         "view_id",
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
@@ -81,6 +101,18 @@ def attribution_pairs(
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         "purchase_value",
     )
+    if null_views is not None:
+        out = out.unionByName(
+            null_views.select(
+                F.col("v_user").alias("user_id"),
+                "view_id",
+                F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+                F.lit(None).cast("long").alias("purchase_id"),
+                F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+                F.lit(None).cast("double").alias("purchase_value"),
+            )
+        )
+    return out
 
 
 def start_attribution_stream(

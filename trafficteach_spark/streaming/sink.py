@@ -91,6 +91,27 @@ def _read_batch_partitioned(spark: SparkSession, table_dir: str, schema) -> Data
     )
 
 
+def _make_partition_overwrite_batch(table_dir: str, checkpoint_dir: str):
+    """ONE idempotent-commit body for every batch-id-partitioned parquet
+    sink (the raw-append and windowed sinks previously carried verbatim
+    copies — a protocol fix applied to one and missed in the other would
+    silently desynchronize their replay semantics, round-12 review
+    finding): lineage guard first (a fresh checkpoint over a surviving
+    table must fail BEFORE any write), empty batches commit nothing, and
+    a non-empty batch overwrites exactly its own ``batch_id=N``
+    partition so crash-replay replaces rather than duplicates."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _lineage_guard(table_dir, _checkpoint_lineage(checkpoint_dir))
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
 def read_parquet_sink(spark: SparkSession, table_dir: str) -> DataFrame:
     """The raw-event sink table (all committed batches): event stream
     columns + ``batch_id`` (see :func:`_read_batch_partitioned` for the
@@ -119,18 +140,11 @@ def start_parquet_append_sink(
     partition with the same rows instead of appending a second copy.
     ``availableNow`` drains-and-terminates (also the restart-test shape).
     """
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _lineage_guard(table_dir, _checkpoint_lineage(checkpoint_dir))
-        if batch_df.isEmpty():
-            return
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"batch_id={batch_id}")
-        )
-
     return (
         read_event_stream(spark, source_dir)
-        .writeStream.foreachBatch(write_batch)
+        .writeStream.foreachBatch(
+            _make_partition_overwrite_batch(table_dir, checkpoint_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -191,18 +205,11 @@ def start_windowed_parquet_sink(
     from trafficteach_spark.streaming.demo import stream_sliding_avg
 
     agg = stream_sliding_avg(read_event_stream(spark, source_dir))
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _lineage_guard(table_dir, _checkpoint_lineage(checkpoint_dir))
-        if batch_df.isEmpty():
-            return
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"batch_id={batch_id}")
-        )
-
     return (
         agg.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
+        .foreachBatch(
+            _make_partition_overwrite_batch(table_dir, checkpoint_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -67,12 +67,19 @@ def _make_update_fn():
         # otherwise read as INT64_MIN and fabricate an epoch-adjacent
         # last_ts where the batch twin q216 emits NULL (round-10
         # review finding).
+        # total also starts as None, not 0.0: a user whose values are
+        # ALL NULL must report sum_value NULL like the batch twin q216's
+        # SUM(value) — pandas' .sum() over all-NaN returns 0.0, so a 0.0
+        # seed could never distinguish "no values yet" from "values
+        # summing to zero" (round-12 review finding).
         n, total, last_us, last_type = (
-            state.get if state.exists else (0, 0.0, None, None)
+            state.get if state.exists else (0, None, None, None)
         )
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            vals = pdf["value"].dropna()
+            if len(vals):
+                total = (0.0 if total is None else total) + float(vals.sum())
             # NULL-ts rows still count into n/sum but never become the
             # last-seen row: an undatable event cannot be "latest".
             # (q216's desc-nulls-last window picks SOME row's event_type
@@ -103,7 +110,7 @@ def _make_update_fn():
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "sum_value": [round(total, 6)],
+                "sum_value": [None if total is None else round(total, 6)],
                 "last_ts": [
                     None
                     if last_us is None
