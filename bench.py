@@ -45,7 +45,7 @@ from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
 # by the run's drift puts rounds on a comparable footing. Anchors are
 # host- and sf0.1-specific: regenerate with tools/calibrate_drift.py.
 DRIFT_REF_KEYS: tuple[str, ...] = (
-    "q126_bigram_lm_logprob", "q32_knn_ivf", "q84_feature_bins_sketch",
+    "q126_bigram_lm_logprob", "q32_knn_ivf", "q83_feature_bins",
     "q171_dup_span_fraction", "q185_rrf_fusion",
     "q146_degree_distribution", "q87_bigram_pmi", "q120_skew_audit",
     "q139_ols_regression", "q86_feature_normalize",
@@ -61,7 +61,7 @@ DRIFT_REF_KEYS: tuple[str, ...] = (
 DRIFT_REF_ANCHOR_SEC: dict[str, float] = {
     "q126_bigram_lm_logprob": 1.012,
     "q32_knn_ivf": 0.962,
-    "q84_feature_bins_sketch": 1.126,
+    "q83_feature_bins": 1.126,
     "q171_dup_span_fraction": 1.604,
     "q185_rrf_fusion": 0.794,
     "q146_degree_distribution": 0.950,

@@ -1253,16 +1253,16 @@ def test_weighted_sample_matches_replay_and_is_weighted(spark):
 
 
 def test_feature_bins_sketch_is_equi_depth(spark):
-    """q84 (sketch path) must deliver what equi-depth means without the
-    sort: 10 bins per category, each within 25% of n/10, with ordered
-    disjoint [lo, hi] ranges — and its per-category totals must equal
-    the exact q83 twin's."""
+    """q83_feature_bins (the primary sketch path) must deliver what
+    equi-depth means without the sort: 10 bins per category, each within
+    25% of n/10, with ordered disjoint [lo, hi] ranges — and its
+    per-category totals must equal the exact NTILE twin's."""
     from tests.conftest import SMOKE_SF_DIR
     from trafficteach_spark import registry
 
     qs = registry.queries()
-    rows = qs["q84_feature_bins_sketch"](spark, SMOKE_SF_DIR).collect()
-    exact = qs["q83_feature_bins"](spark, SMOKE_SF_DIR).collect()
+    rows = qs["q83_feature_bins"](spark, SMOKE_SF_DIR).collect()
+    exact = qs["q83_feature_bins_exact"](spark, SMOKE_SF_DIR).collect()
     by_flag: dict[str, list] = {}
     for r in rows:
         by_flag.setdefault(r.l_returnflag, []).append(r)

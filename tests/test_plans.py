@@ -302,10 +302,10 @@ def test_q82_bpe_pairs_explodes_vocabulary_not_corpus(spark):
     assert "HashAggregate" in plan[gen:], plan[:400]
 
 
-def test_q84_sketch_binning_has_no_sort(spark):
+def test_q83_sketch_binning_has_no_sort(spark):
     """The whole point of the sketch path: no per-category sort node
     anywhere, boundary table broadcast."""
-    plan = formatted_plan(spark, "q84_feature_bins_sketch")
+    plan = formatted_plan(spark, "q83_feature_bins")
     assert "Sort" not in plan
     assert "BroadcastExchange" in plan
 

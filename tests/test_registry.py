@@ -25,7 +25,7 @@ def test_oracle_keys_subset_of_queries():
         "q10_distinct_users_approx",
         "q31_simhash",
         "q77_approx_percentiles",
-        "q84_feature_bins_sketch",
+        "q83_feature_bins",
         "q115_rolling_active_sketch",
     }
 

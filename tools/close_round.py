@@ -69,7 +69,7 @@ ROWS_ONLY_OK = {
     "q10_distinct_users_approx",
     "q31_simhash",
     "q77_approx_percentiles",
-    "q84_feature_bins_sketch",
+    "q83_feature_bins",
     "q115_rolling_active_sketch",
 }
 

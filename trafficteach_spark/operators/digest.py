@@ -57,43 +57,14 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     # plus the r7-evidenced q112+ block demoted one-for-one as round-8
     # additions landed (q115 is rows-only — no oracle, so no digest row;
     # its invariant tests in tests/ remain its evidence).
-    "q96_psi_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("n_bins", "bigint"), ("psi", "double")],
     # Late round-8 demotions: singly evidenced r7, displaced one-for-one
     # by the q169-q173 batch (the zero-evidence keys outrank them for
     # window slots; these stay hash-pinned here + in the local sweep).
-    "q136_knn_recall_eval": [("variant", "string"), ("n_queries", "bigint"), ("mean_recall", "double")],
-    "q137_cms_topk": [("user_id", "bigint"), ("freq", "bigint"), ("cms_est", "bigint"), ("overestimate", "bigint")],
-    "q138_srm_check": [("n_a", "bigint"), ("n_b", "bigint"), ("chi2", "double"), ("srm", "int")],
-    "q139_ols_regression": [("n", "bigint"), ("beta0", "double"), ("beta1", "double"), ("beta2", "double"), ("r2", "double")],
-    "q140_rfm_segmentation": [("r_q", "int"), ("f_q", "int"), ("m_q", "int"), ("n_customers", "bigint"), ("sum_monetary", "double")],
     # Round-9 demotions: the whole round-8 window (q143/q144, the r6
     # rotation block q53-q99, q145-q173, q141/q142) — all full-hash
     # green in CORRECTNESS_r08; demoted to clear the window for the 30
     # zero-evidence keys q174-q203 + the 8 round-9 additions + the 11
     # stalest rotations (q115 has no oracle, so no digest row).
-    "q143_benford_check": [("digit", "int"), ("n", "bigint"), ("obs_share", "double"), ("exp_share", "double"), ("deviation", "double")],
-    "q144_cuped_lift": [("n_a", "bigint"), ("n_b", "bigint"), ("theta", "double"), ("lift_raw", "double"), ("lift_cuped", "double"), ("var_reduction", "double")],
-    "q93_unigram_logprob": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("avg_logprob", "double")],
-    "q94_token_entropy": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("n_distinct", "bigint"), ("entropy", "double")],
-    "q95_zipf_slope": [("n_terms", "bigint"), ("zipf_slope", "double"), ("zipf_r2", "double")],
-    "q98_source_overlap": [("src_a", "string"), ("src_b", "string"), ("n_common", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"), ("jaccard", "double")],
-    "q53_rollup": [("event_type", "string"), ("hr", "int"), ("gid", "bigint"), ("n", "bigint"), ("sum_value", "double")],
-    "q54_pivot": [("hr", "int"), ("n_click", "bigint"), ("n_error", "bigint"), ("n_purchase", "bigint"), ("n_signup", "bigint"), ("n_view", "bigint")],
-    "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],
-    "q62_time_resample": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("sum_value", "double")],
-    "q66_anomaly": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("z", "double")],
-    "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
-    "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
-    "q56_vocab_topk": [("term", "string"), ("n", "bigint"), ("frac", "double"), ("vocab_rank", "int")],
-    "q59_label_centroids": [("label", "int"), ("n_vectors", "bigint"), ("centroid", "string")],
-    "q73_regex_extract": [("token", "string"), ("n", "bigint"), ("n_docs", "bigint")],
-    "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
-    "q145_spearman_corr": [("n", "bigint"), ("n_qty_values", "bigint"), ("n_disc_values", "bigint"), ("spearman_rho", "double")],
-    "q146_degree_distribution": [("degree", "bigint"), ("n_parts", "bigint"), ("share", "double")],
-    "q147_activity_bitmap": [("n_active_days", "int"), ("n_users", "bigint"), ("n_streak3", "bigint")],
-    "q148_decile_lift": [("decile", "int"), ("n_customers", "bigint"), ("n_urgent", "bigint"), ("urgent_rate", "double"), ("lift", "double"), ("cum_capture", "double")],
-    "q149_wilson_ctr": [("event_type", "string"), ("n", "bigint"), ("s", "bigint"), ("p_hat", "double"), ("wilson_lo", "double"), ("wilson_hi", "double")],
-    "q150_higher_moments": [("l_returnflag", "string"), ("n", "bigint"), ("mean_price", "double"), ("pop_stddev", "double"), ("skewness", "double"), ("ex_kurtosis", "double")],
     "q151_weighted_median": [("l_returnflag", "string"), ("n_rows", "bigint"), ("n_values", "bigint"), ("w_median", "double"), ("w_p90", "double")],
     "q152_theil_index": [("segment", "string"), ("n_customers", "bigint"), ("mean_spend", "double"), ("theil", "double")],
     "q153_cotype_jaccard": [("type_a", "string"), ("type_b", "string"), ("n_a", "bigint"), ("n_b", "bigint"), ("n_both", "bigint"), ("jaccard", "double")],
@@ -119,26 +90,6 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q173_length_retention_sweep": [("threshold", "int"), ("n_docs", "bigint"), ("n_chars_kept", "bigint"), ("doc_frac", "double"), ("char_frac", "double")],
     "q141_association_rules": [("antecedent", "string"), ("consequent", "string"), ("n_pair", "bigint"), ("support", "double"), ("confidence", "double"), ("lift", "double")],
     "q142_autocorrelation": [("lag", "int"), ("n", "bigint"), ("acf", "double")],
-    "q133_boilerplate_chunks": [("h", "string"), ("chunk_text", "string"), ("n_docs", "bigint"), ("n_occ", "bigint"), ("n_sources", "bigint")],
-    "q134_dedup_impact": [("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("tokens_total", "bigint"), ("tokens_kept", "bigint"), ("pct_tokens_dropped", "double")],
-    "q135_time_weighted_avg": [("event_type", "string"), ("n_segments", "bigint"), ("span_sec", "double"), ("twa_value", "double"), ("plain_avg", "double")],
-    "q97_data_profile": [("col_name", "string"), ("n_rows", "bigint"), ("n_null", "bigint"), ("n_distinct", "bigint"), ("min_num", "double"), ("max_num", "double"), ("avg_num", "double"), ("min_str", "string"), ("max_str", "string")],
-    "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
-    "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],
-    "q102_heavy_hitters": [("user_id", "bigint"), ("freq", "bigint"), ("share", "double")],
-    "q103_corr_matrix": [("col_a", "string"), ("col_b", "string"), ("n", "bigint"), ("corr", "double")],
-    "q104_fk_audit": [("child_table", "string"), ("fk_col", "string"), ("parent_table", "string"), ("n_child", "bigint"), ("n_orphan", "bigint"), ("orphan_rate", "double")],
-    "q105_cohort_retention": [("cohort_wk", "date"), ("week_offset", "bigint"), ("n_active", "bigint"), ("cohort_size", "bigint"), ("retention", "double")],
-    "q106_session_concurrency": [("day", "date"), ("max_concurrent", "bigint")],
-    "q107_rolling_active_users": [("day", "date"), ("dau", "bigint"), ("wau", "bigint"), ("stickiness", "double")],
-    "q108_time_to_convert": [("n_converted", "bigint"), ("n_signups", "bigint"), ("conversion_rate", "double"), ("min_sec", "double"), ("p50_sec", "double"), ("p90_sec", "double"), ("max_sec", "double")],
-    "q109_transition_matrix": [("src", "string"), ("dst", "string"), ("n", "bigint"), ("p", "double")],
-    "q110_ab_lift": [("n_a", "bigint"), ("conv_a", "bigint"), ("rate_a", "double"), ("n_b", "bigint"), ("conv_b", "bigint"), ("rate_b", "double"), ("lift", "double"), ("z", "double")],
-    "q111_fulfillment_lag": [("o_orderpriority", "string"), ("n_orders", "bigint"), ("avg_days", "double"), ("p50_days", "double"), ("p90_days", "double")],
-    "q58_domain_mix": [("doc_id", "bigint"), ("source", "string"), ("sample_rank", "int")],
-    "q81_hash_split": [("doc_id", "bigint"), ("split", "string"), ("n_chars", "bigint")],
-    "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
-    "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
     # (q53/q54/q56/q59/q62/q66/q69/q73/q86/q92/q99 promoted back into
     # the round-8 window — r6-only evidence, stalest first.)
     # Long-demoted keys (full-hash green in rounds 1-4)
@@ -205,8 +156,10 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     # CORRECTNESS_r10 (50/50, zero err rows); demoted to clear the
     # window for the round-11 rotation (the 9 deferred r5-stale keys,
     # the 16 r6-stale keys, and 20 single-r7-evidence keys promoted
-    # out of this dict; q84/q31_simhash/q10_approx/q77 enter the
-    # window too but are rows-only by design - never digest rows).
+    # out of this dict; the sketch binning key (q84_feature_bins_sketch
+    # then, q83_feature_bins since round 12), q31_simhash, q10_approx
+    # and q77 entered the window too but are rows-only by design -
+    # never digest rows).
     "q15_union": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
     "q17_date_funcs": [("event_date", "date"), ("hr", "int"), ("day_name", "string"), ("n_events", "bigint"), ("n_users", "bigint")],
     "q18_json_funcs": [("event_type", "string"), ("n_events", "bigint"), ("max_k", "bigint"), ("sum_k", "bigint"), ("avg_k", "double"), ("n_high", "bigint")],
@@ -256,8 +209,59 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q50_decontaminate": [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
     "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
     "q68_attribution_join": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
+    # Round-12 demotions (rotated in lockstep with the round-12
+    # DRIVER_ORDER freshness rotation): the whole round-11 window —
+    # all full-hash green in CORRECTNESS_r11 (46/46 oracle-backed +
+    # 4 rows-only by design, zero err rows) — demoted to clear the
+    # window for the r7/r8-stale keys. q83_feature_bins_exact is the
+    # renamed NTILE anchor (the primary q83_feature_bins key is the
+    # rows-only sketch — never digest rows, like q31_simhash).
+    "q76_set_ops_bag": [("o_custkey", "bigint"), ("kind", "string"), ("n", "bigint")],
+    "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
+    "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
+    "q74_rank_distribution": [("event_id", "bigint"), ("event_type", "string"), ("quartile", "int"), ("pct_rank", "double"), ("cume", "double")],
+    "q121_session_paths": [("path", "string"), ("n", "bigint")],
+    "q129_window_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
+    "q09_group_concat": [("event_type", "string"), ("users", "string"), ("n_users", "bigint")],
+    "q79_weighted_sample": [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("o_orderpriority", "string")],
+    "q52_percentiles": [("event_type", "string"), ("n", "bigint"), ("p50", "double"), ("p90", "double"), ("p99", "double")],
+    "q60_histogram": [("event_type", "string"), ("bin_id", "int"), ("n", "bigint"), ("lo_seen", "double"), ("hi_seen", "double")],
+    "q61_merge_upsert": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string")],
+    "q65_cube": [("o_orderstatus", "string"), ("o_orderpriority", "string"), ("gid", "bigint"), ("n", "bigint"), ("sum_price", "double")],
+    "q67_basket_pairs": [("part_a", "bigint"), ("part_b", "bigint"), ("n_orders", "bigint")],
+    "q71_full_outer": [("d", "date"), ("n_orders", "bigint"), ("n_ships", "bigint"), ("presence", "string")],
+    "q72_corr_stats": [("l_returnflag", "string"), ("n", "bigint"), ("qty_price_corr", "double"), ("qty_disc_covar", "double"), ("price_stddev", "double")],
+    "q78_id_gaps": [("event_type", "string"), ("gap_start", "bigint"), ("gap_end", "bigint"), ("n_missing", "bigint")],
+    "q83_feature_bins_exact": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
+    "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
+    "q120_skew_audit": [("child_table", "string"), ("key_col", "string"), ("n_rows", "bigint"), ("n_keys", "bigint"), ("max_per_key", "bigint"), ("p99_per_key", "double"), ("top_share", "double")],
+    "q124_mad_outliers": [("event_type", "string"), ("n_events", "bigint"), ("median_value", "double"), ("mad", "double"), ("n_outliers", "bigint"), ("outlier_rate", "double")],
+    "q132_user_lifecycle": [("wk", "date"), ("n_new", "bigint"), ("n_retained", "bigint"), ("n_resurrected", "bigint"), ("n_churned", "bigint")],
+    "q63_range_join": [("o_orderpriority", "string"), ("n_pairs", "bigint"), ("n_orders", "bigint"), ("sum_qty", "double")],
+    "q64_cumulative": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("seq", "bigint"), ("running_total", "double"), ("mov_avg3", "double")],
+    "q70_trailing_range": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("trailing_30d", "double"), ("n_30d", "bigint")],
+    "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
+    "q116_gap_fill_locf": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("avg_value", "double"), ("locf_avg", "double"), ("is_gap", "int")],
+    "q122_pit_join": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_shipdate", "timestamp_ntz"), ("ck", "bigint"), ("version", "bigint"), ("status_at_ship", "string")],
+    "q127_changepoint": [("event_type", "string"), ("cp_day", "date"), ("n_days", "bigint"), ("mean_daily", "double"), ("cusum_dev", "double")],
+    "q128_seasonal_decompose": [("event_type", "string"), ("dow", "int"), ("n_days", "bigint"), ("avg_count", "double"), ("seasonal_index", "double")],
+    "q55_salted_distinct": [("event_type", "string"), ("n_distinct", "bigint")],
+    "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
+    "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
+    "q125_lsh_recall_eval": [("n_truth", "bigint"), ("n_cand", "bigint"), ("n_hits", "bigint"), ("recall", "double"), ("precision", "double")],
+    "q131_embedding_margin": [("label", "int"), ("n_vectors", "bigint"), ("avg_margin", "double"), ("n_misassigned", "bigint"), ("misassign_rate", "double")],
+    "q75_bm25": [("doc_id", "bigint"), ("score", "double")],
+    "q118_chunk_dedup": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_dup_chunks", "bigint"), ("dup_frac", "double")],
+    "q123_code_detect": [("doc_id", "bigint"), ("n_tokens", "int"), ("kw_ratio", "double"), ("sym_ratio", "double"), ("is_code", "int")],
+    "q126_bigram_lm_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
+    "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
+    "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
+    "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],
+    "q57_edit_distance": [("doc_a", "bigint"), ("doc_b", "bigint"), ("edit_dist", "int")],
+    "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
+    "q117_feature_hashing": [("doc_id", "bigint"), ("bucket", "int"), ("n", "bigint")],
+    "q130_ngram_novelty": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_novel", "bigint"), ("novelty", "double")],
 }
-
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
 
 # 36-bit md5 prefix (9 hex chars): sum stays inside BIGINT to ~1e8 rows.

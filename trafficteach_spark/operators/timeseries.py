@@ -532,7 +532,7 @@ def q100_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id, so after the first Exchange the lag, running sum,
     group-collapse, and lead all run in the same per-key partitioning
     (plan-tested: exactly one corpus-sized Exchange). Per-key windows
-    never see more than one user's rows, so the q83-class
+    never see more than one user's rows, so the q83_exact-class
     single-partition sort trap does not apply at any scale. Ties broken
     by event_id for a deterministic cross-engine version chain.
     """
