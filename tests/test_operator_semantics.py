@@ -6312,3 +6312,100 @@ def test_embed_near_dup_drops_null_and_zero_vectors(spark, tmp_path):
     pairs = {(r["vec_a"], r["vec_b"]) for r in Q["q35_embed_near_dup"](spark, str(tmp_path)).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_core_family_dirty_inputs_match_oracle(spark, tmp_path):
+    """Round-12 core-family sweep (funcs/udx/exact-sum policy): the
+    engines diverged seven ways on dirty rows the clean fixture never
+    exercises — NaN/inf measures (Spark's decimal cast silently NULLs
+    where DuckDB's hard-errors: money()/duck_money now mask non-finite
+    identically), non-integral or >18-digit props.k (ANSI cast crash vs
+    DuckDB rounding '50.5' to 51), malformed JSON (DuckDB
+    json_extract_string errors where get_json_object is NULL),
+    non-ASCII head_upper (Java 1:N case mapping 'ß'->'SS' vs utf8proc
+    1:1), the speed-decile UDF int64-wrapping 1e19 to a fabricated 0
+    where the oracle crashed, the spread UDAF's pandas skipna vs SQL
+    NaN-is-greatest, and posexplode vs a fixed range(4) grid on
+    short/NULL embeddings. One planted fixture drives all six keys
+    through the DuckDB oracles side-by-side."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ns = int(base.timestamp()) * 10**9
+    events = [
+        (1, ns, 1, "view", 12.5, '{"k": 7}'),
+        (2, ns + 10**9, 2, "view", -3.7, '{"k": 99}'),
+        # NaN + inf + -inf + 1e19 + NULL: money() mask, decile domain,
+        # spread skipna, and the four dirty props.k shapes
+        (3, ns + 2 * 10**9, 3, "click", float("nan"), '{"k": 50.5}'),
+        (4, ns + 3 * 10**9, 4, "click", float("inf"), "not json{"),
+        (5, ns + 4 * 10**9, 5, "purchase", float("-inf"), '{"k": "12x"}'),
+        (6, ns + 5 * 10**9, 6, "purchase", 1.0e19,
+         '{"k": 99999999999999999999}'),
+        (7, ns + 6 * 10**9, 7, "purchase", None, None),
+    ]
+    spark.createDataFrame(events, schemas.EVENTS_PHYSICAL).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    docs = [
+        (1, "straße gasse weg", "de", "web", 16),
+        (2, "ﬁn fjord", "no", "web", 8),
+        (3, "plain ascii text here", "en", "web", 21),
+        (4, None, "en", "web", None),
+    ]
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    emb = [
+        (1, [1.0, 2.0], 0),                    # shorter than the 4-grid
+        (2, None, 0),                          # NULL embedding: no rows
+        (3, [1.0, None, 3.0, 4.0, 9.0], 1),    # NULL element keeps its slot
+        (4, [2.0, 4.0, 6.0, 8.0], 1),
+    ]
+    spark.createDataFrame(emb, schemas.EMBEDDINGS).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    con = _duck_view(tmp_path, "documents")
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, "
+        "make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts, "
+        "user_id, event_type, value, props FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    _assert_engines_agree(
+        spark,
+        con,
+        str(tmp_path),
+        (
+            "q02_group_count",
+            "q16_string_funcs",
+            "q18_json_funcs",
+            "q23_pandas_udf",
+            "q23_pandas_udaf",
+            "q24_explode",
+        ),
+    )
+    # spot-pin the decided semantics, not just parity:
+    q02 = {r["event_type"]: r for r in Q["q02_group_count"](spark, str(tmp_path)).collect()}
+    assert q02["click"]["sum_value"] is None          # NaN + inf -> masked
+    assert q02["purchase"]["sum_value"] == 1.0e19      # finite 1e19 kept
+    q23 = {
+        (r["event_type"], r["speed_decile"]): r["n_events"]
+        for r in Q["q23_pandas_udf"](spark, str(tmp_path)).collect()
+    }
+    assert q23[("click", None)] == 2                   # NaN/inf -> NULL decile
+    assert q23[("purchase", None)] == 3                # -inf, 1e19, NULL
+    assert q23[("view", 2)] == 1 and q23[("view", -4)] == 1
+    q16 = {r["doc_id"]: r["head_upper"] for r in Q["q16_string_funcs"](spark, str(tmp_path)).collect()}
+    assert q16[1] == "straße gasse"               # non-ASCII: untouched
+    assert q16[3] == "PLAIN ASCII "                    # ASCII: uppercased
+    q18 = {r["event_type"]: r for r in Q["q18_json_funcs"](spark, str(tmp_path)).collect()}
+    assert q18["view"]["sum_k"] == 106
+    assert q18["click"]["sum_k"] is None               # 50.5 + malformed
+    assert q18["purchase"]["sum_k"] is None            # "12x", 20-digit, NULL

@@ -18,16 +18,37 @@ MONEY_DECIMAL = "decimal(30,6)"
 
 
 def money(col: Column | str) -> Column:
-    """Cast a double measure to exact decimal before summation."""
+    """Cast a double measure to exact decimal before summation, treating
+    non-finite values as NULL — EXPLICITLY, because the engines disagree
+    on the implicit path: Spark's double->DECIMAL cast silently yields
+    NULL on NaN/Infinity (even under ANSI) while DuckDB's hard-errors,
+    so a single planted NaN made one engine under-report and the other
+    crash (round-12 review finding; same class as q165's NaN guard).
+    The finite-range comparison excludes NaN too: both engines order
+    NaN above +Infinity, so ``x < inf`` is false for it."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(MONEY_DECIMAL)
+    d = c.cast("double")
+    finite = (d > F.lit(float("-inf"))) & (d < F.lit(float("inf")))
+    return F.when(finite, d).cast(MONEY_DECIMAL)
+
+
+def duck_money(expr: str) -> str:
+    """The DuckDB oracle twin of :func:`money` — ONE definition so the
+    non-finite policy cannot drift between the engines (the cosine6
+    lesson): renders ``CAST(CASE WHEN isfinite(x) THEN x END AS
+    DECIMAL(30,6))``. ``isfinite(NULL)`` is NULL, so NULLs stay NULL."""
+    return (
+        f"CAST(CASE WHEN isfinite(CAST({expr} AS DOUBLE)) THEN {expr} END"
+        f" AS DECIMAL(30,6))"
+    )
 
 
 def exact_sum(col: Column | str, alias: str) -> Column:
     """SUM in decimal, emitted as double — deterministic across engines.
 
-    DuckDB oracle counterpart:
-    ``CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS alias``.
+    DuckDB oracle counterpart (see :func:`duck_money` for the
+    non-finite-as-NULL guard both sides share):
+    ``CAST(SUM({duck_money('x')}) AS DOUBLE) AS alias``.
     """
     return F.sum(money(col)).cast("double").alias(alias)
 

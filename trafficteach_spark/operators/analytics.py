@@ -14,7 +14,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trafficteach_spark.functions.exprs import epoch_us_expr
+from trafficteach_spark.functions.exprs import duck_money, epoch_us_expr, money
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_table
 
@@ -2195,7 +2195,7 @@ def _customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the inequality metrics that must agree on the same spend
     distribution (round-11 review finding)."""
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", F.col("o_totalprice").cast("decimal(30,6)").alias("price")
+        "o_custkey", money("o_totalprice").alias("price")
     )
     return orders.groupBy("o_custkey").agg(
         F.sum("price").cast("decimal(38,6)").alias("spend")
@@ -2211,8 +2211,8 @@ def _customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                datediff('day', MAX(CAST(o_orderdate AS DATE)),
                         (SELECT max_day FROM horizon)) AS recency,
                COUNT(*) AS frequency,
-               SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS m_exact,
-               CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,6))) / {_RFM_MONETARY_BIN}) AS BIGINT) AS m_bin
+               SUM({duck_money('o_totalprice')}) AS m_exact,
+               CAST(FLOOR(SUM({duck_money('o_totalprice')}) / {_RFM_MONETARY_BIN}) AS BIGINT) AS m_bin
         FROM orders GROUP BY o_custkey
     ),
     rq AS ({_rfm_metric_cte("recency")}),
@@ -2258,7 +2258,7 @@ def q140_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.col("o_orderdate").cast("date").alias("day"),
-        F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+        money("o_totalprice").alias("price"),
     )
     horizon = orders.agg(F.max("day").alias("max_day"))
     rfm = (
@@ -2674,7 +2674,7 @@ _LIFT_SPEND_BIN = 1000
     oracle=f"""
     WITH cust AS (
         SELECT o_custkey,
-               CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+               CAST(FLOOR(SUM({duck_money('o_totalprice')})
                           / {_LIFT_SPEND_BIN}) AS BIGINT) AS spend_bin,
                MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
                    AS is_urgent
@@ -2732,7 +2732,7 @@ def q148_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+        money("o_totalprice").alias("price"),
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
     )
     cust = orders.groupBy("o_custkey").agg(
@@ -3063,10 +3063,10 @@ def q151_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q152_theil_index",
-    oracle="""
+    oracle=f"""
     WITH cust AS (
         SELECT o_custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+               CAST(SUM({duck_money('o_totalprice')})
                     AS DECIMAL(38,6)) AS spend
         FROM orders GROUP BY o_custkey
     ),
@@ -3508,7 +3508,7 @@ _GINI_SPEND_BIN = 1000  # same binned-rank machinery as q140/q148/q155
     oracle=f"""
     WITH cust AS (
         SELECT o_custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+               CAST(SUM({duck_money('o_totalprice')})
                     AS DECIMAL(38,6)) AS spend
         FROM orders GROUP BY o_custkey
     ),
@@ -3619,12 +3619,12 @@ def q157_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q160_cohort_ltv",
-    oracle="""
+    oracle=f"""
     WITH o AS (
         SELECT o_custkey,
                CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
                    AS m,
-               CAST(o_totalprice AS DECIMAL(30,6)) AS price
+               {duck_money('o_totalprice')} AS price
         FROM orders
     ),
     first_m AS (
@@ -3674,7 +3674,7 @@ def q160_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
         .cast("long")
         .alias("m"),
-        F.col("o_totalprice").cast("decimal(30,6)").alias("price"),
+        money("o_totalprice").alias("price"),
     )
     first_m = orders.groupBy("o_custkey").agg(F.min("m").alias("f"))
     cohort = first_m.groupBy("f").agg(F.count("*").alias("cohort_size"))

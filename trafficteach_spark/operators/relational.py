@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trafficteach_spark.functions.exprs import exact_sum, money
+from trafficteach_spark.functions.exprs import duck_money, exact_sum, money
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_events_range, load_table
 
@@ -79,8 +79,8 @@ def q01_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+           CAST(SUM({duck_money('value')}) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM({duck_money('value')}) AS DOUBLE) / COUNT(*), 6) AS avg_value
     FROM events
     WHERE ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'
     GROUP BY event_type
@@ -109,9 +109,9 @@ def q02_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q03_star_join",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name, n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(SUM({duck_money("l.l_extendedprice * (1 - l.l_discount)")}) AS DOUBLE)
                AS revenue,
            COUNT(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l

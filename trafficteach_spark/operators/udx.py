@@ -31,6 +31,13 @@ from trafficteach_spark.sources.tables import load_events_range, load_table
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 
 
+#: decile domain bound, shared with the oracle: beyond it the old
+#: ``astype('int64')`` path silently wrapped (1e19 -> decile 0) while
+#: the oracle's BIGINT cast hard-errored. 1e18 < 2**63 keeps every
+#: in-domain floor() exactly representable in both engines.
+_DECILE_ABS_MAX = 1.0e18
+
+
 # DataType instances (not DDL strings): string return types need an active
 # SparkContext to parse at decoration time, which import must not require.
 @pandas_udf(LongType())
@@ -40,33 +47,50 @@ def _speed_decile(value: pd.Series) -> pd.Series:
     SQL-semantics parity, not numpy's: ``np.fmod`` is TRUNCATED modulo
     (sign of the dividend), matching Spark SQL's and DuckDB's ``%`` on a
     negative value where numpy's ``%`` is floored (-1 % 10 -> 9 vs the
-    engines' -1). NULLs pass through as NULLs via the nullable Int64
-    dtype — a bare ``astype('int64')`` raises on NaN, failing the whole
-    query where the oracle just emits a NULL-decile group. Latent on
-    today's null-free non-negative fixture; a contract, not a bugfix.
+    engines' -1). NULL, NaN, +/-inf and out-of-``_DECILE_ABS_MAX``
+    values all map to a NULL decile — explicitly masked, because the
+    implicit paths disagreed: NaN/inf crashed the oracle's BIGINT cast
+    where the UDF emitted NULL, and 1e19 int64-wrapped to a fabricated
+    decile 0 (round-12 review finding). The oracle carries the same
+    isfinite + bound guard.
     """
     import numpy as np
 
-    f = np.floor(value.to_numpy(dtype="float64", na_value=np.nan))
-    out = pd.Series(np.fmod(f, 10.0))
+    v = value.to_numpy(dtype="float64", na_value=np.nan)
+    in_domain = np.isfinite(v) & (np.abs(v) < _DECILE_ABS_MAX)
+    out = pd.Series(np.fmod(np.floor(v), 10.0)).where(pd.Series(in_domain))
     return out.astype("Int64")
 
 
 @pandas_udf(DoubleType())
-def _value_spread(value: pd.Series) -> float:
+def _value_spread(value: pd.Series) -> float | None:
     """GROUPED_AGG pandas UDF (the UDAF surface, O41): max-min spread.
 
     Exact on IEEE doubles and order-independent, so it hash-matches the
-    SQL ``MAX(value) - MIN(value)`` bit-for-bit.
+    SQL ``MAX(value) - MIN(value)`` bit-for-bit — with the oracle's
+    MAX/MIN masked to skip NaN, because pandas' skipna and SQL's
+    NaN-is-greatest total order disagree on a NaN-containing group
+    (pandas [NaN, 1, 5] -> 4.0, SQL MAX-MIN -> NaN; round-12 review
+    finding). Arrow delivers NULL floats as NaN, so NULL-vs-NaN cannot
+    be distinguished here; both are skipped on both sides, and a group
+    with no finite-or-inf value at all returns NULL like SQL's empty
+    MAX. A NaN-valued SPREAD (only reachable as inf - inf) also lands
+    as NULL: Spark's grouped-agg result path converts a returned NaN
+    scalar to NULL, so the oracle NULLIFs the same case.
     """
-    return float(value.max() - value.min())
+    m = value.max()
+    if pd.isna(m):
+        return None
+    return float(m - value.min())
 
 
 @register(
     "q23_pandas_udf",
     oracle=f"""
     SELECT event_type,
-           CAST(floor(value) AS BIGINT) % 10 AS speed_decile,
+           CASE WHEN isfinite(value) AND abs(value) < {_DECILE_ABS_MAX}
+                THEN CAST(floor(value) AS BIGINT) % 10
+           END AS speed_decile,
            COUNT(*) AS n_events
     FROM events
     WHERE {_ORACLE_RANGE}
@@ -97,7 +121,9 @@ def q23_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_pandas_udaf",
     oracle=f"""
     SELECT event_type,
-           MAX(value) - MIN(value) AS value_spread
+           NULLIF(MAX(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                  - MIN(CASE WHEN isnan(value) THEN NULL ELSE value END),
+                  'NaN'::DOUBLE) AS value_spread
     FROM events
     WHERE {_ORACLE_RANGE}
     GROUP BY event_type
@@ -125,15 +151,21 @@ def q23_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q24_explode",
     oracle="""
+    WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
     SELECT label,
-           i.i AS pos,
+           pos,
            COUNT(*) AS n_vals,
-           MIN(CAST(embedding[i.i + 1] AS DOUBLE)) AS min_val,
-           MAX(CAST(embedding[i.i + 1] AS DOUBLE)) AS max_val,
-           ROUND(AVG(CAST(embedding[i.i + 1] AS DOUBLE)), 5) AS avg_val
-    FROM embeddings
-    CROSS JOIN range(4) i(i)
-    GROUP BY label, i.i
+           MIN(val) AS min_val,
+           MAX(val) AS max_val,
+           ROUND(AVG(val), 5) AS avg_val
+    FROM ex
+    WHERE pos < 4
+    GROUP BY label, pos
     """,
     tags=("udx", "O42"),
 )
@@ -145,6 +177,14 @@ def q24_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``posexplode`` is the declarative equivalent and stays codegen'd.
     The pos filter lands *before* the generate in the optimized plan
     (generator pruning), so only 4 of 64 positions materialize.
+
+    The oracle unnests the ACTUAL list (generate_subscripts zipped with
+    unnest) rather than CROSS JOIN range(4): posexplode emits nothing
+    for a NULL/empty embedding and only len(embedding) positions, so
+    the old fixed-grid oracle fabricated all-NULL cells — n_vals and
+    the (label, pos) group set diverged on any vector shorter than 4
+    (round-12 review finding). COUNT(*) counts NULL ELEMENTS inside a
+    list identically on both sides (posexplode emits them as rows).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return (

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trafficteach_spark.functions.exprs import (
+    duck_money,
     epoch_us_sql,
     exact_avg,
     exact_sum,
@@ -192,8 +193,8 @@ def sliding_window_agg(events: DataFrame) -> DataFrame:
            window_start + INTERVAL '{_SLIDE_SEC * _WIN_SLOTS} seconds' AS window_end,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+           CAST(SUM({duck_money('value')}) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM({duck_money('value')}) AS DOUBLE) / COUNT(*), 6)
                AS avg_value
     FROM slotted
     GROUP BY window_start, event_type
@@ -220,7 +221,7 @@ def q20_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(SUM({duck_money('value')}) AS DOUBLE) AS sum_value
     FROM events
     WHERE {_ORACLE_RANGE}
     GROUP BY 1, 2, 3
@@ -321,7 +322,7 @@ def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 2)
+           ROUND(CAST(SUM({duck_money('value')}) AS DOUBLE) / COUNT(*), 2)
                AS avg_speed
     FROM events
     WHERE {_ORACLE_RANGE}
