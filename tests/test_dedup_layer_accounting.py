@@ -44,7 +44,7 @@ def test_readout_eviction_and_clearcache_contract(spark):
     dedup.materialized_clusters(spark, SF_SMALL)
     built = dedup.materialized_layer_bytes(spark)
     assert built > 0
-    key = (spark.sparkContext.applicationId, SF_SMALL)
+    key = dedup._memo_key(spark, SF_SMALL)
     assert set(dedup._LAYER_LEDGER) == {key}
 
     # The registry contract: clearCache() must NOT free the layer...
@@ -169,3 +169,54 @@ def test_prebuild_entry_point_builds_layer_and_is_idempotent(spark):
     # Warm call re-counts three materialized frames — no rebuild. The
     # generous wall bound only has to catch a full relayering (seconds).
     assert again["total_sec"] < report["total_sec"] + 2.0
+
+
+def test_dead_checkpoint_declaration_survives_derivation(spark):
+    """The CC contraction tags its converged edge frame as dead-after-
+    checkpoint, but the tag is a Python attribute on the DataFrame
+    OBJECT and dedup_clusters returns a join/select derivative — the
+    round-11 free mechanism silently never fired because the derived
+    frame lost it (round-12 review finding). Pin both halves: the
+    derivative carries the tag, and after the accounted materialization
+    the dead edge frame's blocks are actually gone."""
+    out = dedup.dedup_clusters(
+        spark, SF_SMALL, pairs=dedup.near_dup_pairs(spark, SF_SMALL)
+    )
+    dead = getattr(out, "_dead_after_checkpoint", ())
+    assert len(dead) == 1
+
+    built = dedup.materialized_clusters(spark, SF_SMALL)
+    assert built.count() > 0
+    # The ledger may conservatively HOLD the dead frame's old RDD id,
+    # but its blocks must be freed: every ledgered id that is still
+    # live belongs to the shingle cache or the pair/cluster
+    # checkpoints, whose combined count is bounded. A pinned edge list
+    # would add an extra live corpus-scale entry here.
+    key = dedup._memo_key(spark, SF_SMALL)
+    live = dedup._storage_sizes(spark)
+    live_ledgered = [r for r in dedup._LAYER_LEDGER[key] if live.get(r, 0) > 0]
+    assert len(live_ledgered) <= 3, live_ledgered
+
+
+def test_in_place_rewrite_invalidates_layer(spark, tmp_path):
+    """Rewriting documents.parquet at the SAME path must rotate the
+    memo key (dataset fingerprint) and evict the old entries — before
+    round 12 the checkpointed layer kept serving the OLD corpus while
+    non-memoized operators and the oracles read the new files."""
+    import shutil
+
+    work = tmp_path / "ds"
+    work.mkdir()
+    shutil.copy(f"{SF_SMALL}/documents.parquet", work / "documents.parquet")
+    k1 = dedup._memo_key(spark, str(work))
+    n1 = dedup.materialized_pairs(spark, str(work)).count()
+    assert k1 in dedup._PAIRS_MEMO
+
+    # in-place rewrite with a different (valid) corpus
+    shutil.copy(f"{SF_MED}/documents.parquet", work / "documents.parquet")
+    k2 = dedup._memo_key(spark, str(work))
+    assert k2 != k1
+    assert k1 not in dedup._PAIRS_MEMO and k1 not in dedup._LAYER_LEDGER
+    n2 = dedup.materialized_pairs(spark, str(work)).count()
+    assert k2 in dedup._PAIRS_MEMO
+    assert n2 != n1  # the rebuilt layer reflects the NEW corpus

@@ -455,3 +455,42 @@ def test_decode_with_pillow_contract_via_stub(monkeypatch):
     assert out.loc[0, "width"] == 3 and out.loc[0, "height"] == 2
     assert out.loc[0, "n_pixels"] == 6
     assert out.loc[0, "pixel_md5"] == hashlib.md5(FLAT).hexdigest()
+
+
+def test_truncated_payloads_raise_valueerror_diagnostics():
+    """Header-truncated payloads must raise the decoders' documented
+    ValueError diagnostics, not bare struct.error/zlib.error — callers
+    catch ValueError per the decode contract, so a low-level error
+    killed the whole mapInPandas task undiagnosed (round-12 review
+    finding)."""
+    import zlib as _z
+
+    from trafficteach_spark.operators.llm.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    # BMP shorter than the 54-byte header floor
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_bmp(b"BM")
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_bmp(b"BM" + bytes(20))
+    # PPM that ends mid-header
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        decode_ppm(b"P6\n3 2")
+    # PNG with a truncated IHDR chunk
+    with pytest.raises(ValueError, match="truncated PNG IHDR"):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", b"\x00" * 5))
+    # PNG with IHDR but no IDAT at all
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="missing IDAT"):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b""))
+    # PNG whose IDAT stream is cut short
+    good = _z.compress(bytes([0, 10, 20, 30]))
+    with pytest.raises(ValueError, match="truncated or corrupt PNG IDAT"):
+        decode_png(
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", good[:3])
+            + _png_chunk(b"IEND", b"")
+        )

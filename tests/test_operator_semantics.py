@@ -1303,9 +1303,8 @@ def test_dedup_memos_are_dataset_scoped(spark):
     }
     assert big == fresh_big
     # and the memo actually holds separate entries per sf_dir
-    app = spark.sparkContext.applicationId
-    assert (app, sf_small) in dedup._PAIRS_MEMO
-    assert (app, sf_big) in dedup._PAIRS_MEMO
+    assert dedup._memo_key(spark, sf_small) in dedup._PAIRS_MEMO
+    assert dedup._memo_key(spark, sf_big) in dedup._PAIRS_MEMO
 
 
 def test_injected_pairs_override_is_used(spark):

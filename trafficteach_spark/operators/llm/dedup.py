@@ -80,8 +80,9 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invocation — the three slowest bench entries shared that one root cause.
 # A production pipeline materializes each intermediate once per dataset;
 # these memos are that materialized-view layer, keyed by (Spark
-# application, sf_dir) so a fresh session or different dataset never sees
-# stale frames.
+# application, sf_dir, dataset fingerprint) so a fresh session, a
+# different dataset, or an in-place REWRITE of the same path never sees
+# stale frames (see _dataset_fingerprint).
 #
 # Two materialization grades, deliberately different:
 # - the SHINGLE frame is memoized as a single persisted DataFrame
@@ -102,12 +103,64 @@ _CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _EVAL_HASHED_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _dataset_fingerprint(sf_dir: str) -> str:
+    """(name, size, mtime_ns) digest of the documents table's part
+    files — the memo/ledger key component that detects an IN-PLACE
+    rewrite of the dataset at the same path. (app, sf_dir) alone kept
+    serving the localCheckpoint'ed pair/cluster frames of the OLD
+    corpus after a rewrite, while non-memoized operators and every
+    DuckDB oracle read the new files — silently inconsistent results
+    within one app (round-12 review finding; the same defense the
+    loader's events-encoding probe uses). stat-only, no file reads, so
+    the access path stays microseconds."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    paths = (
+        [root]
+        if os.path.isfile(root)
+        else sorted(_glob.glob(os.path.join(root, "*.parquet")))
+    )
+    h = hashlib.md5()
+    for p in paths:
+        st = os.stat(p)
+        h.update(
+            f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode()
+        )
+    return h.hexdigest()[:16]
+
+
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     from trafficteach_spark.session import evict_stale_memo
 
     for memo in (_SHINGLE_MEMO, _PAIRS_MEMO, _CLUSTERS_MEMO, _EVAL_HASHED_MEMO):
         evict_stale_memo(memo, spark)
-    return (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _dataset_fingerprint(sf_dir),
+    )
+    # An entry for the SAME (app, sf_dir) under a DIFFERENT fingerprint
+    # is a rewritten dataset's leftover: evict it now (checkpoint blocks
+    # freed, memos dropped) instead of letting corpus-stale frames pin
+    # bytes until cap pressure happens to reach them.
+    stale = {
+        k
+        for store in (
+            _LAYER_LEDGER,
+            _SHINGLE_MEMO,
+            _PAIRS_MEMO,
+            _CLUSTERS_MEMO,
+            _EVAL_HASHED_MEMO,
+        )
+        for k in store
+        if k[:2] == key[:2] and k != key
+    }
+    for k in stale:
+        _evict_layer_entry(spark, k)
+    return key
 
 
 # -- Byte accounting for the checkpoint layer (round-9 verdict item 3) ------
@@ -161,10 +214,13 @@ def _purge_dead_app_entries(spark: SparkSession) -> None:
     """Drop ledger entries recorded under a different applicationId:
     their SparkContext is gone, their blocks no longer exist, and their
     RDD ids would alias the LIVE app's ids (ids restart at 0 per
-    context). No block-manager calls — there is nothing to free."""
-    app = spark.sparkContext.applicationId
-    for key in [k for k in _LAYER_LEDGER if k[0] != app]:
-        del _LAYER_LEDGER[key]
+    context). No block-manager calls — there is nothing to free. The
+    deletion rule IS session.evict_stale_memo's (value-type-agnostic),
+    so the ledger and the frame memos cannot drift on what "stale app"
+    means (round-12 review finding)."""
+    from trafficteach_spark.session import evict_stale_memo
+
+    evict_stale_memo(_LAYER_LEDGER, spark)
 
 
 def materialized_layer_bytes(spark: SparkSession) -> int:
@@ -271,13 +327,27 @@ def shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the memoized instance must re-``persist()`` when that happened —
     otherwise every downstream self-join silently recomputes the HOF
     shingling once per use (measured 4x on q31/q90 at sf0.1)."""
+    return _memoized_persisted(
+        _SHINGLE_MEMO, _memo_key(spark, sf_dir),
+        lambda: _shingle_sets(spark, sf_dir),
+    )
+
+
+def _memoized_persisted(memo: dict, key, build) -> DataFrame:
+    """ONE get-or-persist with the clearCache self-heal, shared by the
+    shingle layer and q125's hashed-token frame (previously verbatim
+    copies — a fix to the self-heal guard applied to one and missed in
+    the other would silently leave the other memo uncached for the rest
+    of the app; round-12 review finding): ``clearCache()`` deregisters
+    the plan from the CacheManager, so a memoized instance found at
+    StorageLevel.NONE must re-``persist()`` or every downstream use
+    silently recomputes."""
     from pyspark.storagelevel import StorageLevel
 
-    key = _memo_key(spark, sf_dir)
-    df = _SHINGLE_MEMO.get(key)
+    df = memo.get(key)
     if df is None:
-        df = _shingle_sets(spark, sf_dir).persist()
-        _SHINGLE_MEMO[key] = df
+        df = build().persist()
+        memo[key] = df
     elif df.storageLevel == StorageLevel.NONE:
         df.persist()
     return df
@@ -939,7 +1009,7 @@ def dedup_clusters(
         pairs = near_dup_pairs(spark, sf_dir)
     star, _rounds = alternating_components(pairs.select("doc_a", "doc_b"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return (
+    out = (
         docs.join(star, "doc_id", "left")
         .select(
             "doc_id",
@@ -950,6 +1020,16 @@ def dedup_clusters(
             F.when(F.col("canonical_id") == F.col("doc_id"), 1).otherwise(0),
         )
     )
+    # RE-TAG the derived frame: ``_dead_after_checkpoint`` is a plain
+    # Python attribute on the star DataFrame OBJECT, and join/select/
+    # withColumn build NEW objects — without this line the declaration
+    # never reached _materialize_accounted's getattr and the converged
+    # round's edge-list checkpoint stayed pinned (and ledger-charged)
+    # for the app's life, the exact leak the round-11 fix claimed to
+    # close (round-12 review finding; regression-tested in
+    # test_dedup_layer_accounting).
+    out._dead_after_checkpoint = getattr(star, "_dead_after_checkpoint", ())
+    return out
 
 
 CONTAINMENT_THRESHOLD = 0.8
@@ -1227,20 +1307,18 @@ def q125_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-invocation persist() stacks a fresh cache entry every bench
     # repeat (the exact leak the round-6 review fixed in
     # shared_word_kgrams), evicting the dedup family's shared frames.
-    from pyspark.storagelevel import StorageLevel
-
-    memo_key = _memo_key(spark, sf_dir)
-    hashed = _EVAL_HASHED_MEMO.get(memo_key)
-    if hashed is None:
-        hashed = sample.select(
+    # Same helper as shared_shingle_sets so the clearCache self-heal
+    # cannot drift between the two memo sites.
+    hashed = _memoized_persisted(
+        _EVAL_HASHED_MEMO,
+        _memo_key(spark, sf_dir),
+        lambda: sample.select(
             "doc_id",
             "toks",
             F.size("toks").alias("sz"),
             F.expr(f"transform(toks, t -> {tok_hash})").alias("hs"),
-        ).persist()
-        _EVAL_HASHED_MEMO[memo_key] = hashed
-    elif hashed.storageLevel == StorageLevel.NONE:
-        hashed.persist()
+        ),
+    )
     # Signatures via the SAME numpy matrix worker as q31_minhash_lsh,
     # parameterized with the eval coefficient table (a < 2^30, h < 2^28
     # keeps a*h + b far inside int64 — one implementation, one

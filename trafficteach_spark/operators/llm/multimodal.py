@@ -103,6 +103,14 @@ def decode_bmp(payload: bytes) -> dict:
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    # 14-byte file header + the 40-byte BITMAPINFOHEADER floor: anything
+    # shorter dies inside struct.unpack_from with a bare struct.error,
+    # not the decoder's ValueError diagnostic contract (round-12 review
+    # finding — callers catch ValueError per the round-10 contract).
+    if len(payload) < 54:
+        raise ValueError(
+            f"truncated BMP: {len(payload)} bytes, headers need 54"
+        )
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     # biHeight is SIGNED: negative means a top-down pixel array.
     header_size, width, height = struct.unpack_from("<Iii", payload, 14)
@@ -164,6 +172,12 @@ def decode_ppm(payload: bytes) -> dict:
         start = pos
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
+        if start == pos:
+            # Ran off the end mid-header: int(b'') would raise an
+            # undiagnostic ValueError; name the actual problem.
+            raise ValueError(
+                f"truncated PPM header: {len(tokens)} of 3 size tokens"
+            )
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval precedes pixel data
     width, height, maxval = tokens
@@ -218,8 +232,15 @@ def decode_png(payload: bytes) -> dict:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + CRC
         if ctype == b"IHDR":
+            if len(data) < 13:
+                # A truncated IHDR chunk dies inside struct.unpack with
+                # a bare struct.error otherwise (round-12 review
+                # finding — same diagnostic contract as decode_bmp).
+                raise ValueError(
+                    f"truncated PNG IHDR: {len(data)} of 13 bytes"
+                )
             width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
+                ">IIBBBBB", data[:13]
             )
             if depth != 8 or color not in (2, 6):
                 raise NotImplementedError(
@@ -239,7 +260,14 @@ def decode_png(payload: bytes) -> dict:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # A truncated IDAT stream otherwise kills the mapInPandas task
+        # with a bare zlib.error (round-12 review finding).
+        raise ValueError(f"truncated or corrupt PNG IDAT: {exc}") from exc
     stride = width * bpp
     if len(raw) != height * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
