@@ -6408,3 +6408,44 @@ def test_core_family_dirty_inputs_match_oracle(spark, tmp_path):
     assert q18["view"]["sum_k"] == 106
     assert q18["click"]["sum_k"] is None               # 50.5 + malformed
     assert q18["purchase"]["sum_k"] is None            # "12x", 20-digit, NULL
+
+
+def test_minhash_lsh_oracle_replays_exact_banding(spark, tmp_path):
+    """Round-12 dedup sweep: q31_minhash_lsh used to register the exact
+    all-pairs oracle, which its probabilistic banding only approximates
+    — a planted J=0.5 pair (capture probability ~0.64 per the 16x4
+    banding) was demonstrably missed by the production seed while the
+    oracle returned it. The oracle now replays the EXACT md5-based
+    signatures and banding, so both engines must agree row-for-row on
+    ANY J distribution; the exact inverted-index form remains the
+    recall ground truth and is allowed to see more pairs."""
+    docs = [
+        # the mid-J pair: shingle sets {"x x x"} vs {"x x x","x x y"}
+        (7, "x x x x x x x x x x", "en", "web", 19),
+        (11, "x x x x x x x x x y", "en", "web", 19),
+        # an exact duplicate pair: J=1.0, captured by every band
+        (1, "a b c d e f g h", "en", "web", 15),
+        (2, "a b c d e f g h", "en", "web", 15),
+        # below shingle K and NULL text: emitted by neither engine
+        (3, "a b", "en", "web", 3),
+        (4, None, "en", "web", None),
+    ]
+    from trafficteach_spark import schemas
+
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = _duck_view(tmp_path, "documents")
+    _assert_engines_agree(
+        spark, con, str(tmp_path), ("q31_minhash_lsh", "q31_near_dedup")
+    )
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in Q["q31_minhash_lsh"](spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in lsh  # J=1.0 cannot be missed by banding
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in Q["q31_near_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert (7, 11) in exact and (1, 2) in exact  # ground truth sees both

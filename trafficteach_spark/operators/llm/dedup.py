@@ -575,45 +575,118 @@ def _make_minhash_signatures(hash_ab=None):
     return signatures
 
 
-@register("q31_minhash_lsh", oracle=_NEAR_DUP_ORACLE, tags=("llm", "X2", "scale"))
+#: shingle-hash width for the LSH path: 15 hex chars (60 bits) of md5,
+#: then mod _MERSENNE — the DuckDB-reproducible hash (md5_prefix_int_*),
+#: NOT xxhash64, so the oracle below can recompute the EXACT signatures.
+_LSH_HEX_CHARS = 15
+
+
+def _minhash_lsh_oracle() -> str:
+    """DuckDB oracle replaying q31_minhash_lsh's EXACT pipeline —
+    md5-derived shingle hashes, the same 64 (a*h + b) % p minhashes from
+    the literal _HASH_AB table, the same 16x4 banding, candidate
+    generation by shared band, exact-Jaccard verify — so the registered
+    contract is the operator's true semantics. The previous oracle was
+    the exact all-pairs form (_NEAR_DUP_ORACLE), which banding only
+    approximates: a planted J=0.5 pair is captured with probability
+    ~0.64, and this seed demonstrably missed one — a latent parity
+    failure on any corpus with mid-J pairs (round-12 review finding).
+    Deterministic banding on band-value tuples (no band hash) keeps
+    both engines byte-identical."""
+    md5h = md5_prefix_int_duck("x", _LSH_HEX_CHARS)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE}))"
+        for a, b in _HASH_AB
+    )
+    band_keys = ", ".join(
+        f"sig[{b * _ROWS_PER_BAND + 1}:{(b + 1) * _ROWS_PER_BAND}]::VARCHAR"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([{_DUCK_SHINGLE_WORDS}
+                              for i in range(1, len(w) - {SHINGLE_K - 2})]) AS s
+        FROM tok
+        WHERE len(w) >= {SHINGLE_K}
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               [{sig_exprs}] AS sig
+        FROM (SELECT doc_id, s,
+                     list_transform(s, x -> {md5h} % {_MERSENNE}) AS hs
+              FROM sh)
+    ),
+    bands AS (
+        SELECT doc_id, s,
+               unnest([{band_keys}]) AS band_key,
+               generate_subscripts([{band_keys}], 1) AS band_id
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.s AS s_a, b.s AS s_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+    FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+               / (len(s_a) + len(s_b) - len(list_intersect(s_a, s_b)))
+                   AS jaccard
+        FROM cand
+    )
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("q31_minhash_lsh", oracle=_minhash_lsh_oracle, tags=("llm", "X2", "scale"))
 def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection (X2), MinHash-LSH banded variant — the 100 TB
     scale path (SURVEY §5 "no operator is ever O(n^2) across partitions").
 
-    Pipeline: shingle -> xxhash64 per shingle (JVM) -> 64 minhashes as a
-    vectorized numpy matrix op (Arrow-batched mapInPandas; see
-    ``_make_minhash_signatures``) -> 16 bands of 4 rows -> band-bucket
+    Pipeline: shingle -> md5-prefix hash per shingle (JVM codegen,
+    DuckDB-reproducible — see ``_minhash_lsh_oracle``) -> 64 minhashes
+    as a vectorized numpy matrix op (Arrow-batched mapInPandas; see
+    ``_make_minhash_signatures``) -> 16 bands of 4 rows -> band-tuple
     equi-join for candidates -> exact Jaccard verify on candidates only.
     Candidate volume is independent of shingle document-frequency (unlike
     the inverted index), at the cost of P(miss | J) = (1-J^4)^16 —
-    < 5e-8 for J >= 0.9. Shares q31_near_dedup's oracle: at fixture scale
-    the planted pairs are all J >= 0.98, where the miss probability is
-    ~1e-13.
+    < 5e-8 for J >= 0.9; the oracle replays the same banding, so the
+    parity contract is exact regardless of a corpus's J distribution
+    (q31_near_dedup remains the recall ground truth). Banding joins on
+    the band's VALUE tuple, not a hash of it, so a band-hash collision
+    cannot fabricate an engine-divergent candidate.
     """
     sets = shared_shingle_sets(spark, sf_dir)  # feeds signatures + verify (O43)
     hashed = sets.select(
-        "doc_id", F.expr(f"transform(s, x -> pmod(xxhash64(x), {_MERSENNE}L))").alias("hs")
+        "doc_id",
+        F.expr(
+            "transform(s, x -> pmod("
+            f"{md5_prefix_int_spark('x', _LSH_HEX_CHARS)}, {_MERSENNE}L))"
+        ).alias("hs"),
     )
     signed = hashed.mapInPandas(
         _make_minhash_signatures(), schema="doc_id long, sig array<long>"
     )
-    band_hashes = F.array(
+    band_keys = F.array(
         *[
-            F.xxhash64(
-                *[
-                    F.element_at("sig", b * _ROWS_PER_BAND + r + 1)
-                    for r in range(_ROWS_PER_BAND)
-                ]
-            )
+            F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)
             for b in range(_BANDS)
         ]
     )
     banded = signed.select(
-        "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
     cand = (
         banded.alias("a")
-        .join(banded.alias("b"), ["band_id", "band_hash"])
+        .join(banded.alias("b"), ["band_id", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
