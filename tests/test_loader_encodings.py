@@ -248,3 +248,35 @@ def test_mixed_encoding_middle_part_raises(spark, dual_dirs, tmp_path):
     shutil.copy(us_part, mixed / "part-00003-x.parquet")
     with pytest.raises(ValueError, match="mixed events.ts encodings"):
         tables._events_ts_kind(str(mixed))
+
+
+def test_probe_ignores_hidden_paths_and_zero_byte_parts(spark, dual_dirs, tmp_path):
+    """Spark's file index skips hidden paths (basenames starting with
+    '_' or '.') and plans no splits for zero-byte files, so the
+    encoding probe must too: an aborted write's _temporary/ leftover in
+    the OTHER encoding (or plain junk), and a crashed writer's 0-byte
+    part, made the probe reject (or ArrowInvalid-crash on) directories
+    Spark reads fine (round-12 review finding)."""
+    import os
+    import shutil
+
+    ns_dir, us_dir = dual_dirs
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    src = os.path.join(ns_dir, "events.parquet")
+    part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(src, part), d / "part-00000.parquet")
+    # leftover _temporary holding the OTHER encoding plus junk bytes
+    tmpdir = d / "_temporary" / "0"
+    tmpdir.mkdir(parents=True)
+    other_src = os.path.join(us_dir, "events.parquet")
+    other = next(f for f in os.listdir(other_src) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(other_src, other), tmpdir / "part-00001.parquet")
+    (tmpdir / "junk.parquet").write_bytes(b"not parquet at all")
+    # hidden and zero-byte files at the top level
+    (d / ".part-00002.parquet").write_bytes(b"also junk")
+    (d / "part-00003.parquet").write_bytes(b"")
+
+    assert tables._events_ts_kind(str(d)) == "int64_ns"
+    n = tables.load_table(spark, str(tmp_path), "events").count()
+    assert n == spark.read.parquet(str(d)).count() > 0

@@ -6449,3 +6449,19 @@ def test_minhash_lsh_oracle_replays_exact_banding(spark, tmp_path):
         for r in Q["q31_near_dedup"](spark, str(tmp_path)).collect()
     }
     assert (7, 11) in exact and (1, 2) in exact  # ground truth sees both
+
+
+def test_misra_gries_rejects_float_keys(spark):
+    """A DoubleType key would int()-truncate inside the Arrow worker —
+    1.9 and 1.2 silently merge into key 1 with an estimate exceeding
+    every true frequency (round-12 review finding). The batch operator
+    now validates eagerly like its streaming twin."""
+    import pytest
+
+    from trafficteach_spark.operators.sketches import misra_gries
+
+    df = spark.createDataFrame(
+        [(1.9,), (1.2,), (1.2,), (7.5,)], "score double"
+    )
+    with pytest.raises(ValueError, match="integer key column"):
+        misra_gries(df, "score", k=8)

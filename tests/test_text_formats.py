@@ -39,12 +39,30 @@ def test_jsonl_roundtrip_matches_parquet_loader(spark, physical_events, tmp_path
 
 def test_csv_roundtrip_matches_parquet_loader(spark, physical_events, tmp_path):
     path = str(tmp_path / "events-csv")
-    # props contains JSON (commas/quotes) — CSV writer must quote it and
-    # the reader must unquote it identically for the row sets to match.
-    physical_events.write.mode("overwrite").option("header", "true").csv(path)
+    # props contains JSON (commas/quotes) — the RFC-4180 writer must
+    # quote it and the reader must unquote it identically for the row
+    # sets to match.
+    text_formats.write_events_csv(physical_events, path)
     got = text_formats.read_events_csv(spark, path)
     assert got.schema == schemas.EVENTS
     assert _logical_rows(got) == _logical_rows(tables.load_table(spark, SF, "events"))
+
+
+def test_csv_reads_rfc4180_doubled_quotes(spark, tmp_path):
+    """A standard-dialect CSV line (doubled quotes, embedded comma in a
+    quoted field — what Excel/csv.writer/COPY emit) must parse to the
+    unescaped value. Under Spark's default backslash dialect the same
+    line either kept the quotes in the value silently or died in
+    FAILFAST on the comma (round-12 review finding)."""
+    d = tmp_path / "rfc"
+    d.mkdir()
+    (d / "part-0.csv").write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        '1,1704067200000000000,42,click,1.5,"{""k"": ""a,b""}"\n'
+    )
+    got = text_formats.read_events_csv(spark, str(d)).collect()
+    assert len(got) == 1
+    assert got[0]["props"] == '{"k": "a,b"}'
 
 
 def test_jsonl_corrupt_line_fails_loudly(spark, tmp_path):

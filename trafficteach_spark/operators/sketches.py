@@ -132,7 +132,25 @@ def misra_gries(df: DataFrame, key_col: str, k: int) -> DataFrame:
     dropping non-positives — the mergeable-summaries rule, implemented
     as a window over the tiny merged frame. Total shuffled volume is
     ``partitions x k`` rows, independent of data size.
+
+    INTEGER keys only, validated eagerly like the streaming twin: a
+    float key would silently pass the worker's ``int(key)`` and
+    TRUNCATE — 1.9 and 1.2 collapse into one counter whose estimate
+    exceeds every true frequency, corrupting the ``estimate <=
+    true_freq`` guarantee with no error (round-12 review finding; the
+    streaming operator's round-10 guard deemed exactly this path a
+    bug, and the batch form corrupted instead of crashing).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    key_type = df.schema[key_col].dataType
+    if not isinstance(key_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"misra_gries needs an integer key column; {key_col!r} is "
+            f"{key_type.simpleString()} (a float key would int()-"
+            "truncate, merging distinct keys into one corrupted "
+            "counter — hash or dictionary-encode the key first)"
+        )
 
     def _partial(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -71,15 +71,29 @@ def _events_ts_kind(path: str) -> str:
             # down — the flat listing found none and raised on a layout
             # Spark reads fine (round-10 review finding). Paths are
             # stamped relative so the cache key stays stable.
+            # Mirror Spark's own file-index visibility rules, or the
+            # probe rejects directories Spark reads fine (round-12
+            # review finding): hidden paths — any basename starting
+            # with '_' or '.' (an aborted write's _temporary/ leftovers,
+            # .crc files) — are invisible to Spark's listing, and
+            # zero-byte part files (a crashed writer) plan no splits,
+            # so neither may enter the stamp or the footer probes
+            # (pyarrow raises raw ArrowInvalid on both).
             stamp_list = []
-            for dirpath, _dirs, files in os.walk(path):
+            for dirpath, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for fname in files:
-                    if fname.endswith(".parquet"):
-                        full = os.path.join(dirpath, fname)
-                        st = os.stat(full)
-                        stamp_list.append(
-                            (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
-                        )
+                    if fname.startswith(("_", ".")) or not fname.endswith(
+                        ".parquet"
+                    ):
+                        continue
+                    full = os.path.join(dirpath, fname)
+                    st = os.stat(full)
+                    if st.st_size == 0:
+                        continue
+                    stamp_list.append(
+                        (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+                    )
             stamp = tuple(sorted(stamp_list))
         else:
             st = os.stat(path)

@@ -99,7 +99,11 @@ def read_events_jsonl(
 
 
 def read_events_csv(
-    spark: SparkSession, path: str, header: bool = True, validate: bool = True
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    validate: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
     """Read CSV events with the same declared physical schema and
     FAILFAST posture. With ``header=True``, ``enforceSchema`` is turned
@@ -109,6 +113,17 @@ def read_events_csv(
     columns in a reordered file (event_id/user_id are both int64 —
     round-6 review finding). ``header=False`` necessarily trusts
     position: column order must match ``schemas.EVENTS_PHYSICAL``.
+
+    Quoting is RFC 4180 (``escape='"'``: a quote inside a quoted field
+    is DOUBLED), the dialect every standard producer emits — Excel,
+    Python's csv.writer, Postgres COPY. Spark's default is its own
+    backslash-escape dialect, under which a standard file either parses
+    with the quotes silently kept in the value (props is JSON — every
+    quoted field corrupts) or dies in FAILFAST on an embedded comma
+    (round-12 review finding); :func:`write_events_csv` is the matching
+    producer. Fields with embedded NEWLINES additionally need
+    ``multiline=True`` — deliberately opt-in, because multiLine parsing
+    makes each file unsplittable (one task per file at 100 TB).
 
     ``validate`` applies the same required-field NULL guard as the JSONL
     twin: FAILFAST only catches MALFORMED rows, so an empty ts/event_id
@@ -120,6 +135,8 @@ def read_events_csv(
         .option("header", str(header).lower())
         .option("enforceSchema", "false" if header else "true")
         .option("mode", "FAILFAST")
+        .option("escape", '"')
+        .option("multiLine", str(multiline).lower())
         .csv(path)
     )
     if validate:
@@ -131,6 +148,17 @@ def write_events_jsonl(events_physical: DataFrame, path: str) -> None:
     """Write physical-shaped events as newline-delimited JSON — the
     producer side of the contract (what a collector would land)."""
     events_physical.write.mode("overwrite").json(path)
+
+
+def write_events_csv(events_physical: DataFrame, path: str) -> None:
+    """Write physical-shaped events as RFC-4180 CSV (header row, quotes
+    doubled inside quoted fields) — the producer twin of
+    :func:`read_events_csv`'s dialect, and the dialect every external
+    CSV consumer expects. Spark's default writer backslash-escapes
+    instead, which only Spark's own default reader understands."""
+    events_physical.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(path)
 
 
 def convert_events_to_parquet(
