@@ -6465,3 +6465,76 @@ def test_misra_gries_rejects_float_keys(spark):
     )
     with pytest.raises(ValueError, match="integer key column"):
         misra_gries(df, "score", k=8)
+
+
+def test_corpus_family_dirty_inputs_match_oracle(spark, tmp_path):
+    """Round-12 corpus sweep: seven cross-engine divergences on rows
+    the clean fixture can't produce — byte-vs-codepoint levenshtein on
+    accented prefixes (q57, now ASCII-projected on both sides),
+    Java-vs-utf8proc lower() changing feature-hash buckets (q117/q188
+    and the latent tokenizer sites, now a shared locale-free ASCII
+    translate), NULL doc_id ordering first in Spark windows but last in
+    DuckDB (q49 pack offsets, q58 quota ranks, q163 cumulative curve —
+    all pinned NULLS LAST), and a NaN embedding component saturating
+    Spark's floor() to Long.MAX while the oracle hard-errored (q59, now
+    masked by the money() non-finite policy). One planted fixture
+    drives all seven keys through the oracles side-by-side."""
+    docs = [
+        (None, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+         "en", "web", 57),
+        (101, "héllo x the quick brown fox jumps over the lazy dog",
+         "fr", "web", 51),
+        (102, "hello x the quick brown fox jumps over the lazy dog",
+         "en", "web", 51),
+        (9, "İSTANBUL visit the city of İSTANBUL today friends again",
+         "tr", "web", 55),
+        (2, "plain ascii words for the common case here today now",
+         "en", "books", 52),
+        (3, "more plain ascii words for the second document body text",
+         "en", "books", 56),
+    ]
+    from trafficteach_spark import schemas
+
+    spark.createDataFrame(docs, schemas.DOCUMENTS).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    emb = [
+        (1, [float("nan"), 1.0, 2.0, 3.0], 0),
+        (2, [4.0, float("inf"), 2.0, 3.0], 0),
+        (3, [1.0, 5.0, 2.0, 3.0], 1),
+    ]
+    spark.createDataFrame(emb, schemas.EMBEDDINGS).coalesce(1).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    con = _duck_view(tmp_path, "documents")
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    _assert_engines_agree(
+        spark,
+        con,
+        str(tmp_path),
+        (
+            "q49_pack_sequences",
+            "q57_edit_distance",
+            "q58_domain_mix",
+            "q59_label_centroids",
+            "q117_feature_hashing",
+            "q163_heaps_law",
+            "q188_hash_collision_audit",
+        ),
+    )
+    # spot-pin the decided semantics, not just parity:
+    q57 = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in Q["q57_edit_distance"](spark, str(tmp_path)).collect()
+    }
+    assert q57[(101, 102)] == 1  # 'é' projects to '?' on BOTH engines
+    cents = {
+        r["label"]: r["centroid"]
+        for r in Q["q59_label_centroids"](spark, str(tmp_path)).collect()
+    }
+    # label 0 pos 0: NaN masked -> mean of the one finite 4.0
+    assert cents[0].split(",")[0] == "4.000000"
+    assert cents[0].split(",")[1] == "1.000000"  # inf masked likewise

@@ -138,6 +138,21 @@ def ns_long_to_ntz_us(col_name: str = "ts") -> Column:
 # headroom for SUM() aggregation (the digest uses 9).
 
 
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """Locale-free ASCII-only lowercase, identical SQL text in Spark and
+    DuckDB: ``translate`` maps A-Z 1:1 and leaves every other codepoint
+    untouched. The engines' ``lower()`` builtins disagree outside ASCII
+    (Java's Unicode casing turns U+0130 'I-with-dot' into TWO codepoints
+    where utf8proc maps it to one), which changed tokens and therefore
+    md5 feature-hash buckets between the engines (round-12 review
+    finding). For pure-ASCII text this IS lower()."""
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
 def md5_prefix_int_spark(inner_sql: str, hex_chars: int = 15) -> str:
     """Spark SQL text: md5-prefix integer of ``inner_sql`` (a SQL string
     expression)."""

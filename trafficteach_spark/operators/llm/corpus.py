@@ -26,6 +26,9 @@ from pyspark.sql import types as T
 
 from trafficteach_spark import schemas
 from trafficteach_spark.functions.exprs import (
+    ASCII_LOWER,
+    ASCII_UPPER,
+    ascii_lower_sql,
     md5_prefix_int_duck,
     md5_prefix_int_spark,
 )
@@ -71,6 +74,20 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+# ONE tokenization-lowercase for both engines (see exprs.ascii_lower_sql:
+# the builtins' Unicode casing diverges outside ASCII; round-12 review
+# finding). _ASCII_LOWER_TABLE is the Python-worker twin for the BPE
+# tokenizer apply path.
+_LOWER_TEXT = ascii_lower_sql("text")
+_ASCII_LOWER_TABLE = str.maketrans(ASCII_UPPER, ASCII_LOWER)
+
+
+def _lower_text_col():
+    """Column form of ``_LOWER_TEXT`` for the DataFrame tokenizers."""
+    return F.expr(_LOWER_TEXT)
+
 
 
 @register(
@@ -218,7 +235,11 @@ def q49_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
+        # NULLS LAST explicitly: Spark's ASC default is NULLS FIRST
+        # while DuckDB's is NULLS LAST, so a NULL doc_id shifted every
+        # cumulative offset in its source between the engines
+        # (round-12 review finding).
+        .orderBy(F.col("doc_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
@@ -460,8 +481,11 @@ EDIT_PREFIX_CHARS = 48
           ON a.gram = b.gram AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           levenshtein(substring(text_a, 1, {EDIT_PREFIX_CHARS}),
-                       substring(text_b, 1, {EDIT_PREFIX_CHARS})) AS edit_dist
+           levenshtein(
+               regexp_replace(substring(text_a, 1, {EDIT_PREFIX_CHARS}),
+                              '[^\\x00-\\x7F]', '?', 'g'),
+               regexp_replace(substring(text_b, 1, {EDIT_PREFIX_CHARS}),
+                              '[^\\x00-\\x7F]', '?', 'g')) AS edit_dist
     FROM cand
     """,
     tags=("llm", "corpus", "X2"),
@@ -499,8 +523,17 @@ def q57_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs = load_table(spark, sf_dir, "documents")
+    # Non-ASCII codepoints project to '?' BEFORE the distance: DuckDB's
+    # levenshtein counts BYTES while Spark's counts codepoints, so any
+    # multi-byte character in the prefix diverged ('café' vs 'cafe' = 1
+    # in Spark, 2 in DuckDB; round-12 review finding). Over the
+    # ASCII-projected prefixes bytes == codepoints and the engines
+    # agree on any input; pure-ASCII text is untouched.
     prefixes = docs.select(
-        "doc_id", F.substring("text", 1, EDIT_PREFIX_CHARS).alias("prefix")
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, EDIT_PREFIX_CHARS), "[^\\x00-\\x7F]", "?"
+        ).alias("prefix"),
     )
     return (
         cand.join(prefixes.select(F.col("doc_id").alias("doc_a"),
@@ -567,7 +600,13 @@ def q58_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.expr(_MIX_LCG).asc(), F.asc("doc_id"))
+    # NULLS LAST on both sort keys (a NULL doc_id NULLs the LCG mix
+    # too): Spark's ASC default NULLS FIRST gave the NULL row
+    # sample_rank 1 and shifted which docs made the quota vs the
+    # oracle's NULLS-LAST default (round-12 review finding).
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_MIX_LCG).asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
     return (
         docs.withColumn("rn", F.row_number().over(w))
         .withColumn("quota", F.expr(_TIER_SPARK))
@@ -588,8 +627,14 @@ def q58_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- actual elements — the fixed grid alone would emit every pos
         -- for every row, inflating n_vectors and inventing cells the
         -- Spark side never sees (round-10 review finding)
+        -- non-finite components mask to NULL (the money()/duck_money
+        -- policy): DuckDB's FLOOR->BIGINT cast hard-errors on NaN/Inf
+        -- where Spark's floor() silently saturates to Long.MAX and can
+        -- emit a garbage centroid (round-12 review finding)
         SELECT label, g.i AS pos,
-               CAST(embedding[g.i + 1] AS DOUBLE) AS x
+               CASE WHEN isfinite(CAST(embedding[g.i + 1] AS DOUBLE))
+                    THEN CAST(embedding[g.i + 1] AS DOUBLE)
+               END AS x
         FROM embeddings
         CROSS JOIN (SELECT unnest(range({dim})) AS i) g
         WHERE embedding IS NOT NULL AND g.i < len(embedding)
@@ -629,17 +674,34 @@ def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     never collected.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "label",
-        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
-            "pos", "x"
-        ),
-        # pos < EMBEDDING_DIM: the oracle's fixed grid enumerates only
-        # the declared dimensionality, so an over-long embedding (the
-        # array schema carries no length bound) would contribute
-        # phantom centroid components on the Spark side only (round-11
-        # review finding).
-    ).where(F.col("pos") < schemas.EMBEDDING_DIM)
+    dims = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.expr("transform(embedding, x -> cast(x as double))")
+            ).alias("pos", "x"),
+            # pos < EMBEDDING_DIM: the oracle's fixed grid enumerates
+            # only the declared dimensionality, so an over-long
+            # embedding (the array schema carries no length bound)
+            # would contribute phantom centroid components on the
+            # Spark side only (round-11 review finding).
+        )
+        .where(F.col("pos") < schemas.EMBEDDING_DIM)
+        # Non-finite components mask to NULL (the money() policy):
+        # Spark's floor() silently saturates NaN/Inf to Long.MAX —
+        # which can average into a garbage centroid — where the
+        # oracle's FLOOR->BIGINT cast hard-errors (round-12 review
+        # finding). COUNT("x") below already divides by the non-null
+        # count, so masked components simply drop out of the mean.
+        .withColumn(
+            "x",
+            F.when(
+                (F.col("x") > F.lit(float("-inf")))
+                & (F.col("x") < F.lit(float("inf"))),
+                F.col("x"),
+            ),
+        )
+    )
     means = dims.groupBy("label", "pos").agg(
         # Exact integer-unit sum — order-independent where a parallel
         # double AVG is not (q131's determinism contract).
@@ -730,7 +792,7 @@ BPE_TOP_PAIRS = 30
     "q82_bpe_pairs",
     oracle=f"""
     WITH words AS (
-        SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+')) AS w
+        SELECT unnest(string_split_regex({_LOWER_TEXT}, '[ \\t\\n\\f\\r]+')) AS w
         FROM documents
     ),
     wc AS (
@@ -768,7 +830,7 @@ def q82_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # explicit class, not \s+: Java's \s includes \x0B, RE2's
             # does not — the spelled-out class tokenizes identically in
             # both engines (round-10 review finding)
-            F.explode(F.split(F.lower("text"), "[ \\t\\n\\f\\r]+")).alias("w")
+            F.explode(F.split(_lower_text_col(), "[ \\t\\n\\f\\r]+")).alias("w")
         )
         .where(F.length("w") >= 2)
         .groupBy("w")
@@ -799,7 +861,7 @@ PMI_TOP_K = 30
     "q87_bigram_pmi",
     oracle=f"""
     WITH docs_w AS (
-        SELECT string_split(lower(text), ' ') AS ws FROM documents
+        SELECT string_split({_LOWER_TEXT}, ' ') AS ws FROM documents
     ),
     uni AS (
         SELECT unnest(ws) AS w FROM docs_w
@@ -845,7 +907,7 @@ def q87_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 ulp; ROUND(6) absorbs it.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select(F.split(F.lower("text"), " ").alias("ws"))
+    ws = docs.select(F.split(_lower_text_col(), " ").alias("ws"))
     uni = ws.select(F.explode("ws").alias("w"))
     uc = uni.groupBy("w").agg(F.count("*").alias("c"))
     n_uni = uc.agg(F.sum("c").cast("long").alias("nu"))
@@ -1241,7 +1303,7 @@ def bpe_train(
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         # same engine-identical whitespace class as q82
-        docs.select(F.explode(F.split(F.lower("text"), "[ \\t\\n\\f\\r]+")).alias("w"))
+        docs.select(F.explode(F.split(_lower_text_col(), "[ \\t\\n\\f\\r]+")).alias("w"))
         .where(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count("*").alias("wn"))
@@ -1362,7 +1424,7 @@ def bpe_encode(
         return texts.map(
             lambda t: [
                 s
-                for w in _ws.split(str(t).lower())
+                for w in _ws.split(str(t).translate(_ASCII_LOWER_TABLE))
                 if w
                 for s in enc_word(w)
             ]
@@ -1386,7 +1448,7 @@ _DUCK_MD5_60 = md5_prefix_int_duck("t")
     "q117_feature_hashing",
     oracle=f"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        SELECT doc_id, unnest(string_split({_LOWER_TEXT}, ' ')) AS t
         FROM documents
         WHERE text IS NOT NULL
     ),
@@ -1416,7 +1478,7 @@ def q117_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.where(F.col("text").isNotNull())
-        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .select("doc_id", F.explode(F.split(_lower_text_col(), " ")).alias("t"))
         .where(F.length("t") > 0)
     )
     return (
@@ -1580,7 +1642,13 @@ def q163_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("new_terms"))
     )
     j = db.join(fb, "bucket", "left")
-    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # NULLS LAST (a NULL doc_id yields a NULL bucket): Spark's default
+    # NULLS-FIRST cumulative counted the NULL bucket's tokens into
+    # EVERY bucket while the oracle's NULLS-LAST counted them into none
+    # (round-12 review finding).
+    wcum = Window.orderBy(F.col("bucket").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum_tok = F.sum("bucket_tokens").over(wcum)
     cum_voc = F.sum(F.coalesce("new_terms", F.lit(0))).over(wcum)
     return j.select(
@@ -1710,7 +1778,7 @@ _DSIR_BG_DUCK = md5_prefix_int_duck("bg")
     WITH tok AS (
         SELECT doc_id,
                COALESCE(source IN ({_DSIR_TARGET_SQL}), FALSE) AS is_target,
-               string_split(lower(text), ' ') AS w
+               string_split({_LOWER_TEXT}, ' ') AS w
         FROM documents WHERE text IS NOT NULL
     ),
     feats AS (
@@ -1779,7 +1847,7 @@ def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.col("source").isin(*_DSIR_TARGET), F.lit(False)
         ).alias("is_target"),
-        F.split(F.lower("text"), " ").alias("w"),
+        F.split(_lower_text_col(), " ").alias("w"),
     )
     feats = (
         tok.where(F.size("w") >= 2)
@@ -1832,9 +1900,9 @@ def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q179_jsd_source_divergence",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
-        SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        SELECT source, unnest(string_split({_LOWER_TEXT}, ' ')) AS w
         FROM documents WHERE text IS NOT NULL
     ),
     sc AS (
@@ -1898,7 +1966,7 @@ def q179_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.where(F.col("text").isNotNull()).select(
-        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        "source", F.explode(F.split(_lower_text_col(), " ")).alias("w")
     )
     sc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
     stot = sc.groupBy("source").agg(F.sum("c").cast("double").alias("st"))
@@ -2094,7 +2162,7 @@ _COLLISION_WIDTHS = (64, 256, 1024, 4096)
     "q188_hash_collision_audit",
     oracle=f"""
     WITH tok AS (
-        SELECT unnest(string_split(lower(text), ' ')) AS t
+        SELECT unnest(string_split({_LOWER_TEXT}, ' ')) AS t
         FROM documents WHERE text IS NOT NULL
     ),
     vocab AS (
@@ -2137,7 +2205,7 @@ def q188_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.where(F.col("text").isNotNull()).select(
-        F.explode(F.split(F.lower("text"), " ")).alias("t")
+        F.explode(F.split(_lower_text_col(), " ")).alias("t")
     )
     vocab = (
         tok.where(F.length("t") > 0)
