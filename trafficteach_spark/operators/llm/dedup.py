@@ -591,15 +591,24 @@ def _minhash_lsh_oracle() -> str:
     approximates: a planted J=0.5 pair is captured with probability
     ~0.64, and this seed demonstrably missed one — a latent parity
     failure on any corpus with mid-J pairs (round-12 review finding).
-    Deterministic banding on band-value tuples (no band hash) keeps
-    both engines byte-identical."""
+    The band key is the md5-prefix hash of the band's comma-joined
+    values — computed IDENTICALLY here and in the Spark plan, so even
+    a hash collision yields the same candidates on both engines."""
     md5h = md5_prefix_int_duck("x", _LSH_HEX_CHARS)
     sig_exprs = ", ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE}))"
         for a, b in _HASH_AB
     )
     band_keys = ", ".join(
-        f"sig[{b * _ROWS_PER_BAND + 1}:{(b + 1) * _ROWS_PER_BAND}]::VARCHAR"
+        md5_prefix_int_duck(
+            "concat_ws(',', "
+            + ", ".join(
+                f"sig[{b * _ROWS_PER_BAND + r + 1}]"
+                for r in range(_ROWS_PER_BAND)
+            )
+            + ")",
+            _LSH_HEX_CHARS,
+        )
         for b in range(_BANDS)
     )
     return f"""
@@ -660,9 +669,13 @@ def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverted index), at the cost of P(miss | J) = (1-J^4)^16 —
     < 5e-8 for J >= 0.9; the oracle replays the same banding, so the
     parity contract is exact regardless of a corpus's J distribution
-    (q31_near_dedup remains the recall ground truth). Banding joins on
-    the band's VALUE tuple, not a hash of it, so a band-hash collision
-    cannot fabricate an engine-divergent candidate.
+    (q31_near_dedup remains the recall ground truth). The band join
+    keys on an md5-prefix hash of the band's comma-joined values — a
+    single long (measured ~0.5 s cheaper at sf0.1 than shuffling the
+    4-long value tuple) that BOTH engines compute identically, so a
+    band-hash collision, however unlikely, produces the same extra
+    candidate on both sides instead of an engine divergence (the
+    verify step's exact-Jaccard filter then judges it identically).
     """
     sets = shared_shingle_sets(spark, sf_dir)  # feeds signatures + verify (O43)
     hashed = sets.select(
@@ -677,7 +690,17 @@ def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     band_keys = F.array(
         *[
-            F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)
+            F.expr(
+                md5_prefix_int_spark(
+                    "concat_ws(',', "
+                    + ", ".join(
+                        f"element_at(sig, {b * _ROWS_PER_BAND + r + 1})"
+                        for r in range(_ROWS_PER_BAND)
+                    )
+                    + ")",
+                    _LSH_HEX_CHARS,
+                )
+            )
             for b in range(_BANDS)
         ]
     )
