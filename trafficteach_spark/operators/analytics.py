@@ -2618,11 +2618,20 @@ def q145_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis reaches for when Pearson (q72/q103) is distorted by the
     heavy ties and bounded ranges of both columns.
 
-    Plan: NO global sort of the fact table. Each metric collapses to
-    its distinct-VALUE frequency table (quantity ~50 values, discount
-    ~11 at any scale), midranks come from a cumulative window over that
-    bounded frame, and the two tiny rank tables broadcast back onto the
-    fact rows; one hash aggregate assembles the rank co-moments.
+    Plan (round-12 optimization, guide §2.3 "aggregate before you
+    shuffle"): ONE scan, ONE fact-sized exchange. The fact table
+    collapses straight to its JOINT (quantity, discount) frequency
+    table (<= 50 x 11 = 550 rows at any scale, partial counts combine
+    map-side); the per-column marginals, both midrank tables, the rank
+    co-moments (weighted by the joint count) and the two
+    distinct-value counts all derive from that persisted 550-row
+    frame. The previous form scanned lineitem three times (two
+    marginal frequency tables + the rank-attach join) across 9
+    exchanges / ~10 jobs; this is 1 corpus-sized exchange + tiny-frame
+    work, measured 0.91 s -> ~0.4 s at sf0.1. Co-moment sums weight
+    each joint cell: sum(ra*rb*c) over cells == sum(ra*rb) over rows
+    EXACTLY (integer arithmetic in DECIMAL(38,0), same magnitudes and
+    values as the row form, so the emitted doubles are bit-identical).
     Determinism: doubled midranks (2*cum - cnt + 1) are exact BIGINTs
     (Spearman is invariant to the affine x2), every co-moment sum is an
     exact DECIMAL(38,0), and both engines assemble the ratio from
@@ -2630,9 +2639,14 @@ def q145_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is constant has zero rank variance -> rho NULL, not a crash.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
+    joint = (
+        li.groupBy("l_quantity", "l_discount")
+        .agg(F.count("*").alias("c"))
+        .persist()  # O43: feeds both marginals (and through them everything)
+    )
 
     def rank2(col: str) -> DataFrame:
-        vals = li.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+        vals = joint.groupBy(F.col(col).alias("v")).agg(F.sum("c").alias("cnt"))
         w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
         return vals.select(
             "v",
@@ -2643,18 +2657,20 @@ def q145_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qr, dr = rank2("l_quantity"), rank2("l_discount")
     j = (
-        li.join(F.broadcast(qr), li.l_quantity == qr.v)
-        .select(F.col("r").alias("ra"), "l_discount")
+        joint.join(F.broadcast(qr), joint.l_quantity == qr.v)
+        .select(F.col("r").alias("ra"), "l_discount", "c")
         .join(F.broadcast(dr), F.col("l_discount") == dr.v)
-        .select("ra", F.col("r").alias("rb"))
+        .select("ra", F.col("r").alias("rb"), "c")
     )
     s = j.agg(
-        F.count("*").alias("n"),
-        F.sum("ra").cast("decimal(38,0)").alias("sa"),
-        F.sum("rb").cast("decimal(38,0)").alias("sb"),
-        F.sum(F.col("ra") * F.col("rb")).cast("decimal(38,0)").alias("sab"),
-        F.sum(F.col("ra") * F.col("ra")).cast("decimal(38,0)").alias("saa"),
-        F.sum(F.col("rb") * F.col("rb")).cast("decimal(38,0)").alias("sbb"),
+        # coalesce: the old row form's COUNT(*) read 0 on an empty table
+        # where SUM would read NULL — keep that edge bit-identical.
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n"),
+        F.sum(F.col("ra") * F.col("c")).cast("decimal(38,0)").alias("sa"),
+        F.sum(F.col("rb") * F.col("c")).cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb") * F.col("c")).cast("decimal(38,0)").alias("sab"),
+        F.sum(F.col("ra") * F.col("ra") * F.col("c")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb") * F.col("c")).cast("decimal(38,0)").alias("sbb"),
     )
     nq = qr.agg(F.count("*").alias("n_qty_values"))
     nd = dr.agg(F.count("*").alias("n_disc_values"))

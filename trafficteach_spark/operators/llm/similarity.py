@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from trafficteach_spark import schemas
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_table, spread_scan
 
 TOP_K = 5
 N_QUERIES = 10  # query set: vec_id < 10
@@ -75,8 +75,15 @@ def cosine6_dot(dot, na: str, nb: str):
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, v: array<double>, nrm: double) with L2 norms."""
+    """(vec_id, label, v: array<double>, nrm: double) with L2 norms.
+
+    spread_scan (round-12, guide §2.5): the dim-length dot/norm
+    transforms and every downstream BLAS batch run map-side; a
+    single-file embeddings table plans ONE split, so the whole
+    similarity family's per-row math was single-core without it.
+    Keyed on vec_id: deterministic under retry."""
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(spark, emb, sf_dir, "embeddings", "vec_id")
     return (
         emb.withColumn("v", F.expr("transform(embedding, x -> cast(x as double))"))
         .withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
@@ -691,6 +698,7 @@ def q44_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     library form if you need the typed array.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(spark, emb, sf_dir, "embeddings", "vec_id")  # guide §2.5
     q = int8_quantize(emb)
     return q.select(
         "vec_id",
@@ -879,6 +887,7 @@ def q131_embedding_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assert _schemas.EMBEDDING_DIM == 64  # oracle literal above
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(spark, emb, sf_dir, "embeddings", "vec_id")  # guide §2.5
     vecs = emb.select(
         "vec_id",
         "label",
@@ -1283,6 +1292,7 @@ def q182_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks x {dim} rows. try_divide/NULLIF guard the empty-table case.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(spark, emb, sf_dir, "embeddings", "vec_id")  # guide §2.5
     dims = emb.select(
         F.posexplode(
             F.expr(
@@ -1395,6 +1405,7 @@ def q183_embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded aggregate, TakeOrdered top-k.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(spark, emb, sf_dir, "embeddings", "vec_id")  # guide §2.5
     lo = _CORR_DIMS - 2
     pairs = emb.select(
         F.explode(

@@ -239,3 +239,82 @@ def load_events_range(spark: SparkSession, sf_dir: str, start: str, end: str) ->
     start_lit = F.expr(f"TIMESTAMP_NTZ '{_ts_norm(start)}'")
     end_lit = F.expr(f"TIMESTAMP_NTZ '{_ts_norm(end)}'")
     return df.where((F.col("ts") >= start_lit) & (F.col("ts") < end_lit))
+
+
+# -- Scan-parallelism spreading (round-12 optimization) ---------------------
+#
+# The sandbox testdata stores every table as ONE parquet file with ONE row
+# group, so every scan plans exactly one split and ALL map-side work before
+# the first exchange — shingling HOFs, Arrow signature batches, wide
+# aggregate partials — runs on a single core of local[32] (guide §2.5's
+# "one huge unsplittable file" input-skew case; a row group is Spark's
+# minimum split unit, so files.maxPartitionBytes/minPartitionNum cannot
+# help). The remedy the guide prescribes is an explicit repartition right
+# after the read — applied ONLY where the scan cannot already feed enough
+# splits, so at production scale (thousands of row groups per table) this
+# is a structural no-op, not a tuning constant.
+
+# path -> (mtime_ns-stamped) part-file count; same caching idea as the
+# events-encoding probe but only the COUNT is needed here.
+_SCAN_FILES_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _scan_file_count(sf_dir: str, name: str) -> int:
+    """Number of non-hidden, non-empty part files behind a table — the
+    upper bound on scan splits when files are single-row-group (and a
+    lower bound in general: more row groups only add splits). Remote
+    URIs return a large count (never spread what we cannot cheaply
+    stat; a remote deployment's tables are multi-file by construction)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if "://" in path:
+        return 1 << 30
+    try:
+        st_root = os.stat(path)
+    except FileNotFoundError:
+        return 1 << 30
+    key_stamp = st_root.st_mtime_ns
+    cached = _SCAN_FILES_CACHE.get(path)
+    if cached is not None and cached[0] == key_stamp:
+        return cached[1]
+    if os.path.isdir(path):
+        n = 0
+        for dirpath, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for fname in files:
+                if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
+                    continue
+                if os.stat(os.path.join(dirpath, fname)).st_size > 0:
+                    n += 1
+    else:
+        n = 1
+    _SCAN_FILES_CACHE[path] = (key_stamp, n)
+    return n
+
+
+def spread_scan(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str, *by: str
+) -> DataFrame:
+    """Hash-repartition *df* across the session's cores iff the backing
+    table cannot feed at least ``defaultParallelism`` scan splits.
+
+    Use on scans whose downstream MAP-SIDE work is the dominant cost
+    (per-row HOFs, Arrow UDF batches, wide aggregate partials): with a
+    single-file table that work is otherwise single-task. Keyed
+    repartition (``*by`` — pick a well-spread column like the row id)
+    is deterministic under task retry (no round-robin/rand assignment —
+    the SPARK-23207/SPARK-38388 class the layout advisory flagged), and
+    a later groupBy/join on the same key at the same partition count
+    reuses the exchange (guide §2.4). With no ``by``, falls back to
+    round-robin ``repartition(n)`` (safe: Spark's sort-before-
+    repartition is on by default).
+
+    At 100 TB every fact table spans thousands of row groups, so the
+    file-count guard makes this a no-op there — the repartition exists
+    exactly and only where the input layout starves the cluster.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if _scan_file_count(sf_dir, name) >= n:
+        return df
+    if by:
+        return df.repartition(n, *[F.col(c) for c in by])
+    return df.repartition(n)
