@@ -21,7 +21,7 @@ from trafficteach_spark.functions.exprs import (
     money,
 )
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_table, spread_scan
 
 # Fixture event taxonomy (fixed, like the reference's action list); an
 # explicit pivot value list keeps the output schema static — dynamic
@@ -354,7 +354,16 @@ def q67_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: unique (part_a, part_b) tie-break.
     """
     baskets = (
-        load_table(spark, sf_dir, "lineitem")
+        # spread_scan (guide §2.5) keyed on the basket key: the aggregate
+        # below reuses the repartition exchange (guide §2.4), so the
+        # collect_set partials run 32-way instead of on the single scan split.
+        spread_scan(
+            spark,
+            load_table(spark, sf_dir, "lineitem"),
+            sf_dir,
+            "lineitem",
+            "l_orderkey",
+        )
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
@@ -980,6 +989,10 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle's per-column UNION ALL re-scan is fine for DuckDB at
     sf0.01 but exactly what the Spark side must not do at 100 TB.
     """
+    # NOT spread (guide §2.5 considered): the profile's avg() columns are
+    # plain doubles, and repartitioning changes the partial-sum order —
+    # avg(l_tax) flipped in the 6th decimal vs the oracle when spread
+    # 32-way. Order-stable here beats parallel partials.
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count("*").alias("n_rows")]
     for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
@@ -1286,11 +1299,27 @@ def _melt_tables(spark: SparkSession, sf_dir: str, by_table: dict[str, list]) ->
     """Single-pass multi-column melt shared by q104 and q120: each table
     is scanned ONCE, its per-table struct entries fan out row-locally
     via inline(array(...)), rows with a NULL key column ``k`` drop, and
-    the tables union. Every struct entry must alias its key as ``k``."""
+    the tables union. Every struct entry must alias its key as ``k``.
+
+    The two FACT scans (lineitem, orders) are spread (guide §2.5): the
+    melt fan-out is per-row map work that a single-split scan would run
+    on one core; dims stay unspread — an exchange on a few-KB table
+    costs more than it parallelizes."""
+    fact_key = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
     return reduce(
         DataFrame.unionByName,
         [
-            load_table(spark, sf_dir, table)
+            (
+                spread_scan(
+                    spark,
+                    load_table(spark, sf_dir, table),
+                    sf_dir,
+                    table,
+                    fact_key[table],
+                )
+                if table in fact_key
+                else load_table(spark, sf_dir, table)
+            )
             .select(F.inline(F.array(*entries)))
             .where(F.col("k").isNotNull())
             for table, entries in sorted(by_table.items())
@@ -2121,7 +2150,9 @@ def q139_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. At 100 TB this is a scan plus a 9-state aggregate —
     the cheapest query shape there is.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = spread_scan(  # guide §2.5; co-moment sums are DECIMAL-exact
+        spark, load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem", "l_orderkey"
+    ).select(
         F.col(_OLS_X1).cast("decimal(14,2)").alias("x1"),
         F.col(_OLS_X2).cast("decimal(14,2)").alias("x2"),
         F.col(_OLS_Y).cast("decimal(14,2)").alias("y"),
@@ -2969,7 +3000,9 @@ def q150_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     double space — identical inputs, identical doubles, both engines.
     try_divide: a constant-price group has cm2=0 -> NULL shape stats.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = spread_scan(  # guide §2.5; power sums are DECIMAL-exact
+        spark, load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem", "l_orderkey"
+    ).select(
         "l_returnflag",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
     )

@@ -33,7 +33,7 @@ from trafficteach_spark.functions.exprs import (
     md5_prefix_int_spark,
 )
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_table, spread_scan
 
 # PII patterns restricted to syntax that Java regex (Spark) and RE2
 # (DuckDB) interpret identically: character classes, bounded repetition,
@@ -330,7 +330,12 @@ def shared_word_kgrams(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, k)
     df = _KGRAMS_MEMO.get(key)
     if df is None:
-        df = word_kgrams(load_table(spark, sf_dir, "documents"), k).persist()
+        # spread_scan (guide §2.5): the k-gram HOF explode is the dominant
+        # cost and would otherwise run on the single scan split.
+        docs = spread_scan(
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+        )
+        df = word_kgrams(docs, k).persist()
         _KGRAMS_MEMO[key] = df
     elif df.storageLevel == StorageLevel.NONE:
         df.persist()
@@ -907,6 +912,7 @@ def q87_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 ulp; ROUND(6) absorbs it.
     """
     docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")  # guide §2.5
     ws = docs.select(F.split(_lower_text_col(), " ").alias("ws"))
     uni = ws.select(F.explode("ws").alias("w"))
     uc = uni.groupBy("w").agg(F.count("*").alias("c"))
@@ -1858,6 +1864,7 @@ def q169_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks actual feature assignment, not just shape.
     """
     docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")  # guide §2.5
     tok = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         # NULL source must count as RAW, not vanish: bare isin() yields

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_table
+from trafficteach_spark.sources.tables import load_table, spread_scan
 
 # English function words present in the fixture vocabulary; the heuristic
 # generalizes to per-language stopword lists (one size(filter(...)) each).
@@ -953,6 +953,7 @@ def q126_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak resolves exact-equal scores.
     """
     docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")  # guide §2.5
     w = F.split(F.col("text"), " ")
     tok = docs.where(F.col("text").isNotNull()).select("doc_id", w.alias("w")).where(
         F.size("w") >= 2
@@ -1516,6 +1517,7 @@ def q178_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ROUND(6).
     """
     docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")  # guide §2.5
     tok = docs.where(
         F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 2)
     ).select("doc_id", F.split("text", " ").alias("w"))
