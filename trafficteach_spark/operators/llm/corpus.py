@@ -1555,26 +1555,36 @@ def q130_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-dups score ~0, fresh text ~1) — a softer, rankable
     complement to q31's hard pair threshold.
 
-    Plan: the memoized {DECON_K}-gram frame (shared with q50/q57) feeds
-    ONE hash aggregate to first-seen owners and joins back on the gram
-    — two shuffles on the uniformly-distributed gram key, never a pair
-    join; cost scales with total gram volume, independent of how many
-    documents collide. At 100 TB first_seen is the natural incremental
-    state (a gram->min_doc table maintained per ingest batch, exactly
-    q112's corpus-side role).
+    Plan (round-12 optimization, guide §2.3/§2.4): ONE gram-volume
+    shuffle. A gram is novel for exactly ONE document (its min-doc_id
+    owner), so per-doc novel counts fall straight out of the first-seen
+    aggregate by re-grouping its min column — the previous form instead
+    joined first_seen BACK onto the gram frame (a second gram-volume
+    exchange of the join's probe side) before counting. Per-doc totals
+    hash-aggregate exchange-FREE off the shared frame (it is persisted
+    already partitioned by doc_id), and the two doc-cardinality frames
+    meet in a doc_id join (AQE broadcasts it at test SFs). Cost scales
+    with total gram volume, independent of how many documents collide.
+    At 100 TB first_seen is the natural incremental state (a
+    gram->min_doc table maintained per ingest batch, exactly q112's
+    corpus-side role).
     """
     grams = shared_word_kgrams(spark, sf_dir, DECON_K)
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    is_novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    return (
-        grams.join(first_seen, "gram")
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(is_novel).cast("long").alias("n_novel"),
-            F.round(
-                F.sum(is_novel) / F.count("*").cast("double"), 6
-            ).alias("novelty"),
+        .agg(F.count("*").alias("n_novel_raw"))
+    )
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    n_novel = F.coalesce(F.col("n_novel_raw"), F.lit(0)).cast("long")
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_novel.alias("n_novel"),
+            F.round(n_novel / F.col("n_grams").cast("double"), 6).alias("novelty"),
         )
     )
 

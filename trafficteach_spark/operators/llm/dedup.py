@@ -1642,6 +1642,13 @@ def q171_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     this frame's covered-position set anti-joined onto token positions.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (round-12, guide §2.5): the positional-gram
+    # transform+explode below is the most expensive per-row stage here
+    # and feeds the persisted pg frame — on a single-split corpus scan
+    # it (and the persisted partitioning every consumer inherits) would
+    # run on one core. Integer/count logic only downstream, so partial
+    # order cannot change results.
+    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")
     tok = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.split("text", " ").alias("w")
     )
