@@ -912,7 +912,12 @@ def q87_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 ulp; ROUND(6) absorbs it.
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")  # guide §2.5
+    # NOT spread (guide §2.5 considered, A/B-measured twice): both the
+    # unigram and bigram branches partial-aggregate straight onto
+    # vocabulary-sized hashmaps map-side, so the spread exchange would
+    # move full text rows to save single-core work the partial agg
+    # already makes cheap — measured 0.74 s unspread vs 1.08 s spread
+    # at sf0.1 (drift-normalized 0.85 vs 1.15).
     ws = docs.select(F.split(_lower_text_col(), " ").alias("ws"))
     uni = ws.select(F.explode("ws").alias("w"))
     uc = uni.groupBy("w").agg(F.count("*").alias("c"))

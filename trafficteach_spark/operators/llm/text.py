@@ -1517,7 +1517,11 @@ def q178_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ROUND(6).
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")  # guide §2.5
+    # NOT spread (guide §2.5 considered, A/B-measured twice): the KN
+    # continuation/count branches all reduce to n-gram-vocabulary
+    # hashmaps via map-side partial aggregation, so a spread exchange
+    # shipping full token arrays costs more than the single-core map
+    # work it parallelizes (1.08 -> 1.50+ drift-normalized when spread).
     tok = docs.where(
         F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 2)
     ).select("doc_id", F.split("text", " ").alias("w"))
