@@ -26,7 +26,7 @@ from pyspark.sql.types import DoubleType, LongType
 
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_events_range, load_table
+from trafficteach_spark.sources.tables import load_events_range, load_table, spread_scan
 
 _ORACLE_RANGE = f"ts >= TIMESTAMP '{TS_START}' AND ts < TIMESTAMP '{TS_END}'"
 
@@ -270,6 +270,12 @@ def q119_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.udtf.register("repeat_runs", RepeatRunsUDTF)
     docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (round-12, guide §2.5 + §4): the UDTF evaluates per
+    # row in Python workers — on a single-split scan the whole LATERAL
+    # generate ran as ONE task on one worker (measured 1 job / 1 task).
+    # Spreading the scan fans the Python evaluation across the session's
+    # cores; per-row generation is row-local, so output is unchanged.
+    docs = spread_scan(spark, docs, sf_dir, "documents", "doc_id")
     docs.createOrReplaceTempView("__q119_docs")
     return spark.sql(
         """
