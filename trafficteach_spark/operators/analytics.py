@@ -709,13 +709,25 @@ def q83_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    # The SKETCH pass stays unspread deliberately: repartitioning would
+    # change how many partial percentile sketches exist and their merge
+    # order, shifting split points run-to-run (the q97 partial-order
+    # class, for sketches). Probed: spread bounds also measured SLOWER
+    # (576 vs 492 ms) — the exchange outweighs the parallel inserts.
     bounds = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", [i / N_DECILES for i in range(1, N_DECILES)], 10_000
         ).alias("bs")
     )
+    # The PROBE side spreads (round-12, guide §2.5): the per-row
+    # boundary fold + grouped partials are pure map work on a
+    # single-split scan; count/min/max/avg over DECIMAL are exact, so
+    # partial order cannot change results. Measured 967 -> 666 ms.
+    li_probe = spread_scan(
+        spark, load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem", "l_orderkey"
+    ).select("l_returnflag", "l_extendedprice")
     return (
-        li.join(F.broadcast(bounds), "l_returnflag")
+        li_probe.join(F.broadcast(bounds), "l_returnflag")
         .withColumn(
             "decile",
             F.expr(
