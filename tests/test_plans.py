@@ -508,9 +508,11 @@ def test_q104_fk_audit_single_pass_no_joins(spark):
     """Round-6 redesign: the FK audit melts every child table's FK
     columns in ONE scan per table, unions them with tagged parent keys,
     and resolves orphanhood in a single (parent, key) hash aggregate —
-    zero joins and exactly two exchanges (the row-sized melt shuffle
-    plus the global fold), where the old design paid one scan + one
-    broadcast join per relation (8x each)."""
+    zero joins and at most four exchanges (the row-sized melt shuffle,
+    the global fold, plus up to two round-12 spread_scan repartitions
+    on the single-split fact scans — no-ops at real scale where the
+    file-count guard disarms them), where the old design paid one scan
+    + one broadcast join per relation (8x each)."""
     plan = formatted_plan(spark, "q104_fk_audit")
     for join in (
         "SortMergeJoin",
@@ -524,7 +526,7 @@ def test_q104_fk_audit_single_pass_no_joins(spark):
 
     # formatted output lists each node in the tree AND a detail section;
     # the "(n) NodeName" detail header appears exactly once per node.
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
     # one scan per distinct child/parent table, not one per relation:
     # lineitem carries three FKs but must appear exactly once.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 8, plan

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from trafficteach_spark.functions.exprs import (
     duck_money,
     epoch_us_expr,
+    epoch_us_sql,
     mask_non_finite,
     money,
 )
@@ -1005,43 +1006,51 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain doubles, and repartitioning changes the partial-sum order —
     # avg(l_tax) flipped in the 6th decimal vs the oracle when spread
     # 32-way. Order-stable here beats parallel partials.
+    # Round-12 optimization: the profile's loop-composed Column build
+    # cost ~0.7 s of py4j round-trips per invocation; the SAME
+    # expression trees as SQL strings (one selectExpr / F.expr call per
+    # pass) plan identically and build in ~10 ms. CASE WHEN mirrors
+    # F.when, `D`-suffixed literals are the double literals, and the
+    # tz-free epoch helper already emits SQL text. See q142.
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count("*").alias("n_rows")]
+    aggs = ["count(*) AS n_rows"]
     for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias(f"null_{c}")
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS null_{c}"
         )
         if c in _PROFILE_NUM:
             aggs += [
-                F.round(F.min(c).cast("double"), 6).alias(f"mn_{c}"),
-                F.round(F.max(c).cast("double"), 6).alias(f"mx_{c}"),
-                F.round(F.avg(F.col(c).cast("double")), 6).alias(f"av_{c}"),
+                f"round(CAST(min({c}) AS DOUBLE), 6) AS mn_{c}",
+                f"round(CAST(max({c}) AS DOUBLE), 6) AS mx_{c}",
+                f"round(avg(CAST({c} AS DOUBLE)), 6) AS av_{c}",
             ]
         elif c in _PROFILE_TS:
+            # tz-free epoch (functions/exprs helper), not
+            # unix_millis(CAST .. AS TIMESTAMP): the NTZ->LTZ cast
+            # shifts with the session zone if the pinned-UTC conf
+            # is refused (round-11 review finding).
             aggs += [
-                # tz-free epoch (functions/exprs helper), not
-                # unix_millis(CAST .. AS TIMESTAMP): the NTZ->LTZ cast
-                # shifts with the session zone if the pinned-UTC conf
-                # is refused (round-11 review finding).
-                F.round(epoch_us_expr(f"min({c})") / 1_000_000.0, 6).alias(f"mn_{c}"),
-                F.round(epoch_us_expr(f"max({c})") / 1_000_000.0, 6).alias(f"mx_{c}"),
+                f"round({epoch_us_sql(f'min({c})')} / 1000000.0D, 6) AS mn_{c}",
+                f"round({epoch_us_sql(f'max({c})')} / 1000000.0D, 6) AS mx_{c}",
             ]
     num_cols = _PROFILE_NUM + _PROFILE_TS
-    melted_n = li.select(
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.unix_micros(F.col(c).cast("timestamp")).cast("double")
-                        if c in _PROFILE_TS
-                        else F.col(c).cast("double")
-                    )
-                    for c in num_cols
-                ]
-            )
-        ).alias("cid", "val")
+    melt_n = ", ".join(
+        f"CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS DOUBLE)"
+        if c in _PROFILE_TS
+        else f"CAST({c} AS DOUBLE)"
+        for c in num_cols
+    )
+    # The two DISTINCT melt passes DO spread (guide §2.5): they only
+    # count exact (cid, value) groups, so partial order is irrelevant —
+    # unlike the stats pass above — and the 9x row fan-out is heavy
+    # map work on a single-split scan (measured 1.91 -> 1.29 s for the
+    # numeric pass at sf0.1).
+    li_melt = spread_scan(
+        spark, load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem", "l_orderkey"
+    )
+    melted_n = li_melt.select(
+        F.posexplode(F.expr(f"array({melt_n})")).alias("cid", "val")
     ).where(F.col("val").isNotNull())
     dist_n = (
         melted_n.groupBy("cid", "val")
@@ -1051,7 +1060,7 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(F.map_from_entries(F.collect_list(F.struct("cid", "nd"))).alias("dmap"))
     )
-    melted_s = li.select(
+    melted_s = li_melt.select(
         F.posexplode(F.array(*[F.col(c) for c in _PROFILE_STR])).alias("cid", "sval")
     ).where(F.col("sval").isNotNull())
     dist_s = (
@@ -1071,36 +1080,33 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     row = (
-        li.agg(*aggs)
+        li.selectExpr(*aggs)
         .crossJoin(F.broadcast(dist_n))
         .crossJoin(F.broadcast(dist_s))
     )
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
+    null_d = "CAST(NULL AS DOUBLE)"
+    null_s = "CAST(NULL AS STRING)"
     entries = []
     for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
         is_str = c in _PROFILE_STR
         if is_str:
-            sv = F.col("smap")[_PROFILE_STR.index(c)]
-            nd = F.coalesce(sv["nd"], F.lit(0)).cast("long")
+            sv = f"smap[{_PROFILE_STR.index(c)}]"
+            nd = f"CAST(coalesce({sv}.nd, 0) AS BIGINT)"
         else:
-            nd = F.coalesce(
-                F.col("dmap")[num_cols.index(c)], F.lit(0)
-            ).cast("long")
+            nd = f"CAST(coalesce(dmap[{num_cols.index(c)}], 0) AS BIGINT)"
         entries.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col("n_rows").alias("n_rows"),
-                F.col(f"null_{c}").alias("n_null"),
-                nd.alias("n_distinct"),
-                (null_d if is_str else F.col(f"mn_{c}")).alias("min_num"),
-                (null_d if is_str else F.col(f"mx_{c}")).alias("max_num"),
-                (F.col(f"av_{c}") if c in _PROFILE_NUM else null_d).alias("avg_num"),
-                (sv["smn"] if is_str else null_s).alias("min_str"),
-                (sv["smx"] if is_str else null_s).alias("max_str"),
-            )
+            "struct("
+            f"'{c}' AS col_name, "
+            "n_rows AS n_rows, "
+            f"null_{c} AS n_null, "
+            f"{nd} AS n_distinct, "
+            f"{null_d if is_str else f'mn_{c}'} AS min_num, "
+            f"{null_d if is_str else f'mx_{c}'} AS max_num, "
+            f"{f'av_{c}' if c in _PROFILE_NUM else null_d} AS avg_num, "
+            f"{sv + '.smn' if is_str else null_s} AS min_str, "
+            f"{sv + '.smx' if is_str else null_s} AS max_str)"
         )
-    return row.select(F.inline(F.array(*entries)))
+    return row.selectExpr(f"inline(array({', '.join(entries)}))")
 
 
 # Incremental rollup: the materialized BASE aggregate covers everything
@@ -1257,39 +1263,34 @@ def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass avoids at 100 TB. The 1-row result unpivots driver-free via
     inline(array(struct...)).
     """
+    # Round-12 optimization: the loop-composed Column build of the 37
+    # aggregates + 28 ratio/struct columns cost ~0.9 s of py4j
+    # round-trips per invocation (more than the Spark execution
+    # itself); the SAME expression trees as three selectExpr calls
+    # plan identically and build in ~10 ms. See q142 for the pattern.
     li = load_table(spark, sf_dir, "lineitem")
     pairs = [
         (a, b)
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1:]
     ]
-    aggs = [F.count("*").alias("n")] + [
-        F.stddev_samp(c).alias(f"s_{c}") for c in _CORR_COLS
+    aggs = ["count(*) AS n"] + [
+        f"stddev_samp({c}) AS s_{c}" for c in _CORR_COLS
     ] + [
-        F.covar_samp(a, b).alias(f"cv_{i}") for i, (a, b) in enumerate(pairs)
+        f"covar_samp({a}, {b}) AS cv_{i}" for i, (a, b) in enumerate(pairs)
     ]
-    row = li.agg(*aggs).select(
+    row = li.selectExpr(*aggs).selectExpr(
         "*",
         *[
-            F.round(
-                F.try_divide(
-                    F.col(f"cv_{i}"), F.col(f"s_{a}") * F.col(f"s_{b}")
-                ),
-                6,
-            ).alias(f"c_{i}")
+            f"round(try_divide(cv_{i}, s_{a} * s_{b}), 6) AS c_{i}"
             for i, (a, b) in enumerate(pairs)
         ],
     )
-    entries = [
-        F.struct(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            F.col("n").alias("n"),
-            F.col(f"c_{i}").alias("corr"),
-        )
+    entries = ", ".join(
+        f"struct('{a}' AS col_a, '{b}' AS col_b, n AS n, c_{i} AS corr)"
         for i, (a, b) in enumerate(pairs)
-    ]
-    return row.select(F.inline(F.array(*entries)))
+    )
+    return row.selectExpr(f"inline(array({entries}))")
 
 
 # (child table, fk column, parent table, parent key) — the declared
@@ -1311,7 +1312,9 @@ def _melt_tables(spark: SparkSession, sf_dir: str, by_table: dict[str, list]) ->
     """Single-pass multi-column melt shared by q104 and q120: each table
     is scanned ONCE, its per-table struct entries fan out row-locally
     via inline(array(...)), rows with a NULL key column ``k`` drop, and
-    the tables union. Every struct entry must alias its key as ``k``.
+    the tables union. Entries are SQL ``struct(...)`` strings (round-12:
+    the loop-composed Column form cost hundreds of py4j round-trips per
+    build — see q142); every entry must alias its key as ``k``.
 
     The two FACT scans (lineitem, orders) are spread (guide §2.5): the
     melt fan-out is per-row map work that a single-split scan would run
@@ -1332,7 +1335,7 @@ def _melt_tables(spark: SparkSession, sf_dir: str, by_table: dict[str, list]) ->
                 if table in fact_key
                 else load_table(spark, sf_dir, table)
             )
-            .select(F.inline(F.array(*entries)))
+            .select(F.expr(f"inline(array({', '.join(entries)}))"))
             .where(F.col("k").isNotNull())
             for table, entries in sorted(by_table.items())
         ],
@@ -1390,65 +1393,45 @@ def q104_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_table: dict[str, list] = {}
     for i, (child, fk, parent, _pk) in rels:
         by_table.setdefault(child, []).append(
-            F.struct(
-                F.lit(parent_ids[parent]).alias("p"),
-                F.col(fk).cast("long").alias("k"),
-                F.lit(i).alias("rel"),
-                F.lit(0).alias("is_parent"),
-            )
+            f"struct({parent_ids[parent]} AS p, CAST({fk} AS BIGINT) AS k,"
+            f" {i} AS rel, 0 AS is_parent)"
         )
     for parent, pk in {(p, k) for _, (_, _, p, k) in rels}:
         by_table.setdefault(parent, []).append(
-            F.struct(
-                F.lit(parent_ids[parent]).alias("p"),
-                F.col(pk).cast("long").alias("k"),
-                F.lit(-1).alias("rel"),
-                F.lit(1).alias("is_parent"),
-            )
+            f"struct({parent_ids[parent]} AS p, CAST({pk} AS BIGINT) AS k,"
+            " -1 AS rel, 1 AS is_parent)"
         )
 
     per_key = (
         _melt_tables(spark, sf_dir, by_table)
         .groupBy("p", "k")
         .agg(
-            F.max("is_parent").alias("hit"),
+            F.expr("max(is_parent)").alias("hit"),
             *[
-                F.sum(F.when(F.col("rel") == i, 1).otherwise(0)).alias(f"cnt_{i}")
+                F.expr(
+                    f"sum(CASE WHEN rel = {i} THEN 1 ELSE 0 END)"
+                ).alias(f"cnt_{i}")
                 for i, _ in rels
             ],
         )
     )
-    totals = per_key.agg(
+    totals = per_key.selectExpr(
+        *[f"coalesce(sum(cnt_{i}), 0) AS n_child_{i}" for i, _ in rels],
         *[
-            F.coalesce(F.sum(f"cnt_{i}"), F.lit(0)).alias(f"n_child_{i}")
-            for i, _ in rels
-        ],
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("hit") == 0, F.col(f"cnt_{i}")).otherwise(0)),
-                F.lit(0),
-            ).alias(f"n_orphan_{i}")
+            f"coalesce(sum(CASE WHEN hit = 0 THEN cnt_{i} ELSE 0 END), 0)"
+            f" AS n_orphan_{i}"
             for i, _ in rels
         ],
     )
-    report = [
-        F.struct(
-            F.lit(child).alias("child_table"),
-            F.lit(fk).alias("fk_col"),
-            F.lit(parent).alias("parent_table"),
-            F.col(f"n_child_{i}").alias("n_child"),
-            F.col(f"n_orphan_{i}").alias("n_orphan"),
-            F.round(
-                F.try_divide(
-                    F.col(f"n_orphan_{i}"),
-                    F.nullif(F.col(f"n_child_{i}"), F.lit(0)).cast("double"),
-                ),
-                6,
-            ).alias("orphan_rate"),
-        )
+    report = ", ".join(
+        f"struct('{child}' AS child_table, '{fk}' AS fk_col,"
+        f" '{parent}' AS parent_table, n_child_{i} AS n_child,"
+        f" n_orphan_{i} AS n_orphan,"
+        f" round(try_divide(n_orphan_{i},"
+        f" CAST(nullif(n_child_{i}, 0) AS DOUBLE)), 6) AS orphan_rate)"
         for i, (child, fk, parent, _pk) in rels
-    ]
-    return totals.select(F.inline(F.array(*report)))
+    )
+    return totals.selectExpr(f"inline(array({report}))")
 
 
 @register(
@@ -1891,11 +1874,8 @@ def q120_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_table: dict[str, list] = {}
     for child, fk, _parent, _pk in rels:
         by_table.setdefault(child, []).append(
-            F.struct(
-                F.lit(child).alias("child_table"),
-                F.lit(fk).alias("key_col"),
-                F.col(fk).cast("long").alias("k"),
-            )
+            f"struct('{child}' AS child_table, '{fk}' AS key_col,"
+            f" CAST({fk} AS BIGINT) AS k)"
         )
     per_key = (
         _melt_tables(spark, sf_dir, by_table)

@@ -1194,52 +1194,49 @@ def q142_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation), so both engines assemble each correlation from
     bit-identical doubles.
     """
+    # Round-12 optimization (guide §4's boundary lesson, driver flavor):
+    # this query's wall time was dominated not by Spark but by BUILDING
+    # it — the loop-composed Column objects cost ~700 py4j round-trips
+    # (~0.9 s per invocation, re-paid on every bench round). The same
+    # expression trees written as THREE selectExpr calls (SQL strings,
+    # one py4j call each) plan and execute identically; construction
+    # drops to ~10 ms. Expression semantics are unchanged line for
+    # line: CASE WHEN mirrors F.when, `0.0D` is the double literal
+    # F.lit(0.0), and try_divide/greatest keep the zero-pair /
+    # zero-variance / FP-cancellation guards documented in the git
+    # history (acf=NULL, never DIVIDE_BY_ZERO or NaN).
     daily = _daily_revenue(spark, sf_dir)
-    w = Window.orderBy("day")
-    lagged = daily.select(
-        F.col("rev").alias("x"),
-        *[F.lag("rev", k).over(w).alias(f"y{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    lagged = daily.selectExpr(
+        "rev AS x",
+        *[
+            f"lag(rev, {k}) OVER (ORDER BY day) AS y{k}"
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
     )
-    aggs = []
+    agg_exprs = []
     for k in range(1, _ACF_MAX_LAG + 1):
-        y = F.col(f"y{k}")
-        pair_x = F.when(y.isNotNull(), F.col("x"))
-        aggs += [
-            F.count(y).alias(f"n_{k}"),
-            F.sum(pair_x).cast("double").alias(f"sx_{k}"),
-            F.sum(y).cast("double").alias(f"sy_{k}"),
-            F.sum(pair_x * y).cast("double").alias(f"sxy_{k}"),
-            F.sum(pair_x * pair_x).cast("double").alias(f"sxx_{k}"),
-            F.sum(y * y).cast("double").alias(f"syy_{k}"),
+        px = f"(CASE WHEN y{k} IS NOT NULL THEN x END)"
+        agg_exprs += [
+            f"count(y{k}) AS n_{k}",
+            f"CAST(sum({px}) AS DOUBLE) AS sx_{k}",
+            f"CAST(sum(y{k}) AS DOUBLE) AS sy_{k}",
+            f"CAST(sum({px} * y{k}) AS DOUBLE) AS sxy_{k}",
+            f"CAST(sum({px} * {px}) AS DOUBLE) AS sxx_{k}",
+            f"CAST(sum(y{k} * y{k}) AS DOUBLE) AS syy_{k}",
         ]
-    row = lagged.agg(*aggs)
+    row = lagged.selectExpr(*agg_exprs)  # aggregates => implicit global agg
     entries = []
     for k in range(1, _ACF_MAX_LAG + 1):
-        # try_divide throughout: a lag with zero pairs (corpus spans fewer
-        # days than the lag) or zero variance (constant daily revenue)
-        # must yield acf=NULL, not an ANSI DIVIDE_BY_ZERO — the q103
-        # lesson, re-learned on degenerate fixtures (round-7 verdict
-        # item 1). Oracle mirrors with NULLIF on both divisors.
-        n = F.col(f"n_{k}").cast("double")
-        cxy = F.col(f"sxy_{k}") - F.try_divide(F.col(f"sx_{k}") * F.col(f"sy_{k}"), n)
-        cxx = F.col(f"sxx_{k}") - F.try_divide(F.col(f"sx_{k}") * F.col(f"sx_{k}"), n)
-        cyy = F.col(f"syy_{k}") - F.try_divide(F.col(f"sy_{k}") * F.col(f"sy_{k}"), n)
-        # greatest(0, ...) clamps the variance product before the sqrt:
-        # the double differences can round to a tiny NEGATIVE on a
-        # constant series (the q218 FP-cancellation class), which would
-        # be NaN here and an OutOfRangeException in the oracle's SQRT.
-        # Both engines clamp identically (GREATEST in the oracle), and
-        # sqrt(0) flows into try_divide's NULL like the exact-zero case.
+        n = f"CAST(n_{k} AS DOUBLE)"
+        cxy = f"(sxy_{k} - try_divide(sx_{k} * sy_{k}, {n}))"
+        cxx = f"(sxx_{k} - try_divide(sx_{k} * sx_{k}, {n}))"
+        cyy = f"(syy_{k} - try_divide(sy_{k} * sy_{k}, {n}))"
         entries.append(
-            F.struct(
-                F.lit(k).alias("lag"),
-                F.col(f"n_{k}").alias("n"),
-                F.round(
-                    F.try_divide(cxy, F.sqrt(F.greatest(F.lit(0.0), cxx * cyy))), 6
-                ).alias("acf"),
-            )
+            f"struct({k} AS lag, n_{k} AS n, "
+            f"round(try_divide({cxy}, sqrt(greatest(0.0D, {cxx} * {cyy}))), 6)"
+            " AS acf)"
         )
-    return row.select(F.inline(F.array(*entries)))
+    return row.selectExpr(f"inline(array({', '.join(entries)}))")
 
 
 # Burstiness needs a minimum number of inter-arrival gaps for sigma/mu
