@@ -2397,7 +2397,17 @@ def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket counts, and the pair/triple expansion all derive from this
     frame, so the raw rows never shuffle twice. Sorting pins a
     deterministic within-basket order for the combination HOFs."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread_scan keyed on the order key (guide §2.5): the brand tag +
+    # partial collect_set otherwise run on a single-split scan's one
+    # core; order-safe because array_sort pins the set order. Measured
+    # 0.82 -> 0.37 s at sf0.1 for the build alone (7-round medians).
+    li = spread_scan(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+    )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
