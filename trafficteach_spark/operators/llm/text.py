@@ -1517,23 +1517,26 @@ def q178_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ROUND(6).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # NOT spread (guide §2.5 considered, A/B-measured twice): the KN
-    # continuation/count branches all reduce to n-gram-vocabulary
-    # hashmaps via map-side partial aggregation, so a spread exchange
-    # shipping full token arrays costs more than the single-core map
-    # work it parallelizes (1.08 -> 1.50+ drift-normalized when spread).
+    # Round-12: spread the scan AND persist the vocabulary-bounded
+    # bigram-count frame instead of the corpus-sized pair stream.
+    # Persisting `pairs` (the q126 pattern) lost here: q178 has no
+    # unigram pass, so caching bi gives the same 2 corpus passes
+    # (count build + scoring) while the cache holds vocab²-bounded
+    # rows, not corpus rows — the scale-correct choice at 100 TB, and
+    # 1.37 -> 1.12 s at sf0.1 (9-round interleaved medians). With the
+    # corpus-sized persist gone, the spread exchange no longer taxes
+    # the downstream aggregates, so the explode parallelism wins too.
+    docs = spread_scan(
+        spark, docs.select("doc_id", "text"), sf_dir, "documents", "doc_id"
+    )
     tok = docs.where(
         F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 2)
     ).select("doc_id", F.split("text", " ").alias("w"))
-    # shared fanout + persist: same rationale as q126 (the pair stream
-    # feeds the count aggregates AND the scoring stream; round-11
-    # review finding).
     pairs = (
         tok.select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS_EXPR)).alias("bg"))
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .persist()
     )
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")).persist()
     fwd = bi.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("n1p_fwd")
     )
