@@ -805,7 +805,17 @@ def simhash_pairs(docs: DataFrame, token_hash_sql: str, n_bits: int) -> DataFram
             f"transform(array_distinct(split(text, ' ')), t -> {token_hash_sql})"
         ).alias("hs"),
     )
-    fp = hashed.mapInPandas(_make_simhash(n_bits), schema="doc_id long, simhash long")
+    # persist (O43, round-12): the pigeonhole self-join reads this frame
+    # on BOTH sides, and the two mapInPandas subtrees are not recognized
+    # as a reusable exchange — without the persist the whole
+    # scan+HOF+numpy pipeline ran twice per action (measured md5 twin
+    # 1.73 -> 1.10 s, xxhash 1.17 -> 0.88 s at sf0.1). The cached frame
+    # is 16 bytes/doc at any scale; cache_scope reclaims it. A scan
+    # spread was A/B-measured instead and regressed both keys ~0.2-0.4 s
+    # (the exchange ships full text bytes; guide §8's anti-lesson).
+    fp = hashed.mapInPandas(
+        _make_simhash(n_bits), schema="doc_id long, simhash long"
+    ).persist()
     blocks = fp.select(
         "doc_id",
         "simhash",
