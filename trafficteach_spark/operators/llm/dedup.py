@@ -696,9 +696,14 @@ def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{md5_prefix_int_spark('x', _LSH_HEX_CHARS)}, {_MERSENNE}L))"
         ).alias("hs"),
     )
+    # persist (O43, round-12): the band self-join reads the signature
+    # frame on both sides and the two Python-eval subtrees are not
+    # recognized as a reusable exchange, so without the persist the
+    # md5-hash + numpy-minhash pipeline ran twice per action (the
+    # simhash lesson). 64 longs/doc cached at any scale.
     signed = hashed.mapInPandas(
         _make_minhash_signatures(), schema="doc_id long, sig array<long>"
-    )
+    ).persist()
     band_keys = F.array(
         *[
             F.expr(
@@ -1440,10 +1445,14 @@ def q125_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parameterized with the eval coefficient table (a < 2^30, h < 2^28
     # keeps a*h + b far inside int64 — one implementation, one
     # overflow-safety argument).
+    # persist (O43, round-12): the band self-join reads the signature
+    # frame on both sides and the two Python-eval subtrees are not
+    # recognized as a reusable exchange — the simhash lesson; the
+    # cached frame is doc_id + a 12-long array.
     sig = hashed.select("doc_id", "hs").mapInPandas(
         _make_minhash_signatures(_EVAL_HASH_AB),
         schema="doc_id long, sig array<long>",
-    )
+    ).persist()
     band_hashes = F.array(
         *[
             F.md5(
@@ -1490,26 +1499,34 @@ def q125_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_cand = cand.agg(F.count("*").alias("n_cand"))
-    n_hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
-        F.count("*").alias("n_hits")
+    # Round-12: ONE full-outer join + ONE global aggregate replaces the
+    # three separate count frames (n_truth spine + two broadcast
+    # subqueries) — that form evaluated the truth subtree twice and the
+    # candidate subtree twice per action (23 jobs; guide §1.2 step 1).
+    # Flags are nullable markers, so count() over them IS the per-set
+    # cardinality and their conjunction the intersection.
+    flagged = (
+        truth.withColumn("in_t", F.lit(1))
+        .join(cand.withColumn("in_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("in_t").alias("n_truth"),
+            F.count("in_c").alias("n_cand"),
+            F.count(F.when(F.col("in_t").isNotNull() & F.col("in_c").isNotNull(), 1)).alias(
+                "n_hits"
+            ),
+        )
     )
     safe_div = (
         lambda num, den: F.when(
             F.col(den) > 0, F.col(num) / F.col(den).cast("double")
         ).otherwise(F.lit(1.0))
     )
-    return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hits))
-        .select(
-            "n_truth",
-            "n_cand",
-            "n_hits",
-            F.round(safe_div("n_hits", "n_truth"), 6).alias("recall"),
-            F.round(safe_div("n_hits", "n_cand"), 6).alias("precision"),
-        )
+    return flagged.select(
+        "n_truth",
+        "n_cand",
+        "n_hits",
+        F.round(safe_div("n_hits", "n_truth"), 6).alias("recall"),
+        F.round(safe_div("n_hits", "n_cand"), 6).alias("precision"),
     )
 
 
