@@ -2097,6 +2097,11 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
     )
     mask = sum((F.col(f"c{i}") * (1 << i) for i in range(1, n_ch)), F.col("c0"))
+    # persist (O43, round-12): the coalition frame feeds THREE broadcast
+    # builds (a, b, expo_bits) and each broadcast exchange executes its
+    # child independently — without the persist the full events scan +
+    # per-user aggregate ran three times per action. <= 2^n_ch rows
+    # cached at any scale.
     co = (
         u.select(mask.alias("mask"), "conv")
         .groupBy("mask")
@@ -2104,6 +2109,7 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("double").alias("n"),
             F.sum("conv").cast("double").alias("k"),
         )
+        .persist()
     )
     grid = ev.sparkSession.createDataFrame(
         [
@@ -3016,11 +3022,17 @@ def _metric_family_z(ev: DataFrame) -> DataFrame:
             )
         ).alias("metric", "y"),
     )
+    # persist (O43, round-12): the a/b arm split consumes this 8-row
+    # frame twice (each side of the metric self-join) and the planner
+    # does not share the subtree — without the persist the per-user
+    # aggregate + 4-way explode pipeline ran twice per action (for BOTH
+    # q198 and q207). Metric-family-sized (4 metrics x 2 arms) at any
+    # scale.
     cells = longf.groupBy("metric", "arm").agg(
         F.count("*").cast("double").alias("n"),
         F.avg("y").alias("m"),
         F.var_samp("y").alias("v"),
-    )
+    ).persist()
     a = cells.where(F.col("arm") == 0).select(
         "metric", F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
     )
