@@ -804,7 +804,12 @@ def q86_feature_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_extendedprice").alias("avg_p"),
         F.stddev_samp("l_extendedprice").alias("sd"),
     )
-    return li.join(F.broadcast(stats), "l_returnflag").select(
+    # spread_scan (guide §2.5, round-12): the broadcast probe pass emits
+    # one normalized row per line item and a single-split scan runs that
+    # whole row pass on one core; keyed spread on the order key fans it
+    # out (row-local arithmetic, order-free). Guard disarms at scale.
+    probe = spread_scan(spark, li, sf_dir, "lineitem", "l_orderkey")
+    return probe.join(F.broadcast(stats), "l_returnflag").select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
