@@ -44,31 +44,43 @@ from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
 # median of the 20 observed/anchor ratios. Dividing any per-query time
 # by the run's drift puts rounds on a comparable footing. Anchors are
 # host- and sf0.1-specific: regenerate with tools/calibrate_drift.py.
+# Round-13 ref-key reset (round-12 verdict item 1): six of the ten
+# round-11 reference keys (q126, q83_feature_bins, q171, q120, q139,
+# q86) were themselves round-12 optimization targets, so the published
+# r12 drift factors (0.631-0.734) measured the builder's own speedups
+# and every r12 drift-normalized number is void (BASELINE.md notes
+# this). The replacement set below is FROZEN: drawn exclusively from
+# keys no optimization round has touched and that round 13 commits to
+# leaving untouched (documented in OPTIMIZATION_r13.md), chosen for
+# medium cost and shape diversity (star join, HLL sketch agg, range
+# join, percentile agg, graph-degree agg, cumulative window, rank
+# fusion, seeded-rand agg, sparse-array HOF, lag window). Anchors
+# regenerated with tools/calibrate_drift.py at the round-13 reset
+# commit; drift factors are comparable only within anchor generations.
 DRIFT_REF_KEYS: tuple[str, ...] = (
-    "q126_bigram_lm_logprob", "q32_knn_ivf", "q83_feature_bins",
-    "q171_dup_span_fraction", "q185_rrf_fusion",
-    "q146_degree_distribution", "q87_bigram_pmi", "q120_skew_audit",
-    "q139_ols_regression", "q86_feature_normalize",
+    "q03_star_join", "q10_distinct_users_approx", "q63_range_join",
+    "q124_mad_outliers", "q146_degree_distribution", "q155_abc_analysis",
+    "q185_rrf_fusion", "q192_poisson_bootstrap", "q206_sparse_cosine",
+    "q218_xcorr_lag",
 )
 # Median over 7 sequence passes per key at sf0.1 (tools/
-# calibrate_drift.py, round 11 — recalibrated because the round-11
-# runtime changed what a pass measures: the 4096-entry codegen cache
-# (session.py) keeps ref-key classes resident across the whole run,
-# and the shared jvm_prelude pins the JIT state anchors are taken in.
-# Per-key per-pass ambient noise on this host is ±15-30% (spreads in
-# the calibration output); the published drift factor is a median of
-# 20 ratios, which is what makes it usable despite that).
+# calibrate_drift.py, round-13 recalibration at the ref-key reset —
+# same protocol as round 11: shared jvm_prelude steady state, sequence
+# passes, floors measured last. Per-key per-pass ambient noise on this
+# host is ±15-30% (spreads in the calibration output); the published
+# drift factor is a median of 20 ratios, which is what makes it usable
+# despite that).
 DRIFT_REF_ANCHOR_SEC: dict[str, float] = {
-    "q126_bigram_lm_logprob": 1.012,
-    "q32_knn_ivf": 0.962,
-    "q83_feature_bins": 1.126,
-    "q171_dup_span_fraction": 1.604,
-    "q185_rrf_fusion": 0.794,
-    "q146_degree_distribution": 0.950,
-    "q87_bigram_pmi": 0.661,
-    "q120_skew_audit": 1.725,
-    "q139_ols_regression": 1.036,
-    "q86_feature_normalize": 0.939,
+    "q03_star_join": 0.789,  # spread 20%
+    "q10_distinct_users_approx": 0.705,  # spread 23%
+    "q63_range_join": 0.682,  # spread 24%
+    "q124_mad_outliers": 0.556,  # spread 37%
+    "q146_degree_distribution": 0.958,  # spread 20%
+    "q155_abc_analysis": 0.646,  # spread 27%
+    "q185_rrf_fusion": 0.782,  # spread 25%
+    "q192_poisson_bootstrap": 0.705,  # spread 20%
+    "q206_sparse_cosine": 0.828,  # spread 34%
+    "q218_xcorr_lag": 0.693,  # spread 31%
 }
 _DRIFT_SF = 0.1
 
@@ -82,7 +94,7 @@ _DRIFT_SF = 0.1
 # ``floor_ms`` + ``drift_floor`` (observed/anchor). Interpretation
 # rule: `drift` normalizes scan-bound keys; keys dominated by job
 # count follow `drift_floor`. Anchor is host-specific like the refs.
-FLOOR_ANCHOR_SEC = 0.0240  # round-11 recalibration (calibrate_drift.py)
+FLOOR_ANCHOR_SEC = 0.0191  # round-13 recalibration (calibrate_drift.py)
 _FLOOR_RUNS = 15
 
 

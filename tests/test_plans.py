@@ -526,7 +526,14 @@ def test_q104_fk_audit_single_pass_no_joins(spark):
 
     # formatted output lists each node in the tree AND a detail section;
     # the "(n) NodeName" detail header appears exactly once per node.
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+    # Conditional bound (round-13 advice): the two extra exchanges exist
+    # only when spread_scan is ARMED (single-split testdata) — they show
+    # up as REPARTITION-flagged exchanges. Counting them separately keeps
+    # the core bound at 2 in an environment where the spread is disarmed,
+    # so a genuinely new shuffle can't hide under the loosened ceiling.
+    n_spread = len(re.findall(r"REPARTITION_BY", plan))
+    assert n_spread <= 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2 + n_spread, plan
     # one scan per distinct child/parent table, not one per relation:
     # lineitem carries three FKs but must appear exactly once.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 8, plan

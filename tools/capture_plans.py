@@ -29,7 +29,12 @@ if _REPO not in sys.path:
 from trafficteach_spark.registry import all_specs  # noqa: E402
 from trafficteach_spark.session import cache_scope, get_spark  # noqa: E402
 
-ROUND_DIR = os.path.join(_REPO, "plans", "r12")
+# Round directory (round-13 advice: was hard-coded to r12, so a later
+# round's capture silently appended into the old directory). Override
+# with $SPARK_GRAFT_PLANS_ROUND; the default tracks the current round.
+ROUND_DIR = os.path.join(
+    _REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+)
 
 
 def main() -> None:

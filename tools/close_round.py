@@ -239,6 +239,18 @@ def check_capstone(round_no: int) -> list[str]:
             f"{'/'.join(missing)} ambient reading(s) — re-run bench.py "
             "with the drift/floor protocol and record both"
         ]
+    # From round 13 on the capstone is a PAIR (round-12 verdict item 9):
+    # the 8-core companion run is what separates per-job scheduler noise
+    # at high core counts from real plan regressions. Require an 8-core
+    # reading in the section (tools/capstone_pair.py emits both).
+    if round_no >= 13 and not re.search(
+        r"(8[- ]core|\bc8\b)[^0-9]{0,40}[0-9]", section
+    ):
+        return [
+            f"CAPSTONE: round-{round_no} capstone section lacks the 8-core "
+            "companion reading — run tools/capstone_pair.py and record the "
+            "pair"
+        ]
     return []
 
 

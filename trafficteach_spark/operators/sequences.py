@@ -2424,20 +2424,34 @@ def q190_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
           ), 'START')
         """
     )
-    reach = g.select("removed", v_final.alias("v")).localCheckpoint(eager=True)
-    base = reach.where(F.col("removed") == "none").select(
-        F.col("v").alias("v0")
+    # Round-13 tail collapse (verdict item 8, guide §5 driver/jobs): the
+    # old tail localCheckpoint'ed the 5-row reach frame (one eager job)
+    # and attached v0/tre via two broadcast crossJoins (one job each for
+    # the broadcast builds) — three scheduler round-trips on <= 5 rows.
+    # Both scalars are whole-frame aggregates of that 5-row frame, so
+    # they fold into WINDOW functions over it instead: one single-
+    # partition window stage (bounded at 5 rows per variant vocabulary
+    # at ANY scale), one linear plan, ONE action. The orderBy pins the
+    # 4-term tre accumulation order (the crossJoin form summed in
+    # partition-arrival order).
+    reach = g.select("removed", v_final.alias("v"))
+    w_all = Window.orderBy("removed").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     re = (
-        reach.where(F.col("removed") != "none")
-        .crossJoin(F.broadcast(base))
+        reach.withColumn(
+            "v0", F.max(F.when(F.col("removed") == "none", F.col("v"))).over(w_all)
+        )
+        .where(F.col("removed") != "none")
         .select(
             F.col("removed").alias("channel"),
             (1 - F.try_divide(F.col("v"), F.col("v0"))).alias("re"),
         )
     )
-    tot = re.agg(F.sum("re").alias("tre"))
-    return re.crossJoin(F.broadcast(tot)).select(
+    w_re = Window.orderBy("channel").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return re.withColumn("tre", F.sum("re").over(w_re)).select(
         "channel",
         F.round("re", 6).alias("removal_effect"),
         F.round(F.try_divide(F.col("re"), F.col("tre")), 6).alias("attribution"),

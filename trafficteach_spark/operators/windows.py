@@ -31,7 +31,11 @@ from trafficteach_spark.functions.exprs import (
 )
 from trafficteach_spark.operators.relational import TS_END, TS_START
 from trafficteach_spark.registry import register
-from trafficteach_spark.sources.tables import load_events_range, load_table
+from trafficteach_spark.sources.tables import (
+    load_events_range,
+    load_table,
+    spread_scan,
+)
 
 
 def _oracle_range(col: str = "ts") -> str:
@@ -512,7 +516,22 @@ def q106_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Concurrency peaks only just after a start or at midnight, which is
     exactly the candidate set the quadratic oracle evaluates.
     """
-    events = load_table(spark, sf_dir, "events")
+    # spread_scan keyed on user_id (round-13, verdict item 5; guide
+    # §2.4/§2.5): the sessionization's only exchange hash-partitions by
+    # user_id at the session partition count, so a user_id-keyed
+    # repartition at the same count is REUSED by the session aggregate —
+    # the spread replaces the exchange rather than adding one (plan-
+    # verified: 1 exchange before and after), while the map-side work
+    # (timestamp window conversion + partial session dedup + sort) moves
+    # from the single-split scan's one core to all of them. Order-safe:
+    # sessionization is a set aggregation. No-op at real scale.
+    events = spread_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select("user_id", "ts"),
+        sf_dir,
+        "events",
+        "user_id",
+    )
     sess = (
         # NULL-ts rows are OUT of the session contract, explicitly:
         # session_window silently injects this filter anyway (Spark's

@@ -264,7 +264,16 @@ def _scan_file_count(sf_dir: str, name: str) -> int:
     upper bound on scan splits when files are single-row-group (and a
     lower bound in general: more row groups only add splits). Remote
     URIs return a large count (never spread what we cannot cheaply
-    stat; a remote deployment's tables are multi-file by construction)."""
+    stat; a remote deployment's tables are multi-file by construction).
+
+    Staleness contract (round-13 advice): the cache key is the ROOT
+    directory's mtime, which does not change when files inside nested
+    subdirectories are rewritten — the cached count can go stale on a
+    partitioned table mutated in place. Accepted deliberately: the count
+    only gates an optimization (spread vs no-spread), never correctness,
+    and the stale direction at scale (count stays high) is the safe
+    no-op. A part file vanishing mid-walk (concurrent writer) likewise
+    degrades to "don't spread" rather than crashing the query build."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if "://" in path:
         return 1 << 30
@@ -283,8 +292,15 @@ def _scan_file_count(sf_dir: str, name: str) -> int:
             for fname in files:
                 if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
                     continue
-                if os.stat(os.path.join(dirpath, fname)).st_size > 0:
-                    n += 1
+                try:
+                    if os.stat(os.path.join(dirpath, fname)).st_size > 0:
+                        n += 1
+                except OSError:
+                    # A writer rewriting the table can delete a part
+                    # file between listing and stat: a table being
+                    # mutated under us is exactly one we should not
+                    # spread — return the no-spread sentinel, uncached.
+                    return 1 << 30
     else:
         n = 1
     _SCAN_FILES_CACHE[path] = (key_stamp, n)
