@@ -2097,11 +2097,19 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
     )
     mask = sum((F.col(f"c{i}") * (1 << i) for i in range(1, n_ch)), F.col("c0"))
-    # persist (O43, round-12): the coalition frame feeds THREE broadcast
-    # builds (a, b, expo_bits) and each broadcast exchange executes its
-    # child independently — without the persist the full events scan +
-    # per-user aggregate ran three times per action. <= 2^n_ch rows
-    # cached at any scale.
+    # Round-13 (verdict item 7): the round-12 persist on this coalition
+    # frame was re-validated with >= 6 interleaved persist/no-persist
+    # pairs on a quiet host and DROPPED — no-persist won 6/6 (median
+    # -0.066 s): the InMemoryRelation boundary cost more than it saved
+    # (the r12 "persist rejected on cheap codegen-fused subtrees"
+    # dividing line applies here too). What made dropping it SAFE at
+    # scale is the consumer restructure below: the exposure counts now
+    # fall out of the SAME grid join that computes the Shapley terms
+    # (every mask containing channel ch is s | 1<<ch for exactly one
+    # grid row, so n_exposed(ch) = SUM of nb over ch's grid rows), and
+    # both coalition lookups go through ONE broadcast of this frame —
+    # the corpus aggregate runs ONCE per action with no cache
+    # (executed plan: 3 events scans -> 1).
     co = (
         u.select(mask.alias("mask"), "conv")
         .groupBy("mask")
@@ -2109,7 +2117,6 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("double").alias("n"),
             F.sum("conv").cast("double").alias("k"),
         )
-        .persist()
     )
     grid = ev.sparkSession.createDataFrame(
         [
@@ -2127,11 +2134,36 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle join. The coalition frame is fixed-cardinality (<= 2^n_ch
     # masks), inside the O44 broadcast contract (round-10 review
     # finding).
-    a = F.broadcast(
-        co.select(F.col("mask").alias("s"), F.col("n").alias("na"), F.col("k").alias("ka"))
+    # ONE broadcast serves both the v(S) and v(S+i) lookups: each grid
+    # row explodes to its two lookup keys (role 0 = S, role 1 = S+i),
+    # the single broadcast hash join attaches the coalition stats, and
+    # a bounded groupBy (<= 2 x grid rows in, grid rows out) pivots the
+    # roles back to columns. The corpus-sized events aggregate therefore
+    # executes exactly ONCE per action — what the round-12 persist
+    # bought, without the InMemoryRelation boundary (two separately-
+    # aliased broadcasts did NOT unify: exchange reuse left 2 scans in
+    # the executed plan).
+    grid_long = grid.select(
+        "s",
+        "ch",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("key"), F.lit(0).alias("role")),
+                F.struct(
+                    F.expr("s | shiftleft(1, ch)").alias("key"),
+                    F.lit(1).alias("role"),
+                ),
+            )
+        ).alias("kr"),
+    ).select("s", "ch", "kr.key", "kr.role")
+    looked = grid_long.join(
+        F.broadcast(co), grid_long.key == co.mask, "left"
     )
-    b = F.broadcast(
-        co.select(F.col("mask").alias("sb"), F.col("n").alias("nb"), F.col("k").alias("kb"))
+    terms = looked.groupBy("s", "ch").agg(
+        F.max(F.when(F.col("role") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("role") == 0, F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("role") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("role") == 1, F.col("k"))).alias("kb"),
     )
     w_col = F.element_at(
         F.create_map(
@@ -2139,46 +2171,30 @@ def q189_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.bit_count(F.col("s").cast("long")).cast("int"),
     )
-    terms = (
-        grid.join(a, "s", "left")
-        .withColumn("sb", F.expr("s | shiftleft(1, ch)"))
-        .join(b, "sb", "left")
-        .select(
-            "ch",
-            (
-                w_col
-                * (
-                    F.coalesce(F.try_divide(F.col("kb"), F.col("nb")), F.lit(0.0))
-                    - F.coalesce(F.try_divide(F.col("ka"), F.col("na")), F.lit(0.0))
-                )
-            ).alias("term"),
-        )
+    # Exposure folds into the SAME per-channel aggregate as phi: every
+    # coalition containing ch is sb = s | 1<<ch for exactly one grid row
+    # of ch, so sum(nb) over ch's rows IS the exposed-user count (the
+    # oracle's SUM over masks with bit ch; doubles counting integers
+    # < 2^53 are exact in any order). No third consumer of `co`, no
+    # bitmask theta-join, no explode pass.
+    phi_expo = terms.select(
+        "ch",
+        (
+            w_col
+            * (
+                F.coalesce(F.try_divide(F.col("kb"), F.col("nb")), F.lit(0.0))
+                - F.coalesce(F.try_divide(F.col("ka"), F.col("na")), F.lit(0.0))
+            )
+        ).alias("term"),
+        F.coalesce(F.col("nb"), F.lit(0.0)).alias("nb0"),
+    ).groupBy("ch").agg(
+        F.sum("term").alias("phi"),
+        F.sum("nb0").cast("long").alias("n_exposed"),
     )
-    phi = terms.groupBy("ch").agg(F.sum("term").alias("phi"))
     chgrid = ev.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(_SHAP_CHANNELS)], "ch int, channel string"
     )
-    # exposure per channel: explode each coalition's SET BITS and
-    # equi-join — not a bitmask theta-join (which plans as a BNLJ even
-    # on these bounded frames).
-    expo_bits = co.select(
-        F.explode(
-            F.expr(
-                f"filter(transform(sequence(0, {n_ch - 1}),"
-                " i -> IF((mask & shiftleft(1, i)) <> 0, i, -1)),"
-                " x -> x >= 0)"
-            )
-        ).alias("ch"),
-        "n",
-    ).groupBy("ch").agg(F.sum("n").alias("ne"))
-    # same build-right hint placement as a/b above (chgrid is the left
-    # input of a left outer join; expo_bits is n_ch-row bounded)
-    expo = chgrid.join(F.broadcast(expo_bits), "ch", "left").select(
-        "ch",
-        "channel",
-        F.coalesce(F.col("ne"), F.lit(0.0)).cast("long").alias("n_exposed"),
-    )
-    return phi.join(F.broadcast(expo), "ch").select(
+    return chgrid.join(F.broadcast(phi_expo), "ch").select(
         "channel", "n_exposed", F.round("phi", 6).alias("shapley")
     )
 
@@ -3036,24 +3052,34 @@ def _metric_family_z(ev: DataFrame) -> DataFrame:
             )
         ).alias("metric", "y"),
     )
-    # persist (O43, round-12): the a/b arm split consumes this 8-row
-    # frame twice (each side of the metric self-join) and the planner
-    # does not share the subtree — without the persist the per-user
-    # aggregate + 4-way explode pipeline ran twice per action (for BOTH
-    # q198 and q207). Metric-family-sized (4 metrics x 2 arms) at any
-    # scale.
+    # Round-13 (verdict item 7): the round-12 persist on this 8-row
+    # frame was re-validated with >= 6 interleaved persist/no-persist
+    # pairs and DROPPED (no-persist median -0.058 s, persist 2/6) —
+    # and the a/b arm self-join it guarded is GONE entirely: the 8-cell
+    # frame pivots to 4 metric rows with conditional MAX aggregates
+    # (arm is part of the group key, so each cell feeds exactly one
+    # conditional), one corpus pass, no join, nothing to cache. The
+    # per-arm aggregates (count/avg/var_samp) are bit-identical to the
+    # self-join form — only the attachment of the two arms changed.
     cells = longf.groupBy("metric", "arm").agg(
         F.count("*").cast("double").alias("n"),
         F.avg("y").alias("m"),
         F.var_samp("y").alias("v"),
-    ).persist()
-    a = cells.where(F.col("arm") == 0).select(
-        "metric", F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
     )
-    b = cells.where(F.col("arm") == 1).select(
-        "metric", F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    arm0 = F.col("arm") == 0
+    pivoted = cells.groupBy("metric").agg(
+        F.max(F.when(arm0, F.col("n"))).alias("na"),
+        F.max(F.when(arm0, F.col("m"))).alias("ma"),
+        F.max(F.when(arm0, F.col("v"))).alias("va"),
+        F.max(F.when(~arm0, F.col("n"))).alias("nb"),
+        F.max(F.when(~arm0, F.col("m"))).alias("mb"),
+        F.max(F.when(~arm0, F.col("v"))).alias("vb"),
     )
-    return a.join(b, "metric").select(
+    # The self-join was INNER on metric: a metric missing either arm
+    # dropped out. Reproduce that edge exactly.
+    return pivoted.where(
+        F.col("na").isNotNull() & F.col("nb").isNotNull()
+    ).select(
         "metric",
         F.round("ma", 6).alias("mean_a"),
         F.round("mb", 6).alias("mean_b"),
