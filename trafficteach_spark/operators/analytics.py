@@ -2510,27 +2510,32 @@ def q141_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.antecedent", "p.consequent")
         .agg(F.count("*").alias("n_pair"))
     )
-    ia = item.select(F.col("brand").alias("antecedent"), F.col("n_item").alias("n_ant"))
-    ic = item.select(F.col("brand").alias("consequent"), F.col("n_item").alias("n_con"))
-    # The 1-row basket total attaches via a literal equi-key (not a bare
-    # crossJoin): the support threshold references both sides, and a
-    # predicate pushed into a condition-free broadcast would re-plan it
-    # as a conditioned nested-loop — the key keeps it a hash join.
+    # Round-13 tail fold (the q161 treatment): the two per-brand count
+    # broadcasts collapse into ONE 1-row brand->count map attach, so the
+    # item aggregation runs once per action instead of twice and the
+    # broadcast-build job count drops by one. The conditioned BNLJ the
+    # support filter fuses into the 1-row attaches is the whitelisted
+    # q141 idiom (build side is one row at any data size).
+    imap = item.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("brand", "n_item"))
+        ).alias("imap")
+    )
+    n_ant = F.element_at("imap", F.col("antecedent"))
+    n_con = F.element_at("imap", F.col("consequent"))
     return (
-        pair.join(F.broadcast(ia), "antecedent")
-        .join(F.broadcast(ic), "consequent")
-        .withColumn("_k", F.col("n_pair") * 0)
-        .join(F.broadcast(n.withColumn("_k", F.col("n_baskets") * 0)), "_k")
+        pair.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(imap))
         .where(F.col("n_pair").cast("double") / F.col("n_baskets") >= _RULE_MIN_SUPPORT)
         .select(
             "antecedent",
             "consequent",
             "n_pair",
             F.round(F.col("n_pair").cast("double") / F.col("n_baskets"), 6).alias("support"),
-            F.round(F.col("n_pair").cast("double") / F.col("n_ant"), 6).alias("confidence"),
+            F.round(F.col("n_pair").cast("double") / n_ant, 6).alias("confidence"),
             F.round(
                 F.col("n_pair").cast("double") * F.col("n_baskets")
-                / (F.col("n_ant").cast("double") * F.col("n_con")),
+                / (n_ant.cast("double") * n_con),
                 6,
             ).alias("lift"),
         )

@@ -1021,8 +1021,14 @@ def q136_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", F.col("nid").alias("a_nid")
         )
         per_q = (
+            # broadcast the approx side (round-13, verdict item 4): both
+            # frames are bounded at N_QUERIES x TOP_K rows, but the
+            # planner's size estimate for the window-ranked subtree is
+            # corpus-scaled, so it picked a SortMergeJoin — two
+            # shuffle+sort stages per variant on k-row-per-query frames.
+            # Build-right on a left-outer join keeps the exact spine.
             exact.join(
-                approx,
+                F.broadcast(approx),
                 (exact["qid"] == approx["qid"])
                 & (exact["nid"] == approx["a_nid"]),
                 "left",
