@@ -120,43 +120,47 @@ _OPERATOR_MODULES = (
 # and are fingerprinted per-round by the digest. OPERATORS.md tracks
 # each key's last driver-hash round.
 DRIVER_ORDER: tuple[str, ...] = (
-    # Round 12 freshness rotation (round-11 verdict item 3): zero new
-    # keys; after this window no registered key's latest driver
-    # evidence predates round 8.
-    # Tier 1 — the three keys whose SEMANTICS changed in the round-11
-    # review sweeps (q106 exact-gap session boundary, q110/q138
-    # empty-arm NULL-vs-0) but whose latest driver hash predates the
-    # fix (r7). They lead the window so the driver re-hashes the new
-    # semantics first.
-    "q106_session_concurrency", "q110_ab_lift", "q138_srm_check",
-    # Tier 2 — the remaining 23 keys whose latest driver evidence is
-    # round 7 (q100-q111 block, q133-q140 block deferred from the r11
-    # rotation, plus q58/q81/q82/q91/q96/q97).
-    "q58_domain_mix", "q81_hash_split", "q82_bpe_pairs",
-    "q91_corpus_pipeline", "q96_psi_drift", "q97_data_profile",
-    "q100_scd2_history", "q101_incremental_rollup", "q102_heavy_hitters",
-    "q103_corr_matrix", "q104_fk_audit", "q105_cohort_retention",
-    "q107_rolling_active_users", "q108_time_to_convert",
-    "q109_transition_matrix", "q111_fulfillment_lag",
-    "q133_boilerplate_chunks", "q134_dedup_impact",
-    "q135_time_weighted_avg", "q136_knn_recall_eval", "q137_cms_topk",
-    "q139_ols_regression", "q140_rfm_segmentation",
-    # Tier 3 — the 23 oldest r8-evidence keys: the fifteen keys whose
-    # evidence is {6,8}, the two single-r8 keys q143/q144, then the
-    # lowest-numbered single-r8 keys. The remaining r8 keys (q115,
-    # q141/q142, q151-q173) stay digest-pinned and rotate in round 13.
-    "q53_rollup", "q54_pivot", "q56_vocab_topk", "q59_label_centroids",
-    "q62_time_resample", "q66_anomaly", "q69_unpivot",
-    "q73_regex_extract", "q86_feature_normalize", "q92_ewma",
-    "q93_unigram_logprob", "q94_token_entropy", "q95_zipf_slope",
-    "q98_source_overlap", "q99_dup_rate_by_source",
-    "q143_benford_check", "q144_cuped_lift",
-    "q145_spearman_corr", "q146_degree_distribution",
-    "q147_activity_bitmap", "q148_decile_lift", "q149_wilson_ctr",
-    "q150_higher_moments",
-    # (The whole round-11 window — the evidence-ledger close — demoted
-    # into the digest with r11 full-hash evidence, CORRECTNESS_r11
-    # 46/46 oracle-backed green + 4 rows-only by design, zero err.)
+    # Round 13 freshness rotation: after this window no registered
+    # key's latest driver evidence predates round 9, and every key
+    # whose PLAN changed in the round-13 optimization pass is
+    # re-hashed by the driver against its unchanged oracle first.
+    # Tier 1 — the nine keys the round-13 optimization restructured
+    # (q97 decimal-exact averages; q106 spread-replaced exchange; q136
+    # broadcast recall joins; q141/q161 folded broadcast tails; q189
+    # single-broadcast grid + folded exposure; q190 window-collapsed
+    # tail; q198/q207 pivoted arm split). Results are proven unchanged
+    # locally (PARITY_LOCAL + targeted sf0.001/sf0.01/sf0.1 parity);
+    # the driver window makes that evidence driver-grade.
+    "q97_data_profile", "q106_session_concurrency",
+    "q136_knn_recall_eval", "q141_association_rules",
+    "q161_triple_itemsets", "q189_shapley_attribution",
+    "q190_markov_attribution", "q198_metric_family_readout",
+    "q207_bh_fdr",
+    # Tier 2 — the r8-evidence tail the round-12 rotation deferred
+    # (registry note: "q115, q141/q142, q151-q173 ... rotate in round
+    # 13"); q141/q161 already sit in tier 1. q115 is rows-only by
+    # design (HLL sketch) — the driver records its maximum attainable
+    # evidence, as in r7.
+    "q115_rolling_active_sketch", "q142_autocorrelation",
+    "q151_weighted_median", "q152_theil_index", "q153_cotype_jaccard",
+    "q154_burstiness", "q155_abc_analysis", "q156_ks_drift",
+    "q157_lorenz_gini", "q158_holt_forecast", "q159_session_entropy",
+    "q160_cohort_ltv", "q162_chi2_independence", "q163_heaps_law",
+    "q164_interpurchase_intervals", "q165_neyman_allocation",
+    "q166_sprt_boundary", "q167_curriculum_buckets",
+    "q168_source_token_budget", "q169_dsir_weights", "q170_semdedup",
+    "q171_dup_span_fraction", "q172_markov_transitions",
+    "q173_length_retention_sweep",
+    # Tier 3 — the sixteen lowest-numbered r9-evidence keys (the next
+    # stalest generation; the remaining r9 keys rotate in a future
+    # round).
+    "q10_distinct_users", "q14_intersect", "q16_string_funcs",
+    "q174_gopher_rules", "q175_lsh_curve_planner",
+    "q176_quantization_error", "q177_kaplan_meier",
+    "q178_kneser_ney_logprob", "q179_jsd_source_divergence",
+    "q180_jackknife_ci", "q181_power_analysis",
+    "q182_embedding_dim_profile", "q183_embedding_corr_pairs",
+    "q184_mann_whitney", "q185_rrf_fusion", "q186_pagerank_types",
     # Position 50: fingerprints of everything demoted below.
     "q80_parity_digest",
 )
