@@ -52,73 +52,152 @@ from trafficteach_spark.functions.exprs import epoch_us_sql
 # Rotated each round in lockstep with DRIVER_ORDER: promoted keys leave
 # this dict, demoted keys enter it with their live Spark schemas.
 DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
-    # Round-6 demotions: full-hash green in round 5 (CORRECTNESS_r05)
-    # Round-8 demotions: doubly evidenced (full-hash green in r6 AND r7),
-    # plus the r7-evidenced q112+ block demoted one-for-one as round-8
-    # additions landed (q115 is rows-only — no oracle, so no digest row;
-    # its invariant tests in tests/ remain its evidence).
-    # Late round-8 demotions: singly evidenced r7, displaced one-for-one
-    # by the q169-q173 batch (the zero-evidence keys outrank them for
-    # window slots; these stay hash-pinned here + in the local sweep).
-    # Round-9 demotions: the whole round-8 window (q143/q144, the r6
-    # rotation block q53-q99, q145-q173, q141/q142) — all full-hash
-    # green in CORRECTNESS_r08; demoted to clear the window for the 30
-    # zero-evidence keys q174-q203 + the 8 round-9 additions + the 11
-    # stalest rotations (q115 has no oracle, so no digest row).
-    "q151_weighted_median": [("l_returnflag", "string"), ("n_rows", "bigint"), ("n_values", "bigint"), ("w_median", "double"), ("w_p90", "double")],
-    "q152_theil_index": [("segment", "string"), ("n_customers", "bigint"), ("mean_spend", "double"), ("theil", "double")],
-    "q153_cotype_jaccard": [("type_a", "string"), ("type_b", "string"), ("n_a", "bigint"), ("n_b", "bigint"), ("n_both", "bigint"), ("jaccard", "double")],
-    "q154_burstiness": [("b_bin", "int"), ("n_users", "bigint")],
-    "q155_abc_analysis": [("abc_class", "string"), ("n_parts", "bigint"), ("revenue", "double"), ("rev_share", "double"), ("n_bins", "bigint")],
-    "q156_ks_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("ks_stat", "double"), ("ks_crit", "double"), ("drift_flag", "int")],
-    "q157_lorenz_gini": [("n_customers", "bigint"), ("n_bins", "bigint"), ("gini", "double"), ("top_decile_share", "double"), ("bottom_half_share", "double")],
-    "q158_holt_forecast": [("day", "date"), ("revenue", "double"), ("one_step_pred", "double"), ("abs_err", "double")],
-    "q159_session_entropy": [("ent_bin", "int"), ("n_sessions", "bigint"), ("avg_events", "double")],
-    "q160_cohort_ltv": [("cohort_ym", "int"), ("month_offset", "int"), ("cohort_size", "bigint"), ("period_rev", "double"), ("cum_ltv_per_cust", "double")],
-    "q161_triple_itemsets": [("brand_a", "string"), ("brand_b", "string"), ("brand_c", "string"), ("n_triple", "bigint"), ("support", "double"), ("lift", "double")],
-    "q162_chi2_independence": [("n", "bigint"), ("n_rows", "bigint"), ("n_cols", "bigint"), ("dof", "bigint"), ("chi2", "double"), ("cramers_v", "double")],
-    "q163_heaps_law": [("bucket", "int"), ("n_docs", "bigint"), ("cum_tokens", "bigint"), ("cum_vocab", "bigint"), ("vocab_token_ratio", "double")],
-    "q164_interpurchase_intervals": [("segment", "string"), ("n_gaps", "bigint"), ("median_days", "int"), ("p90_days", "int"), ("avg_days", "double")],
-    "q165_neyman_allocation": [("event_type", "string"), ("n_rows", "bigint"), ("stddev", "double"), ("neyman_share", "double"), ("allocated_n", "bigint")],
-    "q166_sprt_boundary": [("day", "date"), ("cum_trials", "bigint"), ("cum_conv", "bigint"), ("cum_llr", "double"), ("decision", "string")],
-    "q167_curriculum_buckets": [("quality_tercile", "int"), ("length_tercile", "int"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("doc_share", "double")],
-    "q168_source_token_budget": [("source", "string"), ("quality_rank", "int"), ("avg_quality", "double"), ("n_tokens", "bigint"), ("take_tokens", "bigint"), ("cum_tokens_after", "bigint")],
-    "q169_dsir_weights": [("doc_id", "bigint"), ("n_feats", "bigint"), ("weight", "double")],
-    "q170_semdedup": [("vec_id", "bigint"), ("label", "int"), ("max_lower_cos", "double"), ("removed", "boolean")],
-    "q171_dup_span_fraction": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("covered", "bigint"), ("dup_frac", "double")],
-    "q172_markov_transitions": [("prev_type", "string"), ("next_type", "string"), ("n", "bigint"), ("p", "double")],
-    "q173_length_retention_sweep": [("threshold", "int"), ("n_docs", "bigint"), ("n_chars_kept", "bigint"), ("doc_frac", "double"), ("char_frac", "double")],
-    "q141_association_rules": [("antecedent", "string"), ("consequent", "string"), ("n_pair", "bigint"), ("support", "double"), ("confidence", "double"), ("lift", "double")],
-    "q142_autocorrelation": [("lag", "int"), ("n", "bigint"), ("acf", "double")],
-    # (q53/q54/q56/q59/q62/q66/q69/q73/q86/q92/q99 promoted back into
-    # the round-8 window — r6-only evidence, stalest first.)
-    # Long-demoted keys (full-hash green in rounds 1-4)
-    # Mid-round-9 demotions: 8 of the 11 r4-stale rotation keys ceded
-    # their window slots to the q212-q219 additions (first-time
-    # full-hash evidence outranks a staleness refresh); digest-pinned
-    # here until they rotate back in round 10.
-    # Round-10 demotions: the whole round-9 window (q174-q203, the
-    # q204-q219 additions, the q10/q14/q16 rotations) - all full-hash
-    # green in CORRECTNESS_r09 (50/50, zero err rows); demoted to
-    # clear the window for the round-10 freshness rotation (the 9
-    # r4-stale + 40 r5-stale keys promoted out of this dict).
-    "q174_gopher_rules": [("doc_id", "bigint"), ("source", "string"), ("n_words", "bigint"), ("mean_word_len", "double"), ("n_stop", "bigint"), ("alpha_frac", "double"), ("r_count", "int"), ("r_wordlen", "int"), ("r_stop", "int"), ("r_alpha", "int"), ("pass_all", "int")],
-    "q175_lsh_curve_planner": [("bands", "int"), ("rows_per_band", "int"), ("n_true_pairs", "bigint"), ("exp_recall", "double"), ("worst_pair_prob", "double"), ("prob_at_threshold", "double")],
-    "q176_quantization_error": [("label", "int"), ("n_vectors", "bigint"), ("avg_cosine", "double"), ("min_cosine", "double"), ("avg_max_abs_err", "double"), ("avg_scale", "double")],
-    "q177_kaplan_meier": [("duration", "bigint"), ("n_risk", "bigint"), ("n_events", "bigint"), ("n_censored", "bigint"), ("survival", "double")],
-    "q178_kneser_ney_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
-    "q179_jsd_source_divergence": [("source", "string"), ("jsd", "double"), ("jsd_distance", "double")],
-    "q180_jackknife_ci": [("n_users", "bigint"), ("n_groups", "bigint"), ("conv_rate", "double"), ("jk_se", "double"), ("ci_lo", "double"), ("ci_hi", "double")],
-    "q181_power_analysis": [("mde_rel", "double"), ("p1", "double"), ("p2", "double"), ("n_per_arm", "bigint"), ("days_to_run", "bigint")],
-    "q182_embedding_dim_profile": [("dim", "int"), ("n_vectors", "bigint"), ("mean_val", "double"), ("var_val", "double"), ("var_share", "double")],
-    "q183_embedding_corr_pairs": [("dim_a", "int"), ("dim_b", "int"), ("n_vectors", "bigint"), ("corr", "double")],
-    "q184_mann_whitney": [("n_a", "bigint"), ("n_b", "bigint"), ("u_a", "double"), ("z", "double"), ("rank_biserial", "double")],
-    "q185_rrf_fusion": [("doc_id", "bigint"), ("bm25_rank", "int"), ("cosine_rank", "int"), ("rrf_score", "double")],
-    "q186_pagerank_types": [("event_type", "string"), ("n_out", "bigint"), ("pagerank", "double")],
+    # Round-13 regeneration (window rotation): the demoted set is
+    # every oracle-backed key past position 50 of the r13
+    # DRIVER_ORDER; entries are the live Spark schemas (asserted in
+    # tests/test_registry.py). Prior rotations' entry-by-entry
+    # history lives in git.
+    "q01_filter_range": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q02_group_count": [("event_type", "string"), ("n_events", "bigint"), ("n_users", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
+    "q03_star_join": [("r_name", "string"), ("n_name", "string"), ("revenue", "double"), ("n_orders", "bigint")],
+    "q04_monitor_state": [("n_name", "string"), ("n_suppliers", "bigint"), ("n_active", "bigint"), ("n_silent", "bigint")],
+    "q05_missing_cameras": [("s_suppkey", "bigint"), ("s_name", "string")],
+    "q06_topn": [("user_id", "bigint"), ("n_events", "bigint")],
+    "q06_topn_details": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q07_speed_buckets": [("event_type", "string"), ("n_high", "bigint"), ("n_medium", "bigint"), ("n_normal", "bigint"), ("n_low", "bigint")],
+    "q08_stratified_sample": [("stratum_hour", "timestamp"), ("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q09_group_concat": [("event_type", "string"), ("users", "string"), ("n_users", "bigint")],
+    "q11_topk_per_group": [("event_type", "string"), ("user_id", "bigint"), ("n_events", "bigint"), ("rn", "int")],
+    "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
+    "q13_follow_within": [("leader_id", "bigint"), ("follower_id", "bigint"), ("n_follow", "bigint")],
+    "q15_union": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+    "q17_date_funcs": [("event_date", "date"), ("hr", "int"), ("day_name", "string"), ("n_events", "bigint"), ("n_users", "bigint")],
+    "q18_json_funcs": [("event_type", "string"), ("n_events", "bigint"), ("max_k", "bigint"), ("sum_k", "bigint"), ("avg_k", "double"), ("n_high", "bigint")],
+    "q19_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
+    "q20_sliding_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
+    "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
+    "q22_session_window": [("user_id", "bigint"), ("session_start", "timestamp_ntz"), ("session_end", "timestamp_ntz"), ("n_events", "bigint")],
+    "q23_pandas_udaf": [("event_type", "string"), ("value_spread", "double")],
+    "q23_pandas_udf": [("event_type", "string"), ("speed_decile", "bigint"), ("n_events", "bigint")],
+    "q24_explode": [("label", "int"), ("pos", "int"), ("n_vals", "bigint"), ("min_val", "double"), ("max_val", "double"), ("avg_val", "double")],
+    "q30_exact_dedup": [("content_hash", "string"), ("doc_id", "bigint"), ("n_copies", "bigint")],
+    "q31_minhash_lsh": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
+    "q31_near_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
+    "q31_simhash_md5": [("doc_a", "bigint"), ("doc_b", "bigint"), ("hamming", "int")],
+    "q32_knn_cosine": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q32_knn_ivf": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q32_knn_lsh": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
+    "q33_text_stats": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("avg_tokens", "double"), ("avg_chars", "double"), ("min_chars", "bigint"), ("max_chars", "bigint")],
+    "q34_multimodal_join": [("label", "int"), ("lang", "string"), ("n_docs", "bigint"), ("sum_chars", "bigint"), ("avg_chars", "double"), ("min_doc_id", "bigint")],
+    "q35_embed_near_dup": [("vec_a", "bigint"), ("vec_b", "bigint"), ("cosine", "double")],
+    "q36_langid": [("actual_lang", "string"), ("predicted_lang", "string"), ("n_docs", "bigint")],
+    "q37_token_count": [("lang", "string"), ("n_docs", "bigint"), ("ws_tokens", "bigint"), ("alpha_tokens", "bigint"), ("num_tokens", "bigint"), ("punct_tokens", "bigint")],
+    "q38_fingerprint": [("doc_id", "bigint"), ("fingerprint", "string"), ("n_uniq_tokens", "int")],
+    "q39_quality_score": [("doc_id", "bigint"), ("n_tokens", "int"), ("uniq_ratio", "double"), ("avg_token_len", "double"), ("stop_ratio", "double"), ("quality", "string")],
+    "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
+    "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
+    "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],
+    "q43_chunk_split": [("doc_id", "bigint"), ("chunk_idx", "bigint"), ("chunk_text", "string"), ("n_tokens", "bigint")],
+    "q44_int8_quantize": [("vec_id", "bigint"), ("label", "int"), ("scale", "double"), ("qv", "string"), ("max_abs_err", "double")],
+    "q45_repetition": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_dup_grams", "bigint"), ("dup_ratio", "double"), ("is_repetitive", "int")],
+    "q46_dedup_clusters": [("doc_id", "bigint"), ("canonical_id", "bigint"), ("is_canonical", "int")],
+    "q47_pii_redact": [("doc_id", "bigint"), ("n_emails", "int"), ("n_phones", "int"), ("redacted", "string")],
+    "q48_tfidf": [("doc_id", "bigint"), ("term", "string"), ("tf", "bigint"), ("df", "bigint"), ("tfidf", "double"), ("term_rank", "int")],
+    "q49_pack_sequences": [("doc_id", "bigint"), ("source", "string"), ("n_tokens", "bigint"), ("bin_id", "bigint"), ("pack_offset", "bigint")],
+    "q50_decontaminate": [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
+    "q51_asof_join": [("event_id", "bigint"), ("user_id", "bigint"), ("ts", "timestamp_ntz"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz")],
+    "q52_percentiles": [("event_type", "string"), ("n", "bigint"), ("p50", "double"), ("p90", "double"), ("p99", "double")],
+    "q53_rollup": [("event_type", "string"), ("hr", "int"), ("gid", "bigint"), ("n", "bigint"), ("sum_value", "double")],
+    "q54_pivot": [("hr", "int"), ("n_click", "bigint"), ("n_error", "bigint"), ("n_purchase", "bigint"), ("n_signup", "bigint"), ("n_view", "bigint")],
+    "q55_salted_distinct": [("event_type", "string"), ("n_distinct", "bigint")],
+    "q56_vocab_topk": [("term", "string"), ("n", "bigint"), ("frac", "double"), ("vocab_rank", "int")],
+    "q57_edit_distance": [("doc_a", "bigint"), ("doc_b", "bigint"), ("edit_dist", "int")],
+    "q58_domain_mix": [("doc_id", "bigint"), ("source", "string"), ("sample_rank", "int")],
+    "q59_label_centroids": [("label", "int"), ("n_vectors", "bigint"), ("centroid", "string")],
+    "q60_histogram": [("event_type", "string"), ("bin_id", "int"), ("n", "bigint"), ("lo_seen", "double"), ("hi_seen", "double")],
+    "q61_merge_upsert": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string")],
+    "q62_time_resample": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("sum_value", "double")],
+    "q63_range_join": [("o_orderpriority", "string"), ("n_pairs", "bigint"), ("n_orders", "bigint"), ("sum_qty", "double")],
+    "q64_cumulative": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("seq", "bigint"), ("running_total", "double"), ("mov_avg3", "double")],
+    "q65_cube": [("o_orderstatus", "string"), ("o_orderpriority", "string"), ("gid", "bigint"), ("n", "bigint"), ("sum_price", "double")],
+    "q66_anomaly": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("z", "double")],
+    "q67_basket_pairs": [("part_a", "bigint"), ("part_b", "bigint"), ("n_orders", "bigint")],
+    "q68_attribution_join": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
+    "q69_unpivot": [("hr", "int"), ("event_type", "string"), ("n", "bigint")],
+    "q70_trailing_range": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("trailing_30d", "double"), ("n_30d", "bigint")],
+    "q71_full_outer": [("d", "date"), ("n_orders", "bigint"), ("n_ships", "bigint"), ("presence", "string")],
+    "q72_corr_stats": [("l_returnflag", "string"), ("n", "bigint"), ("qty_price_corr", "double"), ("qty_disc_covar", "double"), ("price_stddev", "double")],
+    "q73_regex_extract": [("token", "string"), ("n", "bigint"), ("n_docs", "bigint")],
+    "q74_rank_distribution": [("event_id", "bigint"), ("event_type", "string"), ("quartile", "int"), ("pct_rank", "double"), ("cume", "double")],
+    "q75_bm25": [("doc_id", "bigint"), ("score", "double")],
+    "q76_set_ops_bag": [("o_custkey", "bigint"), ("kind", "string"), ("n", "bigint")],
+    "q78_id_gaps": [("event_type", "string"), ("gap_start", "bigint"), ("gap_end", "bigint"), ("n_missing", "bigint")],
+    "q79_weighted_sample": [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("o_orderpriority", "string")],
+    "q81_hash_split": [("doc_id", "bigint"), ("split", "string"), ("n_chars", "bigint")],
+    "q82_bpe_pairs": [("pair", "string"), ("n", "bigint")],
+    "q83_feature_bins_exact": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
+    "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
+    "q86_feature_normalize": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_returnflag", "string"), ("minmax", "double"), ("zscore", "double")],
+    "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
+    "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
+    "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
+    "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
+    "q91_corpus_pipeline": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("kept_tokens", "bigint")],
+    "q92_ewma": [("user_id", "bigint"), ("event_id", "bigint"), ("ts", "timestamp_ntz"), ("value", "double"), ("ewma", "double")],
+    "q93_unigram_logprob": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("avg_logprob", "double")],
+    "q94_token_entropy": [("doc_id", "bigint"), ("n_tokens", "bigint"), ("n_distinct", "bigint"), ("entropy", "double")],
+    "q95_zipf_slope": [("n_terms", "bigint"), ("zipf_slope", "double"), ("zipf_r2", "double")],
+    "q96_psi_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("n_bins", "bigint"), ("psi", "double")],
+    "q98_source_overlap": [("src_a", "string"), ("src_b", "string"), ("n_common", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"), ("jaccard", "double")],
+    "q99_dup_rate_by_source": [("source", "string"), ("n_docs", "bigint"), ("n_dupes", "bigint"), ("n_clusters", "bigint"), ("dup_rate", "double")],
+    "q100_scd2_history": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"), ("n_events", "bigint")],
+    "q101_incremental_rollup": [("event_type", "string"), ("day", "date"), ("n", "bigint"), ("sum_value", "double"), ("min_value", "double"), ("max_value", "double"), ("avg_value", "double")],
+    "q102_heavy_hitters": [("user_id", "bigint"), ("freq", "bigint"), ("share", "double")],
+    "q103_corr_matrix": [("col_a", "string"), ("col_b", "string"), ("n", "bigint"), ("corr", "double")],
+    "q104_fk_audit": [("child_table", "string"), ("fk_col", "string"), ("parent_table", "string"), ("n_child", "bigint"), ("n_orphan", "bigint"), ("orphan_rate", "double")],
+    "q105_cohort_retention": [("cohort_wk", "date"), ("week_offset", "bigint"), ("n_active", "bigint"), ("cohort_size", "bigint"), ("retention", "double")],
+    "q107_rolling_active_users": [("day", "date"), ("dau", "bigint"), ("wau", "bigint"), ("stickiness", "double")],
+    "q108_time_to_convert": [("n_converted", "bigint"), ("n_signups", "bigint"), ("conversion_rate", "double"), ("min_sec", "double"), ("p50_sec", "double"), ("p90_sec", "double"), ("max_sec", "double")],
+    "q109_transition_matrix": [("src", "string"), ("dst", "string"), ("n", "bigint"), ("p", "double")],
+    "q110_ab_lift": [("n_a", "bigint"), ("conv_a", "bigint"), ("rate_a", "double"), ("n_b", "bigint"), ("conv_b", "bigint"), ("rate_b", "double"), ("lift", "double"), ("z", "double")],
+    "q111_fulfillment_lag": [("o_orderpriority", "string"), ("n_orders", "bigint"), ("avg_days", "double"), ("p50_days", "double"), ("p90_days", "double")],
+    "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
+    "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
+    "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
+    "q116_gap_fill_locf": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("avg_value", "double"), ("locf_avg", "double"), ("is_gap", "int")],
+    "q117_feature_hashing": [("doc_id", "bigint"), ("bucket", "int"), ("n", "bigint")],
+    "q118_chunk_dedup": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_dup_chunks", "bigint"), ("dup_frac", "double")],
+    "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
+    "q120_skew_audit": [("child_table", "string"), ("key_col", "string"), ("n_rows", "bigint"), ("n_keys", "bigint"), ("max_per_key", "bigint"), ("p99_per_key", "double"), ("top_share", "double")],
+    "q121_session_paths": [("path", "string"), ("n", "bigint")],
+    "q122_pit_join": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_shipdate", "timestamp_ntz"), ("ck", "bigint"), ("version", "bigint"), ("status_at_ship", "string")],
+    "q123_code_detect": [("doc_id", "bigint"), ("n_tokens", "int"), ("kw_ratio", "double"), ("sym_ratio", "double"), ("is_code", "int")],
+    "q124_mad_outliers": [("event_type", "string"), ("n_events", "bigint"), ("median_value", "double"), ("mad", "double"), ("n_outliers", "bigint"), ("outlier_rate", "double")],
+    "q125_lsh_recall_eval": [("n_truth", "bigint"), ("n_cand", "bigint"), ("n_hits", "bigint"), ("recall", "double"), ("precision", "double")],
+    "q126_bigram_lm_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
+    "q127_changepoint": [("event_type", "string"), ("cp_day", "date"), ("n_days", "bigint"), ("mean_daily", "double"), ("cusum_dev", "double")],
+    "q128_seasonal_decompose": [("event_type", "string"), ("dow", "int"), ("n_days", "bigint"), ("avg_count", "double"), ("seasonal_index", "double")],
+    "q129_window_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
+    "q130_ngram_novelty": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_novel", "bigint"), ("novelty", "double")],
+    "q131_embedding_margin": [("label", "int"), ("n_vectors", "bigint"), ("avg_margin", "double"), ("n_misassigned", "bigint"), ("misassign_rate", "double")],
+    "q132_user_lifecycle": [("wk", "date"), ("n_new", "bigint"), ("n_retained", "bigint"), ("n_resurrected", "bigint"), ("n_churned", "bigint")],
+    "q133_boilerplate_chunks": [("h", "string"), ("chunk_text", "string"), ("n_docs", "bigint"), ("n_occ", "bigint"), ("n_sources", "bigint")],
+    "q134_dedup_impact": [("source", "string"), ("n_docs", "bigint"), ("n_kept", "bigint"), ("tokens_total", "bigint"), ("tokens_kept", "bigint"), ("pct_tokens_dropped", "double")],
+    "q135_time_weighted_avg": [("event_type", "string"), ("n_segments", "bigint"), ("span_sec", "double"), ("twa_value", "double"), ("plain_avg", "double")],
+    "q137_cms_topk": [("user_id", "bigint"), ("freq", "bigint"), ("cms_est", "bigint"), ("overestimate", "bigint")],
+    "q138_srm_check": [("n_a", "bigint"), ("n_b", "bigint"), ("chi2", "double"), ("srm", "int")],
+    "q139_ols_regression": [("n", "bigint"), ("beta0", "double"), ("beta1", "double"), ("beta2", "double"), ("r2", "double")],
+    "q140_rfm_segmentation": [("r_q", "int"), ("f_q", "int"), ("m_q", "int"), ("n_customers", "bigint"), ("sum_monetary", "double")],
+    "q143_benford_check": [("digit", "int"), ("n", "bigint"), ("obs_share", "double"), ("exp_share", "double"), ("deviation", "double")],
+    "q144_cuped_lift": [("n_a", "bigint"), ("n_b", "bigint"), ("theta", "double"), ("lift_raw", "double"), ("lift_cuped", "double"), ("var_reduction", "double")],
+    "q145_spearman_corr": [("n", "bigint"), ("n_qty_values", "bigint"), ("n_disc_values", "bigint"), ("spearman_rho", "double")],
+    "q146_degree_distribution": [("degree", "bigint"), ("n_parts", "bigint"), ("share", "double")],
+    "q147_activity_bitmap": [("n_active_days", "int"), ("n_users", "bigint"), ("n_streak3", "bigint")],
+    "q148_decile_lift": [("decile", "int"), ("n_customers", "bigint"), ("n_urgent", "bigint"), ("urgent_rate", "double"), ("lift", "double"), ("cum_capture", "double")],
+    "q149_wilson_ctr": [("event_type", "string"), ("n", "bigint"), ("s", "bigint"), ("p_hat", "double"), ("wilson_lo", "double"), ("wilson_hi", "double")],
+    "q150_higher_moments": [("l_returnflag", "string"), ("n", "bigint"), ("mean_price", "double"), ("pop_stddev", "double"), ("skewness", "double"), ("ex_kurtosis", "double")],
     "q187_raking_weights": [("source", "string"), ("lang", "string"), ("n_docs", "bigint"), ("weight", "double")],
     "q188_hash_collision_audit": [("width", "int"), ("n_terms", "bigint"), ("n_buckets_used", "bigint"), ("collided_buckets", "bigint"), ("collision_mass_share", "double")],
-    "q189_shapley_attribution": [("channel", "string"), ("n_exposed", "bigint"), ("shapley", "double")],
-    "q190_markov_attribution": [("channel", "string"), ("removal_effect", "double"), ("attribution", "double")],
     "q191_winsorized_stats": [("n_users", "bigint"), ("mean_raw", "double"), ("std_raw", "double"), ("mean_winsor", "double"), ("std_winsor", "double"), ("mean_trim", "double"), ("n_trim", "bigint")],
     "q192_poisson_bootstrap": [("n_users", "bigint"), ("n_replicas", "int"), ("mean_raw", "double"), ("boot_se", "double")],
     "q193_join_cardinality_audit": [("n_keys", "bigint"), ("total_rows", "bigint"), ("total_pairs", "bigint"), ("max_key_pairs", "bigint"), ("top1_share", "double"), ("skew_ratio", "double")],
@@ -126,7 +205,6 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q195_did_lift": [("n_obs", "bigint"), ("treat_pre", "double"), ("treat_post", "double"), ("ctrl_pre", "double"), ("ctrl_post", "double"), ("did", "double"), ("se", "double"), ("z", "double")],
     "q196_auc_score": [("n_pos", "bigint"), ("n_neg", "bigint"), ("auc", "double"), ("gini", "double")],
     "q197_calibration_bins": [("bin", "int"), ("n_users", "bigint"), ("avg_score", "double"), ("conv_rate", "double")],
-    "q198_metric_family_readout": [("metric", "string"), ("mean_a", "double"), ("mean_b", "double"), ("z", "double"), ("holm_rank", "int"), ("z_crit", "double"), ("significant", "int")],
     "q199_variance_reduction_report": [("n_users", "bigint"), ("theta", "double"), ("se_raw", "double"), ("se_cuped", "double"), ("se_winsor", "double"), ("vr_cuped", "double"), ("vr_winsor", "double")],
     "q200_discount_elasticity": [("brand", "string"), ("n_items", "bigint"), ("elasticity", "double"), ("r2", "double")],
     "q201_asof_snapshot": [("user_id", "bigint"), ("version", "bigint"), ("event_type", "string"), ("valid_from", "timestamp_ntz"), ("n_events", "bigint")],
@@ -135,7 +213,6 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q204_attribution_outer": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
     "q205_stream_enrich": [("event_id", "bigint"), ("user_id", "bigint"), ("user_name", "string"), ("nationkey", "int"), ("event_type", "string"), ("value", "double")],
     "q206_sparse_cosine": [("doc_a", "bigint"), ("doc_b", "bigint"), ("cosine", "double")],
-    "q207_bh_fdr": [("metric", "string"), ("mean_a", "double"), ("mean_b", "double"), ("z", "double"), ("bh_rank", "int"), ("z_crit", "double"), ("significant", "int")],
     "q208_position_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
     "q209_cvm_drift": [("event_type", "string"), ("n_first", "bigint"), ("n_second", "bigint"), ("cvm_stat", "double"), ("drift_flag", "int")],
     "q210_info_gain": [("feature", "string"), ("n_rows", "bigint"), ("n_bins", "bigint"), ("h_label", "double"), ("h_cond", "double"), ("info_gain", "double")],
@@ -148,119 +225,7 @@ DIGEST_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q217_average_precision": [("n_pos", "bigint"), ("n_neg", "bigint"), ("prevalence", "double"), ("average_precision", "double")],
     "q218_xcorr_lag": [("lag", "int"), ("n_days", "bigint"), ("r", "double")],
     "q219_hard_negatives": [("vec_id", "bigint"), ("label", "int"), ("hard_neg_id", "bigint"), ("hard_neg_label", "int"), ("hard_neg_cos", "double")],
-    "q10_distinct_users": [("n_distinct_users", "bigint"), ("n_events", "bigint")],
-    "q14_intersect": [("user_id", "bigint")],
-    "q16_string_funcs": [("doc_id", "bigint"), ("n_tokens", "int"), ("first_word", "string"), ("last_word", "string"), ("head_upper", "string"), ("lang_src", "string"), ("text_len", "int")],
-    # Round-11 demotions: the whole round-10 window (the 9 r4-stale +
-    # 40 r5-stale freshness rotations) - all full-hash green in
-    # CORRECTNESS_r10 (50/50, zero err rows); demoted to clear the
-    # window for the round-11 rotation (the 9 deferred r5-stale keys,
-    # the 16 r6-stale keys, and 20 single-r7-evidence keys promoted
-    # out of this dict; the sketch binning key (q84_feature_bins_sketch
-    # then, q83_feature_bins since round 12), q31_simhash, q10_approx
-    # and q77 entered the window too but are rows-only by design -
-    # never digest rows).
-    "q15_union": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
-    "q17_date_funcs": [("event_date", "date"), ("hr", "int"), ("day_name", "string"), ("n_events", "bigint"), ("n_users", "bigint")],
-    "q18_json_funcs": [("event_type", "string"), ("n_events", "bigint"), ("max_k", "bigint"), ("sum_k", "bigint"), ("avg_k", "double"), ("n_high", "bigint")],
-    "q23_pandas_udf": [("event_type", "string"), ("speed_decile", "bigint"), ("n_events", "bigint")],
-    "q23_pandas_udaf": [("event_type", "string"), ("value_spread", "double")],
-    "q24_explode": [("label", "int"), ("pos", "int"), ("n_vals", "bigint"), ("min_val", "double"), ("max_val", "double"), ("avg_val", "double")],
-    "q33_text_stats": [("lang", "string"), ("source", "string"), ("n_docs", "bigint"), ("sum_tokens", "bigint"), ("avg_tokens", "double"), ("avg_chars", "double"), ("min_chars", "bigint"), ("max_chars", "bigint")],
-    "q37_token_count": [("lang", "string"), ("n_docs", "bigint"), ("ws_tokens", "bigint"), ("alpha_tokens", "bigint"), ("num_tokens", "bigint"), ("punct_tokens", "bigint")],
-    "q38_fingerprint": [("doc_id", "bigint"), ("fingerprint", "string"), ("n_uniq_tokens", "int")],
-    "q01_filter_range": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
-    "q02_group_count": [("event_type", "string"), ("n_events", "bigint"), ("n_users", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
-    "q03_star_join": [("r_name", "string"), ("n_name", "string"), ("revenue", "double"), ("n_orders", "bigint")],
-    "q04_monitor_state": [("n_name", "string"), ("n_suppliers", "bigint"), ("n_active", "bigint"), ("n_silent", "bigint")],
-    "q05_missing_cameras": [("s_suppkey", "bigint"), ("s_name", "string")],
-    "q06_topn": [("user_id", "bigint"), ("n_events", "bigint")],
-    "q06_topn_details": [("event_id", "bigint"), ("ts", "timestamp_ntz"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
-    "q07_speed_buckets": [("event_type", "string"), ("n_high", "bigint"), ("n_medium", "bigint"), ("n_normal", "bigint"), ("n_low", "bigint")],
-    "q08_stratified_sample": [("stratum_hour", "timestamp"), ("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
-    "q11_topk_per_group": [("event_type", "string"), ("user_id", "bigint"), ("n_events", "bigint"), ("rn", "int")],
-    "q13_follow_within": [("leader_id", "bigint"), ("follower_id", "bigint"), ("n_follow", "bigint")],
-    "q19_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
-    "q20_sliding_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double"), ("avg_value", "double")],
-    "q22_session_window": [("user_id", "bigint"), ("session_start", "timestamp_ntz"), ("session_end", "timestamp_ntz"), ("n_events", "bigint")],
     "q_stream_avg": [("event_type", "string"), ("n_events", "bigint"), ("avg_speed", "double")],
-    "q85_window_dedup": [("event_id", "bigint"), ("user_id", "bigint"), ("event_type", "string"), ("ts", "timestamp_ntz")],
-    "q51_asof_join": [("event_id", "bigint"), ("user_id", "bigint"), ("ts", "timestamp_ntz"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz")],
-    "q89_asof_forward": [("o_orderkey", "bigint"), ("user_id", "bigint"), ("o_orderdate", "timestamp_ntz"), ("event_id", "bigint"), ("event_ts", "timestamp_ntz")],
-    "q30_exact_dedup": [("content_hash", "string"), ("doc_id", "bigint"), ("n_copies", "bigint")],
-    "q31_near_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
-    "q31_minhash_lsh": [("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double")],
-    "q31_simhash_md5": [("doc_a", "bigint"), ("doc_b", "bigint"), ("hamming", "int")],
-    "q46_dedup_clusters": [("doc_id", "bigint"), ("canonical_id", "bigint"), ("is_canonical", "int")],
-    "q90_containment_dedup": [("doc_a", "bigint"), ("doc_b", "bigint"), ("containment", "double")],
-    "q32_knn_cosine": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
-    "q32_knn_ivf": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
-    "q32_knn_lsh": [("qid", "bigint"), ("nid", "bigint"), ("cosine", "double"), ("knn_rank", "int")],
-    "q35_embed_near_dup": [("vec_a", "bigint"), ("vec_b", "bigint"), ("cosine", "double")],
-    "q44_int8_quantize": [("vec_id", "bigint"), ("label", "int"), ("scale", "double"), ("qv", "string"), ("max_abs_err", "double")],
-    "q36_langid": [("actual_lang", "string"), ("predicted_lang", "string"), ("n_docs", "bigint")],
-    "q39_quality_score": [("doc_id", "bigint"), ("n_tokens", "int"), ("uniq_ratio", "double"), ("avg_token_len", "double"), ("stop_ratio", "double"), ("quality", "string")],
-    "q43_chunk_split": [("doc_id", "bigint"), ("chunk_idx", "bigint"), ("chunk_text", "string"), ("n_tokens", "bigint")],
-    "q45_repetition": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_dup_grams", "bigint"), ("dup_ratio", "double"), ("is_repetitive", "int")],
-    "q34_multimodal_join": [("label", "int"), ("lang", "string"), ("n_docs", "bigint"), ("sum_chars", "bigint"), ("avg_chars", "double"), ("min_doc_id", "bigint")],
-    "q47_pii_redact": [("doc_id", "bigint"), ("n_emails", "int"), ("n_phones", "int"), ("redacted", "string")],
-    "q48_tfidf": [("doc_id", "bigint"), ("term", "string"), ("tf", "bigint"), ("df", "bigint"), ("tfidf", "double"), ("term_rank", "int")],
-    "q49_pack_sequences": [("doc_id", "bigint"), ("source", "string"), ("n_tokens", "bigint"), ("bin_id", "bigint"), ("pack_offset", "bigint")],
-    "q50_decontaminate": [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
-    "q88_keep_best_per_cluster": [("canonical_id", "bigint"), ("best_doc_id", "bigint"), ("cluster_size", "bigint"), ("best_quality", "string"), ("best_n_tokens", "int")],
-    "q68_attribution_join": [("user_id", "bigint"), ("view_id", "bigint"), ("view_ts", "timestamp_ntz"), ("purchase_id", "bigint"), ("purchase_ts", "timestamp_ntz"), ("purchase_value", "double")],
-    # Round-12 demotions (rotated in lockstep with the round-12
-    # DRIVER_ORDER freshness rotation): the whole round-11 window —
-    # all full-hash green in CORRECTNESS_r11 (46/46 oracle-backed +
-    # 4 rows-only by design, zero err rows) — demoted to clear the
-    # window for the r7/r8-stale keys. q83_feature_bins_exact is the
-    # renamed NTILE anchor (the primary q83_feature_bins key is the
-    # rows-only sketch — never digest rows, like q31_simhash).
-    "q76_set_ops_bag": [("o_custkey", "bigint"), ("kind", "string"), ("n", "bigint")],
-    "q12_trajectory": [("user_id", "bigint"), ("trajectory", "string"), ("n_hops", "bigint"), ("first_ts", "timestamp_ntz"), ("last_ts", "timestamp_ntz")],
-    "q21_tumbling_window": [("window_start", "timestamp_ntz"), ("window_end", "timestamp_ntz"), ("event_type", "string"), ("n_events", "bigint"), ("sum_value", "double")],
-    "q74_rank_distribution": [("event_id", "bigint"), ("event_type", "string"), ("quartile", "int"), ("pct_rank", "double"), ("cume", "double")],
-    "q121_session_paths": [("path", "string"), ("n", "bigint")],
-    "q129_window_funnel": [("step", "int"), ("step_type", "string"), ("n_users", "bigint"), ("rate", "double")],
-    "q09_group_concat": [("event_type", "string"), ("users", "string"), ("n_users", "bigint")],
-    "q79_weighted_sample": [("o_orderkey", "bigint"), ("o_totalprice", "double"), ("o_orderpriority", "string")],
-    "q52_percentiles": [("event_type", "string"), ("n", "bigint"), ("p50", "double"), ("p90", "double"), ("p99", "double")],
-    "q60_histogram": [("event_type", "string"), ("bin_id", "int"), ("n", "bigint"), ("lo_seen", "double"), ("hi_seen", "double")],
-    "q61_merge_upsert": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string")],
-    "q65_cube": [("o_orderstatus", "string"), ("o_orderpriority", "string"), ("gid", "bigint"), ("n", "bigint"), ("sum_price", "double")],
-    "q67_basket_pairs": [("part_a", "bigint"), ("part_b", "bigint"), ("n_orders", "bigint")],
-    "q71_full_outer": [("d", "date"), ("n_orders", "bigint"), ("n_ships", "bigint"), ("presence", "string")],
-    "q72_corr_stats": [("l_returnflag", "string"), ("n", "bigint"), ("qty_price_corr", "double"), ("qty_disc_covar", "double"), ("price_stddev", "double")],
-    "q78_id_gaps": [("event_type", "string"), ("gap_start", "bigint"), ("gap_end", "bigint"), ("n_missing", "bigint")],
-    "q83_feature_bins_exact": [("l_returnflag", "string"), ("decile", "int"), ("n", "bigint"), ("lo", "double"), ("hi", "double"), ("avg_price", "double")],
-    "q114_snapshot_diff": [("kind", "string"), ("n_rows", "bigint")],
-    "q120_skew_audit": [("child_table", "string"), ("key_col", "string"), ("n_rows", "bigint"), ("n_keys", "bigint"), ("max_per_key", "bigint"), ("p99_per_key", "double"), ("top_share", "double")],
-    "q124_mad_outliers": [("event_type", "string"), ("n_events", "bigint"), ("median_value", "double"), ("mad", "double"), ("n_outliers", "bigint"), ("outlier_rate", "double")],
-    "q132_user_lifecycle": [("wk", "date"), ("n_new", "bigint"), ("n_retained", "bigint"), ("n_resurrected", "bigint"), ("n_churned", "bigint")],
-    "q63_range_join": [("o_orderpriority", "string"), ("n_pairs", "bigint"), ("n_orders", "bigint"), ("sum_qty", "double")],
-    "q64_cumulative": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("seq", "bigint"), ("running_total", "double"), ("mov_avg3", "double")],
-    "q70_trailing_range": [("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("trailing_30d", "double"), ("n_30d", "bigint")],
-    "q113_linear_attribution": [("user_id", "bigint"), ("view_id", "bigint"), ("n_purchases", "bigint"), ("credit", "double")],
-    "q116_gap_fill_locf": [("event_type", "string"), ("hr", "timestamp"), ("n", "bigint"), ("avg_value", "double"), ("locf_avg", "double"), ("is_gap", "int")],
-    "q122_pit_join": [("l_orderkey", "bigint"), ("l_linenumber", "int"), ("l_shipdate", "timestamp_ntz"), ("ck", "bigint"), ("version", "bigint"), ("status_at_ship", "string")],
-    "q127_changepoint": [("event_type", "string"), ("cp_day", "date"), ("n_days", "bigint"), ("mean_daily", "double"), ("cusum_dev", "double")],
-    "q128_seasonal_decompose": [("event_type", "string"), ("dow", "int"), ("n_days", "bigint"), ("avg_count", "double"), ("seasonal_index", "double")],
-    "q55_salted_distinct": [("event_type", "string"), ("n_distinct", "bigint")],
-    "q119_python_udtf": [("doc_id", "bigint"), ("start_pos", "int"), ("token", "string"), ("run_len", "int")],
-    "q112_incremental_dedup": [("doc_id", "bigint"), ("n_dups", "bigint"), ("best_jaccard", "double"), ("is_new", "int")],
-    "q125_lsh_recall_eval": [("n_truth", "bigint"), ("n_cand", "bigint"), ("n_hits", "bigint"), ("recall", "double"), ("precision", "double")],
-    "q131_embedding_margin": [("label", "int"), ("n_vectors", "bigint"), ("avg_margin", "double"), ("n_misassigned", "bigint"), ("misassign_rate", "double")],
-    "q75_bm25": [("doc_id", "bigint"), ("score", "double")],
-    "q118_chunk_dedup": [("doc_id", "bigint"), ("n_chunks", "bigint"), ("n_dup_chunks", "bigint"), ("dup_frac", "double")],
-    "q123_code_detect": [("doc_id", "bigint"), ("n_tokens", "int"), ("kw_ratio", "double"), ("sym_ratio", "double"), ("is_code", "int")],
-    "q126_bigram_lm_logprob": [("doc_id", "bigint"), ("n_bigrams", "bigint"), ("avg_logprob", "double")],
-    "q40_binary_pipeline": [("doc_id", "bigint"), ("width", "bigint"), ("payload_len", "bigint"), ("payload_md5", "string")],
-    "q41_frame_sample": [("doc_id", "bigint"), ("frame_idx", "bigint"), ("n_frames", "bigint"), ("frame_md5", "string")],
-    "q42_resize": [("doc_id", "bigint"), ("orig_len", "bigint"), ("thumb", "string"), ("thumb_md5", "string")],
-    "q57_edit_distance": [("doc_a", "bigint"), ("doc_b", "bigint"), ("edit_dist", "int")],
-    "q87_bigram_pmi": [("bigram", "string"), ("n", "bigint"), ("pmi", "double")],
-    "q117_feature_hashing": [("doc_id", "bigint"), ("bucket", "int"), ("n", "bigint")],
-    "q130_ngram_novelty": [("doc_id", "bigint"), ("n_grams", "bigint"), ("n_novel", "bigint"), ("novelty", "double")],
 }
 _INT_TYPES = {"bigint", "int", "smallint", "tinyint"}
 
