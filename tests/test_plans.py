@@ -702,3 +702,54 @@ def test_embedding_grid_aggregates_are_order_independent(spark, key):
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     for banned in ("avg(", "var_pop(", "var_samp(", "corr(", "stddev"):
         assert banned not in logical, (key, banned)
+
+
+def test_q189_single_corpus_scan_after_grid_fold(spark):
+    """Round-13 restructure: both coalition lookups (v(S), v(S+i)) ride
+    ONE broadcast of the per-mask frame via an exploded (key, role)
+    grid, and exposure folds into the same per-channel aggregate — so
+    the whole query reads events exactly once, with no persist."""
+    import re
+
+    plan = formatted_plan(spark, "q189_shapley_attribution")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "InMemoryRelation" not in plan, "q189 persist was dropped in r13"
+
+
+@pytest.mark.parametrize("key", ["q198_metric_family_readout", "q207_bh_fdr"])
+def test_metric_family_single_scan_no_arm_self_join(spark, key):
+    """Round-13 restructure of _metric_family_z: the a/b arm split is a
+    conditional-aggregate pivot of the 8-cell frame — one events scan,
+    no self-join of the aggregate, no persist."""
+    import re
+
+    plan = formatted_plan(spark, key)
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "InMemoryRelation" not in plan
+    # the only joins left attach the bounded critical-value frame
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q190_tail_has_no_checkpoint_boundary(spark):
+    """Round-13 tail collapse: reach/base/tot fold into window functions
+    over the 5-row variant frame — one linear plan, no eager
+    localCheckpoint (which showed up as a Scan ExistingRDD boundary and
+    cost three extra scheduler round-trips per run)."""
+    plan = formatted_plan(spark, "q190_markov_attribution")
+    # Pre-r13 the eager checkpoint truncated lineage, so the final
+    # plan contained NO parquet scan (only the checkpoint RDD); the
+    # collapsed tail keeps the whole pipeline in one plan. The variant
+    # list's createDataFrame legitimately remains an ExistingRDD node.
+    assert "Scan parquet" in plan, plan
+    assert plan.count(") Window") >= 3, plan
+
+
+@pytest.mark.parametrize("key", ["q141_association_rules", "q161_triple_itemsets"])
+def test_itemset_tail_uses_single_item_map_attach(spark, key):
+    """Round-13 fold: per-brand counts attach as ONE 1-row
+    brand->count map (map_from_entries) instead of one broadcast join
+    per rule position — one item aggregation per action."""
+    plan = formatted_plan(spark, key)
+    assert "map_from_entries" in plan, plan
