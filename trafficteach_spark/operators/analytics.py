@@ -2717,43 +2717,84 @@ def q145_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     qr, dr = rank2("l_quantity"), rank2("l_discount")
+    # Round-13 job-count fold (guide §5 driver/jobs): the old tail
+    # executed each rank subtree TWICE per action (once for its
+    # broadcast rank join, once for its distinct-value count) — four
+    # window passes and four broadcast builds over the 550-row frame,
+    # ~20 scheduler round-trips. Each rank table now collapses to ONE
+    # 1-row frame carrying its value->rank map AND its value count, so
+    # each subtree executes once and the counts ride the same
+    # cross-attach the ranks use. Semantics pinned to the join form:
+    # a NULL value is ranked and counted (the window ranks nulls first)
+    # but its rows dropped from the co-moments (the old INNER join's
+    # null-never-equal behavior) — the map excludes the NULL entry
+    # (collect_list drops null structs) and the null-rank filter below
+    # reproduces the join's row drop. try_element_at: NULL-safe lookup
+    # under ANSI.
+    def rank_row(rt: DataFrame, cnt_alias: str, map_alias: str) -> DataFrame:
+        return rt.agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(F.col("v").isNotNull(), F.struct("v", "r"))
+                )
+            ).alias(map_alias),
+            F.count("*").alias(cnt_alias),
+        )
+
+    qrow = rank_row(qr, "n_qty_values", "qmap")
+    drow = rank_row(dr, "n_disc_values", "dmap")
     j = (
-        joint.join(F.broadcast(qr), joint.l_quantity == qr.v)
-        .select(F.col("r").alias("ra"), "l_discount", "c")
-        .join(F.broadcast(dr), F.col("l_discount") == dr.v)
-        .select("ra", F.col("r").alias("rb"), "c")
+        joint.crossJoin(F.broadcast(qrow))
+        .crossJoin(F.broadcast(drow))
+        .select(
+            F.try_element_at("qmap", F.col("l_quantity")).alias("ra"),
+            F.try_element_at("dmap", F.col("l_discount")).alias("rb"),
+            "c",
+            "n_qty_values",
+            "n_disc_values",
+        )
     )
+    # The join form dropped a row when EITHER value was NULL (null never
+    # equi-joins); conditional sums reproduce that without filtering the
+    # frame, so the value COUNTS survive even on a joint frame whose
+    # rows all carry a null (count = the rank table's row count, 0 only
+    # on a truly empty table — the old tail's exact edge behavior).
+    both = F.col("ra").isNotNull() & F.col("rb").isNotNull()
+
+    def csum(expr):
+        return F.sum(F.when(both, expr)).cast("decimal(38,0)")
+
     s = j.agg(
         # coalesce: the old row form's COUNT(*) read 0 on an empty table
         # where SUM would read NULL — keep that edge bit-identical.
-        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n"),
-        F.sum(F.col("ra") * F.col("c")).cast("decimal(38,0)").alias("sa"),
-        F.sum(F.col("rb") * F.col("c")).cast("decimal(38,0)").alias("sb"),
-        F.sum(F.col("ra") * F.col("rb") * F.col("c")).cast("decimal(38,0)").alias("sab"),
-        F.sum(F.col("ra") * F.col("ra") * F.col("c")).cast("decimal(38,0)").alias("saa"),
-        F.sum(F.col("rb") * F.col("rb") * F.col("c")).cast("decimal(38,0)").alias("sbb"),
+        F.coalesce(F.sum(F.when(both, F.col("c"))), F.lit(0).cast("long")).alias("n"),
+        csum(F.col("ra") * F.col("c")).alias("sa"),
+        csum(F.col("rb") * F.col("c")).alias("sb"),
+        csum(F.col("ra") * F.col("rb") * F.col("c")).alias("sab"),
+        csum(F.col("ra") * F.col("ra") * F.col("c")).alias("saa"),
+        csum(F.col("rb") * F.col("rb") * F.col("c")).alias("sbb"),
+        F.coalesce(F.max("n_qty_values"), F.lit(0).cast("long")).alias(
+            "n_qty_values"
+        ),
+        F.coalesce(F.max("n_disc_values"), F.lit(0).cast("long")).alias(
+            "n_disc_values"
+        ),
     )
-    nq = qr.agg(F.count("*").alias("n_qty_values"))
-    nd = dr.agg(F.count("*").alias("n_disc_values"))
     nd_, sd = F.col("n").cast("double"), (lambda c: F.col(c).cast("double"))
-    return (
-        s.crossJoin(F.broadcast(nq))
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "n",
-            "n_qty_values",
-            "n_disc_values",
-            F.round(
-                F.try_divide(
-                    nd_ * sd("sab") - sd("sa") * sd("sb"),
-                    F.sqrt(
-                        (nd_ * sd("saa") - sd("sa") * sd("sa"))
-                        * (nd_ * sd("sbb") - sd("sb") * sd("sb"))
-                    ),
+    return s.select(
+        "n",
+        "n_qty_values",
+        "n_disc_values",
+        F.round(
+            F.try_divide(
+                nd_ * sd("sab") - sd("sa") * sd("sb"),
+                F.sqrt(
+                    (nd_ * sd("saa") - sd("sa") * sd("sa"))
+                    * (nd_ * sd("sbb") - sd("sb") * sd("sb"))
                 ),
-                6,
-            ).alias("spearman_rho"),
-        )
+            ),
+            6,
+        ).alias("spearman_rho"),
     )
 
 
