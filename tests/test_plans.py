@@ -383,12 +383,19 @@ def test_q97_profile_uses_melt_not_wide_expand(spark):
 
 
 def test_q98_overlap_sizes_are_broadcast(spark):
-    # Per-source set sizes (n_sources rows) must join back as broadcasts;
-    # the shingle self-join must be a real hash join, not nested-loop.
+    # Per-source set sizes attach as ONE 1-row source->count map
+    # cross-attach (round-13 fold; was two broadcast hash joins) — the
+    # keyless 1-row broadcast is the sanctioned idiom; no cartesian and
+    # no CONDITIONED nested-loop may appear.
     plan = formatted_plan(spark, "q98_source_overlap")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "map_from_entries" in plan, plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    bnlj = re.findall(
+        r"\(\d+\) BroadcastNestedLoopJoin.*?(?=\n\(|\Z)", plan, re.S
+    )
+    assert all("Join condition: None" in n for n in bnlj), plan
 
 
 def test_q96_psi_single_corpus_aggregate(spark):

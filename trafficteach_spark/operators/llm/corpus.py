@@ -1226,11 +1226,23 @@ def q98_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
         .persist()  # O43: feeds the pair expansion AND the size aggregate
     )
-    sz = (
+    # Round-13 tail fold (the q141/q161 treatment): the per-source set
+    # sizes attach as ONE 1-row source->count map instead of two
+    # broadcast joins — the size aggregation over the persisted
+    # per-shingle frame runs once per action instead of twice, and one
+    # broadcast-build job disappears. <= n_sources entries at any scale.
+    smap = (
         by_shingle.select(F.explode("srcs").alias("source"))
         .groupBy("source")
         .agg(F.count("*").alias("n"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("source", "n"))
+            ).alias("smap")
+        )
     )
+    n_a = F.element_at("smap", F.col("src_a"))
+    n_b = F.element_at("smap", F.col("src_b"))
     return (
         by_shingle.select(
             F.explode(
@@ -1245,13 +1257,13 @@ def q98_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p.src_a", "p.src_b")
         .agg(F.count("*").alias("n_common"))
-        .join(F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
-        .join(F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
+        .crossJoin(F.broadcast(smap))
         .select(
-            "src_a", "src_b", "n_common", "n_a", "n_b",
+            "src_a", "src_b", "n_common",
+            n_a.alias("n_a"), n_b.alias("n_b"),
             F.round(
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                / (n_a + n_b - F.col("n_common")).cast("double"),
                 6,
             ).alias("jaccard"),
         )
