@@ -66,6 +66,17 @@ WHITELIST = {
         "as a conditioned BNLJ — the inner side is a single row at any "
         "data size (q132's idiom)",
     ),
+    "q190_markov_attribution": (
+        ("conditioned-BNLJ",),
+        "the removal-variant grid (a 5-row LITERAL: 'none' + the four "
+        "removal channels) cross-attaches onto the bounded edge frame "
+        "with the src <> removed residual fused in — the build side is "
+        "a constant 5-row frame at any data size (the q132 scalar-attach "
+        "idiom with a residual predicate). This join predates round 13; "
+        "the round-13 tail collapse removed the eager localCheckpoint "
+        "that had TRUNCATED the audited plan just above it, so the "
+        "audit now sees the whole lineage",
+    ),
     "q132_user_lifecycle": (
         ("conditioned-BNLJ",),
         "the conditioned BNLJ is the churn horizon bound (wk + 7 <= "
